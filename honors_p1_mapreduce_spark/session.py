@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Carries over the reference's only two engine-level knobs as
+configuration rather than code (SURVEY.md §2.2 R1, §4.2):
+
+- straggler mitigation -> ``spark.speculation=true`` with
+  ``multiplier=1.5`` / ``quantile=0.25``, knob-for-knob identical to
+  the reference coordinator (mr/coordinator/server.py:73-75).
+- ``num_reduces`` -> ``spark.sql.shuffle.partitions``.
+
+Everything else (AQE, Arrow, UTC session timezone) is 100TB-scale /
+oracle-parity hygiene.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "honors-p1-mapreduce-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count: at local scale
+    200 partitions over-parallelizes tiny shuffles; on a real cluster
+    this knob is set per-deployment (AQE coalesces the excess either
+    way).
+    """
+    if cpus is None:
+        cpus = default_cpus()
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # num_reduces analog (SURVEY.md §4.2)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # runtime re-planning: partition coalescing + skew-join splitting
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # straggler mitigation == reference special feature (design.md:123-139)
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "1.5")
+        .config("spark.speculation.quantile", "0.25")
+        # Arrow for the pandas-UDF slow path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic timestamps vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,42 @@
+"""Table registry over the driver's parquet star schema.
+
+The reference engine's only source is a line-oriented text file copied
+into a shared volume (mr/client/client.py:21-40, E10 in SURVEY.md §2.1);
+here the primary source is columnar parquet so Catalyst gets predicate
+pushdown + column pruning for free, with text ingestion kept in
+``sources.text`` for reference-shaped workloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should broadcast in joins at any scale.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views so operators can be written in pure SQL."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
