@@ -37,9 +37,14 @@ def tokens_sql(col: str) -> str:
 def bigrams_col(col: str | Column) -> Column:
     """array of 'w1 w2' adjacent-pair strings (empty when < 2 tokens)."""
     toks = tokens_col(col)
+    # slice BOTH sides to n-1: zip_with pads the shorter array with
+    # nulls, which concat_ws silently drops -> phantom unigrams.
     return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.zip_with(toks, F.slice(toks, 2, F.size(toks) - 1), # type: ignore[arg-type]
-                   lambda a, b: F.concat_ws(" ", a, b))
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     )
 
 

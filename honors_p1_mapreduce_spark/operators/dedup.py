@@ -1,0 +1,225 @@
+"""Deduplication operator family (SURVEY.md §2.3 Q6 + north-star ops).
+
+Q6 in the reference is just a per-document ``seen`` set
+(mr/examples/inverted_index/mapper.py:34-37); the scale-path operators
+here are what a 100 TB training-data pipeline needs:
+
+- exact dedup: hash-groupBy on normalized text (one shuffle keyed by
+  a fingerprint, never by the full document).
+- minhash LSH near-dup: shingle -> minhash signature -> band buckets
+  -> candidate pairs via equi-join on (band, bucket-hash) -> verified
+  Jaccard. All shuffles are keyed by small hashes; the candidate join
+  is an equi-join AQE can re-plan, never a cross join.
+- n-gram Jaccard near-dup: exact verification path (inverted index on
+  shingles -> pair counts -> Jaccard), SQL-expressible -> full oracle.
+
+Determinism: every hash is md5-derived (stable across engines/runs);
+the reference's nondeterministic builtin-hash partitioning bug
+(mr/worker/worker.py:108) is deliberately not replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_col, shingles_sql, tokens_col
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------- exact
+
+
+def _norm_text(c: Column) -> Column:
+    # normalization: lowercase + collapse whitespace (classic exact-dedup key)
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One surviving doc_id (the smallest) per normalized-text group.
+
+    Output: (doc_id, text_md5, n_dupes). min/count aggregate on a
+    16-byte key — shuffle volume is O(distinct docs), not O(bytes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(_norm_text(F.col("text"))).alias("text_md5")
+        )
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dupes"))
+        .select("doc_id", "text_md5", "n_dupes")
+    )
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_md5,
+       count(*) AS n_dupes
+FROM documents
+GROUP BY 2
+"""
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.2
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
+
+    Plan shape: distinct (doc, shingle_hash) -> self equi-join on the
+    hash -> per-pair intersection counts -> Jaccard filter. At scale
+    the join key is a 64-bit-ish hash with bounded fanout; hot
+    shingles (stopword runs) are the classic skew source, so n is kept
+    large enough that shingles are selective, and AQE skew-join
+    handles the residue. Jaccard is computed from integer counts ->
+    exact double parity with the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(shingles_col("text", n))).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(n: int = 5, threshold: float = 0.2) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s.shingle AS shingle
+  FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+NGRAM_JACCARD_ORACLE = ngram_jaccard_oracle()
+
+# ----------------------------------------------------------- minhash LSH
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows/band
+
+
+def _minhash_signature(shingle_arr: Column) -> Column:
+    """array<bigint> of N_HASHES min-hashes, md5-derived (deterministic).
+
+    Each hash_i(s) = first 60 bits of md5(i || ':' || s) as bigint;
+    min over the doc's shingle set. Pure Catalyst expressions.
+    """
+    def h(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+                ).cast("bigint"),
+            )
+        )
+
+    return F.array(*[h(i) for i in range(N_HASHES)])
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _minhash_signature(F.array_distinct(shingles_col("text", n))).alias("sig"),
+    ).filter(F.col("sig")[0].isNotNull())
+
+
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.2
+) -> DataFrame:
+    """LSH candidate generation + signature-Jaccard estimate.
+
+    Bands of 4 rows hashed to a bucket key; docs sharing any
+    (band, bucket) become candidates via equi-join on the bucket —
+    the 100 TB-safe alternative to any pairwise scan. Output is
+    (doc_a, doc_b, est_jaccard) for candidates with estimate >=
+    threshold; deterministic given the md5 hash family.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    sigs = minhash_signatures(spark, sf_dir, n)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(N_HASHES))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )

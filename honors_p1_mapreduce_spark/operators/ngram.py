@@ -1,0 +1,42 @@
+"""Q5 n-gram (bigram) extraction (SURVEY.md §2.3 Q5).
+
+Reference semantics (documented only — mr/documentation.md:655-681):
+emit adjacent word pairs per line, count globally. Implemented as an
+array zip_with over the token array (no self-join, no window shuffle:
+bigram construction is narrow per-row work; the only shuffle is the
+final count aggregation, which is partially aggregated map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bigrams_col, bigrams_sql
+from ..sources.tables import load_table
+
+
+def bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(bigrams_col("text")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+BIGRAMS_ORACLE = f"""
+SELECT b.bigram AS bigram, count(*) AS cnt
+FROM documents, unnest({bigrams_sql('text')}) AS b(bigram)
+GROUP BY b.bigram
+"""
+
+
+def bigrams_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    return bigrams(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("bigram")).limit(k)
+
+
+BIGRAMS_TOPK_ORACLE = f"""
+SELECT bigram, cnt FROM ({BIGRAMS_ORACLE})
+ORDER BY cnt DESC, bigram ASC LIMIT 25
+"""

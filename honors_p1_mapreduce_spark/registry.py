@@ -12,16 +12,42 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup as _dd
+from .operators import grep as _gr
+from .operators import inverted_index as _ii
+from .operators import log_analyzer as _la
+from .operators import ngram as _ng
 from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
+    # reference parity (SURVEY.md §2.3)
     "wordcount": _wc.wordcount,
     "wordcount_topk": _wc.wordcount_topk,
+    "grep_count": _gr.grep_count,
+    "grep_total": _gr.grep_total,
+    "inverted_index": _ii.inverted_index,
+    "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "bigrams_topk": _ng.bigrams_topk,
+    # dedup family (Q6 + north-star)
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
 }
 
 ORACLES: dict[str, str] = {
     "wordcount": _wc.WORDCOUNT_ORACLE,
     "wordcount_topk": _wc.WORDCOUNT_TOPK_ORACLE,
+    "grep_count": _gr.GREP_COUNT_ORACLE,
+    "grep_total": _gr.GREP_TOTAL_ORACLE,
+    "inverted_index": _ii.INVERTED_INDEX_ORACLE,
+    "log_analyzer": _la.LOG_ANALYZER_ORACLE,
+    "bigrams": _ng.BIGRAMS_ORACLE,
+    "bigrams_topk": _ng.BIGRAMS_TOPK_ORACLE,
+    "dedup_exact": _dd.DEDUP_EXACT_ORACLE,
+    "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_ORACLE,
+    # dedup_minhash: md5-derived signature family is not practically
+    # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)
 }

@@ -10,6 +10,8 @@ pushdown + column pruning for free, with text ingestion kept in
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -31,6 +33,16 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "p
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert.
+        # Data has no sub-microsecond components, so this is lossless.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer div: double division would lose precision on 1e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
