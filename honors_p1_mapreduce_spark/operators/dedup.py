@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_col, shingles_sql, tokens_col
+from ..functions.text import shingles_col, shingles_sql
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------- exact
@@ -63,17 +63,22 @@ GROUP BY 2
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.2
+    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.2,
+    df_cap: int = 100,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard near-dup pairs (doc_a < doc_b).
 
-    Plan shape: distinct (doc, shingle_hash) -> self equi-join on the
-    hash -> per-pair intersection counts -> Jaccard filter. At scale
-    the join key is a 64-bit-ish hash with bounded fanout; hot
-    shingles (stopword runs) are the classic skew source, so n is kept
-    large enough that shingles are selective, and AQE skew-join
-    handles the residue. Jaccard is computed from integer counts ->
-    exact double parity with the oracle.
+    Plan shape: distinct (doc, shingle_hash) -> document-frequency cap
+    -> self equi-join on the hash -> per-pair intersection counts ->
+    Jaccard filter. The ``df_cap`` drops shingles appearing in more
+    than ``df_cap`` documents BEFORE the self-join (standard in dedup
+    pipelines: boilerplate/licence-header shingles carry no near-dup
+    signal but generate O(df^2) candidate pairs — the round-1 version
+    had unbounded fanout on hot shingles). With the cap, per-shingle
+    fanout is bounded by df_cap^2/2 regardless of corpus size, so the
+    join survives a 100x scale-up; Jaccard is then computed over the
+    surviving (informative) shingles only, identically in the oracle.
+    Jaccard from integer counts -> exact double parity with the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = (
@@ -82,6 +87,15 @@ def ngram_jaccard_pairs(
             F.explode(F.array_distinct(shingles_col("text", n))).alias("shingle"),
         )
         .select("doc_id", F.md5("shingle").alias("sh"))
+    )
+    # df-cap: one extra small shuffle keyed by the shingle hash; the
+    # window avoids a second scan of sh (count + filter in one pass).
+    from pyspark.sql import Window
+
+    sh = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -105,11 +119,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_oracle(n: int = 5, threshold: float = 0.2) -> str:
+def ngram_jaccard_oracle(n: int = 5, threshold: float = 0.2, df_cap: int = 100) -> str:
     return f"""
-WITH sh AS (
+WITH sh_all AS (
   SELECT DISTINCT doc_id, s.shingle AS shingle
   FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= {df_cap}
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -134,31 +154,37 @@ N_HASHES = 32
 N_BANDS = 8  # 4 rows/band
 
 
-def _minhash_signature(shingle_arr: Column) -> Column:
-    """array<bigint> of N_HASHES min-hashes, md5-derived (deterministic).
-
-    Each hash_i(s) = first 60 bits of md5(i || ':' || s) as bigint;
-    min over the doc's shingle set. Pure Catalyst expressions.
-    """
-    def h(i: int) -> Column:
-        return F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
-                ).cast("bigint"),
-            )
-        )
-
-    return F.array(*[h(i) for i in range(N_HASHES)])
-
-
 def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — N_HASHES min-hashes per document.
+
+    Plan shape (the 100 TB one): explode distinct shingles to
+    (doc_id, shingle) rows — tokenization runs ONCE per document —
+    then the N_HASHES family as plain ``xxhash64(i, shingle)``
+    columns and a single ``groupBy(doc_id).agg(min...)``. The shuffle
+    carries one row per (doc, distinct shingle) of 8-byte hashes with
+    map-side partial min; no expression subtree is ever duplicated
+    (the round-1 inline-per-hash formulation re-evaluated the
+    tokenizer ~200x per row and stalled the suite).
+
+    Docs with fewer than ``n`` tokens have no shingles and drop out,
+    matching the reference mapper's emit-nothing behavior for short
+    lines (mr/examples/inverted_index/mapper.py:27-37 analog).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    sh = docs.select(
         "doc_id",
-        _minhash_signature(F.array_distinct(shingles_col("text", n))).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+        F.explode(F.array_distinct(shingles_col("text", n))).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
 
 
 def dedup_minhash_pairs(
@@ -168,35 +194,33 @@ def dedup_minhash_pairs(
 
     Bands of 4 rows hashed to a bucket key; docs sharing any
     (band, bucket) become candidates via equi-join on the bucket —
-    the 100 TB-safe alternative to any pairwise scan. Output is
-    (doc_a, doc_b, est_jaccard) for candidates with estimate >=
-    threshold; deterministic given the md5 hash family.
+    the 100 TB-safe alternative to any pairwise scan. The signature
+    frame is persisted (MEMORY_AND_DISK) because it is read three
+    times: both sides of the bucket self-join and the signature
+    attach; without it Spark recomputes the shingle scan per use.
+    Output is (doc_a, doc_b, est_jaccard) for candidates with
+    estimate >= threshold; deterministic given the xxhash64 family.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = N_HASHES // N_BANDS
-    sigs = minhash_signatures(spark, sf_dir, n)
+    sigs = minhash_signatures(spark, sf_dir, n).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -205,13 +229,13 @@ def dedup_minhash_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pair = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -219,7 +243,7 @@ def dedup_minhash_pairs(
         lambda acc, x: acc + x,
     ) / F.lit(float(N_HASHES))
     return (
-        cand.withColumn("est_jaccard", est)
+        pair.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
