@@ -17,6 +17,7 @@ from .operators import grep as _gr
 from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
 from .operators import ngram as _ng
+from .operators import relational as _rel
 from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -35,6 +36,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash": _dd.dedup_minhash_pairs,
+    # relational star-schema surface (capability fill-in; SURVEY.md §7.2 item 3)
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
+    "nation_revenue": _rel.nation_revenue,
+    "order_priority": _rel.order_priority,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -48,6 +56,12 @@ ORACLES: dict[str, str] = {
     "bigrams_topk": _ng.BIGRAMS_TOPK_ORACLE,
     "dedup_exact": _dd.DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_ORACLE,
+    "pricing_summary": _rel.PRICING_SUMMARY_ORACLE,
+    "top_revenue_orders": _rel.TOP_REVENUE_ORACLE,
+    "nation_revenue": _rel.NATION_REVENUE_ORACLE,
+    "order_priority": _rel.ORDER_PRIORITY_ORACLE,
+    "region_acctbal": _rel.REGION_ACCTBAL_ORACLE,
+    "promo_revenue": _rel.PROMO_REVENUE_ORACLE,
     # dedup_minhash: md5-derived signature family is not practically
     # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)
 }
