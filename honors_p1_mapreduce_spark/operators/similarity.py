@@ -1,0 +1,191 @@
+"""Similarity search over the ``embeddings`` table (north-star op).
+
+No reference counterpart (the reference is line-text MapReduce only;
+SURVEY.md §2.4) — this is the LLM-pipeline surface: approximate
+nearest neighbors over an ``array<float>`` column.
+
+Two paths:
+
+- ``similarity_topk`` — exact brute-force cosine top-k for a small
+  query set. The query side is broadcast, so the "cross" join is a
+  map-side nested loop over each partition: no shuffle of the corpus,
+  embarrassingly parallel, and the per-row cost is one fused
+  zip_with/aggregate fold (JVM-side, no Python). This is the baseline
+  and the verification oracle for the ANN path. Oracle parity is
+  bit-exact because both engines run the identical left fold over the
+  identical doubles (DuckDB ``list_reduce`` mirrors Spark's
+  ``F.aggregate`` with 0.0 init).
+- ``similarity_ann_topk`` / ``embedding_neardup`` — the 100 TB path:
+  random-hyperplane LSH (signed projections, banded like minhash) via
+  an Arrow-batched pandas UDF (numpy matmul per batch), bucket
+  equi-join for candidates, exact cosine re-rank. Candidate volume is
+  O(bucket size), never O(n²); band/bit counts trade recall vs
+  candidate count and are explicit knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim, lsh_band_buckets
+from ..sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+# LSH knobs: 8 bands x 6 bits -> 64 buckets/band. At n=500 (sf0.01)
+# each bucket holds ~8 vectors so a query probes ~60 candidates (12%
+# of corpus); at larger n raise n_bits to keep buckets bounded.
+LSH_BANDS = 8
+LSH_BITS = 6
+LSH_SEED = 42
+
+
+def _queries_and_corpus(
+    spark: SparkSession, sf_dir: str, n_queries: int
+) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return F.broadcast(q), emb
+
+
+def similarity_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the first ``n_queries`` vectors.
+
+    Deterministic rank tie-break (sim DESC, vec_id ASC); self-matches
+    excluded. Output: (query_id, rank, vec_id, sim).
+    """
+    q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    scored = (
+        q.join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+# DuckDB twin: identical left fold (init 0.0) over identical doubles ->
+# bit-equal sim; rank/tie-break mirrored.
+def similarity_topk_oracle(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+    nq, na = norm.format(v="q"), norm.format(v="a")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
+              ELSE {dot} / ({nq} * {na}) END AS sim
+  FROM embeddings q, embeddings a
+  WHERE q.vec_id < {n_queries} AND a.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+SIMILARITY_TOPK_ORACLE = similarity_topk_oracle()
+
+# ------------------------------------------------------------- LSH / ANN
+
+
+def _bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, band, bucket) rows: one per LSH band."""
+    buckets = lsh_band_buckets(
+        n_bands=LSH_BANDS, n_bits=LSH_BITS, seed=LSH_SEED
+    )(F.col(emb_col))
+    return (
+        emb.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
+    )
+
+
+def similarity_ann_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """ANN cosine top-k: LSH-bucket candidates, exact re-rank.
+
+    Candidates = corpus vectors sharing >=1 (band, bucket) with the
+    query — an equi-join on small integer keys, the same banded-LSH
+    shape as minhash dedup. Output schema matches ``similarity_topk``
+    so recall is directly measurable (tests do exactly that); ranks
+    are per-query over retrieved candidates only.
+    """
+    q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    qb = _bucketed(q, "query_id", "q_emb")
+    cb = _bucketed(emb, "vec_id", "embedding")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(emb, "vec_id")
+        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets.
+
+    All-pairs semantics at bucket-join cost: pairs sharing any
+    (band, bucket) are scored exactly, kept when cosine >= threshold.
+    Like every near-dup op here it is approximate-by-recall but
+    exact-by-precision (no false positives), which is the trade a
+    100 TB dedup pipeline wants. Output: (vec_a, vec_b, sim).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = _bucketed(emb, "vec_id", "embedding")
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", cosine_sim(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

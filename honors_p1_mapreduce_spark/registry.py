@@ -18,6 +18,7 @@ from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
 from .operators import ngram as _ng
 from .operators import relational as _rel
+from .operators import similarity as _sim
 from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,6 +44,10 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
+    # similarity search over embeddings (north-star)
+    "similarity_topk": _sim.similarity_topk,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -62,6 +67,10 @@ ORACLES: dict[str, str] = {
     "order_priority": _rel.ORDER_PRIORITY_ORACLE,
     "region_acctbal": _rel.REGION_ACCTBAL_ORACLE,
     "promo_revenue": _rel.PROMO_REVENUE_ORACLE,
+    "similarity_topk": _sim.SIMILARITY_TOPK_ORACLE,
+    # similarity_ann_topk / embedding_neardup: LSH bucketing is a
+    # numpy pandas-UDF -> not SQL-expressible; rows-only check, with
+    # recall-vs-brute-force asserted in tests/test_similarity.py
     # dedup_minhash: md5-derived signature family is not practically
     # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)
 }

@@ -1,0 +1,66 @@
+"""Similarity-search tests: brute-force oracle parity, ANN recall vs
+the exact baseline, near-dup precision/recall vs a DuckDB brute force."""
+
+from __future__ import annotations
+
+from honors_p1_mapreduce_spark import registry
+from honors_p1_mapreduce_spark.operators import similarity as sim
+
+from .oracle import compare_query, duckdb_connect
+
+
+def test_similarity_topk_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["similarity_topk"],
+        registry.ORACLES["similarity_topk"],
+    )
+
+
+def test_ann_recall_and_precision(spark, sf_dir):
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_topk(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_ann_topk(spark, sf_dir).collect()
+    }
+    # LSH recall floor (weak-signal corpus: embeddings are near-random,
+    # so banded LSH at 8x6 bits retrieves ~1/3 of true top-10)
+    hits = set(exact) & set(ann)
+    assert len(hits) / len(exact) >= 0.2
+    # precision of the sims themselves: re-ranked candidates carry the
+    # exact cosine, so overlapping pairs must agree bit-for-bit
+    for p in hits:
+        assert exact[p] == ann[p]
+
+
+def test_embedding_neardup_exact_precision(spark, sf_dir):
+    got = sim.embedding_neardup(spark, sf_dir).collect()
+    assert got, "expected some near-dup pairs"
+    con = duckdb_connect(sf_dir)
+    try:
+        true_pairs = {
+            (a, b): s
+            for a, b, s in con.execute(f"""
+                SELECT a.vec_id, b.vec_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) AS s
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE s >= {sim.NEARDUP_THRESHOLD}
+            """).fetchall()
+        }
+    finally:
+        con.close()
+    # exact-by-precision: every emitted pair is a true pair
+    for r in got:
+        assert (r.vec_a, r.vec_b) in true_pairs
+        assert r.sim >= sim.NEARDUP_THRESHOLD
+    # approximate-by-recall: LSH must find a sane fraction
+    assert len(got) / len(true_pairs) >= 0.2
+
+
+def test_ann_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))
+    assert a == b
