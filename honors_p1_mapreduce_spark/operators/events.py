@@ -1,0 +1,174 @@
+"""Time-windowed aggregations over the ``events`` stream table
+(SURVEY.md §7.2 item 5 — the reference has zero time/stream operators,
+SURVEY.md §2.4).
+
+Batch implementations of the standard streaming window family —
+tumbling, sliding, session — written against the SAME transformation
+shapes Structured Streaming uses (``F.window`` / ``F.session_window``
+group keys), so the streaming port is the one-line ``readStream`` swap
+exercised in ``streaming/`` and its tests. At 100 TB these are
+single-shuffle plans: window+key hash aggregate with partial
+map-side aggregation, and the parquet scan prunes to the 3-4 columns
+touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum_col, dsum_sql
+from ..sources.tables import load_table
+
+TUMBLE_WIDTH = "1 hour"
+SLIDE_WIDTH = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "6 hours"
+
+
+def tumbling_counts(events: DataFrame, width: str = TUMBLE_WIDTH) -> DataFrame:
+    """Shared batch/streaming transformation: per-(window, event_type)
+    counts and exact value sums over tumbling windows."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum_col("value", "sum_value", scale=6, precision=24))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+EVENTS_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events,
+       {dsum_sql('value', 'sum_value', scale=6, precision=24)}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min: each event lands in
+    width/slide = 2 windows. Spark expands the windows at the scan
+    (one extra row per overlapping window — bounded fan-out of 2),
+    then the same single hash-agg shuffle as tumbling."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+# DuckDB twin: enumerate each event's 2 covering windows explicitly.
+EVENTS_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - i.i * INTERVAL '30 minutes'
+           AS window_start,
+         event_type
+  FROM events, unnest([0, 1]) AS i(i)
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, count(*) AS n_events
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (6h inactivity closes a
+    session): one row per session with span and exact value sum.
+
+    Uses ``F.session_window`` — the same operator Structured Streaming
+    runs stateful — whose window end is ``last_ts + gap``; we subtract
+    the gap back so ``session_end`` is the last event's timestamp
+    (comparable to the oracle's ``max(ts)``).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum_col("value", "sum_value", scale=6, precision=24))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 6 HOURS")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+USER_SESSIONS_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       {dsum_sql('value', 'sum_value', scale=6, precision=24)}
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+def event_type_hourly_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Top-k busiest hours per event type — window agg + ranked window
+    function, the composed shape dashboards run. Deterministic
+    tie-break on window_start."""
+    from pyspark.sql import Window as W
+
+    hourly = tumbling_counts(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("window_start")
+    )
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "rank", "window_start", "n_events")
+    )
+
+
+def event_type_hourly_topk_oracle(k: int = 3) -> str:
+    return f"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, window_start, n_events,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, window_start ASC) AS rank
+  FROM hourly
+)
+SELECT event_type, rank, window_start, n_events FROM ranked WHERE rank <= {k}
+"""
+
+
+EVENT_TYPE_HOURLY_TOPK_ORACLE = event_type_hourly_topk_oracle()

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as _dd
+from .operators import events as _ev
 from .operators import grep as _gr
 from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
@@ -48,6 +49,11 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk": _sim.similarity_topk,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
+    # event-time windows (streaming-ready shapes; SURVEY.md §7.2 item 5)
+    "events_tumbling": _ev.events_tumbling,
+    "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -68,6 +74,10 @@ ORACLES: dict[str, str] = {
     "region_acctbal": _rel.REGION_ACCTBAL_ORACLE,
     "promo_revenue": _rel.PROMO_REVENUE_ORACLE,
     "similarity_topk": _sim.SIMILARITY_TOPK_ORACLE,
+    "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
+    "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
+    "user_sessions": _ev.USER_SESSIONS_ORACLE,
+    "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
     # similarity_ann_topk / embedding_neardup: LSH bucketing is a
     # numpy pandas-UDF -> not SQL-expressible; rows-only check, with
     # recall-vs-brute-force asserted in tests/test_similarity.py

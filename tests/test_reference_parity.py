@@ -12,16 +12,9 @@ from honors_p1_mapreduce_spark.operators.inverted_index import (
 
 from .oracle import compare_query
 
-PARITY = [
-    "grep_count",
-    "grep_total",
-    "inverted_index",
-    "log_analyzer",
-    "bigrams",
-    "bigrams_topk",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-]
+# every registered oracle-backed query (wordcount has its own golden
+# test; new queries get parity coverage automatically on registration)
+PARITY = sorted(registry.ORACLES)
 
 
 @pytest.mark.parametrize("name", PARITY)
