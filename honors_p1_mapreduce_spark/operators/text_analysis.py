@@ -1,0 +1,331 @@
+"""Text-analysis operators over ``documents`` (north-star surface).
+
+No reference counterpart (the reference's text ops stop at
+tokenize/count — SURVEY.md §2.3); these are the per-document analyses
+a training-data pipeline runs before filtering: token statistics,
+stopword-profile language ID, rational-arithmetic quality scoring,
+and simhash fingerprinting with banded near-dup pairing.
+
+Everything is built-in Catalyst expressions — one pruned scan of
+(doc_id, text[, lang]) and one shuffle per aggregate; no Python in
+any hot path. Determinism notes:
+- all ratios are +,-,*,/ on exact ints/doubles (no transcendentals,
+  whose libm last-bits differ between engines);
+- simhash bit hashes are md5-derived (hex prefix -> 60-bit int),
+  reproduced verbatim in the DuckDB oracles via '0x' casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+from ..sources.tables import load_table
+
+# Small stopword profiles for the language-ID heuristic. Overlap
+# between languages is fine — ties break deterministically.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "por", "del", "que"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "une", "des", "du", "qui"),
+}
+LANGS = tuple(sorted(STOPWORDS))  # deterministic tie-break order
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """# of distinct tokens present in ``words`` (JVM array intersect)."""
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+def _hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(list_distinct({toks}), t -> list_contains([{lst}], t)))"
+
+
+# -------------------------------------------------------- token stats
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, vocabulary, mean token
+    length, type-token ratio. Pure per-row expressions — no shuffle at
+    all (the 100 TB plan: map-only over the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+        (tok_chars.cast("double") / F.size(toks)).alias("mean_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+
+
+_T = tokens_sql("text")
+
+DOC_TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       len({_T}) AS n_tokens,
+       len(list_distinct({_T})) AS n_distinct,
+       length(text) AS n_chars,
+       CAST(list_reduce(list_transform({_T}, t -> length(t)), (a, x) -> a + x)
+            AS DOUBLE) / len({_T}) AS mean_token_len,
+       CAST(len(list_distinct({_T})) AS DOUBLE) / len({_T}) AS ttr
+FROM documents
+"""
+
+
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus totals: docs, token occurrences, vocabulary size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens_col("text")).alias("token"))
+    return tok.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+
+
+CORPUS_TOKEN_STATS_ORACLE = f"""
+SELECT (SELECT count(*) FROM (SELECT unnest({_T}) FROM documents)) AS total_tokens,
+       (SELECT count(DISTINCT t) FROM (SELECT unnest({_T}) AS t FROM documents)) AS vocab_size,
+       (SELECT count(*) FROM documents) AS n_docs
+"""
+
+# ------------------------------------------------------- language ID
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: predicted language = argmax of
+    per-language distinct stopword hits, 'und' (undetermined) when no
+    profile hits; ties break in LANGS order. Emits the stored ``lang``
+    column too so accuracy is a trivial downstream query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    hit_cols = [_hits(toks, STOPWORDS[lg]).alias(f"hits_{lg}") for lg in LANGS]
+    d = docs.select("doc_id", "lang", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANGS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in LANGS:  # first language reaching the max wins (tie-break)
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        *[f"hits_{lg}" for lg in LANGS],
+    )
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n       ".join(
+        f"{_hits_sql(_T, STOPWORDS[lg])} AS hits_{lg}" for lg in LANGS
+    )
+    best = f"greatest({', '.join(f'hits_{lg}' for lg in LANGS)})"
+    tie = " ".join(f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in LANGS)
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+       {hits}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN {best} <= 0 THEN 'und' {tie} END AS pred_lang,
+       {', '.join(f'hits_{lg}' for lg in LANGS)}
+FROM h
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+# ------------------------------------------------------ quality score
+
+_EN = STOPWORDS["en"]
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Features: token count (saturating at 100), stopword occurrence
+    ratio, alphanumeric character ratio. The composite is their
+    rational-arithmetic mean — deliberately no exp/log so both engines
+    produce bit-identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in _EN]), t),
+        )
+    )
+    clean = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9_ ]", "")
+    alnum_ratio = F.length(clean).cast("double") / F.length("text")
+    sw_ratio = sw.cast("double") / n_tok
+    len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
+    score = (len_score + sw_ratio + alnum_ratio) / F.lit(3.0)
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in _EN)
+
+QUALITY_SCORE_ORACLE = f"""
+SELECT doc_id,
+       len({_T}) AS n_tokens,
+       CAST(len(list_filter({_T}, t -> list_contains([{_EN_LIST}], t))) AS DOUBLE)
+         / len({_T}) AS stopword_ratio,
+       CAST(length(regexp_replace(lower(text), '[^a-z0-9_ ]', '', 'g')) AS DOUBLE)
+         / length(text) AS alnum_ratio,
+       (CAST(least(len({_T}), 100) AS DOUBLE) / 100.0
+        + CAST(len(list_filter({_T}, t -> list_contains([{_EN_LIST}], t))) AS DOUBLE)
+          / len({_T})
+        + CAST(length(regexp_replace(lower(text), '[^a-z0-9_ ]', '', 'g')) AS DOUBLE)
+          / length(text)) / 3.0 AS quality
+FROM documents
+"""
+
+# -------------------------------------------------- simhash fingerprint
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a positive bigint
+
+
+def _token_hash(c: Column) -> Column:
+    """60-bit md5-derived token hash (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit simhash per document over the token multiset.
+
+    Plan: explode tokens -> one shuffle keyed by doc_id with 60
+    conditional partial sums (bit b contributes +1/-1 per token
+    occurrence) -> bit assembly. Expression width is 60 plain
+    columns — linear, no subtree duplication. Near-dup docs land
+    within small hamming distance; see ``simhash_neardup``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("t")
+    ).select("doc_id", _token_hash(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("fingerprint"))
+
+
+def _simhash_oracle_core() -> str:
+    """CTE producing (doc_id, fingerprint) — mirrors the Spark plan."""
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t.t), 1, 15)) AS BIGINT) AS h
+  FROM documents, unnest({_T}) AS t(t)
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM tok GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS fingerprint FROM bits)
+"""
+
+
+SIMHASH_ORACLE = f"WITH {_simhash_oracle_core()} SELECT doc_id, fingerprint FROM fp"
+
+# banded near-dup over fingerprints: 4 bands x 15 bits; semantics =
+# "shares >= 1 band AND hamming <= K" (the banded definition IS the
+# query contract, so the oracle mirrors it exactly; for hamming <= 3
+# the pigeonhole over 4 bands makes banding lossless)
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_HAMMING_MAX = 10
+
+
+def simhash_neardup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-dup pairs by simhash: banded candidate join + hamming
+    filter, fully SQL-expressible (bit_count/xor in both engines)."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    banded = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fingerprint", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fingerprint", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_oracle(max_hamming: int = SIMHASH_HAMMING_MAX) -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+WITH {_simhash_oracle_core()},
+banded AS (
+  SELECT doc_id, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {SIMHASH_BAND_BITS})) & {mask} AS bucket
+  FROM fp, unnest([{', '.join(str(b) for b in range(SIMHASH_BANDS))}]) AS b(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {max_hamming}
+"""
+
+
+SIMHASH_NEARDUP_ORACLE = simhash_neardup_oracle()

@@ -20,6 +20,7 @@ from .operators import log_analyzer as _la
 from .operators import ngram as _ng
 from .operators import relational as _rel
 from .operators import similarity as _sim
+from .operators import text_analysis as _ta
 from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -54,6 +55,13 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    # text analysis (north-star)
+    "doc_token_stats": _ta.doc_token_stats,
+    "corpus_token_stats": _ta.corpus_token_stats,
+    "lang_id": _ta.lang_id,
+    "quality_score": _ta.quality_score,
+    "simhash_fingerprints": _ta.simhash_fingerprints,
+    "simhash_neardup": _ta.simhash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -78,6 +86,12 @@ ORACLES: dict[str, str] = {
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
+    "doc_token_stats": _ta.DOC_TOKEN_STATS_ORACLE,
+    "corpus_token_stats": _ta.CORPUS_TOKEN_STATS_ORACLE,
+    "lang_id": _ta.LANG_ID_ORACLE,
+    "quality_score": _ta.QUALITY_SCORE_ORACLE,
+    "simhash_fingerprints": _ta.SIMHASH_ORACLE,
+    "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
     # similarity_ann_topk / embedding_neardup: LSH bucketing is a
     # numpy pandas-UDF -> not SQL-expressible; rows-only check, with
     # recall-vs-brute-force asserted in tests/test_similarity.py
