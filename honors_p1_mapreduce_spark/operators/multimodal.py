@@ -1,0 +1,158 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata (north-star surface; no reference counterpart).
+
+Model: media is an opaque ``binary`` column alongside typed metadata
+(``media_type``, byte size, checksums). All Spark-side plumbing —
+schema, partitioning, Arrow batch shapes, UDF signatures — is real
+and tested; the actual codec step is STUBBED because image/audio
+libraries are not in this container:
+
+- ``use_real_codecs=True`` raises ``NotImplementedError`` (the marked
+  integration point where PIL/librosa/ffmpeg decoding would plug in);
+- the default fake decoder derives deterministic "dimensions" and a
+  feature vector from the payload's md5, so the full pipeline —
+  binary in, per-item features out, frame sampling — runs and is
+  reproducible in tests.
+
+The demo media table derives its payloads from ``documents.text``
+(UTF-8 bytes) so ``media_stats`` stays fully oracle-checkable: DuckDB
+has no binary md5, but for UTF-8-derived payloads ``md5(text)`` is
+byte-identical to Spark's ``md5(binary)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MEDIA_TYPES = ("image/png", "audio/wav", "video/mp4")
+
+DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+FEATURE_DIM = 8
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic demo media frame: (doc_id, media_type, content:
+    binary, n_bytes). Payload = UTF-8 bytes of the document text;
+    media_type assigned round-robin by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
+    )
+    content = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        content.alias("content"),
+        F.length(content).alias("n_bytes"),
+    )
+
+
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type stats over the binary column: item count, total/
+    max payload bytes, distinct payload checksums. One pruned scan +
+    one 3-group aggregate (map-only until the tiny final shuffle)."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
+    )
+
+
+MEDIA_STATS_ORACLE = """
+SELECT ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)]
+         AS media_type,
+       count(*) AS n_items,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes,
+       count(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents
+GROUP BY 1
+"""
+
+
+def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for a codec: dimensions + an 8-dim
+    feature vector derived from the payload digest. Replaced wholesale
+    by a real decoder where codecs exist."""
+    d = hashlib.md5(content).digest()
+    width = 16 + d[0] % 240
+    height = 16 + d[1] % 240
+    n_frames = 1 if not media_type.startswith("video/") else 1 + d[2] % 120
+    feature = [round(b / 255.0, 6) for b in d[:FEATURE_DIM]]
+    return width, height, n_frames, feature
+
+
+def decode_media_features(
+    media: DataFrame, use_real_codecs: bool = False
+) -> DataFrame:
+    """Decode/feature-extract over binary payloads via ``mapInPandas``.
+
+    Arrow streams each partition as pandas batches — payloads arrive
+    as Python ``bytes`` / ``bytearray``, exactly what a real codec
+    takes — and the operator stays embarrassingly parallel: no
+    shuffle, output partitioning inherits the input's.
+    """
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image/audio/video codecs are not available in this "
+            "environment; plug PIL/librosa/ffmpeg decoding in here"
+        )
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "media_type": [], "n_bytes": [],
+                "width": [], "height": [], "n_frames": [], "feature": [],
+            }
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                blob = bytes(content)
+                w, h, nf, feat = _fake_decode(blob, mt)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["n_bytes"].append(len(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=DECODE_SCHEMA)
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered rows-only query: decode the demo media table with the
+    deterministic fake codec."""
+    return decode_media_features(media_table(spark, sf_dir))
+
+
+def frame_sample(
+    decoded: DataFrame, every_k: int = 10
+) -> DataFrame:
+    """Sample every ``every_k``-th frame index per video item — pure
+    Catalyst over the decoded ``n_frames`` (sequence + explode), no
+    Python; one row per sampled frame."""
+    vids = decoded.filter(F.col("media_type").startswith("video/"))
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
+    return vids.select(
+        "doc_id", "n_frames", F.explode(idx).alias("frame_idx")
+    )
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered rows-only query: sampled frame indices for videos."""
+    return frame_sample(media_decode_features(spark, sf_dir))

@@ -17,6 +17,7 @@ from .operators import events as _ev
 from .operators import grep as _gr
 from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
+from .operators import multimodal as _mm
 from .operators import ngram as _ng
 from .operators import relational as _rel
 from .operators import similarity as _sim
@@ -62,6 +63,10 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
+    # multimodal binary columns (north-star; decode is a stubbed codec)
+    "media_stats": _mm.media_stats,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -92,6 +97,9 @@ ORACLES: dict[str, str] = {
     "quality_score": _ta.QUALITY_SCORE_ORACLE,
     "simhash_fingerprints": _ta.SIMHASH_ORACLE,
     "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
+    "media_stats": _mm.MEDIA_STATS_ORACLE,
+    # media_decode_features / media_frame_sample: fake-codec pandas-UDF
+    # path -> rows-only; determinism + shapes in tests/test_multimodal.py
     # similarity_ann_topk / embedding_neardup: LSH bucketing is a
     # numpy pandas-UDF -> not SQL-expressible; rows-only check, with
     # recall-vs-brute-force asserted in tests/test_similarity.py

@@ -1,0 +1,64 @@
+"""Multimodal plumbing tests: oracle parity for the binary stats,
+Arrow batch shapes + determinism for the stubbed decode path."""
+
+from __future__ import annotations
+
+import pytest
+
+from honors_p1_mapreduce_spark import registry
+from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+from .oracle import compare_query
+
+
+def test_media_stats_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["media_stats"],
+        registry.ORACLES["media_stats"],
+    )
+
+
+def test_decode_shapes_and_determinism(spark, sf_dir):
+    out = mm.media_decode_features(spark, sf_dir)
+    assert out.columns == [
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
+        "feature",
+    ]
+    rows = out.collect()
+    n_docs = mm.media_table(spark, sf_dir).count()
+    assert len(rows) == n_docs  # 1:1, no rows lost in the UDF
+    for r in rows[:20]:
+        assert len(r.feature) == mm.FEATURE_DIM
+        assert 16 <= r.width <= 255 and 16 <= r.height <= 255
+        if r.media_type.startswith("video/"):
+            assert r.n_frames >= 1
+        else:
+            assert r.n_frames == 1
+    again = {r.doc_id: tuple(r.feature) for r in out.collect()}
+    first = {r.doc_id: tuple(r.feature) for r in rows}
+    assert again == first  # fake codec is deterministic
+
+
+def test_real_codecs_stub_raises(spark, sf_dir):
+    media = mm.media_table(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        mm.decode_media_features(media, use_real_codecs=True)
+
+
+def test_frame_sample_only_videos(spark, sf_dir):
+    sampled = registry.QUERIES["media_frame_sample"](spark, sf_dir)
+    rows = sampled.collect()
+    assert rows, "expected sampled frames for video items"
+    decoded = {
+        r.doc_id: r.n_frames
+        for r in mm.media_decode_features(spark, sf_dir).collect()
+        if r.media_type.startswith("video/")
+    }
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert set(by_doc) == set(decoded)  # every video sampled, only videos
+    for doc_id, idxs in by_doc.items():
+        assert idxs == sorted(idxs)
+        assert all(0 <= i < decoded[doc_id] for i in idxs)
+        assert idxs == list(range(0, decoded[doc_id], 10))
