@@ -22,10 +22,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
-# Headline set: grows as operators land; keep it representative, not exhaustive.
+# Headline set: one representative per operator family — text parity
+# (Q1-Q5), dedup, relational joins/aggs, event windows, similarity,
+# text analysis, multimodal.
 HEADLINE: tuple[str, ...] = (
     "wordcount",
     "wordcount_topk",
+    "grep_count",
+    "inverted_index",
+    "bigrams",
+    "log_analyzer",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "simhash_neardup",
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "order_priority",
+    "promo_revenue",
+    "events_tumbling",
+    "user_sessions",
+    "similarity_topk",
+    "similarity_ann_topk",
+    "quality_score",
+    "media_stats",
 )
 
 
@@ -36,6 +57,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
+    if not names:
+        sys.exit("bench: HEADLINE/registry intersection is empty")
     # warm the JVM + parquet footers once so per-query numbers are steady-state
     registry.QUERIES[names[0]](spark, sf_dir).count()
 

@@ -34,9 +34,9 @@ def tokens_sql(col: str) -> str:
     return TOKENS_SQL.format(col=col)
 
 
-def bigrams_col(col: str | Column) -> Column:
-    """array of 'w1 w2' adjacent-pair strings (empty when < 2 tokens)."""
-    toks = tokens_col(col)
+def bigrams_from_tokens(toks: Column) -> Column:
+    """array of 'w1 w2' adjacent-pair strings from a materialized token
+    array (plain attribute — see ``shingles_col`` performance note)."""
     # slice BOTH sides to n-1: zip_with pads the shorter array with
     # nulls, which concat_ws silently drops -> phantom unigrams.
     return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
@@ -46,6 +46,13 @@ def bigrams_col(col: str | Column) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     )
+
+
+def bigrams_col(col: str | Column) -> Column:
+    """array of 'w1 w2' adjacent-pair strings (empty when < 2 tokens).
+    Re-inlines the tokenizer ~5x; hot paths should project
+    ``tokens_col`` first and use ``bigrams_from_tokens``."""
+    return bigrams_from_tokens(tokens_col(col))
 
 
 def bigrams_sql(col: str) -> str:
@@ -58,9 +65,9 @@ def bigrams_sql(col: str) -> str:
     )
 
 
-def shingles_col(col: str | Column, n: int = 3) -> Column:
-    """array of n-gram word shingles ('w1 w2 w3'), distinct not applied."""
-    toks = tokens_col(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """array of n-gram word shingles from an ALREADY-MATERIALIZED token
+    array column (ideally a plain attribute, see ``shingles_col``)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -70,6 +77,20 @@ def shingles_col(col: str | Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def shingles_col(col: str | Column, n: int = 3) -> Column:
+    """array of n-gram word shingles ('w1 w2 w3'), distinct not applied.
+
+    PERFORMANCE: this inlines the tokenizer into every ``element_at``
+    of the shingle builder — O(n x shingles) tokenizations per row
+    (measured 50s for 5k docs at n=5). Hot paths must instead project
+    the token array once (``tokens_col(...).alias("toks")`` in its own
+    select — CollapseProject keeps a non-cheap multiply-referenced
+    alias in a separate projection) and call ``shingles_from_tokens``
+    on the attribute; kept for small/one-off use and API compat.
+    """
+    return shingles_from_tokens(tokens_col(col), n)
 
 
 def shingles_sql(col: str, n: int = 3) -> str:

@@ -23,7 +23,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles_col, shingles_sql
+from ..functions.text import shingles_from_tokens, shingles_sql, tokens_col
+
+
+def _doc_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc.
+
+    Two-projection shape on purpose: the token array materializes once
+    per row as a plain attribute (CollapseProject keeps non-cheap
+    multiply-referenced aliases in their own projection), so the
+    shingle builder's element_at calls are O(1) lookups instead of
+    re-running the tokenizer — this was a 50x wall-clock difference at
+    sf0.1.
+    """
+    return (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), n))
+            ).alias("shingle"),
+        )
+    )
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------- exact
@@ -81,13 +102,7 @@ def ngram_jaccard_pairs(
     Jaccard from integer counts -> exact double parity with the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            F.col("doc_id"),
-            F.explode(F.array_distinct(shingles_col("text", n))).alias("shingle"),
-        )
-        .select("doc_id", F.md5("shingle").alias("sh"))
-    )
+    sh = _doc_shingles(docs, n).select("doc_id", F.md5("shingle").alias("sh"))
     # df-cap: one extra small shuffle keyed by the shingle hash; the
     # window avoids a second scan of sh (count + filter in one pass).
     from pyspark.sql import Window
@@ -171,10 +186,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFram
     lines (mr/examples/inverted_index/mapper.py:27-37 analog).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col("text", n))).alias("shingle"),
-    )
+    sh = _doc_shingles(docs, n)
     hashed = sh.select(
         "doc_id",
         *[F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}") for i in range(N_HASHES)],

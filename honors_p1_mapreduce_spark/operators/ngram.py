@@ -12,14 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import bigrams_col, bigrams_sql
+from ..functions.text import bigrams_from_tokens, bigrams_sql, tokens_col
 from ..sources.tables import load_table
 
 
 def bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(bigrams_col("text")).alias("bigram"))
+        docs.select(tokens_col("text").alias("toks"))
+        .select(F.explode(bigrams_from_tokens(F.col("toks"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )

@@ -52,11 +52,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, type-token ratio. Pure per-row expressions — no shuffle at
     all (the 100 TB plan: map-only over the scan)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
+    # token array materialized once per row (own projection — see
+    # functions/text.py shingles_col performance note)
+    d = docs.select("doc_id", "text", tokens_col("text").alias("toks"))
+    toks = F.col("toks")
     tok_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
     )
-    return docs.select(
+    return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
@@ -105,9 +108,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile hits; ties break in LANGS order. Emits the stored ``lang``
     column too so accuracy is a trivial downstream query."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
+    toks = F.col("toks")
     hit_cols = [_hits(toks, STOPWORDS[lg]).alias(f"hits_{lg}") for lg in LANGS]
-    d = docs.select("doc_id", "lang", *hit_cols)
+    d = docs.select(
+        "doc_id", "lang", tokens_col("text").alias("toks")
+    ).select("doc_id", "lang", *hit_cols)
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANGS])
     pred = F.when(best <= 0, F.lit("und"))
     for lg in LANGS:  # first language reaching the max wins (tie-break)
@@ -153,7 +158,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce bit-identical doubles.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
+    d = docs.select(
+        "doc_id",
+        "text",
+        tokens_col("text").alias("toks"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9_ ]", "").alias("clean"),
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
     sw = F.size(
         F.filter(
@@ -161,12 +172,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.array_contains(F.array(*[F.lit(w) for w in _EN]), t),
         )
     )
-    clean = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9_ ]", "")
-    alnum_ratio = F.length(clean).cast("double") / F.length("text")
+    alnum_ratio = F.length("clean").cast("double") / F.length("text")
     sw_ratio = sw.cast("double") / n_tok
     len_score = F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
     score = (len_score + sw_ratio + alnum_ratio) / F.lit(3.0)
-    return docs.select(
+    return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         sw_ratio.alias("stopword_ratio"),

@@ -35,9 +35,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert.
+        # ([PARQUET_TYPE_ILLEGAL]); the session factory sets
+        # nanosAsLong so it arrives as raw nanos — convert here.
         # Data has no sub-microsecond components, so this is lossless.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div: double division would lose precision on 1e18 nanos

@@ -29,7 +29,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-timestamp normalization as the batch loader
     (sources/tables.py): the file carries TIMESTAMP(NANOS), which is
     read as raw nanos and converted losslessly to a timestamp."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory path; select just the
     # events file out of the shared sf dir with a glob filter

@@ -1,0 +1,62 @@
+"""Engine/runtime surface tests: speculation knobs (R1), TSV sink
+semantics (E8), status helper (R6), grep query/oracle co-param."""
+
+from __future__ import annotations
+
+from honors_p1_mapreduce_spark.operators.grep import grep_count, grep_count_oracle
+from honors_p1_mapreduce_spark.runtime import status
+from honors_p1_mapreduce_spark.sources.text import read_tsv_results, write_tsv
+
+from .oracle import compare_query
+
+
+def test_speculation_knobs_match_reference(spark):
+    # knob-for-knob the reference coordinator's straggler policy
+    # (mr/coordinator/server.py:73-75): 1.5x median after 25% quantile
+    conf = spark.sparkContext.getConf()
+    assert conf.get("spark.speculation") == "true"
+    assert conf.get("spark.speculation.multiplier") == "1.5"
+    assert conf.get("spark.speculation.quantile") == "0.25"
+    # num_reduces analog + AQE present
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 1
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_write_tsv_round_trip_sorted_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("b", 2), ("a", 1), ("c", 3), ("a", 9)], ["k", "v"]
+    )
+    out = str(tmp_path / "tsv_out")
+    write_tsv(df, out, num_partitions=2)
+    back = read_tsv_results(spark, out)
+    # string-coerced values, all rows preserved (E8 contract)
+    assert sorted((r[0], r[1]) for r in back.collect()) == [
+        ("a", "1"), ("a", "9"), ("b", "2"), ("c", "3")
+    ]
+    # keys sorted within each output partition file
+    import glob
+
+    for part in glob.glob(f"{out}/part-*"):
+        with open(part) as f:
+            keys = [line.split("\t")[0] for line in f if line.strip()]
+        assert keys == sorted(keys)
+    # limit analog (E9)
+    assert read_tsv_results(spark, out, limit=2).count() == 2
+
+
+def test_status_helper_shape(spark):
+    s = status(spark)
+    assert s["status"] in ("RUNNING", "IDLE")
+    assert isinstance(s["active_jobs"], list)
+
+
+def test_grep_query_and_oracle_share_pattern(spark, sf_dir):
+    # a non-default pattern with an uppercase literal: (?i) on raw text
+    # must match; query and oracle built from the same parameter
+    pat = "Table.*Scan"
+    compare_query(
+        spark,
+        sf_dir,
+        lambda s, d: grep_count(s, d, pattern=pat),
+        grep_count_oracle(pat),
+    )
