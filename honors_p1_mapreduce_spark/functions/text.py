@@ -5,6 +5,16 @@ lowercased line (mr/examples/wordcount/mapper.py:8-11). We express the
 same token stream as a split on runs of non-word characters — chosen
 because it compiles to the *same* token sequence under both Java regex
 (Spark) and RE2 (the DuckDB oracle), which ``\\b`` does not guarantee.
+
+DELIBERATE DEVIATION (documented, not hidden): Python's ``\\w`` is
+Unicode-aware while this ``[^a-z0-9_]+`` split treats non-ASCII
+letters as separators (``'café'`` -> ``'caf'``). The deviation is
+chosen on purpose: identical ASCII semantics in Spark and DuckDB is
+what the oracle gate needs, Java/RE2 Unicode classes do NOT agree
+with Python's, and the driver corpus is ASCII. A Unicode tokenizer
+would swap ``[^a-z0-9_]+`` for ``[^\\p{L}\\p{N}_]+`` here and accept
+engine-specific token streams on non-ASCII input.
+
 All functions here are built-in column expressions (JVM-side,
 whole-stage-codegen'd) — no Python in the hot path.
 """

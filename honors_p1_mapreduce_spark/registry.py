@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import analytic as _an
 from .operators import dedup as _dd
 from .operators import events as _ev
 from .operators import grep as _gr
@@ -47,6 +48,12 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
+    # analytic SQL: outer/anti joins, set ops, window functions
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
     # similarity search over embeddings (north-star)
     "similarity_topk": _sim.similarity_topk,
     "similarity_ann_topk": _sim.similarity_ann_topk,
@@ -86,6 +93,11 @@ ORACLES: dict[str, str] = {
     "order_priority": _rel.ORDER_PRIORITY_ORACLE,
     "region_acctbal": _rel.REGION_ACCTBAL_ORACLE,
     "promo_revenue": _rel.PROMO_REVENUE_ORACLE,
+    "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
+    "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
+    "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
+    "top_orders_per_customer": _an.TOP_ORDERS_PER_CUSTOMER_ORACLE,
+    "monthly_revenue_running": _an.MONTHLY_REVENUE_RUNNING_ORACLE,
     "similarity_topk": _sim.SIMILARITY_TOPK_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
