@@ -155,6 +155,80 @@ def similarity_ann_topk(
     )
 
 
+# ----------------------------------------------------------------- IVF
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_STRIDE_SALT = 7  # deterministic centroid pick: vec_id % stride == salt
+
+
+def _ivf_assign(
+    vecs: DataFrame, cents: DataFrame, id_col: str, emb_col: str, nprobe: int
+) -> DataFrame:
+    """(id, cell) rows: each vector's ``nprobe`` nearest centroid cells
+    by cosine (broadcast nested-loop over the tiny centroid set, then a
+    per-id ranking window)."""
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "csim", cosine_sim(F.col(emb_col), F.col("c_emb"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select(id_col, "cell")
+    )
+
+
+def similarity_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flavor ANN: coarse-quantize the corpus into centroid cells,
+    probe the query's ``nprobe`` nearest cells, exact-cosine re-rank.
+
+    Centroids are a deterministic corpus sample (fixed vec_id stride —
+    the train-free IVF variant; a k-means refinement would slot in
+    without changing the query shape). Corpus vectors are assigned to
+    their single nearest cell; queries probe ``nprobe`` cells, so
+    candidate volume is ~corpus x nprobe / n_cells per query — the
+    knob-controlled fraction an IVF index trades for recall. Same
+    output schema as ``similarity_topk`` for direct recall checks.
+    """
+    q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    n = emb.count()
+    stride = max(n // n_cells, 1)
+    cents = (
+        emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    corpus_cells = _ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1)
+    query_cells = _ivf_assign(q, cents, "query_id", "q_emb", nprobe=nprobe)
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(emb, "vec_id")
+        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
 NEARDUP_THRESHOLD = 0.4
 
 

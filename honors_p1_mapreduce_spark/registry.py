@@ -57,6 +57,7 @@ QUERIES: dict[str, QueryFn] = {
     # similarity search over embeddings (north-star)
     "similarity_topk": _sim.similarity_topk,
     "similarity_ann_topk": _sim.similarity_ann_topk,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "embedding_neardup": _sim.embedding_neardup,
     # event-time windows (streaming-ready shapes; SURVEY.md §7.2 item 5)
     "events_tumbling": _ev.events_tumbling,
@@ -112,8 +113,9 @@ ORACLES: dict[str, str] = {
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
     # path -> rows-only; determinism + shapes in tests/test_multimodal.py
-    # similarity_ann_topk / embedding_neardup: LSH bucketing is a
-    # numpy pandas-UDF -> not SQL-expressible; rows-only check, with
+    # similarity_ann_topk / similarity_ivf_topk / embedding_neardup:
+    # LSH bucketing is a numpy pandas-UDF and IVF depends on iterative
+    # assignment -> not SQL-expressible; rows-only check, with
     # recall-vs-brute-force asserted in tests/test_similarity.py
     # dedup_minhash: md5-derived signature family is not practically
     # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)

@@ -1,0 +1,58 @@
+"""Columnar sinks: partitioned parquet and bucketed tables.
+
+The reference's only sink is per-partition TSV (SURVEY.md §2.1 E8,
+kept in ``sources.text``); at 100 TB the real sinks are:
+
+- **hive-partitioned parquet** (``partitionBy``): one directory per
+  partition value, so downstream readers prune whole directories on
+  the partition predicate (no footer even opened);
+- **bucketed tables** (``bucketBy``): rows pre-hashed into a fixed
+  bucket count on the join/agg key at WRITE time, so later joins and
+  aggregations on that key run with NO exchange — the write-once,
+  shuffle-never co-location strategy (tests assert the exchange-free
+  plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet: readers prune directories on any
+    predicate over ``partition_cols``. Keep partition cardinality
+    bounded (dates/categories, never raw ids) or the file count
+    explodes."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table at ``path``.
+
+    Joining two tables bucketed into the same ``n_buckets`` on the
+    same key needs no shuffle on either side; sorting within buckets
+    additionally drops the sort from sort-merge joins.
+    """
+    w = df.write.mode(mode).option("path", path).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read hive-partitioned parquet (partition columns recovered from
+    the directory layout)."""
+    return spark.read.parquet(path)

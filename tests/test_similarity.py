@@ -60,6 +60,23 @@ def test_embedding_neardup_exact_precision(spark, sf_dir):
     assert len(got) / len(true_pairs) >= 0.2
 
 
+def test_ivf_recall_and_precision(spark, sf_dir):
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_ivf_topk(spark, sf_dir).collect()
+    }
+    hits = set(exact) & set(ivf)
+    # nprobe/n_cells = 4/16 of the corpus scanned -> recall well above
+    # that fraction for true neighbors
+    assert len(hits) / len(exact) >= 0.2
+    for p in hits:
+        assert exact[p] == ivf[p]
+
+
 def test_ann_deterministic(spark, sf_dir):
     a = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))
     b = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))

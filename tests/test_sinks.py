@@ -1,0 +1,68 @@
+"""Sink tests: partition pruning on hive-partitioned parquet, and the
+exchange-free join plan on co-bucketed tables."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from honors_p1_mapreduce_spark.sources.sinks import (
+    read_partitioned,
+    write_bucketed_table,
+    write_parquet_partitioned,
+)
+from honors_p1_mapreduce_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    write_parquet_partitioned(ev, out, ["event_type"])
+    # hive layout: one directory per partition value
+    dirs = sorted(
+        p.rsplit("=", 1)[1] for p in glob.glob(f"{out}/event_type=*")
+    )
+    assert dirs == ["click", "error", "purchase", "signup", "view"]
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()
+    # a filter on the partition column prunes to one directory
+    plan = (
+        back.filter(F.col("event_type") == "click")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan or back.filter(
+        F.col("event_type") == "click"
+    ).count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders, "orders_b", ["o_orderkey"], 4, str(tmp_path / "orders_b"),
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        li, "lineitem_b", ["l_orderkey"], 4, str(tmp_path / "lineitem_b"),
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (broadcast would hide the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-bucketed on the join key: no shuffle on either side
+        assert "Exchange" not in plan, plan
+        # and the join still returns the right cardinality
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
