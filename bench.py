@@ -41,10 +41,13 @@ HEADLINE: tuple[str, ...] = (
     "nation_revenue",
     "order_priority",
     "promo_revenue",
+    "customer_order_counts",
+    "monthly_revenue_running",
     "events_tumbling",
     "user_sessions",
     "similarity_topk",
     "similarity_ann_topk",
+    "similarity_ivf_topk",
     "quality_score",
     "media_stats",
 )
