@@ -45,6 +45,7 @@ HEADLINE: tuple[str, ...] = (
     "monthly_revenue_running",
     "events_tumbling",
     "user_sessions",
+    "events_props_stats",
     "similarity_topk",
     "similarity_ann_topk",
     "similarity_ivf_topk",

@@ -135,6 +135,36 @@ GROUP BY user_id, session_no
 """
 
 
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    a typed schema (``from_json`` — JVM-side Jackson, no Python) and
+    aggregate the extracted field per event type. At scale the JSON
+    parse is a per-row map inside the scan stage; only the tiny
+    aggregate shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_PROPS_STATS_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def event_type_hourly_topk(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:

@@ -64,6 +64,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "events_props_stats": _ev.events_props_stats,
     # text analysis (north-star)
     "doc_token_stats": _ta.doc_token_stats,
     "corpus_token_stats": _ta.corpus_token_stats,
@@ -104,6 +105,7 @@ ORACLES: dict[str, str] = {
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
+    "events_props_stats": _ev.EVENTS_PROPS_STATS_ORACLE,
     "doc_token_stats": _ta.DOC_TOKEN_STATS_ORACLE,
     "corpus_token_stats": _ta.CORPUS_TOKEN_STATS_ORACLE,
     "lang_id": _ta.LANG_ID_ORACLE,
