@@ -16,4 +16,17 @@ Design principles (SURVEY.md §7.1):
   dimension tables, partial aggregation everywhere, AQE on.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy re-exports so `import honors_p1_mapreduce_spark` stays cheap
+    if name in ("QUERIES", "ORACLES"):
+        from . import registry
+
+        return getattr(registry, name)
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
