@@ -170,9 +170,14 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines emit identical doubles in every prefix."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # month-truncate WITHOUT date_trunc: that builtin promotes
+    # timestamp_ntz to session-tz TIMESTAMP, which would shift rendered
+    # values under a non-UTC driver session; year()/month() are tz-free
+    month = F.expr(
+        "make_timestamp_ntz(year(l_shipdate), month(l_shipdate), 1, 0, 0, 0)"
+    )
     monthly = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        F.col("l_returnflag").alias("flag"), month.alias("month")
     ).agg(F.sum(rev.cast("decimal(27,6)")).alias("rev_dec"))
     w = (
         Window.partitionBy("flag")

@@ -35,13 +35,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # ([PARQUET_TYPE_ILLEGAL]); the session factory sets
-        # nanosAsLong so it arrives as raw nanos — convert here.
-        # Data has no sub-microsecond components, so this is lossless.
+        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert
+        # losslessly (data has no sub-microsecond components). The
+        # session factory sets nanosAsLong up front, but the driver
+        # calls queries() with ITS OWN SparkSession — guard here so
+        # events load under any session (idempotent runtime conf).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer div: double division would lose precision on 1e18 nanos
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # nanos -> TIMESTAMP_NTZ, matching how Spark reads the other
+            # tables' naive parquet timestamps: epoch + exact dt-interval,
+            # computed without any session-timezone dependence (a plain
+            # timestamp_micros would render shifted under a non-UTC
+            # driver session and break oracle value hashes). Integer div
+            # first: double seconds would lose precision on 1e18 nanos.
+            df = df.withColumn(
+                "ts",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+                + F.expr(
+                    "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
+                ),
+            )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

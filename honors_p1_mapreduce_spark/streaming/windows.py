@@ -29,6 +29,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-timestamp normalization as the batch loader
     (sources/tables.py): the file carries TIMESTAMP(NANOS), which is
     read as raw nanos and converted losslessly to a timestamp."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory path; select just the
     # events file out of the shared sf dir with a glob filter
@@ -39,6 +41,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if isinstance(df.schema["ts"].dataType, T.LongType):
+        # streaming keeps tz-aware TIMESTAMP (watermarks reject NTZ:
+        # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the engine session is
+        # pinned UTC so values match the batch loader's NTZ rendering
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
