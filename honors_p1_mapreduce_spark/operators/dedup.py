@@ -210,6 +210,9 @@ def dedup_minhash_pairs(
     frame is persisted (MEMORY_AND_DISK) because it is read three
     times: both sides of the bucket self-join and the signature
     attach; without it Spark recomputes the shingle scan per use.
+    The cache entry is left to LRU eviction (callers consume the
+    returned lazy frame, so eager unpersist here would defeat it);
+    long-lived sessions issuing many calls can spark.catalog.clearCache().
     Output is (doc_a, doc_b, est_jaccard) for candidates with
     estimate >= threshold; deterministic given the xxhash64 family.
     """
