@@ -322,3 +322,115 @@ WITH g AS (
 SELECT promo_rev, total_rev, 100.0 * promo_rev / total_rev AS promo_pct
 FROM g
 """
+
+# -------------------------------------- small-quantity revenue (Q17-ish)
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from line items whose quantity is
+    below 20% of their part's average quantity.
+
+    The correlated scalar subquery becomes an aggregate-then-join:
+    per-part averages (one shuffle, output = |parts| rows) joined back
+    to lineitem on the part key. The per-part frame is orders of
+    magnitude smaller than the fact table, so AQE broadcast-joins it
+    at any realistic scale; avg is computed as exact-decimal sum /
+    count so the 0.2x threshold is bit-identical in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            dsum_col("l_extendedprice", "total_price", scale=2, precision=18),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql('l_extendedprice', 'total_price', scale=2, precision=18)},
+       count(*) AS n_items
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+# ------------------------------------------------- top supplier (Q15-ish)
+
+TOPSUP_FROM = "1997-01-01"
+TOPSUP_TO = "1997-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) with maximum revenue in a window.
+
+    The argmax is a join-back against the global max of the aggregated
+    per-supplier frame (both tiny after aggregation; the max side is a
+    1-row broadcast). Returns every tied supplier — deterministic
+    without needing a tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TOPSUP_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TOPSUP_TO).cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        dsum_expr(rev, "total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("max_rev"))
+    supp = dim(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("sk") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TOP_SUPPLIER_ORACLE = f"""
+WITH per_supp AS (
+  SELECT l_suppkey AS sk,
+         {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOPSUP_FROM} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{TOPSUP_TO} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp
+JOIN supplier ON sk = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+"""
+
+# ------------------------------------------------------------- rollup
+
+
+def returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): per-group, per-flag
+    subtotal, and grand-total rows from ONE shuffle (Spark expands the
+    grouping sets map-side) — the hierarchy-totals companion to
+    log_analyzer's GROUPING SETS."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        dsum_col("l_quantity", "sum_qty"),
+    )
+
+
+RETURNS_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       {dsum_sql('l_quantity', 'sum_qty', scale=2, precision=18)}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

@@ -199,6 +199,8 @@ def similarity_ivf_topk(
     output schema as ``similarity_topk`` for direct recall checks.
     """
     q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    # parquet count(*) is answered from row-group metadata (no data
+    # scan), so sizing the centroid stride this way stays cheap at scale
     n = emb.count()
     stride = max(n // n_cells, 1)
     cents = (

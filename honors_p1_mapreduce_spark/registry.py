@@ -48,6 +48,9 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
+    "returns_rollup": _rel.returns_rollup,
     # analytic SQL: outer/anti joins, set ops, window functions
     "customer_order_counts": _an.customer_order_counts,
     "customers_without_orders": _an.customers_without_orders,
@@ -95,6 +98,9 @@ ORACLES: dict[str, str] = {
     "order_priority": _rel.ORDER_PRIORITY_ORACLE,
     "region_acctbal": _rel.REGION_ACCTBAL_ORACLE,
     "promo_revenue": _rel.PROMO_REVENUE_ORACLE,
+    "small_quantity_revenue": _rel.SMALL_QUANTITY_REVENUE_ORACLE,
+    "top_supplier": _rel.TOP_SUPPLIER_ORACLE,
+    "returns_rollup": _rel.RETURNS_ROLLUP_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
