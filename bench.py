@@ -41,6 +41,9 @@ HEADLINE: tuple[str, ...] = (
     "nation_revenue",
     "order_priority",
     "promo_revenue",
+    "small_quantity_revenue",
+    "top_supplier",
+    "returns_rollup",
     "customer_order_counts",
     "monthly_revenue_running",
     "events_tumbling",

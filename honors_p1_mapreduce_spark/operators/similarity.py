@@ -245,8 +245,12 @@ def embedding_neardup(
     exact-by-precision (no false positives), which is the trade a
     100 TB dedup pipeline wants. Output: (vec_a, vec_b, sim).
     """
+    from pyspark.storagelevel import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = _bucketed(emb, "vec_id", "embedding")
+    # both self-join sides read the LSH buckets: persist so the
+    # pandas-UDF bucketing runs once over the corpus, not twice
+    b = _bucketed(emb, "vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         b.alias("x")
         .join(b.alias("y"), ["band", "bucket"])

@@ -282,7 +282,11 @@ def simhash_neardup(
 ) -> DataFrame:
     """Near-dup pairs by simhash: banded candidate join + hamming
     filter, fully SQL-expressible (bit_count/xor in both engines)."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    # both sides of the band self-join read the fingerprints: persist
+    # or the 60-sum aggregation runs twice (LRU-evicted later)
+    fp = simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = fp.select(
         "doc_id",
