@@ -44,6 +44,17 @@ def test_write_tsv_round_trip_sorted_partitions(spark, tmp_path):
     assert read_tsv_results(spark, out, limit=2).count() == 2
 
 
+def test_read_text_lines_min_partitions(spark, tmp_path):
+    # E2: num_maps analog — the input split honors the hint
+    p = tmp_path / "many_lines.txt"
+    p.write_text("\n".join(f"line {i}" for i in range(1000)))
+    from honors_p1_mapreduce_spark.sources.text import read_text_lines
+
+    df = read_text_lines(spark, str(p), min_partitions=4)
+    assert df.rdd.getNumPartitions() >= 4
+    assert df.count() == 1000
+
+
 def test_status_helper_shape(spark):
     s = status(spark)
     assert s["status"] in ("RUNNING", "IDLE")
