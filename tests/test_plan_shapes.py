@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties the engine promises (SURVEY.md §8) — asserted so future
+edits can't silently regress them.
+
+Plans are inspected pre-execution (AQE may improve them further at
+runtime; it never adds a cartesian product or un-pushes a filter).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from honors_p1_mapreduce_spark import registry
+from honors_p1_mapreduce_spark.operators.relational import (
+    nation_revenue,
+    pricing_summary,
+    region_acctbal,
+)
+from honors_p1_mapreduce_spark.operators.wordcount import wordcount
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if "CartesianProduct" in _plan(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_wordcount_single_shuffle(spark, sf_dir):
+    plan = _plan(wordcount(spark, sf_dir))
+    # partial+final hash agg around exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: the 4 unused lineitem columns never leave parquet
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    # region/nation sides must be broadcast, never shuffled
+    for fn in (region_acctbal, nation_revenue):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+    # region_acctbal: dims broadcast -> the ONLY hash exchange is the
+    # final 25-group aggregate
+    assert _plan(region_acctbal(spark, sf_dir)).count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["wordcount", "grep_count", "pricing_summary", "events_tumbling"]
+)
+def test_no_python_in_jvm_query_paths(spark, sf_dir, name):
+    # these operators promise pure-Catalyst plans: no Arrow/Python eval
+    plan = _plan(registry.QUERIES[name](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
