@@ -37,6 +37,39 @@ def bigrams_topk(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
     return bigrams(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("bigram")).limit(k)
 
 
+def ngrams(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """General word n-grams (the reference's ngram example is
+    n-generic — mr/documentation.md:655-681); same explode → hash-agg
+    plan as bigrams, shingle construction over the once-materialized
+    token array."""
+    from ..functions.text import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(tokens_col("text").alias("toks"))
+        .select(F.explode(shingles_from_tokens(F.col("toks"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngrams(spark, sf_dir, n=3)
+
+
+def _trigrams_oracle() -> str:
+    from ..functions.text import shingles_sql
+
+    return f"""
+SELECT g.ngram AS ngram, count(*) AS cnt
+FROM documents, unnest({shingles_sql('text', 3)}) AS g(ngram)
+GROUP BY g.ngram
+"""
+
+
+TRIGRAMS_ORACLE = _trigrams_oracle()
+
+
 BIGRAMS_TOPK_ORACLE = f"""
 SELECT bigram, cnt FROM ({BIGRAMS_ORACLE})
 ORDER BY cnt DESC, bigram ASC LIMIT 25

@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "log_analyzer": _la.log_analyzer,
     "bigrams": _ng.bigrams,
     "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
     # dedup family (Q6 + north-star)
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
@@ -90,6 +91,7 @@ ORACLES: dict[str, str] = {
     "log_analyzer": _la.LOG_ANALYZER_ORACLE,
     "bigrams": _ng.BIGRAMS_ORACLE,
     "bigrams_topk": _ng.BIGRAMS_TOPK_ORACLE,
+    "trigrams": _ng.TRIGRAMS_ORACLE,
     "dedup_exact": _dd.DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_ORACLE,
     "pricing_summary": _rel.PRICING_SUMMARY_ORACLE,
