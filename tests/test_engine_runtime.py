@@ -61,6 +61,40 @@ def test_status_helper_shape(spark):
     assert isinstance(s["active_jobs"], list)
 
 
+def test_concurrent_queries_complete(spark, sf_dir):
+    # R4: the reference runs 3 jobs concurrently
+    # (mr/tests/test_mapreduce.py:207-250); Spark actions are
+    # thread-safe on one session
+    import concurrent.futures
+
+    from honors_p1_mapreduce_spark import registry
+
+    names = ["wordcount", "pricing_summary", "events_tumbling"]
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        counts = list(
+            ex.map(lambda n: registry.QUERIES[n](spark, sf_dir).count(), names)
+        )
+    assert all(c > 0 for c in counts)
+
+
+def test_totally_broken_mapper_completes_empty(spark):
+    # reference: an invalid mapper submits and its tasks fail
+    # (mr/tests/test_mapreduce.py:256-278); our per-record tolerance
+    # maps that to "job completes with zero output" — the declared
+    # skip-bad-records semantics applied to every record
+    from honors_p1_mapreduce_spark.mapreduce import map_reduce
+
+    lines = spark.createDataFrame([("a",), ("b",)], ["value"])
+
+    def broken_mapper(line):
+        raise RuntimeError("always fails")
+
+    def reducer(key, values):
+        yield key, len(values)
+
+    assert map_reduce(lines, broken_mapper, reducer).count() == 0
+
+
 def test_grep_query_and_oracle_share_pattern(spark, sf_dir):
     # a non-default pattern with an uppercase literal: (?i) on raw text
     # must match; query and oracle built from the same parameter

@@ -21,6 +21,36 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_session_windows(spark, sf_dir):
+    # session_window runs stateful under Structured Streaming; with a
+    # watermark + append mode the emitted sessions must be a subset of
+    # (and value-consistent with) the batch sessionization
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.events import (
+        SESSION_GAP,
+        user_sessions,
+    )
+    from honors_p1_mapreduce_spark.streaming.windows import stream_events
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    sess = (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    run_to_memory_sink(sess, "sessions_stream", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("sessions_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in user_sessions(spark, sf_dir).collect()
+    }
+    assert got <= want
+
+
 def test_streaming_watermark_append_mode(spark, sf_dir):
     # append mode + watermark: the state-bounded production shape; with
     # AvailableNow the watermark only advances between triggers, so this
