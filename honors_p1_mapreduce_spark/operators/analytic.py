@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum_expr, dsum_sql
 from ..sources.tables import load_table
 
 # ---------------------------------------------- outer join distribution
