@@ -34,12 +34,20 @@ from ..sources.tables import load_table
 N_QUERIES = 5
 TOP_K = 10
 
-# LSH knobs: 8 bands x 6 bits -> 64 buckets/band. At n=500 (sf0.01)
-# each bucket holds ~8 vectors so a query probes ~60 candidates (12%
-# of corpus); at larger n raise n_bits to keep buckets bounded.
+# LSH knobs: 8 bands; bits-per-band is sized from the corpus so each
+# (band, bucket) holds ~LSH_TARGET_BUCKET vectors — candidate volume
+# per band is then n * bucket_size / 2 regardless of corpus size.
+# Fixed bits would quietly go quadratic: 6 bits (right for n=500)
+# measured 508 s at n=50k from ~100-vector buckets.
 LSH_BANDS = 8
-LSH_BITS = 6
+LSH_TARGET_BUCKET = 8
 LSH_SEED = 42
+
+
+def _lsh_bits_for(n: int) -> int:
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(n, 2) / LSH_TARGET_BUCKET))))
 
 
 def _queries_and_corpus(
@@ -111,10 +119,10 @@ SIMILARITY_TOPK_ORACLE = similarity_topk_oracle()
 # ------------------------------------------------------------- LSH / ANN
 
 
-def _bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+def _bucketed(emb: DataFrame, id_col: str, emb_col: str, n_bits: int) -> DataFrame:
     """(id, band, bucket) rows: one per LSH band."""
     buckets = lsh_band_buckets(
-        n_bands=LSH_BANDS, n_bits=LSH_BITS, seed=LSH_SEED
+        n_bands=LSH_BANDS, n_bits=n_bits, seed=LSH_SEED
     )(F.col(emb_col))
     return (
         emb.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
@@ -133,8 +141,9 @@ def similarity_ann_topk(
     are per-query over retrieved candidates only.
     """
     q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
-    qb = _bucketed(q, "query_id", "q_emb")
-    cb = _bucketed(emb, "vec_id", "embedding")
+    bits = _lsh_bits_for(emb.count())  # parquet count: metadata-only
+    qb = _bucketed(q, "query_id", "q_emb", bits)
+    cb = _bucketed(emb, "vec_id", "embedding", bits)
     cand = (
         qb.join(cb, ["band", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -166,11 +175,24 @@ def _ivf_assign(
     vecs: DataFrame, cents: DataFrame, id_col: str, emb_col: str, nprobe: int
 ) -> DataFrame:
     """(id, cell) rows: each vector's ``nprobe`` nearest centroid cells
-    by cosine (broadcast nested-loop over the tiny centroid set, then a
-    per-id ranking window)."""
+    by cosine (broadcast nested-loop over the tiny centroid set).
+
+    nprobe=1 (the whole-corpus assignment) aggregates with ``max_by``
+    — one partial-aggregated shuffle. A per-id ranking window here
+    would shuffle-and-sort one partition PER VECTOR, which measured 3x
+    slower than brute force at 50k vectors; windows are reserved for
+    the nprobe>1 query side (a handful of rows). Ties break to the
+    smaller cell id via the struct comparator, keeping assignment
+    deterministic.
+    """
     scored = vecs.join(F.broadcast(cents)).withColumn(
         "csim", cosine_sim(F.col(emb_col), F.col("c_emb"))
     )
+    if nprobe == 1:
+        ordk = F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc"))
+        return scored.groupBy(id_col).agg(
+            F.max_by("cell", ordk).alias("cell")
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -248,9 +270,12 @@ def embedding_neardup(
     from pyspark.storagelevel import StorageLevel
 
     emb = load_table(spark, sf_dir, "embeddings")
+    bits = _lsh_bits_for(emb.count())  # parquet count: metadata-only
     # both self-join sides read the LSH buckets: persist so the
     # pandas-UDF bucketing runs once over the corpus, not twice
-    b = _bucketed(emb, "vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    b = _bucketed(emb, "vec_id", "embedding", bits).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         b.alias("x")
         .join(b.alias("y"), ["band", "bucket"])
