@@ -49,6 +49,9 @@ HEADLINE: tuple[str, ...] = (
     "events_tumbling",
     "user_sessions",
     "events_props_stats",
+    "purchase_click_attribution",
+    "pricing_percentiles",
+    "cms_estimate",
     "similarity_topk",
     "similarity_ann_topk",
     "similarity_ivf_topk",

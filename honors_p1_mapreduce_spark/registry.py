@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytic as _an
+from .operators import asof as _asof
 from .operators import dedup as _dd
 from .operators import events as _ev
 from .operators import grep as _gr
@@ -22,6 +23,7 @@ from .operators import multimodal as _mm
 from .operators import ngram as _ng
 from .operators import relational as _rel
 from .operators import similarity as _sim
+from .operators import sketch as _sk
 from .operators import text_analysis as _ta
 from .operators import wordcount as _wc
 
@@ -69,6 +71,11 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": _ev.user_sessions,
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "events_props_stats": _ev.events_props_stats,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    # sketches & quantiles
+    "pricing_percentiles": _sk.pricing_percentiles,
+    "cms_sketch": _sk.cms_sketch,
+    "cms_estimate": _sk.cms_estimate,
     # text analysis (north-star)
     "doc_token_stats": _ta.doc_token_stats,
     "corpus_token_stats": _ta.corpus_token_stats,
@@ -114,6 +121,10 @@ ORACLES: dict[str, str] = {
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
     "events_props_stats": _ev.EVENTS_PROPS_STATS_ORACLE,
+    "purchase_click_attribution": _asof.PURCHASE_CLICK_ATTRIBUTION_ORACLE,
+    "pricing_percentiles": _sk.PRICING_PERCENTILES_ORACLE,
+    "cms_sketch": _sk.CMS_SKETCH_ORACLE,
+    "cms_estimate": _sk.CMS_ESTIMATE_ORACLE,
     "doc_token_stats": _ta.DOC_TOKEN_STATS_ORACLE,
     "corpus_token_stats": _ta.CORPUS_TOKEN_STATS_ORACLE,
     "lang_id": _ta.LANG_ID_ORACLE,

@@ -1,0 +1,70 @@
+"""Semantics tests for the sketch family and the as-of join.
+
+Oracle parity (hash vs DuckDB) is covered by test_reference_parity's
+registry sweep; these tests pin the operator CONTRACTS on hand-built
+frames: as-of tie/missing handling, and the count-min over-estimate
+guarantee.
+"""
+
+from __future__ import annotations
+
+from honors_p1_mapreduce_spark import registry
+from honors_p1_mapreduce_spark.operators.asof import asof_join
+from honors_p1_mapreduce_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_sketch,
+)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "L1"), ("u1", 5, "L2"), ("u2", 3, "L3")],
+        ["k", "lts", "lid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 5, "R1"), ("u1", 7, "R2"), ("u2", 99, "R3")],
+        ["k", "rts", "rid"],
+    )
+    out = {
+        r["lid"]: (r["rts"], r["rid"])
+        for r in asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    assert out["L2"] == (5, "R1")  # right row at EXACTLY left ts matches
+    assert out["L1"] == (7, "R2")  # most recent prior, not first
+    assert out["L3"] == (None, None)  # no right row at-or-before -> NULLs
+
+
+def test_asof_right_duplicates_deterministic(spark):
+    # two clicks at the identical (key, ts): attribution must not flap
+    left = spark.createDataFrame([("u1", 10, "L1")], ["k", "lts", "lid"])
+    right = spark.createDataFrame(
+        [("u1", 4, "Ra"), ("u1", 4, "Rb")], ["k", "rts", "rid"]
+    )
+    import pyspark.sql.functions as F
+
+    deduped = right.groupBy("k", "rts").agg(F.max("rid").alias("rid"))
+    rows = asof_join(left, deduped, on="k", left_ts="lts", right_ts="rts").collect()
+    assert [(r["rts"], r["rid"]) for r in rows] == [(4, "Rb")]
+
+
+def test_cms_overestimate_guarantee(spark, sf_dir):
+    rows = registry.QUERIES["cms_estimate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # the defining CMS bound: never undercounts
+        assert r["cms_estimate"] >= r["true_count"], r
+    absent = {r["word"]: r for r in rows}["zzz_absent"]
+    assert absent["true_count"] == 0
+
+
+def test_cms_sketch_shape_and_mass(spark, sf_dir):
+    sk = cms_sketch(spark, sf_dir).collect()
+    assert len(sk) <= CMS_DEPTH * CMS_WIDTH
+    assert {r["depth"] for r in sk} == set(range(CMS_DEPTH))
+    assert all(0 <= r["bucket"] < CMS_WIDTH for r in sk)
+    # every depth row preserves total token mass
+    mass = {}
+    for r in sk:
+        mass[r["depth"]] = mass.get(r["depth"], 0) + r["cnt"]
+    assert len(set(mass.values())) == 1
