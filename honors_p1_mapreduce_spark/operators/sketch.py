@@ -160,7 +160,11 @@ def cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sketch = cms_sketch(spark, sf_dir)
     tf = _token_counts(spark, sf_dir)
-    probes = spark.createDataFrame([(w,) for w in CMS_PROBES], ["word"])
+    # literal explode keeps the probe frame JVM-only (createDataFrame
+    # would route a Python RDD through applySchemaToPythonRDD)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in CMS_PROBES])).alias("word")
+    )
     probe_cells = probes.select(
         "word",
         F.posexplode(
