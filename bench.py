@@ -52,6 +52,8 @@ HEADLINE: tuple[str, ...] = (
     "purchase_click_attribution",
     "pricing_percentiles",
     "cms_estimate",
+    "hll_estimate",
+    "tfidf_topk",
     "similarity_topk",
     "similarity_ann_topk",
     "similarity_ivf_topk",

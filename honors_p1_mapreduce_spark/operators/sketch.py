@@ -216,3 +216,180 @@ est AS (
 SELECT word, cms_estimate, CAST(coalesce(tf.cnt, 0) AS BIGINT) AS true_count
 FROM est LEFT JOIN tf ON est.word = tf.t
 """
+
+# ----------------------------------------------------- hyperloglog
+
+HLL_B = 6  # register-index bits
+HLL_M = 1 << HLL_B  # 64 registers; raw std error ~ 1.04/sqrt(64) = 13%
+HLL_ALPHA = 0.709  # alpha_64 from Flajolet et al. 2007
+_HLL_REST_BITS = 60 - HLL_B  # hash bits left after the register index
+_HLL_SCALE = float(1 << _HLL_REST_BITS)  # fixed-point scale of the sum
+
+
+def _hll_registers_frame(rows: DataFrame, key: str, group: str) -> DataFrame:
+    """(group, register, rho) HLL state for distinct ``key`` per ``group``.
+
+    Flajolet et al. 2007 as two aggregates: md5-hash each (group, key)
+    -> register = low b bits, rho = leading-zero rank of the remaining
+    bits (engine-portable ``rest_bits + 1 - len(bin(x))`` — both
+    engines' ``bin`` strips leading zeros) -> max(rho) per (group,
+    register), densified to all m registers so the rows are the
+    complete mergeable sketch state. The data-facing aggregate is
+    map-side combined: shuffle carries at most m rows per group per
+    map partition — the textbook distributed-HLL plan at any scale.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = rows.select(F.col(group).alias("grp"), h.alias("h")).select(
+        "grp",
+        (F.col("h") % HLL_M).cast("int").alias("register"),
+        F.shiftright("h", HLL_B).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS + 1) - F.length(F.bin("rest"))
+    )
+    maxes = (
+        hashed.select("grp", "register", rho.cast("int").alias("rho"))
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    dense = (
+        rows.select(F.col(group).alias("grp"))
+        .distinct()
+        .crossJoin(
+            rows.sparkSession.range(1).select(
+                F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("register")
+            )
+        )
+        .select("grp", F.col("register").cast("int").alias("register"))
+    )
+    return dense.join(maxes, ["grp", "register"], "left").select(
+        "grp", "register", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+
+
+def _hll_registers_sql(table: str, key: str, group: str) -> str:
+    """CTE chain ending in ``registers(grp, register, rho)``."""
+    return f"""
+hashed AS (
+  SELECT grp,
+         CAST(h % {HLL_M} AS INT) AS register,
+         h // {HLL_M} AS rest
+  FROM (
+    SELECT {group} AS grp,
+           CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM {table}
+  )
+),
+maxes AS (
+  SELECT grp, register,
+         max(CASE WHEN rest = 0 THEN {_HLL_REST_BITS + 1}
+                  ELSE {_HLL_REST_BITS + 1} - length(bin(rest)) END) AS rho
+  FROM hashed GROUP BY grp, register
+),
+dense AS (
+  SELECT grp, CAST(r.range AS INT) AS register
+  FROM (SELECT DISTINCT {group} AS grp FROM {table}), range({HLL_M}) r
+),
+registers AS (
+  SELECT d.grp, d.register, CAST(coalesce(m.rho, 0) AS INT) AS rho
+  FROM dense d LEFT JOIN maxes m
+    ON d.grp = m.grp AND d.register = m.register
+)
+"""
+
+
+def _hll_estimate_frame(regs: DataFrame) -> DataFrame:
+    """(grp, hll_estimate) from register state — RAW estimator.
+
+    The harmonic mean is EXACT fixed-point: each register contributes
+    the integer 2^(rest_bits - rho) (capped at rho >= rest_bits) and
+    the sum is a plain bigint, so the only float ops are one literal
+    multiply chain and one division — bit-identical across engines.
+    Deliberately raw: the small-range (linear-counting) correction
+    needs log(), whose last libm bit is engine-specific. Valid regime
+    is n >= ~2.5m distinct values; accuracy there is ~13% for m=64
+    (asserted vs exact counts in pytest).
+    """
+    term = F.expr(
+        f"CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS} - rho) END"
+    )
+    sums = regs.groupBy("grp").agg(F.sum(term).alias("s"))
+    return sums.select(
+        "grp",
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M * HLL_M))
+            * F.lit(_HLL_SCALE)
+            / F.col("s").cast("double")
+        ).alias("hll_estimate"),
+    )
+
+
+def _hll_estimate_sql(table: str, key: str, group: str) -> str:
+    return f"""
+{_hll_registers_sql(table, key, group)},
+sums AS (
+  SELECT grp,
+         sum(CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << ({_HLL_REST_BITS} - rho) END) AS s
+  FROM registers GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         CAST({HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)} * {_HLL_SCALE}
+           / CAST(s AS DOUBLE) AS hll_estimate
+  FROM sums
+),
+exact AS (
+  SELECT {group} AS grp, count(DISTINCT {key}) AS exact_distinct
+  FROM {table} GROUP BY {group}
+)
+"""
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register state for distinct users per event_type (the
+    mergeable sketch itself — what a 1000-executor rollup would store
+    per partition and OR together)."""
+    ev = load_table(spark, sf_dir, "events")
+    return _hll_registers_frame(ev, key="user_id", group="event_type").select(
+        F.col("grp").alias("event_type"), "register", "rho"
+    )
+
+
+HLL_REGISTERS_ORACLE = f"""
+WITH {_hll_registers_sql("events", "user_id", "event_type")}
+SELECT grp AS event_type, register, rho FROM registers
+"""
+
+
+def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-HLL distinct l_orderkey per returnflag, vs exact truth.
+
+    l_orderkey is the high-cardinality key here (thousands of distinct
+    orders per flag at sf0.01, growing with SF) — squarely inside the
+    raw estimator's n >= 2.5m validity regime at every driver scale,
+    unlike user_id whose 150 distinct users would need the log-based
+    small-range correction (see ``_hll_estimate_frame``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = _hll_registers_frame(li, key="l_orderkey", group="l_returnflag")
+    est = _hll_estimate_frame(regs)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, est.grp == exact.l_returnflag)
+        .select(F.col("grp").alias("l_returnflag"), "hll_estimate", "exact_distinct")
+    )
+
+
+HLL_ESTIMATE_ORACLE = f"""
+WITH {_hll_estimate_sql("lineitem", "l_orderkey", "l_returnflag")}
+SELECT est.grp AS l_returnflag, hll_estimate, exact_distinct
+FROM est JOIN exact ON est.grp = exact.grp
+"""

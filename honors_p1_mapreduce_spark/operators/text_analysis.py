@@ -17,7 +17,7 @@ any hot path. Determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
@@ -343,3 +343,73 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {max_hamming}
 
 
 SIMHASH_NEARDUP_ORACLE = simhash_neardup_oracle()
+
+# ----------------------------------------------------------- tf-idf
+
+TFIDF_K = 5
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most characteristic terms per document by tf x rarity.
+
+    Rarity is the raw inverse document frequency N/df — a monotonic
+    stand-in for the usual log(N/df) chosen because +,*,/ on exact
+    integers are bit-identical across engines while log's last libm
+    bit is not; the ranking (the operator's actual contract) is the
+    same either way at a fixed N.
+
+    Plan: explode -> (doc, term) hash agg (map-side combined) ->
+    per-term doc-freq agg on the already-tiny tf frame -> broadcast
+    the 1-row corpus count -> per-doc row_number window. The only
+    full-corpus pass is the first aggregate; everything after is
+    O(vocabulary) / O(docs x K). Tie-break (score DESC, term ASC) is
+    total, so top-K is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("doc_freq").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
+TFIDF_TOPK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.t AS term FROM documents, unnest({_T}) AS t(t)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, doc_freq,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE))
+           AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, doc_freq, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score, rank FROM r WHERE rank <= {TFIDF_K}
+"""

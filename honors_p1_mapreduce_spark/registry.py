@@ -76,6 +76,8 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
     "cms_estimate": _sk.cms_estimate,
+    "hll_registers": _sk.hll_registers,
+    "hll_estimate": _sk.hll_estimate,
     # text analysis (north-star)
     "doc_token_stats": _ta.doc_token_stats,
     "corpus_token_stats": _ta.corpus_token_stats,
@@ -83,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
+    "tfidf_topk": _ta.tfidf_topk,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
     "media_decode_features": _mm.media_decode_features,
@@ -125,12 +128,15 @@ ORACLES: dict[str, str] = {
     "pricing_percentiles": _sk.PRICING_PERCENTILES_ORACLE,
     "cms_sketch": _sk.CMS_SKETCH_ORACLE,
     "cms_estimate": _sk.CMS_ESTIMATE_ORACLE,
+    "hll_registers": _sk.HLL_REGISTERS_ORACLE,
+    "hll_estimate": _sk.HLL_ESTIMATE_ORACLE,
     "doc_token_stats": _ta.DOC_TOKEN_STATS_ORACLE,
     "corpus_token_stats": _ta.CORPUS_TOKEN_STATS_ORACLE,
     "lang_id": _ta.LANG_ID_ORACLE,
     "quality_score": _ta.QUALITY_SCORE_ORACLE,
     "simhash_fingerprints": _ta.SIMHASH_ORACLE,
     "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
+    "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
     # path -> rows-only; determinism + shapes in tests/test_multimodal.py

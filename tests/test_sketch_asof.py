@@ -68,3 +68,27 @@ def test_cms_sketch_shape_and_mass(spark, sf_dir):
     for r in sk:
         mass[r["depth"]] = mass.get(r["depth"], 0) + r["cnt"]
     assert len(set(mass.values())) == 1
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    rows = registry.QUERIES["hll_estimate"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        # raw estimator, m=64 -> ~13% std error; generous 2.5-sigma gate
+        assert rel < 0.35, (r, rel)
+
+
+def test_hll_registers_state(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.sketch import HLL_M
+
+    regs = registry.QUERIES["hll_registers"](spark, sf_dir).collect()
+    by_type = {}
+    for r in regs:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        # densified: exactly m registers per group, each register once
+        assert sorted(r["register"] for r in rs) == list(range(HLL_M)), t
+        assert all(r["rho"] >= 0 for r in rs)
+        # 15+ distinct users at the smallest SF -> ~13 expected occupied
+        assert sum(1 for r in rs if r["rho"] > 0) > HLL_M // 8, t
