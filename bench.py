@@ -35,6 +35,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "simhash_neardup",
     "pricing_summary",
     "top_revenue_orders",

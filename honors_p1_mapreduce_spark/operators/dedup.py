@@ -262,3 +262,86 @@ def dedup_minhash_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+# ------------------------------------------------- connected components
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    n-gram-Jaccard pair graph, labels = min doc_id per component.
+
+    This is the step a dedup pipeline actually keeps: pairs say "a~b",
+    clusters say "keep exactly one of {a,b,c,...}". Components are
+    computed by iterative min-label propagation — per round, every
+    node takes the min of its own and its neighbors' labels; the loop
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow; ``max_iter`` guards pathological chains; the alternating
+    large-star/small-star variant would cut rounds to O(log d) at
+    planetary scale). The driver-side loop iterates ROUNDS, not rows:
+    each round is one distributed join + aggregate, and convergence is
+    detected by the strictly-decreasing label sum (one scalar action
+    per round). Only nodes that appear in some pair enter the loop —
+    singleton docs skip straight to their own cluster id.
+
+    Output: (doc_id, cluster, cluster_size) for EVERY document.
+
+    The oracle reproduces the fixpoint as a DuckDB recursive CTE
+    (transitive closure, then min reachable node) — same contract,
+    different engine idiom, full hash_match.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    members = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = members.select("doc_id", F.col("doc_id").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        s = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    singles = docs.join(members, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    everyone = labels.unionByName(singles)
+    sizes = everyone.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = everyone.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster"), "cluster_size"
+    )
+    sym.unpersist()
+    return out
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_ORACLE}) t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+SELECT doc_id, cluster, cluster_size FROM labels JOIN sizes USING (cluster)
+"""

@@ -92,3 +92,21 @@ def test_hll_registers_state(spark, sf_dir):
         assert all(r["rho"] >= 0 for r in rs)
         # 15+ distinct users at the smallest SF -> ~13 expected occupied
         assert sum(1 for r in rs if r["rho"] > 0) > HLL_M // 8, t
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    out = registry.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster"] for r in out}
+    # total partition of the corpus: every doc exactly once
+    assert len(out) == len(label)
+    # cluster id is the min member of its cluster
+    members = {}
+    for r in out:
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    for c, ms in members.items():
+        assert c == min(ms)
+        assert all(r["cluster_size"] == len(members[r["cluster"]]) for r in out)
+    # every near-dup pair's endpoints share a cluster
+    pairs = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    for p in pairs:
+        assert label[p["doc_a"]] == label[p["doc_b"]], p
