@@ -51,6 +51,7 @@ HEADLINE: tuple[str, ...] = (
     "user_sessions",
     "events_props_stats",
     "purchase_click_attribution",
+    "error_click_correlation",
     "pricing_percentiles",
     "cms_estimate",
     "hll_estimate",

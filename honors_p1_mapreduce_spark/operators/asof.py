@@ -123,3 +123,87 @@ c AS (
 SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_ts, c.click_id
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
 """
+
+
+# ------------------------------------------------------------ range join
+
+RANGE_WINDOW = "6 hours"
+_RANGE_INTERVAL = "INTERVAL 6 HOURS"
+_RANGE_INTERVAL_SQL = "INTERVAL '6 hours'"
+
+
+def error_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: clicks in the 6h before each error.
+
+    Spark's planner turns a raw ``t BETWEEN x AND y`` join predicate
+    into a per-key nested-loop — O(|L|·|R|) per user. The scalable
+    idiom implemented here buckets both sides by a window equal to the
+    range width and turns the range join into an EQUI-join: each error
+    probes exactly 2 buckets (its own and the previous one — a
+    6h-lookback interval can only span 2 consecutive 6h buckets), the
+    shuffle is keyed on (user_id, bucket), and the residual range
+    predicate filters within the matched bucket. Fan-out is a constant
+    2 regardless of data size — this is the interval-join plan Flink
+    and the range-join optimizers in Databricks/DuckDB use. The final
+    left join restores errors with zero preceding clicks.
+
+    Buckets come from ``F.window(ts).start`` — timezone-free on the
+    tables' TIMESTAMP_NTZ columns, so results are identical under any
+    driver session timezone.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.window("ts", RANGE_WINDOW).start.alias("bucket"),
+    )
+    ewin = F.window("error_ts", RANGE_WINDOW).start
+    probes = errors.select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        F.explode(
+            F.array(ewin, ewin - F.expr(_RANGE_INTERVAL))
+        ).alias("bucket"),
+    )
+    matched = (
+        probes.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("click_ts") >= F.col("error_ts") - F.expr(_RANGE_INTERVAL))
+            & (F.col("click_ts") < F.col("error_ts"))
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_clicks_6h"))
+    )
+    return errors.join(matched, "error_id", "left").select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        F.coalesce(F.col("n_clicks_6h"), F.lit(0)).alias("n_clicks_6h"),
+    )
+
+
+ERROR_CLICK_CORRELATION_ORACLE = f"""
+WITH e AS (
+  SELECT event_id AS error_id, user_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT e.error_id, count(*) AS n_clicks_6h
+  FROM e JOIN c ON e.user_id = c.user_id
+    AND c.click_ts >= e.error_ts - {_RANGE_INTERVAL_SQL}
+    AND c.click_ts <  e.error_ts
+  GROUP BY e.error_id
+)
+SELECT e.error_id, e.user_id, e.error_ts,
+       coalesce(j.n_clicks_6h, 0) AS n_clicks_6h
+FROM e LEFT JOIN j USING (error_id)
+"""

@@ -73,6 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "events_props_stats": _ev.events_props_stats,
     "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
     # sketches & quantiles
     "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
@@ -127,6 +128,7 @@ ORACLES: dict[str, str] = {
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
     "events_props_stats": _ev.EVENTS_PROPS_STATS_ORACLE,
     "purchase_click_attribution": _asof.PURCHASE_CLICK_ATTRIBUTION_ORACLE,
+    "error_click_correlation": _asof.ERROR_CLICK_CORRELATION_ORACLE,
     "pricing_percentiles": _sk.PRICING_PERCENTILES_ORACLE,
     "cms_sketch": _sk.CMS_SKETCH_ORACLE,
     "cms_estimate": _sk.CMS_ESTIMATE_ORACLE,

@@ -110,3 +110,42 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     pairs = registry.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
     for p in pairs:
         assert label[p["doc_a"]] == label[p["doc_b"]], p
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    # the bucketing must turn the interval predicate into hash joins:
+    # a nested-loop or cartesian anywhere means the rewrite regressed
+    df = registry.QUERIES["error_click_correlation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    out = {
+        r["error_id"]: r["n_clicks_6h"]
+        for r in registry.QUERIES["error_click_correlation"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.col("user_id").alias("eu"), F.col("ts").alias("ets")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    naive = (
+        e.join(
+            c,
+            (F.col("eu") == F.col("cu"))
+            & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 6 HOURS"))
+            & (F.col("cts") < F.col("ets")),
+            "left",
+        )
+        .groupBy("eid")
+        .agg(F.count("cts").alias("n"))
+        .collect()
+    )
+    assert {r["eid"]: r["n"] for r in naive} == out
