@@ -45,6 +45,11 @@ HEADLINE: tuple[str, ...] = (
     "small_quantity_revenue",
     "top_supplier",
     "returns_rollup",
+    "cross_nation_volume",
+    "market_share",
+    "disjunctive_revenue",
+    "large_orders",
+    "idle_customer_balance",
     "customer_order_counts",
     "monthly_revenue_running",
     "events_tumbling",

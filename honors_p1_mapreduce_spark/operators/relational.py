@@ -380,14 +380,21 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-supplier frame (both tiny after aggregation; the max side is a
     1-row broadcast). Returns every tied supplier — deterministic
     without needing a tie-break.
+
+    ``per_supp`` feeds both the max side and the join-back side;
+    without a persist Spark would run the lineitem scan + aggregation
+    twice (once per branch) — at 100 TB that doubles the dominant
+    cost, so the small aggregated frame is cached.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(TOPSUP_FROM).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(TOPSUP_TO).cast("timestamp"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_supp = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
-        dsum_expr(rev, "total_revenue")
+    per_supp = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(dsum_expr(rev, "total_revenue"))
+        .persist()
     )
     mx = per_supp.agg(F.max("total_revenue").alias("max_rev"))
     supp = dim(spark, sf_dir, "supplier")
@@ -433,4 +440,316 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        {dsum_sql('l_quantity', 'sum_qty', scale=2, precision=18)}
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+# ----------------------------------------- cross-nation volume (Q7-ish)
+
+CNV_NATION_A = "NATION_1"
+CNV_NATION_B = "NATION_2"
+CNV_FROM = "1996-01-01"
+CNV_TO = "1998-01-01"
+
+
+def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between two nations, per
+    direction and year.
+
+    The two nation dims are filtered to the two names BEFORE joining,
+    so supplier and customer shrink to ~2/25 of their rows via
+    broadcast joins and the expensive fact-side joins see pre-reduced
+    build sides. The (supp, cust) pair predicate keeps only the two
+    cross directions. One final shuffle on the 3-part group key.
+    """
+    pair = F.col("supp_nation") != F.col("cust_nation")
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin(CNV_NATION_A, CNV_NATION_B)
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(CNV_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(CNV_TO).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum_expr(rev, "revenue"))
+    )
+
+
+CROSS_NATION_VOLUME_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{CNV_NATION_A}', '{CNV_NATION_B}')
+  AND n2.n_name IN ('{CNV_NATION_A}', '{CNV_NATION_B}')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '{CNV_FROM} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{CNV_TO} 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+# ------------------------------------------------- market share (Q8-ish)
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_2"
+MKT_TYPE = "ECONOMY"
+MKT_FROM = "1996-01-01"
+MKT_TO = "1998-01-01"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: one supplier nation's share of a region's
+    revenue for one part type, by order year.
+
+    Seven-table star join where every dimension path is broadcast
+    (part filtered to one type ~1/6, nation⋈region filtered to one
+    region, full 25-row nation for the supplier side); the only
+    shuffle joins are lineitem⋈orders and the final 1-column group.
+    The share is a conditional-sum / total-sum ratio computed from two
+    exact decimal sums so both engines emit the identical double.
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == MKT_TYPE)
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == MKT_REGION)
+    cust_nations = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(cust_nations, F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(MKT_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(MKT_TO).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    target = F.when(F.col("supp_nation") == MKT_NATION, rev).otherwise(F.lit(0.0))
+    g = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        dsum_expr(target, "nation_revenue"),
+        dsum_expr(rev, "total_revenue"),
+    )
+    return g.select(
+        "o_year",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )
+
+
+MARKET_SHARE_ORACLE = f"""
+WITH g AS (
+  SELECT year(o_orderdate) AS o_year,
+         {dsum_sql(f"CASE WHEN n2.n_name = '{MKT_NATION}' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'nation_revenue')},
+         {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{MKT_REGION}' AND p_type = '{MKT_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{MKT_FROM} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{MKT_TO} 00:00:00'
+  GROUP BY year(o_orderdate)
+)
+SELECT o_year, nation_revenue / total_revenue AS mkt_share FROM g
+"""
+
+# -------------------------------------------- disjunctive filter (Q19-ish)
+
+DISJ_BRANCHES: tuple[tuple[str, int, int, int, int], ...] = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#13", 1, 15, 1, 20),
+    ("Brand#20", 10, 30, 10, 30),
+    ("Brand#7", 20, 50, 20, 50),
+)
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from an OR-of-ANDs predicate across
+    the lineitem⋈part join.
+
+    Catalyst splits the disjunction: the part-only conjuncts
+    (brand, size) push into the broadcast part scan as an OR
+    predicate, the lineitem-only bound (quantity between the global
+    min/max of all branches) pushes into the fact scan, and the full
+    per-branch predicate evaluates on the joined row. Single agg row
+    out — no shuffle beyond the final 1-row reduce.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    branch = None
+    for brand, slo, shi, qlo, qhi in DISJ_BRANCHES:
+        b = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        branch = b if branch is None else (branch | b)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(dsum_expr(rev, "total_revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_DISJ_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in DISJ_BRANCHES
+)
+
+DISJUNCTIVE_REVENUE_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')},
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_DISJ_SQL}
+"""
+
+# ------------------------------------------------- large orders (Q18-ish)
+
+LARGE_QTY_MIN = 400
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a
+    threshold, with their customer.
+
+    The HAVING subquery becomes aggregate-then-filter: one map-side-
+    combined shuffle keyed on l_orderkey, the >threshold filter cuts
+    the frame to a handful of rows, and the join-backs to orders and
+    customer run as broadcasts of that tiny survivor set (AQE picks
+    this up at any scale because the filtered agg is always small).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum_col("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > LARGE_QTY_MIN)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+LARGE_ORDERS_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         {dsum_sql('l_quantity', 'total_qty', scale=2, precision=18)}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > {LARGE_QTY_MIN}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+# --------------------------------------------- idle rich customers (Q22-ish)
+
+IDLE_SINCE = "2001-01-01"
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: per-nation count/balance of above-average-
+    balance customers with no recent orders.
+
+    The scalar AVG subquery is a 1-row aggregate broadcast-cross-
+    joined onto customer (no driver collect — the scalar stays on the
+    cluster); the NOT EXISTS is a left-anti join against the
+    date-filtered orders (filter pushed to the orders scan). The
+    average divides two exact decimal sums so the threshold double is
+    bit-identical in both engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    nation = dim(spark, sf_dir, "nation")
+    return (
+        idle.join(nation, idle.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            dsum_col("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+IDLE_CUSTOMER_BALANCE_ORACLE = f"""
+SELECT n_name, count(*) AS n_custs,
+       {dsum_sql('c_acctbal', 'total_acctbal', scale=2, precision=18)}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{IDLE_SINCE} 00:00:00'
+      )
+GROUP BY n_name
 """

@@ -55,6 +55,11 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": _rel.small_quantity_revenue,
     "top_supplier": _rel.top_supplier,
     "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
     # analytic SQL: outer/anti joins, set ops, window functions
     "customer_order_counts": _an.customer_order_counts,
     "customers_without_orders": _an.customers_without_orders,
@@ -116,6 +121,11 @@ ORACLES: dict[str, str] = {
     "small_quantity_revenue": _rel.SMALL_QUANTITY_REVENUE_ORACLE,
     "top_supplier": _rel.TOP_SUPPLIER_ORACLE,
     "returns_rollup": _rel.RETURNS_ROLLUP_ORACLE,
+    "cross_nation_volume": _rel.CROSS_NATION_VOLUME_ORACLE,
+    "market_share": _rel.MARKET_SHARE_ORACLE,
+    "disjunctive_revenue": _rel.DISJUNCTIVE_REVENUE_ORACLE,
+    "large_orders": _rel.LARGE_ORDERS_ORACLE,
+    "idle_customer_balance": _rel.IDLE_CUSTOMER_BALANCE_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
