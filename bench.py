@@ -37,6 +37,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "simhash_neardup",
+    "winnow_neardup",
     "pricing_summary",
     "top_revenue_orders",
     "nation_revenue",

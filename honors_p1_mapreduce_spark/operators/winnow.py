@@ -1,0 +1,194 @@
+"""Winnowing document fingerprints (rolling k-gram hash + window min).
+
+Local document fingerprinting per Schleimer/Wilkerson/Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
+2003, public): hash every character k-gram of the normalized text,
+slide a window of w consecutive hashes, and keep the minimum hash of
+each window. The guarantee: any substring match of length
+>= w + k - 1 between two documents shares at least one selected
+fingerprint, while only ~2/(w+1) of all grams are kept.
+
+The reference engine has no fingerprinting op (its dedup surface is
+the exact-hash example only, mr/examples at SURVEY.md §2.3); this is
+north-star LLM-pipeline capability fill-in alongside minhash/simhash.
+
+Spark plan (all Catalyst built-ins, no Python):
+  one pruned scan -> per-row normalize + k-gram posexplode (linear,
+  each gram substring'd once — no tree re-inlining) -> ONE shuffle on
+  doc_id for the window min -> distinct. The tie-break is encoded
+  arithmetically: ``combined = hash * 2^POS_BITS + pos`` makes the
+  window ``min`` pick the smallest hash and, on equal hashes, the
+  leftmost position — a total order both engines agree on. Documents
+  are the natural parallel unit; a doc's grams must fit an executor
+  (pos is capped at 2^POS_BITS grams ~ 1M chars; longer docs would
+  need a chunked variant).
+
+At 100 TB: no self-join here — fingerprint extraction is
+embarrassingly parallel after the one doc_id shuffle (and even that
+exchange is elided when the source is already laid out by doc_id).
+``winnow_neardup`` joins docs on shared fingerprints with a
+document-frequency cap on hot fingerprints (boilerplate) so the
+candidate fanout per fingerprint is bounded, mirroring the
+df-capped n-gram Jaccard join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+K = 8  # k-gram length (chars of normalized text)
+W = 4  # winnowing window (consecutive grams)
+POS_BITS = 20  # pos fits 2^20 grams; 32-bit hash * 2^20 < 2^52 (exact)
+_POS_BASE = 1 << POS_BITS
+
+# near-dup knobs: pairs sharing >= MIN_SHARED fingerprints; fingerprints
+# appearing in more than DF_CAP docs are dropped as boilerplate (bounds
+# the self-join fanout at any corpus size). MIN_SHARED sits well above
+# the background coincidence level of this corpus (99.9th percentile of
+# random-pair overlap is ~15) so the output is the true near-dup set.
+MIN_SHARED = 20
+DF_CAP = 50
+
+
+def _norm(col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+
+
+def winnow_fingerprints_from(docs: DataFrame) -> DataFrame:
+    """Winnow a (doc_id, text) frame — see :func:`winnow_fingerprints`."""
+    docs = docs.select("doc_id", _norm("text").alias("s"))
+    grams = (
+        docs.filter(F.length("s") >= K + W - 1)
+        .select(
+            "doc_id",
+            (F.length("s") - F.lit(K - 1)).alias("n"),
+            F.posexplode(
+                F.expr(f"transform(sequence(0, length(s) - {K}), i -> substring(s, i + 1, {K}))")
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+                * _POS_BASE
+                + F.col("pos")
+            ).alias("combined"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
+    return (
+        grams.withColumn("mc", F.min("combined").over(win))
+        .filter(F.col("pos") <= F.col("n") - W)
+        .select(
+            "doc_id",
+            F.expr(f"mc div {_POS_BASE}").alias("fp_hash"),
+            (F.col("mc") % _POS_BASE).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) — the winnowed fingerprint set.
+
+    fp_hash is a 32-bit md5-derived gram hash (engine-portable),
+    fp_pos the gram position where it was sampled. Docs with fewer
+    than K + W - 1 normalized chars (no full window) emit nothing,
+    matching the classic algorithm's full-window definition.
+    """
+    return winnow_fingerprints_from(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+_GRAMS_CTE = f"""
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents
+),
+poss AS (
+  SELECT doc_id, s, length(s) - {K - 1} AS n,
+         unnest(generate_series(0, length(s) - {K})) AS pos
+  FROM norm
+  WHERE length(s) >= {K + W - 1}
+),
+grams AS (
+  SELECT doc_id, n, pos,
+         CAST(concat('0x', substr(md5(substr(s, pos + 1, {K})), 1, 8)) AS BIGINT)
+           * {_POS_BASE} + pos AS combined
+  FROM poss
+),
+wins AS (
+  SELECT doc_id, n, pos,
+         min(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS mc
+  FROM grams
+),
+fp AS (
+  SELECT DISTINCT doc_id, mc // {_POS_BASE} AS fp_hash, mc % {_POS_BASE} AS fp_pos
+  FROM wins WHERE pos <= n - {W}
+)"""
+
+WINNOW_FINGERPRINTS_ORACLE = f"""
+WITH {_GRAMS_CTE}
+SELECT doc_id, fp_hash, fp_pos FROM fp
+"""
+
+
+def winnow_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = MIN_SHARED,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) — pairs sharing >= min_shared
+    winnowed fingerprints, boilerplate-capped.
+
+    The fingerprint frame feeds both sides of the self-join and the
+    df filter, so it is persisted (computed once, three consumers).
+    Dropping fingerprints with document frequency > df_cap bounds the
+    per-key join fanout to df_cap^2 — the standard guard against a
+    licence-header gram pairing every document with every other.
+    """
+    fps = (
+        winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
+    rare = fps.groupBy("fp_hash").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    keyed = fps.join(rare.select("fp_hash"), "fp_hash")
+    a = keyed.select(F.col("fp_hash"), F.col("doc_id").alias("doc_a"))
+    b = keyed.select(F.col("fp_hash"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+WINNOW_NEARDUP_ORACLE = f"""
+WITH {_GRAMS_CTE},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+rare AS (
+  SELECT fp_hash FROM dfp GROUP BY fp_hash HAVING count(*) <= {DF_CAP}
+),
+keyed AS (SELECT doc_id, dfp.fp_hash FROM dfp JOIN rare ON dfp.fp_hash = rare.fp_hash)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+FROM keyed a JOIN keyed b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {MIN_SHARED}
+"""

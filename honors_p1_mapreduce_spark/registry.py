@@ -25,6 +25,7 @@ from .operators import relational as _rel
 from .operators import similarity as _sim
 from .operators import sketch as _sk
 from .operators import text_analysis as _ta
+from .operators import winnow as _wn
 from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -92,6 +93,8 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
+    "winnow_fingerprints": _wn.winnow_fingerprints,
+    "winnow_neardup": _wn.winnow_neardup,
     "tfidf_topk": _ta.tfidf_topk,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
@@ -150,6 +153,8 @@ ORACLES: dict[str, str] = {
     "quality_score": _ta.QUALITY_SCORE_ORACLE,
     "simhash_fingerprints": _ta.SIMHASH_ORACLE,
     "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
+    "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
+    "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
