@@ -66,6 +66,7 @@ HEADLINE: tuple[str, ...] = (
     "similarity_ann_topk",
     "similarity_ivf_topk",
     "quality_score",
+    "token_counts",
     "media_stats",
 )
 

@@ -413,3 +413,48 @@ r AS (
 )
 SELECT doc_id, term, tf, doc_freq, score, rank FROM r WHERE rank <= {TFIDF_K}
 """
+
+# ----------------------------------------------- token counting (BPE-ish)
+
+# GPT-2-style pretokenizer, simplified to the RE2 ∩ Java-regex common
+# dialect (no lookahead): a token is an optional leading space plus a
+# run of letters, digits, or punctuation. Disjoint char classes make
+# leftmost-first (Java) and RE2 matching identical.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish subword
+    tokens, and chars-per-token — the budget numbers an LLM data
+    pipeline tracks (context-window sizing, tokens-per-doc pricing).
+
+    Map-only plan: two regex counts per row over one pruned scan, no
+    shuffle. At 100 TB this is embarrassingly parallel and scales with
+    scan bandwidth alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        (
+            F.length("text").cast("double")
+            / F.when(bpe == 0, F.lit(None)).otherwise(bpe)
+        ).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = rf"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
+       CAST(length(text) AS DOUBLE)
+         / nullif(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')), 0)
+         AS chars_per_token
+FROM documents
+"""

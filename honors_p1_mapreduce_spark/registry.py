@@ -95,6 +95,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup": _ta.simhash_neardup,
     "winnow_fingerprints": _wn.winnow_fingerprints,
     "winnow_neardup": _wn.winnow_neardup,
+    "token_counts": _ta.token_counts,
     "tfidf_topk": _ta.tfidf_topk,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
@@ -155,6 +156,7 @@ ORACLES: dict[str, str] = {
     "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
+    "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF

@@ -24,19 +24,21 @@ from pyspark.sql import types as T
 from ..operators.events import tumbling_counts
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """``readStream`` over the events parquet with the same
     nanos-timestamp normalization as the batch loader
     (sources/tables.py): the file carries TIMESTAMP(NANOS), which is
     read as raw nanos and converted losslessly to a timestamp."""
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # the file stream source requires a directory path; select just the
-    # events file out of the shared sf dir with a glob filter
+    # events file(s) out of the shared sf dir with a glob filter
     df = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
@@ -57,6 +59,27 @@ def streaming_tumbling_counts(
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
     return tumbling_counts(ev)
+
+
+def streaming_dedup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "60 days",
+    keys: tuple[str, ...] = ("event_id",),
+    glob: str = "events.parquet",
+) -> DataFrame:
+    """Streaming exact-dedup of an at-least-once event stream.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the event-time watermark passes the key's timestamp + delay, so
+    state is bounded by (arrival rate x watermark window) rather than
+    the whole stream history — the property that makes streaming dedup
+    viable on an unbounded 100 TB/day feed. Duplicates arriving within
+    the watermark delay are guaranteed dropped; older re-deliveries
+    may survive (that is the documented contract of bounded state).
+    """
+    ev = stream_events(spark, sf_dir, glob=glob).withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(list(keys))
 
 
 def run_to_memory_sink(

@@ -61,3 +61,27 @@ def test_streaming_watermark_append_mode(spark, sf_dir):
     got = {tuple(r) for r in spark.table("tumbling_append").collect()}
     want = {tuple(r) for r in events_tumbling(spark, sf_dir).collect()}
     assert got <= want
+
+
+def test_streaming_dedup_collapses_at_least_once_delivery(spark, sf_dir, tmp_path):
+    # an at-least-once ingest: the same events file delivered twice
+    # (two files -> two micro-batches); streaming dedup must collapse
+    # the replay to exactly the batch-distinct result
+    import shutil
+
+    from honors_p1_mapreduce_spark.streaming.windows import streaming_dedup_events
+
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, tmp_path / "events_a.parquet")
+    shutil.copy(src, tmp_path / "events_b.parquet")
+
+    deduped = streaming_dedup_events(
+        spark, str(tmp_path), watermark="365 days", glob="*.parquet"
+    )
+    assert deduped.isStreaming
+    run_to_memory_sink(deduped, "dedup_stream", output_mode="append")
+    got = spark.table("dedup_stream")
+    n_batch = spark.read.parquet(src).count()
+    assert got.count() == n_batch
+    # every event_id exactly once despite double delivery
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
