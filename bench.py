@@ -67,6 +67,7 @@ HEADLINE: tuple[str, ...] = (
     "similarity_ivf_topk",
     "quality_score",
     "token_counts",
+    "corpus_clean_funnel",
     "media_stats",
 )
 

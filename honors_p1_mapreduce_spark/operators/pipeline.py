@@ -1,0 +1,167 @@
+"""End-to-end corpus-cleaning funnel — the composition query an LLM
+training-data pipeline actually runs: language filter → quality
+threshold → exact dedup → near-dup removal, reporting surviving
+document and token budgets per stage.
+
+No reference counterpart (the reference stops at single-job text ops,
+SURVEY.md §2.3); this is the north-star composition of the engine's
+own operators. The per-stage definitions deliberately mirror
+``text_analysis.lang_id`` / ``quality_score`` / ``token_counts`` and
+``winnow.winnow_neardup`` — same expressions, imported constants —
+and the funnel's own DuckDB oracle re-derives the whole funnel
+end-to-end, so any drift between the pieces and the composition
+hash-fails.
+
+Scale design: ALL per-document features (language hits, quality
+ratios, BPE token count, content hash) are computed in ONE projection
+over ONE pruned scan — not by joining the individual operators'
+outputs, which would cost four scans and three shuffle joins at
+100 TB. The feature frame is persisted and each funnel stage is a
+filter + 1-row aggregate on top; the only shuffles are the exact-dup
+min-per-hash aggregate and the near-dup pair join (df-capped, see
+winnow.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .text_analysis import BPE_PATTERN, LANGS, STOPWORDS, _hits, _hits_sql
+from .winnow import winnow_neardup
+from ..functions.text import tokens_col, tokens_sql
+
+KEEP_LANG = "en"
+QUALITY_MIN = 0.45
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-document features: pred_lang, quality, bpe_tokens,
+    content hash (expressions mirror lang_id / quality_score /
+    token_counts / dedup_exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "text",
+        tokens_col("text").alias("toks"),
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9_ ]", "").alias("clean"),
+    )
+    hit_cols = [_hits(F.col("toks"), STOPWORDS[lg]).alias(f"hits_{lg}") for lg in LANGS]
+    d = d.select("doc_id", "text", "toks", "clean", *hit_cols)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in LANGS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in LANGS:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    toks = F.col("toks")
+    n_tok = F.size(toks)
+    sw = F.size(
+        F.filter(
+            toks,
+            lambda t: F.array_contains(
+                F.array(*[F.lit(w) for w in STOPWORDS[KEEP_LANG]]), t
+            ),
+        )
+    )
+    quality = (
+        F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0)
+        + sw.cast("double") / n_tok
+        + F.length("clean").cast("double") / F.length("text")
+    ) / F.lit(3.0)
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        quality.alias("quality"),
+        bpe.alias("bpe_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_docs, n_bpe_tokens) per funnel stage.
+
+    Stages: 0_all → 1_lang (pred_lang = en) → 2_quality (score ≥
+    threshold) → 3_exact_dedup (keep min doc_id per content hash) →
+    4_neardup (drop any doc with a winnowing near-dup partner of
+    smaller doc_id — the corpus-level pair list is the arbiter, so
+    the decision is independent of upstream filter order).
+    """
+    feats = _features(spark, sf_dir).persist()
+    s1 = feats.filter(F.col("pred_lang") == KEEP_LANG)
+    s2 = s1.filter(F.col("quality") >= QUALITY_MIN)
+    keep = s2.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    s3 = s2.join(keep.select("doc_id"), "doc_id")
+    dropped = winnow_neardup(spark, sf_dir).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    s4 = s3.join(dropped, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").alias("n_bpe_tokens"),
+        )
+
+    return (
+        stage(feats, "0_all")
+        .unionByName(stage(s1, "1_lang"))
+        .unionByName(stage(s2, "2_quality"))
+        .unionByName(stage(s3, "3_exact_dedup"))
+        .unionByName(stage(s4, "4_neardup"))
+    )
+
+
+def _funnel_oracle() -> str:
+    from .winnow import WINNOW_NEARDUP_ORACLE
+
+    t = tokens_sql("text")
+    hits = ",\n         ".join(
+        f"{_hits_sql(t, STOPWORDS[lg])} AS hits_{lg}" for lg in LANGS
+    )
+    best = f"greatest({', '.join(f'hits_{lg}' for lg in LANGS)})"
+    tie = " ".join(f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in LANGS)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS[KEEP_LANG])
+    quality = (
+        f"(CAST(least(len({t}), 100) AS DOUBLE) / 100.0"
+        f" + CAST(len(list_filter({t}, tk -> list_contains([{en}], tk))) AS DOUBLE)"
+        f" / len({t})"
+        f" + CAST(length(regexp_replace(lower(text), '[^a-z0-9_ ]', '', 'g')) AS DOUBLE)"
+        f" / length(text)) / 3.0"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, text,
+         {hits}
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CASE WHEN {best} <= 0 THEN 'und' {tie} END AS pred_lang,
+         {quality} AS quality,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
+         md5(text) AS content_hash
+  FROM h
+),
+s1 AS (SELECT * FROM feats WHERE pred_lang = '{KEEP_LANG}'),
+s2 AS (SELECT * FROM s1 WHERE quality >= {QUALITY_MIN}),
+s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id IN (SELECT min(doc_id) FROM s2 GROUP BY content_hash)
+),
+nd AS (SELECT DISTINCT doc_b AS doc_id FROM ({WINNOW_NEARDUP_ORACLE}) wp),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+SELECT '0_all' AS stage, count(*) AS n_docs, sum(bpe_tokens) AS n_bpe_tokens FROM feats
+UNION ALL
+SELECT '1_lang', count(*), sum(bpe_tokens) FROM s1
+UNION ALL
+SELECT '2_quality', count(*), sum(bpe_tokens) FROM s2
+UNION ALL
+SELECT '3_exact_dedup', count(*), sum(bpe_tokens) FROM s3
+UNION ALL
+SELECT '4_neardup', count(*), sum(bpe_tokens) FROM s4
+"""
+
+
+CORPUS_CLEAN_FUNNEL_ORACLE = _funnel_oracle()

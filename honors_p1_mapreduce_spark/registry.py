@@ -21,6 +21,7 @@ from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
 from .operators import multimodal as _mm
 from .operators import ngram as _ng
+from .operators import pipeline as _pl
 from .operators import relational as _rel
 from .operators import similarity as _sim
 from .operators import sketch as _sk
@@ -96,6 +97,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints": _wn.winnow_fingerprints,
     "winnow_neardup": _wn.winnow_neardup,
     "token_counts": _ta.token_counts,
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,
     "tfidf_topk": _ta.tfidf_topk,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
@@ -157,6 +159,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
+    "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
