@@ -65,3 +65,30 @@ def test_no_python_in_jvm_query_paths(spark, sf_dir, name):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_disjunctive_predicate_pushdown(spark, sf_dir):
+    # Q19 shape: Catalyst must derive the quantity-only OR bound and
+    # push it into the lineitem parquet scan
+    plan = _plan(registry.QUERIES["disjunctive_revenue"](spark, sf_dir))
+    assert "Or(" in plan.split("PushedFilters")[1][:200]
+
+
+def test_new_star_queries_single_shuffle_broadcast_dims(spark, sf_dir):
+    # Q7/Q8/Q18/Q22 shapes: one hash exchange (the final agg), all
+    # dimension paths broadcast
+    for name in (
+        "cross_nation_volume",
+        "market_share",
+        "large_orders",
+        "idle_customer_balance",
+    ):
+        plan = _plan(registry.QUERIES[name](spark, sf_dir))
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_winnow_single_shuffle_no_python(spark, sf_dir):
+    plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
