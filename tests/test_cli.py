@@ -1,0 +1,51 @@
+"""CLI client lifecycle: submit → results → query (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+from honors_p1_mapreduce_spark.__main__ import main
+
+MAPPER_SRC = """
+def wc_map(line):
+    for w in line.split():
+        yield w.lower(), 1
+"""
+
+REDUCER_SRC = """
+def wc_reduce(key, values):
+    yield key, sum(int(v) for v in values)
+"""
+
+
+def test_cli_submit_results_roundtrip(spark, tmp_path, capsys):
+    (tmp_path / "mr.py").write_text(MAPPER_SRC + REDUCER_SRC)
+    inp = tmp_path / "input.txt"
+    inp.write_text("apple banana apple\nbanana apple\n")
+    out = tmp_path / "out"
+
+    main(
+        [
+            "submit",
+            "--input", str(inp),
+            "--mapper", f"{tmp_path}/mr.py:wc_map",
+            "--reducer", f"{tmp_path}/mr.py:wc_reduce",
+            "--output", str(out),
+            "--num-reduces", "2",
+        ]
+    )
+    capsys.readouterr()
+    main(["results", str(out)])
+    got = dict(
+        line.split("\t") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert got == {"apple": "3", "banana": "2"}
+
+
+def test_cli_query_list_and_run(sf_dir, spark, capsys):
+    main(["query", "--list"])
+    listing = capsys.readouterr().out
+    assert "wordcount\toracle" in listing
+    assert "dedup_minhash\trows-only" in listing
+
+    main(["query", "wordcount_topk", "--sf-dir", sf_dir, "--limit", "5"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5 and all("\t" in line for line in out)
