@@ -68,6 +68,7 @@ HEADLINE: tuple[str, ...] = (
     "quality_score",
     "token_counts",
     "corpus_clean_funnel",
+    "stratified_sample",
     "media_stats",
 )
 

@@ -165,3 +165,64 @@ SELECT '4_neardup', count(*), sum(bpe_tokens) FROM s4
 
 
 CORPUS_CLEAN_FUNNEL_ORACLE = _funnel_oracle()
+
+# ------------------------------------------- deterministic sampling
+
+# per-source target sampling rates (a data-mixture spec): the rates a
+# pipeline would derive from a token-budget allocation
+MIXTURE_RATES: dict[str, float] = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+DEFAULT_RATE = 0.1
+SAMPLE_SEED = "mix1"  # changing the seed string re-rolls every doc
+
+
+def _uniform(doc_id) -> F.Column:
+    """Deterministic uniform in [0,1) from (seed, doc_id) — md5-derived
+    so reruns, retries, and other engines agree on every keep/drop
+    decision (a rand()-based sample is not reproducible across task
+    retries, which silently corrupts a 100 TB pipeline)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(SAMPLE_SEED), doc_id.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sample: per-source keep rates applied by
+    deterministic hash — the operation that turns N crawled sources
+    into a target data mixture.
+
+    Map-only plan (one pruned scan, per-row hash compare, no shuffle
+    except the final per-source audit aggregate). Output is the audit
+    frame (source, rate, n_docs, n_kept) — the sampled rows themselves
+    are the same filter applied to the full frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for src, r in sorted(MIXTURE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    kept = (_uniform(F.col("doc_id")) < rate).cast("int")
+    return (
+        docs.select("source", rate.alias("rate"), kept.alias("kept"))
+        .groupBy("source", "rate")
+        .agg(F.count("*").alias("n_docs"), F.sum("kept").alias("n_kept"))
+    )
+
+
+def _rate_sql() -> str:
+    expr = str(DEFAULT_RATE)
+    for src, r in sorted(MIXTURE_RATES.items()):
+        expr = f"CASE WHEN source = '{src}' THEN {r} ELSE {expr} END"
+    return expr
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT source,
+       CAST({_rate_sql()} AS DOUBLE) AS rate,
+       count(*) AS n_docs,
+       sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('{SAMPLE_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+                     < {_rate_sql()} THEN 1 ELSE 0 END) AS n_kept
+FROM documents
+GROUP BY source, {_rate_sql()}
+"""

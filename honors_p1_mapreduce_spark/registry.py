@@ -98,6 +98,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_neardup": _wn.winnow_neardup,
     "token_counts": _ta.token_counts,
     "corpus_clean_funnel": _pl.corpus_clean_funnel,
+    "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
@@ -160,6 +161,7 @@ ORACLES: dict[str, str] = {
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
+    "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
