@@ -56,3 +56,27 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read hive-partitioned parquet (partition columns recovered from
     the directory layout)."""
     return spark.read.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = None, mode: str = "overwrite"
+) -> None:
+    """JSON-Lines sink — the interchange format LLM data pipelines
+    exchange corpora in (one JSON object per line; Spark's json sink
+    IS jsonl). ``compression='gzip'``/'zstd' for wire-size; files stay
+    line-splittable for parallel re-reads only when uncompressed or
+    using a splittable codec."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL source. Pass an explicit ``schema`` (DDL string or
+    StructType) in production — schema inference reads the data twice
+    and infers from a sample, both wrong at 100 TB."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -66,3 +66,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    from honors_p1_mapreduce_spark.sources.sinks import read_jsonl, write_jsonl
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
