@@ -345,3 +345,147 @@ labels AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
 SELECT doc_id, cluster, cluster_size FROM labels JOIN sizes USING (cluster)
 """
+
+# ------------------------------------- minhash LSH, oracle-portable
+
+
+def _portable_hash(i: int, col: Column) -> Column:
+    """60-bit md5-derived member of the hash family — reproducible in
+    ANSI SQL ('0x'||hex cast), unlike xxhash64."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}|"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def dedup_minhash_portable(
+    spark: SparkSession, sf_dir: str, n: int = 5, threshold: float = 0.2
+) -> DataFrame:
+    """MinHash LSH with a fully oracle-checkable hash family.
+
+    Identical banding architecture to :func:`dedup_minhash_pairs`
+    (explode distinct shingles once -> 32 plain hash columns -> one
+    min-agg shuffle -> banded equi-join -> signature-Jaccard), with
+    two substitutions that make every intermediate reproducible in
+    DuckDB: the hash family is md5-derived (portable) instead of
+    xxhash64, and a band's bucket key is the VALUE TUPLE of its
+    signature rows (concat_ws) instead of a second-level hash. Same
+    asymptotics; the bucket key is ~4x wider on the wire, which is
+    why the xxhash64 variant stays the default at scale. This variant
+    exists so the driver's hash_match gate covers the full LSH
+    pipeline, not just a rows-only determinism check.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    rows_per_band = N_HASHES // N_BANDS
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, n)
+    hashed = sh.select(
+        "doc_id",
+        *[_portable_hash(i, F.col("shingle")).alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_arr = sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+    pair = cand.join(
+        sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+        "doc_a",
+    ).join(
+        sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+        "doc_b",
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(N_HASHES))
+    return (
+        pair.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def _minhash_portable_oracle(n: int = 5, threshold: float = 0.2) -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    hcols = ",\n         ".join(
+        f"CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 15)) AS BIGINT) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    mins = ", ".join(f"min(h{i}) AS h{i}" for i in range(N_HASHES))
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s.shingle AS shingle
+  FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
+),
+hashed AS (
+  SELECT doc_id,
+         {hcols}
+  FROM sh
+),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ({matches}) / {float(N_HASHES)} AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE ({matches}) / {float(N_HASHES)} >= {threshold}
+"""
+
+
+DEDUP_MINHASH_PORTABLE_ORACLE = _minhash_portable_oracle()

@@ -46,6 +46,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash": _dd.dedup_minhash_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "dedup_clusters": _dd.dedup_clusters,
     # relational star-schema surface (capability fill-in; SURVEY.md §7.2 item 3)
     "pricing_summary": _rel.pricing_summary,
@@ -118,6 +119,7 @@ ORACLES: dict[str, str] = {
     "trigrams": _ng.TRIGRAMS_ORACLE,
     "dedup_exact": _dd.DEDUP_EXACT_ORACLE,
     "dedup_ngram_jaccard": _dd.NGRAM_JACCARD_ORACLE,
+    "dedup_minhash_portable": _dd.DEDUP_MINHASH_PORTABLE_ORACLE,
     "dedup_clusters": _dd.DEDUP_CLUSTERS_ORACLE,
     "pricing_summary": _rel.PRICING_SUMMARY_ORACLE,
     "top_revenue_orders": _rel.TOP_REVENUE_ORACLE,
