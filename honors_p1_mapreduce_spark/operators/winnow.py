@@ -159,16 +159,18 @@ def winnow_neardup(
     per-key join fanout to df_cap^2 — the standard guard against a
     licence-header gram pairing every document with every other.
     """
-    fps = (
-        winnow_fingerprints(spark, sf_dir)
-        .select("doc_id", "fp_hash")
-        .distinct()
+    fps = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    # df-cap via a count window: ONE fp_hash shuffle serves both the
+    # frequency filter and the self-join's co-partitioning (the
+    # groupBy+join-back formulation shuffles the frame twice)
+    keyed = (
+        fps.withColumn(
+            "df", F.count("*").over(Window.partitionBy("fp_hash"))
+        )
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
         .persist()
     )
-    rare = fps.groupBy("fp_hash").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= df_cap
-    )
-    keyed = fps.join(rare.select("fp_hash"), "fp_hash")
     a = keyed.select(F.col("fp_hash"), F.col("doc_id").alias("doc_a"))
     b = keyed.select(F.col("fp_hash"), F.col("doc_id").alias("doc_b"))
     return (
