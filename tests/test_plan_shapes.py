@@ -88,7 +88,9 @@ def test_new_star_queries_single_shuffle_broadcast_dims(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
-def test_winnow_single_shuffle_no_python(spark, sf_dir):
+def test_winnow_zero_shuffle_no_python(spark, sf_dir):
+    # winnowing is per-document local: the whole selection is array
+    # expressions + explode — a row never leaves its scan partition
     plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
     assert "Python" not in plan
