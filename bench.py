@@ -63,6 +63,7 @@ HEADLINE: tuple[str, ...] = (
     "hll_estimate",
     "tfidf_topk",
     "similarity_topk",
+    "similarity_filtered_topk",
     "similarity_ann_topk",
     "similarity_ivf_topk",
     "quality_score",

@@ -294,3 +294,78 @@ def embedding_neardup(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+# --------------------------------------------------- filtered search
+
+FILTER_LABELS = (0, 1, 2)  # metadata predicate for the filtered search
+
+
+def similarity_filtered_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    labels: tuple[int, ...] = FILTER_LABELS,
+) -> DataFrame:
+    """Filtered vector search: exact cosine top-k among corpus vectors
+    passing a metadata predicate (label IN ...) — the filtered-ANN
+    shape every vector store implements.
+
+    Pre-filtering is the 100 TB-correct order: the label predicate
+    pushes into the parquet scan (row-group pruning on a dictionary
+    column), so the Q x N score computation runs over the ~30% of the
+    corpus that qualifies rather than scoring everything and
+    discarding post-hoc. Output: (query_id, rank, vec_id, label, sim).
+    """
+    q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    emb = emb.filter(F.col("label").isin(*labels))
+    scored = (
+        q.join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "vec_id", "label", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "sim")
+    )
+
+
+def similarity_filtered_topk_oracle(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    labels: tuple[int, ...] = FILTER_LABELS,
+) -> str:
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+    nq, na = norm.format(v="q"), norm.format(v="a")
+    in_list = ", ".join(str(x) for x in labels)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id, a.label AS label,
+         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
+              ELSE {dot} / ({nq} * {na}) END AS sim
+  FROM embeddings q, embeddings a
+  WHERE q.vec_id < {n_queries} AND a.vec_id <> q.vec_id
+    AND a.label IN ({in_list})
+),
+ranked AS (
+  SELECT query_id, vec_id, label, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+SIMILARITY_FILTERED_TOPK_ORACLE = similarity_filtered_topk_oracle()

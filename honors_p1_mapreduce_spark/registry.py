@@ -71,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "monthly_revenue_running": _an.monthly_revenue_running,
     # similarity search over embeddings (north-star)
     "similarity_topk": _sim.similarity_topk,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "embedding_neardup": _sim.embedding_neardup,
@@ -141,6 +142,7 @@ ORACLES: dict[str, str] = {
     "top_orders_per_customer": _an.TOP_ORDERS_PER_CUSTOMER_ORACLE,
     "monthly_revenue_running": _an.MONTHLY_REVENUE_RUNNING_ORACLE,
     "similarity_topk": _sim.SIMILARITY_TOPK_ORACLE,
+    "similarity_filtered_topk": _sim.SIMILARITY_FILTERED_TOPK_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
