@@ -68,6 +68,9 @@ HEADLINE: tuple[str, ...] = (
     "similarity_ivf_topk",
     "quality_score",
     "token_counts",
+    "contamination_check",
+    "repetition_signals",
+    "pii_scrub",
     "corpus_clean_funnel",
     "stratified_sample",
     "media_stats",

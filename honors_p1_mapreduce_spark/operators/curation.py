@@ -1,0 +1,311 @@
+"""Data-curation operators a training-data pipeline runs between
+cleaning and training (north-star surface; no reference counterpart —
+the reference's text ops stop at tokenize/count, SURVEY.md §2.3).
+
+- ``contamination_check``: GPT-3-style benchmark-contamination scan —
+  which train documents share enough n-grams with an eval/benchmark
+  document that the eval is compromised.
+- ``repetition_signals``: Gopher-style per-document repetition
+  quality features (most-frequent-bigram mass, duplicate-trigram
+  mass) used as a pre-training filter.
+- ``pii_scrub``: regex PII redaction (emails, IPv4) with per-doc
+  redaction counts and a digest of the scrubbed text.
+
+All three are built-in Catalyst expressions end-to-end — no Python in
+any hot path. Every hash is md5-derived so the DuckDB oracles
+reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bigrams_from_tokens,
+    bigrams_sql,
+    shingles_from_tokens,
+    shingles_sql,
+    tokens_col,
+)
+from ..sources.tables import load_table
+
+# ------------------------------------------------- contamination check
+
+# Eval split: every 20th doc plays the benchmark set. Real pipelines
+# read the benchmark from its own table; the modulus keeps the demo
+# self-contained on the driver corpus while exercising the exact plan.
+EVAL_MOD = 20
+CONTAM_N = 5
+CONTAM_MIN_OVERLAP = 3
+CONTAM_DF_CAP = 100
+
+
+def contamination_check(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = CONTAM_N,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+    df_cap: int = CONTAM_DF_CAP,
+) -> DataFrame:
+    """Train-vs-eval n-gram overlap (benchmark contamination) pairs.
+
+    Output: (train_doc, eval_doc, n_overlap, coverage) where coverage
+    is the fraction of the eval doc's distinct informative n-grams
+    present in the train doc — the "is this benchmark compromised by
+    this training document" number (GPT-3 appendix C uses 13-gram
+    membership; the n is a parameter here).
+
+    100 TB plan shape: the eval/benchmark side is tiny and FIXED
+    (benchmarks are MBs; train is the 100 TB side), so every join the
+    train side participates in is a broadcast — the train scan is
+    filtered map-side to eval-overlapping shingles and NEVER shuffles
+    raw corpus data. The df-cap drops boilerplate shingles (total
+    document frequency > cap) before pair expansion, exactly as in
+    ``dedup.ngram_jaccard_pairs`` — but df is computed ONLY for
+    shingles that overlap eval: for the output (and for the per-eval
+    denominator) a shingle's df only matters when the shingle occurs
+    in eval, and its total df decomposes as eval-count (tiny side) +
+    matched-train-count (the already-filtered sliver). A global
+    df window over the corpus — the naive formulation — would shuffle
+    every shingle of the 100 TB side for no additional information.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_check_from(docs, n, min_overlap, df_cap)
+
+
+def contamination_check_from(
+    docs: DataFrame,
+    n: int = CONTAM_N,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+    df_cap: int = CONTAM_DF_CAP,
+) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    sh = docs.select("doc_id", tokens_col("text").alias("toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", F.md5("shingle").alias("sh"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "sh")
+    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "sh")
+    # map-side reduction of the 100 TB side to eval-overlapping rows;
+    # persisted (MEMORY_AND_DISK, left to LRU per the
+    # dedup_minhash_pairs cache policy) — it feeds the df count and
+    # the pair expansion.
+    ev_keys = ev.select("sh").distinct()
+    tr_matched = train.join(F.broadcast(ev_keys), "sh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # total df per eval shingle = eval occurrences + matched train
+    # occurrences (train-only shingles never matter). All frames here
+    # are O(|eval|).
+    tr_df = tr_matched.groupBy("sh").agg(F.count("*").alias("tr_cnt"))
+    good_keys = (
+        ev.groupBy("sh")
+        .agg(F.count("*").alias("ev_cnt"))
+        .join(tr_df, "sh", "left")
+        .filter(F.col("ev_cnt") + F.coalesce(F.col("tr_cnt"), F.lit(0)) <= df_cap)
+        .select("sh")
+    )
+    ev_sizes = (
+        ev.join(F.broadcast(good_keys), "sh")
+        .groupBy("eval_doc")
+        .agg(F.count("*").alias("n_ev"))
+    )
+    overlap = (
+        tr_matched.join(F.broadcast(good_keys), "sh")
+        .join(F.broadcast(ev), "sh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return overlap.join(F.broadcast(ev_sizes), "eval_doc").select(
+        "train_doc",
+        "eval_doc",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_ev").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
+def contamination_oracle(
+    n: int = CONTAM_N,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+    df_cap: int = CONTAM_DF_CAP,
+) -> str:
+    return f"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id, md5(s.shingle) AS sh
+  FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
+),
+sh AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh_all
+  ) WHERE df <= {df_cap}
+),
+train AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+ev    AS (SELECT doc_id AS eval_doc,  sh FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+ev_sizes AS (SELECT eval_doc, count(*) AS n_ev FROM ev GROUP BY 1),
+overlap AS (
+  SELECT train_doc, eval_doc, count(*) AS n_overlap
+  FROM train JOIN ev USING (sh)
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_overlap}
+)
+SELECT train_doc, eval_doc, n_overlap,
+       CAST(n_overlap AS DOUBLE) / CAST(n_ev AS DOUBLE) AS coverage
+FROM overlap JOIN ev_sizes USING (eval_doc)
+"""
+
+
+CONTAMINATION_ORACLE = contamination_oracle()
+
+# ------------------------------------------------- repetition signals
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition features.
+
+    Output per doc: total bigram occurrences, the occurrence share of
+    the single most frequent bigram (``top_bigram_frac``), and the
+    share of trigram occurrences that are repeats of an earlier
+    trigram in the same doc (``dup_trigram_frac``). Gopher (Rae et
+    al. 2021, table A1) filters docs where such fractions exceed
+    thresholds; this emits the raw features so the threshold stays a
+    policy choice.
+
+    Plan shape: trigram stats are pure per-row array expressions (no
+    shuffle); the top-bigram share needs per-(doc, bigram) counts —
+    explode -> two hash aggregations, both keyed by doc_id (+bigram),
+    so the shuffle carries one row per distinct (doc, bigram), never
+    raw text. Left join back to the doc spine keeps <2-token docs with
+    zeroed features. Scale: every stage is keyed by doc_id — uniform
+    by construction, no hot keys.
+    """
+    return repetition_signals_from(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_signals_from(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", tokens_col("text").alias("toks"))
+    tg = shingles_from_tokens(F.col("toks"), 3)
+    spine = base.select(
+        "doc_id",
+        F.size(tg).alias("n_tri"),
+        F.size(F.array_distinct(tg)).alias("n_tri_distinct"),
+        bigrams_from_tokens(F.col("toks")).alias("bgs"),
+    )
+    bg_counts = (
+        spine.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bg"))
+    )
+    out = spine.join(bg_counts, "doc_id", "left")
+    zero = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bg"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(
+            F.col("top_cnt").cast("double") / F.col("n_bg").cast("double"), zero
+        ).alias("top_bigram_frac"),
+        F.when(
+            F.col("n_tri") > 0,
+            (F.col("n_tri") - F.col("n_tri_distinct")).cast("double")
+            / F.col("n_tri").cast("double"),
+        )
+        .otherwise(zero)
+        .alias("dup_trigram_frac"),
+    )
+
+
+REPETITION_SIGNALS_ORACLE = f"""
+WITH spine AS (
+  SELECT doc_id,
+         {shingles_sql('text', 3)} AS tg,
+         {bigrams_sql('text')} AS bgs
+  FROM documents
+),
+bg_counts AS (
+  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bg FROM (
+    SELECT doc_id, b.bg AS bg, count(*) AS cnt
+    FROM spine, unnest(bgs) AS b(bg)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT s.doc_id,
+       coalesce(n_bg, 0) AS n_bigrams,
+       coalesce(CAST(top_cnt AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0)
+         AS top_bigram_frac,
+       CASE WHEN len(tg) > 0
+            THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                   / CAST(len(tg) AS DOUBLE)
+            ELSE 0.0 END AS dup_trigram_frac
+FROM spine s LEFT JOIN bg_counts USING (doc_id)
+"""
+
+# --------------------------------------------------------- PII scrub
+
+# Patterns chosen to compile identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes only, no \\d, no backreferences.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction with per-doc counts and a scrubbed digest.
+
+    The driver corpus carries no PII, so a deterministic synthetic
+    contact line (one email + one IPv4, derived from doc_id) is
+    appended before scrubbing — the operator then provably removes it.
+    Output: (doc_id, n_emails, n_ipv4, scrubbed_md5). Map-only over
+    the scan — zero shuffles; at 100 TB this runs at scan speed with
+    whole-stage-codegen'd JVM regexes (no Python).
+    """
+    return pii_scrub_from(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub_from(docs: DataFrame) -> DataFrame:
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    d = docs.select("doc_id", salted.alias("salted"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("salted"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("salted", F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("salted", F.lit(IPV4_RE), F.lit(0))).alias(
+            "n_ipv4"
+        ),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS salted
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(salted, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(salted, '{IPV4_RE}')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(salted, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM d
+"""

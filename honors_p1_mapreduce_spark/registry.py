@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytic as _an
 from .operators import asof as _asof
+from .operators import curation as _cu
 from .operators import dedup as _dd
 from .operators import events as _ev
 from .operators import grep as _gr
@@ -102,6 +103,10 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_clean_funnel": _pl.corpus_clean_funnel,
     "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,
+    # curation: contamination / repetition-filter / PII (north-star)
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
     # multimodal binary columns (north-star; decode is a stubbed codec)
     "media_stats": _mm.media_stats,
     "media_decode_features": _mm.media_decode_features,
@@ -167,6 +172,9 @@ ORACLES: dict[str, str] = {
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
+    "contamination_check": _cu.CONTAMINATION_ORACLE,
+    "repetition_signals": _cu.REPETITION_SIGNALS_ORACLE,
+    "pii_scrub": _cu.PII_SCRUB_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
     # path -> rows-only; determinism + shapes in tests/test_multimodal.py

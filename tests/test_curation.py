@@ -1,0 +1,94 @@
+"""Curation-operator semantics on synthetic frames (oracle parity on
+the driver corpus is covered by test_reference_parity via the
+registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from honors_p1_mapreduce_spark.operators import curation as cu
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_contamination_flags_copied_eval_text(spark):
+    # doc 20 is eval (20 % 20 == 0); doc 1 embeds its text verbatim,
+    # doc 2 shares nothing.
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (20, eval_text),
+            (1, f"intro words {eval_text} closing remarks here"),
+            (2, "completely different content with no shared phrases at all ok"),
+        ],
+    )
+    out = cu.contamination_check_from(docs, n=5, min_overlap=3).collect()
+    assert [(r["train_doc"], r["eval_doc"]) for r in out] == [(1, 20)]
+    # doc 1 contains every eval 5-gram -> full coverage
+    assert out[0]["coverage"] == 1.0
+
+
+def test_contamination_df_cap_drops_boilerplate(spark):
+    # the same boilerplate sentence appears in eval and MANY train
+    # docs; with df_cap below that document frequency, no pair fires.
+    boiler = "this document is provided as is without any warranty whatsoever"
+    docs = _docs(spark, [(20, boiler)] + [(i, boiler) for i in range(1, 6)])
+    out = cu.contamination_check_from(docs, n=5, min_overlap=1, df_cap=3)
+    assert out.count() == 0
+
+
+def test_repetition_signals_detect_loops(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam ham " * 30),  # one bigram dominates
+            (2, " ".join(f"w{i}" for i in range(40))),  # all distinct
+            (3, "single"),  # <2 tokens -> zeroed features
+        ],
+    )
+    rows = {r["doc_id"]: r for r in cu.repetition_signals_from(docs).collect()}
+    assert rows[1]["top_bigram_frac"] > 0.4
+    assert rows[1]["dup_trigram_frac"] > 0.9
+    # distinct tokens: every bigram/trigram unique
+    assert rows[2]["top_bigram_frac"] == 1.0 / rows[2]["n_bigrams"]
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_removes_injected_and_inline_pii(spark):
+    docs = _docs(
+        spark,
+        [(1, "mail me at someone@corp.example.org or ping 192.168.1.77 today")],
+    )
+    out = cu.pii_scrub_from(docs).collect()[0]
+    # 1 inline + 1 injected of each kind
+    assert out["n_emails"] == 2
+    assert out["n_ipv4"] == 2
+    # scrubbing is idempotent and actually removed the originals:
+    # rebuild the salted text and check the digest differs from raw
+    scrubbed = (
+        cu.pii_scrub_from(docs)
+        .select("scrubbed_md5")
+        .collect()[0]["scrubbed_md5"]
+    )
+    raw_salted_md5 = (
+        _docs(spark, [(1, "mail me at someone@corp.example.org or ping 192.168.1.77 today")])
+        .select(
+            F.md5(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                )
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+    assert scrubbed != raw_salted_md5
