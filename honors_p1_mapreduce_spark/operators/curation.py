@@ -238,7 +238,7 @@ bg_counts AS (
   ) GROUP BY 1
 )
 SELECT s.doc_id,
-       coalesce(n_bg, 0) AS n_bigrams,
+       CAST(coalesce(n_bg, 0) AS BIGINT) AS n_bigrams,
        coalesce(CAST(top_cnt AS DOUBLE) / CAST(n_bg AS DOUBLE), 0.0)
          AS top_bigram_frac,
        CASE WHEN len(tg) > 0

@@ -157,7 +157,7 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_PROPS_STATS_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events

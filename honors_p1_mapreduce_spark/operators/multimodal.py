@@ -66,7 +66,7 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("media_type").agg(
         F.count("*").alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
         F.countDistinct(F.md5("content")).alias("n_distinct_payloads"),
     )
 
@@ -75,7 +75,7 @@ MEDIA_STATS_ORACLE = """
 SELECT ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)]
          AS media_type,
        count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes,
        count(DISTINCT md5(text)) AS n_distinct_payloads
 FROM documents

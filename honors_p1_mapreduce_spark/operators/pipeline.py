@@ -152,15 +152,15 @@ s3 AS (
 ),
 nd AS (SELECT DISTINCT doc_b AS doc_id FROM ({WINNOW_NEARDUP_ORACLE}) wp),
 s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM nd))
-SELECT '0_all' AS stage, count(*) AS n_docs, sum(bpe_tokens) AS n_bpe_tokens FROM feats
+SELECT '0_all' AS stage, count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe_tokens FROM feats
 UNION ALL
-SELECT '1_lang', count(*), sum(bpe_tokens) FROM s1
+SELECT '1_lang', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s1
 UNION ALL
-SELECT '2_quality', count(*), sum(bpe_tokens) FROM s2
+SELECT '2_quality', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s2
 UNION ALL
-SELECT '3_exact_dedup', count(*), sum(bpe_tokens) FROM s3
+SELECT '3_exact_dedup', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s3
 UNION ALL
-SELECT '4_neardup', count(*), sum(bpe_tokens) FROM s4
+SELECT '4_neardup', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s4
 """
 
 
@@ -221,8 +221,8 @@ STRATIFIED_SAMPLE_ORACLE = f"""
 SELECT source,
        CAST({_rate_sql()} AS DOUBLE) AS rate,
        count(*) AS n_docs,
-       sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('{SAMPLE_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
-                     < {_rate_sql()} THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(concat('{SAMPLE_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0
+                     < {_rate_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source, {_rate_sql()}
 """
