@@ -22,59 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
-# Headline set: one representative per operator family — text parity
-# (Q1-Q5), dedup, relational joins/aggs, event windows, similarity,
-# text analysis, multimodal.
-HEADLINE: tuple[str, ...] = (
-    "wordcount",
-    "wordcount_topk",
-    "grep_count",
-    "inverted_index",
-    "bigrams",
-    "log_analyzer",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "simhash_neardup",
-    "winnow_neardup",
-    "pricing_summary",
-    "top_revenue_orders",
-    "nation_revenue",
-    "order_priority",
-    "promo_revenue",
-    "small_quantity_revenue",
-    "top_supplier",
-    "returns_rollup",
-    "cross_nation_volume",
-    "market_share",
-    "disjunctive_revenue",
-    "large_orders",
-    "idle_customer_balance",
-    "customer_order_counts",
-    "monthly_revenue_running",
-    "events_tumbling",
-    "user_sessions",
-    "events_props_stats",
-    "purchase_click_attribution",
-    "error_click_correlation",
-    "pricing_percentiles",
-    "cms_estimate",
-    "hll_estimate",
-    "tfidf_topk",
-    "similarity_topk",
-    "similarity_filtered_topk",
-    "similarity_ann_topk",
-    "similarity_ivf_topk",
-    "quality_score",
-    "token_counts",
-    "contamination_check",
-    "repetition_signals",
-    "pii_scrub",
-    "corpus_clean_funnel",
-    "stratified_sample",
-    "media_stats",
-)
+# Every registered query is benched (registry order), so BENCH_r{N}
+# is automatically a superset of prior rounds as the surface grows.
+HEADLINE: tuple[str, ...] = tuple(registry.QUERIES)
 
 
 def main() -> None:
@@ -95,6 +45,12 @@ def main() -> None:
         df = registry.QUERIES[name](spark, sf_dir)
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Cache policy: operators persist() intermediates for their own
+        # multi-consumer plans and leave cleanup to the caller that
+        # materializes the result; dropping them here keeps a long
+        # suite from accumulating executor-memory pressure and keeps
+        # per-query timings independent.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

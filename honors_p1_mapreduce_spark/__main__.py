@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "query":
         if not args.name:
             raise SystemExit("query: name required (or --list)")
+        if args.name not in registry.QUERIES:
+            raise SystemExit(
+                f"unknown query {args.name!r} — run 'query --list' for the "
+                f"{len(registry.QUERIES)} registered names"
+            )
         df = registry.QUERIES[args.name](spark, args.sf_dir)
         for row in df.limit(args.limit).collect():
             print("\t".join(str(v) for v in row))

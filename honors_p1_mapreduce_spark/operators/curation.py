@@ -252,7 +252,10 @@ FROM spine s LEFT JOIN bg_counts USING (doc_id)
 
 # Patterns chosen to compile identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes only, no \\d, no backreferences.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+# Explicit [a-zA-Z] classes (not (?i)) keep the case-insensitivity
+# visible in the pattern itself; mixed-case emails like
+# John.Doe@Example.COM must be caught (tests/test_curation.py).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 

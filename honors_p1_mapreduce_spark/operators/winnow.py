@@ -25,9 +25,11 @@ Spark plan (all Catalyst built-ins, no Python, ZERO shuffle):
   measured ~2x slower end-to-end.) The tie-break is encoded
   arithmetically: ``combined = hash * 2^POS_BITS + pos`` makes
   ``array_min`` pick the smallest hash and, on equal hashes, the
-  leftmost position — a total order both engines agree on. A doc's
-  gram array must fit a task (pos is capped at 2^POS_BITS grams
-  ~ 1M chars; longer docs would need a chunked variant).
+  leftmost position — a total order both engines agree on. pos is
+  capped at 2^POS_BITS grams (~1M normalized chars): longer docs are
+  deterministically truncated to that prefix before fingerprinting
+  (mirrored in the oracle) so pos can never bleed into the hash
+  bits; a chunked variant would fingerprint full multi-MB docs.
 
 At 100 TB: fingerprint extraction is embarrassingly parallel —
 scan-bound, scales with read bandwidth alone.
@@ -58,8 +60,18 @@ MIN_SHARED = 20
 DF_CAP = 50
 
 
+# pos occupies the low POS_BITS of the combined encoding; a doc with
+# more than 2^POS_BITS grams would bleed pos into the hash bits and
+# silently corrupt fingerprints. Truncating the normalized text to
+# exactly 2^POS_BITS grams (deterministic, mirrored in the oracle)
+# keeps huge docs fingerprintable by their first ~1M chars instead.
+_MAX_NORM_CHARS = _POS_BASE + K - 1
+
+
 def _norm(col: str) -> F.Column:
-    return F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+    return F.substring(
+        F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", ""), 1, _MAX_NORM_CHARS
+    )
 
 
 def winnow_fingerprints_from(docs: DataFrame) -> DataFrame:
@@ -101,7 +113,9 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRAMS_CTE = f"""
 norm AS (
-  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                1, {_POS_BASE + K - 1}) AS s
   FROM documents
 ),
 poss AS (

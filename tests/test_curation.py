@@ -92,3 +92,42 @@ def test_pii_scrub_removes_injected_and_inline_pii(spark):
         .collect()[0]["m"]
     )
     assert scrubbed != raw_salted_md5
+
+
+def test_pii_scrub_is_case_insensitive(spark):
+    # mixed/upper-case PII must be counted and redacted, not leaked
+    docs = _docs(
+        spark,
+        [(1, "reach John.Doe@Example.COM or MIXED@Sub.Domain.Org please")],
+    )
+    out = cu.pii_scrub_from(docs).collect()[0]
+    assert out["n_emails"] == 3  # 2 inline mixed-case + 1 injected
+    # the scrubbed digest must not contain the mixed-case address: scrub
+    # manually and compare digests
+    expected = (
+        docs.select(
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.concat(
+                            F.col("text"),
+                            F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7"),
+                        ),
+                        cu.EMAIL_RE,
+                        "<EMAIL>",
+                    ),
+                    cu.IPV4_RE,
+                    "<IP>",
+                )
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
+    assert out["scrubbed_md5"] == expected
+    # and the pattern itself catches the canonical mixed-case example
+    import re as _re
+
+    assert _re.fullmatch(cu.EMAIL_RE, "John.Doe@Example.COM")

@@ -44,6 +44,30 @@ def test_short_docs_emit_nothing(spark):
     assert fps.count() == 0
 
 
+def test_oversized_docs_truncate_to_prefix(spark, monkeypatch):
+    # docs longer than the pos-encoding capacity are deterministically
+    # truncated to the prefix, never fingerprinted with corrupted
+    # (pos-bleeds-into-hash) encodings. Shrink the cap to keep the
+    # test cheap; the arithmetic is scale-independent.
+    long_text = "".join(f"word{i} " for i in range(400))  # ~2.8k normalized chars
+    cap = 100
+    monkeypatch.setattr(wn, "_MAX_NORM_CHARS", cap)
+    capped = {
+        (r["fp_hash"], r["fp_pos"])
+        for r in _fps(spark, [(1, long_text)]).collect()
+    }
+    # manually pre-truncated doc must produce the identical set
+    norm_prefix = "".join(c for c in long_text.lower() if c.isalnum())[:cap]
+    manual = {
+        (r["fp_hash"], r["fp_pos"])
+        for r in _fps(spark, [(1, norm_prefix)]).collect()
+    }
+    assert capped == manual
+    assert capped  # prefix is long enough to emit fingerprints
+    # every pos fits the (shrunk) prefix
+    assert all(pos <= cap - wn.K for _, pos in capped)
+
+
 def test_neardup_agrees_with_minhash_family(spark, sf_dir):
     # winnowing's near-dup verdicts should largely coincide with the
     # n-gram Jaccard detector on the same corpus
