@@ -77,6 +77,43 @@ def test_concurrent_queries_complete(spark, sf_dir):
     assert all(c > 0 for c in counts)
 
 
+def test_concurrent_run_job_submissions(spark, tmp_path):
+    # R4, full submit lifecycle: the reference submits 3 wordcount jobs
+    # and polls until all COMPLETED (mr/tests/test_mapreduce.py:207-250).
+    # Here: 3 run_job submissions from 3 threads on one session, each
+    # with its own input file and output dir; every output must be
+    # complete and correct, not merely present.
+    import concurrent.futures
+
+    from honors_p1_mapreduce_spark.mapreduce import run_job
+    from honors_p1_mapreduce_spark.sources.text import read_tsv_results
+
+    def mapper(line):
+        for w in line.split():
+            yield w, 1
+
+    def reducer(key, values):
+        yield key, sum(int(v) for v in values)
+
+    def submit(i: int) -> str:
+        inp = tmp_path / f"input_{i}.txt"
+        inp.write_text(f"job {i} test data\n" * 100)
+        out = str(tmp_path / f"out_{i}")
+        run_job(spark, str(inp), mapper, reducer, out, num_maps=2, num_reduces=1)
+        return out
+
+    with concurrent.futures.ThreadPoolExecutor(3) as ex:
+        outs = list(ex.map(submit, range(3)))
+
+    for i, out in enumerate(outs):
+        got = {
+            (r[0], r[1]) for r in read_tsv_results(spark, out).collect()
+        }
+        assert got == {
+            ("job", "100"), (str(i), "100"), ("test", "100"), ("data", "100")
+        }, f"job {i}: {got}"
+
+
 def test_totally_broken_mapper_completes_empty(spark):
     # reference: an invalid mapper submits and its tasks fail
     # (mr/tests/test_mapreduce.py:256-278); our per-record tolerance
