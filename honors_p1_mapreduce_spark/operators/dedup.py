@@ -266,24 +266,55 @@ def dedup_minhash_pairs(
 # ------------------------------------------------- connected components
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): every node u connects each
+    strictly-larger neighbor v to m(u) = min(N(u) ∪ {u})."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge larger→smaller, then
+    every node u links all its smaller neighbors (and itself) to
+    m(u) = min of that neighborhood."""
+    orient = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = orient.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so min ∪ {u} = min(v)
+    relink = orient.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfed = m.select("u", F.col("m").alias("v"))
+    return (
+        relink.unionByName(selfed).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 20
+    spark: SparkSession, sf_dir: str, max_iter: int = 12
 ) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified
     n-gram-Jaccard pair graph, labels = min doc_id per component.
 
     This is the step a dedup pipeline actually keeps: pairs say "a~b",
     clusters say "keep exactly one of {a,b,c,...}". Components are
-    computed by iterative min-label propagation — per round, every
-    node takes the min of its own and its neighbors' labels; the loop
-    converges in O(component diameter) rounds (near-dup clusters are
-    shallow; ``max_iter`` guards pathological chains; the alternating
-    large-star/small-star variant would cut rounds to O(log d) at
-    planetary scale). The driver-side loop iterates ROUNDS, not rows:
-    each round is one distributed join + aggregate, and convergence is
-    detected by the strictly-decreasing label sum (one scalar action
-    per round). Only nodes that appear in some pair enter the loop —
-    singleton docs skip straight to their own cluster id.
+    computed by the alternating large-star/small-star algorithm
+    (Kiveris et al., SoCC 2014): each round contracts edges toward
+    component minima, converging in O(log d) rounds vs the O(d) of
+    plain min-label propagation — on a pathological 10k-node chain
+    that is ~14 rounds instead of 10k. The driver-side loop iterates
+    ROUNDS, not rows: each round is two grouped aggregates + joins,
+    and convergence is detected by an order-insensitive edge-set
+    checksum (count + hash-sum, ONE scalar action per round). At the
+    fixpoint the edge set is exactly the star (child → component-min),
+    so labels read off with a single aggregate. Only nodes that appear
+    in some pair enter the loop — singleton docs skip straight to
+    their own cluster id.
 
     Output: (doc_id, cluster, cluster_size) for EVERY document.
 
@@ -293,28 +324,32 @@ def dedup_clusters(
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).persist()
-    members = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = members.select("doc_id", F.col("doc_id").alias("label")).persist()
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    members = (
+        edges.select(F.col("u").alias("doc_id"))
+        .unionByName(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    prev = (None, None)
     for _ in range(max_iter):
-        msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
-            F.col("doc_b").alias("doc_id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        s = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if s == prev_sum:
+        new_edges = _small_star(_large_star(edges)).persist()
+        cnt, chk = new_edges.agg(
+            F.count("*"), F.sum(F.xxhash64("u", "v"))
+        ).collect()[0]
+        edges.unpersist()
+        edges = new_edges
+        if (cnt, chk) == prev:
             break
-        prev_sum = s
+        prev = (cnt, chk)
+    # fixpoint edges are (child, root); roots carry their own id
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("doc_id"), "label")
+    )
     singles = docs.join(members, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("label")
     )
@@ -323,7 +358,7 @@ def dedup_clusters(
     out = everyone.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster"), "cluster_size"
     )
-    sym.unpersist()
+    edges.unpersist()
     return out
 
 
