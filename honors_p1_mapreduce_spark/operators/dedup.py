@@ -310,7 +310,7 @@ def dedup_clusters(
     that is ~14 rounds instead of 10k. The driver-side loop iterates
     ROUNDS, not rows: each round is two grouped aggregates + joins,
     and convergence is detected by an order-insensitive edge-set
-    checksum (count + hash-sum, ONE scalar action per round). At the
+    checksum (count + hash-xor, ONE scalar action per round). At the
     fixpoint the edge set is exactly the star (child → component-min),
     so labels read off with a single aggregate. Only nodes that appear
     in some pair enter the loop — singleton docs skip straight to
@@ -335,8 +335,10 @@ def dedup_clusters(
     prev = (None, None)
     for _ in range(max_iter):
         new_edges = _small_star(_large_star(edges)).persist()
+        # bit_xor (not sum) keeps the checksum order-insensitive without
+        # risking long overflow under ANSI mode (Spark 4 default)
         cnt, chk = new_edges.agg(
-            F.count("*"), F.sum(F.xxhash64("u", "v"))
+            F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
         ).collect()[0]
         edges.unpersist()
         edges = new_edges
