@@ -25,7 +25,7 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_sim, lsh_band_buckets
@@ -253,6 +253,89 @@ def similarity_ivf_topk(
     )
 
 
+def similarity_ivf_topk_oracle(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of :func:`similarity_ivf_topk` — every stage is
+    SQL-expressible: centroid pick is a deterministic vec_id stride,
+    cell assignment is argmax-by-(csim, -cell) (Spark ``max_by`` on a
+    struct == row_number over (csim DESC, cell ASC)), probe + re-rank
+    are plain joins. Cosines use the identical left fold, so cell
+    boundaries land on bit-identical doubles in both engines."""
+
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_reduce(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            "(acc, x) -> acc + x)"
+        )
+        norm = (
+            "sqrt(list_reduce(list_transform(generate_series(1, len({v})), "
+            "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), "
+            "(acc, x) -> acc + x))"
+        )
+        na, nb = norm.format(v=a), norm.format(v=b)
+        return (
+            f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+            f"ELSE {dot} / ({na} * {nb}) END"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS c_emb
+  FROM embeddings
+  WHERE vec_id % greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)
+          = {IVF_STRIDE_SALT}
+  ORDER BY vec_id LIMIT {n_cells}
+),
+corpus_scored AS (
+  SELECT e.vec_id, c.cell, {cos('e.embedding', 'c.c_emb')} AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC)
+             AS crank
+    FROM corpus_scored
+  ) WHERE crank = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC)
+             AS crank
+    FROM corpus_scored WHERE vec_id < {n_queries}
+  ) WHERE crank <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.vec_id
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
+  WHERE cc.vec_id <> qc.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {cos('q.embedding', 'a.embedding')} AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings a ON a.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+SIMILARITY_IVF_TOPK_ORACLE = similarity_ivf_topk_oracle()
+
+
 NEARDUP_THRESHOLD = 0.4
 
 
@@ -294,6 +377,260 @@ def embedding_neardup(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+# ------------------------------------ portable-oracle ANN (md5 planes)
+
+# Fixed band/bit geometry: the oracle is a static SQL string, so the
+# portable variant cannot size bits from a runtime corpus count the way
+# similarity_ann_topk does. 8x6 bits suits the driver corpora (n=500
+# at sf0.01 -> ~8-vector buckets); the adaptive variant remains the
+# scale default.
+PORTABLE_BANDS = 8
+PORTABLE_BITS = 6
+EMB_DIM = 64  # driver embeddings dim (TESTDATA.md); mirrored in the oracle
+
+
+def _rademacher_sign(band: int, bit: int, dim: int) -> float:
+    """+1/-1 derived from md5 parity of "band|bit|dim" — a Rademacher
+    hyperplane family both engines can reproduce (hashlib and DuckDB
+    md5 agree on hex digests; parity of the first 60 bits)."""
+    import hashlib
+
+    h = hashlib.md5(f"{band}|{bit}|{dim}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+
+def _portable_bucket(emb_col: Column, band: int) -> Column:
+    """One band's bucket id: PORTABLE_BITS sign bits of Rademacher
+    projections, packed little-endian. Pure Catalyst fold — the same
+    index-ordered double arithmetic as the DuckDB oracle, so the sign
+    bits (and hence buckets) are bit-identical across engines."""
+    bucket = F.lit(0)
+    for t in range(PORTABLE_BITS):
+        signs = F.array(
+            *[F.lit(_rademacher_sign(band, t, i)) for i in range(EMB_DIM)]
+        )
+        proj = F.aggregate(
+            F.zip_with(emb_col, signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + (proj >= 0).cast("int") * (1 << t)
+    return bucket
+
+
+def _portable_bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    bands = F.array(
+        *[_portable_bucket(F.col(emb_col), b) for b in range(PORTABLE_BANDS)]
+    )
+    return emb.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
+
+
+def similarity_ann_portable(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """ANN top-k with a fully oracle-checkable LSH family.
+
+    Same banded-LSH architecture as :func:`similarity_ann_topk`
+    (bucket candidates on (band, bucket) equi-keys, exact cosine
+    re-rank), with the numpy Gaussian hyperplanes replaced by md5-seeded
+    Rademacher (+/-1) planes evaluated as Catalyst array folds. Every
+    intermediate — sign bit, bucket id, candidate set, re-ranked sim —
+    is reproducible in DuckDB, so the driver's hash_match gate covers
+    the ENTIRE ANN pipeline (the `dedup_minhash_portable` trick applied
+    to vector search). Rademacher projections are a standard sign-LSH
+    family (Achlioptas 2003: +/-1 entries preserve random-projection
+    guarantees), so recall behavior matches the Gaussian variant.
+
+    Zero Python on any path: the projection folds are JVM codegen.
+    Output schema matches ``similarity_topk`` for direct recall checks.
+    """
+    q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    qb = _portable_bucketed(q, "query_id", "q_emb")
+    cb = _portable_bucketed(emb, "vec_id", "embedding")
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(emb, "vec_id")
+        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+def _sign_string(band: int, bit: int) -> str:
+    return "".join(
+        "+" if _rademacher_sign(band, bit, i) > 0 else "-" for i in range(EMB_DIM)
+    )
+
+
+def similarity_ann_portable_oracle(
+    k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    """DuckDB twin: identical Rademacher planes (encoded as '+'/'-'
+    strings), identical left-fold projection order, identical packing,
+    then the same candidate join + exact re-rank as the brute-force
+    oracle. 0.0-init left fold == DuckDB's first-element fold because
+    0.0 + x is exact."""
+
+    def proj(band: int, bit: int) -> str:
+        s = _sign_string(band, bit)
+        return (
+            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN substr('{s}', i, 1) = '+' THEN 1.0 ELSE -1.0 END)), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(band, t)} >= 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(PORTABLE_BITS)
+        )
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM embeddings"
+        for b in range(PORTABLE_BANDS)
+    )
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+    nq, na = norm.format(v="q"), norm.format(v="a")
+    return f"""
+WITH buck AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM buck qb JOIN buck cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+  WHERE qb.vec_id < {n_queries} AND cb.vec_id <> qb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
+              ELSE {dot} / ({nq} * {na}) END AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings a ON a.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}
+"""
+
+
+SIMILARITY_ANN_PORTABLE_ORACLE = similarity_ann_portable_oracle()
+
+
+def embedding_neardup_portable(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding near-dup pairs with the md5-Rademacher LSH family —
+    the oracle-checkable twin of :func:`embedding_neardup`. Same
+    bucket-join candidate generation and exact-precision filter; the
+    bucketing is pure Catalyst codegen (no pandas UDF), so the persist
+    trades a cheap recompute for one in-memory scan on the self-join.
+    Output: (vec_a, vec_b, sim)."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = _portable_bucketed(emb, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", cosine_sim(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def embedding_neardup_portable_oracle(threshold: float = NEARDUP_THRESHOLD) -> str:
+    def proj(band: int, bit: int) -> str:
+        s = _sign_string(band, bit)
+        return (
+            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CASE WHEN substr('{s}', i, 1) = '+' THEN 1.0 ELSE -1.0 END)), "
+            "(acc, x) -> acc + x)"
+        )
+
+    def bucket(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(band, t)} >= 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(PORTABLE_BITS)
+        )
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM embeddings"
+        for b in range(PORTABLE_BANDS)
+    )
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+    nq, na = norm.format(v="q"), norm.format(v="a")
+    return f"""
+WITH buck AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buck x JOIN buck y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
+              ELSE {dot} / ({nq} * {na}) END AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.vec_a
+  JOIN embeddings a ON a.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+EMBEDDING_NEARDUP_PORTABLE_ORACLE = embedding_neardup_portable_oracle()
 
 # --------------------------------------------------- filtered search
 

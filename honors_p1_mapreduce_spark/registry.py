@@ -68,8 +68,10 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk": _sim.similarity_topk,
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "similarity_ann_topk": _sim.similarity_ann_topk,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "embedding_neardup": _sim.embedding_neardup,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
     # --- dedup family (Q6 + north-star)
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
@@ -157,6 +159,9 @@ ORACLES: dict[str, str] = {
     "monthly_revenue_running": _an.MONTHLY_REVENUE_RUNNING_ORACLE,
     "similarity_topk": _sim.SIMILARITY_TOPK_ORACLE,
     "similarity_filtered_topk": _sim.SIMILARITY_FILTERED_TOPK_ORACLE,
+    "similarity_ann_portable": _sim.SIMILARITY_ANN_PORTABLE_ORACLE,
+    "similarity_ivf_topk": _sim.SIMILARITY_IVF_TOPK_ORACLE,
+    "embedding_neardup_portable": _sim.EMBEDDING_NEARDUP_PORTABLE_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
@@ -187,10 +192,11 @@ ORACLES: dict[str, str] = {
     "media_stats": _mm.MEDIA_STATS_ORACLE,
     # media_decode_features / media_frame_sample: fake-codec pandas-UDF
     # path -> rows-only; determinism + shapes in tests/test_multimodal.py
-    # similarity_ann_topk / similarity_ivf_topk / embedding_neardup:
-    # LSH bucketing is a numpy pandas-UDF and IVF depends on iterative
-    # assignment -> not SQL-expressible; rows-only check, with
-    # recall-vs-brute-force asserted in tests/test_similarity.py
+    # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
+    # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
+    # *_portable twins above run the identical pipeline under full
+    # hash_match, and recall-vs-brute-force is asserted in
+    # tests/test_similarity.py
     # dedup_minhash: md5-derived signature family is not practically
     # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)
 }

@@ -81,3 +81,41 @@ def test_ann_deterministic(spark, sf_dir):
     a = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))
     b = sorted(map(tuple, sim.similarity_ann_topk(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_similarity_ann_portable_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["similarity_ann_portable"],
+        registry.ORACLES["similarity_ann_portable"],
+    )
+
+
+def test_similarity_ivf_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["similarity_ivf_topk"],
+        registry.ORACLES["similarity_ivf_topk"],
+    )
+
+
+def test_embedding_neardup_portable_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["embedding_neardup_portable"],
+        registry.ORACLES["embedding_neardup_portable"],
+    )
+
+
+def test_ann_portable_recall(spark, sf_dir):
+    """Rademacher planes are a real sign-LSH family: retrieved pairs
+    carry the exact cosine and overlap the true top-k substantially."""
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_topk(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.query_id, r.vec_id): r.sim
+        for r in sim.similarity_ann_portable(spark, sf_dir).collect()
+    }
+    hits = set(exact) & set(ann)
+    assert len(hits) / len(exact) >= 0.2
+    for p in hits:
+        assert exact[p] == ann[p]
