@@ -23,7 +23,7 @@ byte-identical to Spark's ``md5(binary)``.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +83,14 @@ GROUP BY 1
 """
 
 
+# The codec seam: any callable (payload bytes, media_type) ->
+# (width, height, n_frames, feature list of FEATURE_DIM floats).
+# A real decoder (PIL/librosa/ffmpeg) plugs in as ``codec=`` without
+# touching the operator; tests/test_multimodal.py holds the contract
+# test that any conforming codec yields the registered DECODE_SCHEMA.
+Codec = Callable[[bytes, str], tuple[int, int, int, list[float]]]
+
+
 def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a codec: dimensions + an 8-dim
     feature vector derived from the payload digest. Replaced wholesale
@@ -96,7 +104,9 @@ def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, list[f
 
 
 def decode_media_features(
-    media: DataFrame, use_real_codecs: bool = False
+    media: DataFrame,
+    use_real_codecs: bool = False,
+    codec: Codec | None = None,
 ) -> DataFrame:
     """Decode/feature-extract over binary payloads via ``mapInPandas``.
 
@@ -104,12 +114,18 @@ def decode_media_features(
     as Python ``bytes`` / ``bytearray``, exactly what a real codec
     takes — and the operator stays embarrassingly parallel: no
     shuffle, output partitioning inherits the input's.
+
+    ``codec`` is the injection point: any callable matching the seam
+    contract (bytes, media_type) -> (width, height, n_frames, feature)
+    is shipped to executors inside the pandas iterator closure. The
+    default is the deterministic md5 fake.
     """
-    if use_real_codecs:
+    if use_real_codecs and codec is None:
         raise NotImplementedError(
             "real image/audio/video codecs are not available in this "
-            "environment; plug PIL/librosa/ffmpeg decoding in here"
+            "environment; pass codec=<PIL/librosa/ffmpeg adapter> here"
         )
+    decode_one = codec or _fake_decode
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -121,7 +137,7 @@ def decode_media_features(
                 pdf["doc_id"], pdf["media_type"], pdf["content"]
             ):
                 blob = bytes(content)
-                w, h, nf, feat = _fake_decode(blob, mt)
+                w, h, nf, feat = decode_one(blob, mt)
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(mt)
                 out["n_bytes"].append(len(blob))
