@@ -151,9 +151,59 @@ def decode_media_features(
 
 
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered rows-only query: decode the demo media table with the
-    deterministic fake codec."""
-    return decode_media_features(media_table(spark, sf_dir))
+    """Registered query: decode the demo media table with the
+    deterministic fake codec.
+
+    The library-level ``decode_media_features`` keeps the raw
+    ``array<float>`` feature; the registered query replaces it with a
+    canon-safe scalar ``feature_digest`` (the driver's canonicalizer
+    sorts rows with pandas, which cannot hash list cells). The digest
+    inverts each feature float back to its source md5 byte
+    (``round(x*255)`` is exact: the 6-decimal rounding error is
+    ~5e-7 << 1/510) and md5s the comma-joined byte list — so the
+    digest deterministically covers every feature value, and, because
+    the fake codec is pure md5-of-payload arithmetic over UTF-8
+    payloads, DuckDB reproduces it byte-for-byte from ``md5(text)``.
+    """
+    decoded = decode_media_features(media_table(spark, sf_dir))
+    byte_strs = F.transform(
+        F.col("feature"), lambda x: F.round(x * 255).cast("int").cast("string")
+    )
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.md5(F.concat_ws(",", byte_strs)).alias("feature_digest"),
+    )
+
+
+def _md5_byte_sql(i: int) -> str:
+    """DuckDB expression for byte ``i`` of md5(text): two hex chars ->
+    bigint via the same '0x' cast used by the simhash oracles."""
+    return f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+
+
+MEDIA_DECODE_FEATURES_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)]
+           AS media_type,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         {", ".join(f"{_md5_byte_sql(i)} AS d{i}" for i in range(FEATURE_DIM))}
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes,
+       CAST(16 + d0 % 240 AS INT) AS width,
+       CAST(16 + d1 % 240 AS INT) AS height,
+       CAST(CASE WHEN media_type LIKE 'video/%' THEN 1 + d2 % 120 ELSE 1 END
+            AS INT) AS n_frames,
+       md5(concat_ws(',', {", ".join(f"d{i}" for i in range(FEATURE_DIM))}))
+         AS feature_digest
+FROM b
+"""
 
 
 def frame_sample(
@@ -170,5 +220,25 @@ def frame_sample(
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered rows-only query: sampled frame indices for videos."""
-    return frame_sample(media_decode_features(spark, sf_dir))
+    """Registered query: sampled frame indices for videos. Oracle-
+    checkable because ``n_frames`` is md5-byte arithmetic (see
+    ``media_decode_features``) and the sampling itself is a pure
+    ``sequence``/``explode`` with no Python."""
+    return frame_sample(decode_media_features(media_table(spark, sf_dir)))
+
+
+MEDIA_FRAME_SAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 + 1 AS INT)]
+           AS media_type,
+         {_md5_byte_sql(2)} AS d2
+  FROM documents
+), v AS (
+  SELECT doc_id, CAST(1 + d2 % 120 AS INT) AS n_frames
+  FROM b
+  WHERE media_type LIKE 'video/%'
+)
+SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
+FROM v, unnest(generate_series(0, n_frames - 1, 10)) AS t(f)
+"""

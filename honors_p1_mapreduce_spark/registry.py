@@ -190,8 +190,11 @@ ORACLES: dict[str, str] = {
     "repetition_signals": _cu.REPETITION_SIGNALS_ORACLE,
     "pii_scrub": _cu.PII_SCRUB_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
-    # media_decode_features / media_frame_sample: fake-codec pandas-UDF
-    # path -> rows-only; determinism + shapes in tests/test_multimodal.py
+    # the fake codec is pure md5-of-payload arithmetic over UTF-8
+    # payloads, so DuckDB reproduces the whole decode from md5(text):
+    # both media queries are fully hash-gated despite the pandas-UDF path
+    "media_decode_features": _mm.MEDIA_DECODE_FEATURES_ORACLE,
+    "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_ORACLE,
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full

@@ -47,6 +47,11 @@ def stream_events(
         # EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the engine session is
         # pinned UTC so values match the batch loader's NTZ rendering
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # some scale factors carry plain TIMESTAMP(MICROS) parquet, which
+    # reads as TIMESTAMP_NTZ — event-time watermarks require TIMESTAMP,
+    # and under the pinned-UTC session the cast is lossless
+    if not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

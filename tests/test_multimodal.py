@@ -18,8 +18,30 @@ def test_media_stats_oracle(spark, sf_dir):
     )
 
 
+def test_media_decode_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["media_decode_features"],
+        registry.ORACLES["media_decode_features"],
+    )
+    compare_query(
+        spark, sf_dir, registry.QUERIES["media_frame_sample"],
+        registry.ORACLES["media_frame_sample"],
+    )
+
+
+def test_registered_decode_is_canon_safe(spark, sf_dir):
+    # the registered query must not carry list-typed cells (the driver's
+    # pandas canonicalizer cannot sort them); the raw feature array stays
+    # on the library-level decode_media_features
+    out = registry.QUERIES["media_decode_features"](spark, sf_dir)
+    assert out.columns == [
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
+        "feature_digest",
+    ]
+
+
 def test_decode_shapes_and_determinism(spark, sf_dir):
-    out = mm.media_decode_features(spark, sf_dir)
+    out = mm.decode_media_features(mm.media_table(spark, sf_dir))
     assert out.columns == [
         "doc_id", "media_type", "n_bytes", "width", "height", "n_frames",
         "feature",
@@ -51,7 +73,7 @@ def test_frame_sample_only_videos(spark, sf_dir):
     assert rows, "expected sampled frames for video items"
     decoded = {
         r.doc_id: r.n_frames
-        for r in mm.media_decode_features(spark, sf_dir).collect()
+        for r in mm.decode_media_features(mm.media_table(spark, sf_dir)).collect()
         if r.media_type.startswith("video/")
     }
     by_doc: dict[int, list[int]] = {}
