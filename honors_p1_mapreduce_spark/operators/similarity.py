@@ -82,25 +82,45 @@ def similarity_topk(
     )
 
 
+# ---- shared DuckDB SQL fragment builders (one source of truth for the
+# cosine fold and the Rademacher-LSH stages, used by every oracle
+# generator below so the twins cannot drift apart)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left fold Σ a[i]*b[i] in index order — mirrors Spark's
+    ``F.aggregate(F.zip_with(...), 0.0, +)`` exactly (0.0 + x is exact,
+    so fold order == left-assoc sum order and doubles are bit-equal)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, len({v})), "
+        f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), "
+        "(acc, x) -> acc + x))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    na, nb = _norm_sql(a), _norm_sql(b)
+    return (
+        f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {_dot_sql(a, b)} / ({na} * {nb}) END"
+    )
+
+
 # DuckDB twin: identical left fold (init 0.0) over identical doubles ->
 # bit-equal sim; rank/tie-break mirrored.
 def similarity_topk_oracle(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
-        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x))"
-    )
-    nq, na = norm.format(v="q"), norm.format(v="a")
     return f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
-         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
-              ELSE {dot} / ({nq} * {na}) END AS sim
+         {_cos_sql('q.embedding', 'a.embedding')} AS sim
   FROM embeddings q, embeddings a
   WHERE q.vec_id < {n_queries} AND a.vec_id <> q.vec_id
 ),
@@ -225,8 +245,11 @@ def similarity_ivf_topk(
     # scan), so sizing the centroid stride this way stays cheap at scale
     n = emb.count()
     stride = max(n // n_cells, 1)
+    # residue is salt % stride, not the raw salt: with a tiny corpus
+    # (stride <= salt) the raw-salt predicate is unsatisfiable and both
+    # engines would agree on an EMPTY result the oracle can't catch
     cents = (
-        emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT)
+        emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT % stride)
         .orderBy("vec_id")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
@@ -263,25 +286,10 @@ def similarity_ivf_topk_oracle(
     SQL-expressible: centroid pick is a deterministic vec_id stride,
     cell assignment is argmax-by-(csim, -cell) (Spark ``max_by`` on a
     struct == row_number over (csim DESC, cell ASC)), probe + re-rank
-    are plain joins. Cosines use the identical left fold, so cell
-    boundaries land on bit-identical doubles in both engines."""
-
-    def cos(a: str, b: str) -> str:
-        dot = (
-            f"list_reduce(list_transform(generate_series(1, len({a})), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
-            "(acc, x) -> acc + x)"
-        )
-        norm = (
-            "sqrt(list_reduce(list_transform(generate_series(1, len({v})), "
-            "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), "
-            "(acc, x) -> acc + x))"
-        )
-        na, nb = norm.format(v=a), norm.format(v=b)
-        return (
-            f"CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
-            f"ELSE {dot} / ({na} * {nb}) END"
-        )
+    are plain joins. Cosines use the identical left fold (shared
+    builder ``_cos_sql``), so cell boundaries land on bit-identical
+    doubles in both engines."""
+    cos = _cos_sql
 
     return f"""
 WITH cents AS (
@@ -289,6 +297,7 @@ WITH cents AS (
   FROM embeddings
   WHERE vec_id % greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)
           = {IVF_STRIDE_SALT}
+            % greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)
   ORDER BY vec_id LIMIT {n_cells}
 ),
 corpus_scored AS (
@@ -391,9 +400,12 @@ EMB_DIM = 64  # driver embeddings dim (TESTDATA.md); mirrored in the oracle
 
 
 def _rademacher_sign(band: int, bit: int, dim: int) -> float:
-    """+1/-1 derived from md5 parity of "band|bit|dim" — a Rademacher
-    hyperplane family both engines can reproduce (hashlib and DuckDB
-    md5 agree on hex digests; parity of the first 60 bits)."""
+    """+1/-1 for plane (band, bit) coordinate ``dim``: the low bit of
+    int(md5("band|bit|dim")[:15], 16), computed Python-side at plan
+    build time. The signs are baked into BOTH engines' plans as
+    literals (Catalyst ``F.lit`` arrays here, '+'/'-' strings in the
+    generated oracle SQL), so cross-engine agreement needs no runtime
+    hashing — only that this one function is deterministic."""
     import hashlib
 
     h = hashlib.md5(f"{band}|{bit}|{dim}".encode()).hexdigest()
@@ -420,8 +432,21 @@ def _portable_bucket(emb_col: Column, band: int) -> Column:
 
 
 def _portable_bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    # dim guard: zip_with pads a short/long embedding with NULLs, which
+    # would silently produce null buckets (empty candidate sets) while
+    # the oracle's generate_series(1, EMB_DIM) truncates differently —
+    # a cross-engine divergence the hash gate can't attribute. Fail
+    # loudly per-row instead (size() is O(1) on the array header).
+    checked = F.when(F.size(F.col(emb_col)) == EMB_DIM, F.col(emb_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"portable LSH requires {EMB_DIM}-dim embeddings, got dim="),
+                F.size(F.col(emb_col)).cast("string"),
+            )
+        )
+    )
     bands = F.array(
-        *[_portable_bucket(F.col(emb_col), b) for b in range(PORTABLE_BANDS)]
+        *[_portable_bucket(checked, b) for b in range(PORTABLE_BANDS)]
     )
     return emb.select(F.col(id_col), F.posexplode(bands).alias("band", "bucket"))
 
@@ -474,48 +499,45 @@ def _sign_string(band: int, bit: int) -> str:
     )
 
 
+def _proj_sql(band: int, bit: int) -> str:
+    """One Rademacher projection as a DuckDB left fold, signs baked in
+    as a '+'/'-' literal string — same index order as the Catalyst
+    fold in :func:`_portable_bucket`."""
+    s = _sign_string(band, bit)
+    return (
+        f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN substr('{s}', i, 1) = '+' THEN 1.0 ELSE -1.0 END)), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _bucket_sql(band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(band, t)} >= 0 THEN {1 << t} ELSE 0 END)"
+        for t in range(PORTABLE_BITS)
+    )
+
+
+def _band_selects_sql() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {_bucket_sql(b)} AS bucket FROM embeddings"
+        for b in range(PORTABLE_BANDS)
+    )
+
+
 def similarity_ann_portable_oracle(
     k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> str:
     """DuckDB twin: identical Rademacher planes (encoded as '+'/'-'
     strings), identical left-fold projection order, identical packing,
     then the same candidate join + exact re-rank as the brute-force
-    oracle. 0.0-init left fold == DuckDB's first-element fold because
-    0.0 + x is exact."""
-
-    def proj(band: int, bit: int) -> str:
-        s = _sign_string(band, bit)
-        return (
-            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * "
-            f"(CASE WHEN substr('{s}', i, 1) = '+' THEN 1.0 ELSE -1.0 END)), "
-            "(acc, x) -> acc + x)"
-        )
-
-    def bucket(band: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN {proj(band, t)} >= 0 THEN {1 << t} ELSE 0 END)"
-            for t in range(PORTABLE_BITS)
-        )
-
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM embeddings"
-        for b in range(PORTABLE_BANDS)
-    )
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
-        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x))"
-    )
-    nq, na = norm.format(v="q"), norm.format(v="a")
+    oracle. All fragments come from the shared builders (_proj_sql /
+    _bucket_sql / _band_selects_sql / _cos_sql) so the twins cannot
+    drift."""
     return f"""
 WITH buck AS (
-{band_selects}
+{_band_selects_sql()}
 ),
 cand AS (
   SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
@@ -524,8 +546,7 @@ cand AS (
 ),
 scored AS (
   SELECT cand.query_id, cand.vec_id,
-         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
-              ELSE {dot} / ({nq} * {na}) END AS sim
+         {_cos_sql('q.embedding', 'a.embedding')} AS sim
   FROM cand
   JOIN embeddings q ON q.vec_id = cand.query_id
   JOIN embeddings a ON a.vec_id = cand.vec_id
@@ -579,39 +600,12 @@ def embedding_neardup_portable(
 
 
 def embedding_neardup_portable_oracle(threshold: float = NEARDUP_THRESHOLD) -> str:
-    def proj(band: int, bit: int) -> str:
-        s = _sign_string(band, bit)
-        return (
-            f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * "
-            f"(CASE WHEN substr('{s}', i, 1) = '+' THEN 1.0 ELSE -1.0 END)), "
-            "(acc, x) -> acc + x)"
-        )
-
-    def bucket(band: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN {proj(band, t)} >= 0 THEN {1 << t} ELSE 0 END)"
-            for t in range(PORTABLE_BITS)
-        )
-
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT vec_id, {b} AS band, {bucket(b)} AS bucket FROM embeddings"
-        for b in range(PORTABLE_BANDS)
-    )
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
-        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x))"
-    )
-    nq, na = norm.format(v="q"), norm.format(v="a")
+    """Same shared fragment builders as the ANN-portable oracle; only
+    the candidate predicate (all-pairs vec_a < vec_b) and the final
+    threshold filter differ."""
     return f"""
 WITH buck AS (
-{band_selects}
+{_band_selects_sql()}
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -620,8 +614,7 @@ cand AS (
 ),
 scored AS (
   SELECT cand.vec_a, cand.vec_b,
-         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
-              ELSE {dot} / ({nq} * {na}) END AS sim
+         {_cos_sql('q.embedding', 'a.embedding')} AS sim
   FROM cand
   JOIN embeddings q ON q.vec_id = cand.vec_a
   JOIN embeddings a ON a.vec_id = cand.vec_b
@@ -674,23 +667,11 @@ def similarity_filtered_topk_oracle(
     n_queries: int = N_QUERIES,
     labels: tuple[int, ...] = FILTER_LABELS,
 ) -> str:
-    dot = (
-        "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_transform(generate_series(1, len({v}.embedding)), "
-        "i -> CAST({v}.embedding[i] AS DOUBLE) * CAST({v}.embedding[i] AS DOUBLE)), "
-        "(acc, x) -> acc + x))"
-    )
-    nq, na = norm.format(v="q"), norm.format(v="a")
     in_list = ", ".join(str(x) for x in labels)
     return f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS vec_id, a.label AS label,
-         CASE WHEN {nq} = 0 OR {na} = 0 THEN 0.0
-              ELSE {dot} / ({nq} * {na}) END AS sim
+         {_cos_sql('q.embedding', 'a.embedding')} AS sim
   FROM embeddings q, embeddings a
   WHERE q.vec_id < {n_queries} AND a.vec_id <> q.vec_id
     AND a.label IN ({in_list})
