@@ -121,6 +121,9 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup": _sim.embedding_neardup,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    # rows-only (iterative Lloyd refinement is not SQL-expressible);
+    # recall >= stride-IVF asserted in tests/test_similarity.py
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
 }
 
 ORACLES: dict[str, str] = {

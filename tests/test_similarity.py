@@ -119,3 +119,24 @@ def test_ann_portable_recall(spark, sf_dir):
     assert len(hits) / len(exact) >= 0.2
     for p in hits:
         assert exact[p] == ann[p]
+
+
+def test_ivf_kmeans_recall_not_worse_than_stride(spark):
+    # the Lloyd-refined centroids must retrieve at least as many true
+    # top-k neighbors as the stride-sampled seed at equal nprobe, and
+    # the decimal-mean refinement must be run-to-run deterministic
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.query_id, r.vec_id) for r in sim.similarity_topk(spark, sf).collect()}
+    stride = {
+        (r.query_id, r.vec_id) for r in sim.similarity_ivf_topk(spark, sf).collect()
+    }
+    km = {
+        (r.query_id, r.vec_id)
+        for r in sim.similarity_ivf_kmeans_topk(spark, sf).collect()
+    }
+    assert len(km & exact) >= len(stride & exact)
+    km2 = {
+        (r.query_id, r.vec_id)
+        for r in sim.similarity_ivf_kmeans_topk(spark, sf).collect()
+    }
+    assert km == km2
