@@ -393,3 +393,138 @@ WITH {_hll_estimate_sql("lineitem", "l_orderkey", "l_returnflag")}
 SELECT est.grp AS l_returnflag, hll_estimate, exact_distinct
 FROM est JOIN exact ON est.grp = exact.grp
 """
+
+# ----------------------------------------------------- bloom filter
+
+BLOOM_M = 1 << 17  # 131072 bits = 16 kB
+BLOOM_K = 5
+# Sizing: the member set is ~12k custkeys at sf0.1 -> load kn/m ~ 0.45,
+# theoretical FP ~0.6% (measured ~0.5% in the audit row). The static
+# oracle forces a static M; a production filter sizes m ~ 1.44 k |S|.
+BLOOM_Y_FROM, BLOOM_Y_TO = "1996-01-01", "1997-01-01"
+
+
+def _bloom_h(salt: str, key: Column) -> Column:
+    """60-bit md5-derived hash of ``salt|key`` (engine-portable)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _bloom_positions(key: Column) -> Column:
+    """The K bit positions of ``key`` by Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod M. Two md5 evaluations per key
+    (not K), and h1 + i*h2 stays < 2^63 for i <= 4 with 60-bit h1/h2."""
+    h1, h2 = _bloom_h("bf1", key), _bloom_h("bf2", key)
+    return F.array(
+        *[((h1 + F.lit(i) * h2) % BLOOM_M).cast("int") for i in range(BLOOM_K)]
+    )
+
+
+def _bloom_pos_sql(salt1: str, salt2: str, key: str, i: int) -> str:
+    h = (
+        "CAST(concat('0x', substr(md5(concat('{s}|', CAST({k} AS VARCHAR))), 1, 15)) "
+        "AS BIGINT)"
+    )
+    h1, h2 = h.format(s=salt1, k=key), h.format(s=salt2, k=key)
+    return f"CAST(({h1} + {i} * {h2}) % {BLOOM_M} AS INT)"
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a filter over the customers
+    active in one order year, probe EVERY customer, compare the
+    filter's verdict against exact membership.
+
+    The 100 TB shape: the build side collapses to <= M distinct bit
+    rows (a bounded broadcastable set regardless of member count — the
+    same trick as Spark's own bloom-filter join), so the probe side
+    joins against a broadcast and never shuffles. Per probe the filter
+    answers positive iff all K of its bit positions are set; Bloom
+    guarantees no false negatives, and the false-positive count in the
+    audit row is the measured FP rate at this M/K/|S| operating point.
+    Output: 1 row (n_probes, n_true_members, n_bloom_positive,
+    n_false_positives) — all integer counts, trivially hash-gated.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(BLOOM_Y_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(BLOOM_Y_TO).cast("timestamp"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(_bloom_positions(F.col("o_custkey"))).alias("bit")
+        )
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probe = cust.select(
+        "c_custkey", F.explode(_bloom_positions(F.col("c_custkey"))).alias("bit")
+    )
+    per_key = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("set_") == BLOOM_K).alias("bloom_pos"))
+    )
+    truth = members.select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_member")
+    )
+    audited = per_key.join(truth, "c_custkey", "left").select(
+        "bloom_pos", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return audited.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_true_members"),
+        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("bloom_pos") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_positives"
+        ),
+    )
+
+
+BLOOM_MEMBERSHIP_ORACLE = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{BLOOM_Y_FROM} 00:00:00'
+    AND o_orderdate <  TIMESTAMP '{BLOOM_Y_TO} 00:00:00'
+),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('bf1', 'bf2', 'o_custkey', i)} AS bit FROM members"
+        for i in range(BLOOM_K)
+    )}
+  )
+),
+probe AS (
+  {" UNION ALL ".join(
+      f"SELECT c_custkey, {_bloom_pos_sql('bf1', 'bf2', 'c_custkey', i)} AS bit FROM customer"
+      for i in range(BLOOM_K)
+  )}
+),
+per_key AS (
+  SELECT c_custkey, count(b.bit) = {BLOOM_K} AS bloom_pos
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY c_custkey
+),
+audited AS (
+  SELECT bloom_pos, m.o_custkey IS NOT NULL AS is_member
+  FROM per_key LEFT JOIN members m ON per_key.c_custkey = m.o_custkey
+)
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_members,
+       CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_positive,
+       CAST(sum(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives
+FROM audited
+"""

@@ -91,7 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
     "cms_estimate": _sk.cms_estimate,
-    "hll_registers": _sk.hll_registers,
+    "bloom_membership": _sk.bloom_membership,  # NEW in r4
     # --- [r4 window, block c] dedup + similarity core
     "dedup_exact": _dd.dedup_exact,
     "dedup_minhash": _dd.dedup_minhash_pairs,
@@ -117,6 +117,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition_signals": _cu.repetition_signals,
     "pii_scrub": _cu.pii_scrub,
     "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup": _sim.embedding_neardup,
@@ -176,6 +177,7 @@ ORACLES: dict[str, str] = {
     "cms_estimate": _sk.CMS_ESTIMATE_ORACLE,
     "hll_registers": _sk.HLL_REGISTERS_ORACLE,
     "hll_estimate": _sk.HLL_ESTIMATE_ORACLE,
+    "bloom_membership": _sk.BLOOM_MEMBERSHIP_ORACLE,
     "doc_token_stats": _ta.DOC_TOKEN_STATS_ORACLE,
     "corpus_token_stats": _ta.CORPUS_TOKEN_STATS_ORACLE,
     "lang_id": _ta.LANG_ID_ORACLE,

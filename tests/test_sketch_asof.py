@@ -16,6 +16,8 @@ from honors_p1_mapreduce_spark.operators.sketch import (
     cms_sketch,
 )
 
+from .oracle import compare_query
+
 
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
@@ -149,3 +151,20 @@ def test_range_join_matches_naive(spark, sf_dir):
         .collect()
     )
     assert {r["eid"]: r["n"] for r in naive} == out
+
+
+def test_bloom_membership_oracle_and_properties(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators import sketch as sk
+
+    compare_query(
+        spark, sf_dir, registry.QUERIES["bloom_membership"],
+        registry.ORACLES["bloom_membership"],
+    )
+    row = sk.bloom_membership(spark, "/root/testdata/sf0.01").collect()[0]
+    # Bloom guarantee: no false negatives -> every true member tests positive
+    assert row.n_bloom_positive >= row.n_true_members
+    assert row.n_bloom_positive == row.n_true_members + row.n_false_positives
+    # the operating point (M=8192, K=5) should keep FPs a small fraction
+    non_members = row.n_probes - row.n_true_members
+    if non_members:
+        assert row.n_false_positives / non_members <= 0.2
