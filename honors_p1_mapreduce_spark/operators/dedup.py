@@ -412,12 +412,24 @@ SELECT doc_id, cluster, cluster_size FROM labels JOIN sizes USING (cluster)
 # ------------------------------------- minhash LSH, oracle-portable
 
 
-def _portable_hash(i: int, col: Column) -> Column:
-    """60-bit md5-derived member of the hash family — reproducible in
-    ANSI SQL ('0x'||hex cast), unlike xxhash64."""
+def _portable_hash(salt: str, col: Column, hex_len: int = 15) -> Column:
+    """md5-derived hash of ``salt|col`` over the first ``hex_len`` hex
+    digits — reproducible in ANSI SQL ('0x'||hex cast), unlike
+    xxhash64."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}|"), col)), 1, 15), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col)), 1, hex_len), 16, 10
     ).cast("bigint")
+
+
+# Portable minhash family: Kirsch-Mitzenmacher double hashing,
+# h_i = (h1 + i*h2) mod 2^60 from TWO md5 evaluations per shingle
+# (60-bit h1, 52-bit h2 so h1 + 31*h2 < 2^61 — no bigint overflow in
+# either engine). The round-3 family evaluated 32 independent
+# md5|conv chains per doc-shingle row, which WAS the operator's cost
+# at sf0.1 (~15 s of its 16.7 s total: 8M interpreted md5s); this is
+# the same trick bloom_membership uses and keeps the banding
+# structure identical.
+_MH_MOD = 1 << 60
 
 
 def dedup_minhash_portable(
@@ -429,9 +441,11 @@ def dedup_minhash_portable(
     (explode distinct shingles once -> 32 plain hash columns -> one
     min-agg shuffle -> banded equi-join -> signature-Jaccard), with
     two substitutions that make every intermediate reproducible in
-    DuckDB: the hash family is md5-derived (portable) instead of
-    xxhash64, and a band's bucket key is the VALUE TUPLE of its
-    signature rows (concat_ws) instead of a second-level hash. Same
+    DuckDB: the hash family is md5-derived (portable, two md5 seeds
+    expanded to N_HASHES members by Kirsch-Mitzenmacher double
+    hashing — see the _MH_MOD comment) instead of xxhash64, and a
+    band's bucket key is the VALUE TUPLE of its signature rows
+    (concat_ws) instead of a second-level hash. Same
     asymptotics; the bucket key is ~4x wider on the wire, which is
     why the xxhash64 variant stays the default at scale. This variant
     exists so the driver's hash_match gate covers the full LSH
@@ -442,9 +456,19 @@ def dedup_minhash_portable(
     rows_per_band = N_HASHES // N_BANDS
     docs = load_table(spark, sf_dir, "documents")
     sh = _doc_shingles(docs, n)
+    # two-projection shape: the two md5 chains materialize ONCE per row
+    # as plain attributes before the 32 arithmetic columns reference
+    # them (same CollapseProject guard as _doc_shingles)
     hashed = sh.select(
         "doc_id",
-        *[_portable_hash(i, F.col("shingle")).alias(f"h{i}") for i in range(N_HASHES)],
+        _portable_hash("mh1", F.col("shingle"), 15).alias("p1"),
+        _portable_hash("mh2", F.col("shingle"), 13).alias("p2"),
+    ).select(
+        "doc_id",
+        *[
+            ((F.col("p1") + F.lit(i) * F.col("p2")) % _MH_MOD).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
     )
     sigs = (
         hashed.groupBy("doc_id")
@@ -507,8 +531,7 @@ def dedup_minhash_portable(
 def _minhash_portable_oracle(n: int = 5, threshold: float = 0.2) -> str:
     rows_per_band = N_HASHES // N_BANDS
     hcols = ",\n         ".join(
-        f"CAST(concat('0x', substr(md5(concat('{i}|', shingle)), 1, 15)) AS BIGINT) AS h{i}"
-        for i in range(N_HASHES)
+        f"(p1 + {i} * p2) % {_MH_MOD} AS h{i}" for i in range(N_HASHES)
     )
     mins = ", ".join(f"min(h{i}) AS h{i}" for i in range(N_HASHES))
     bands = "\n  UNION ALL\n".join(
@@ -528,10 +551,18 @@ WITH sh AS (
   SELECT DISTINCT doc_id, s.shingle AS shingle
   FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
 ),
+seeds AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('mh1|', shingle)), 1, 15))
+              AS BIGINT) AS p1,
+         CAST(concat('0x', substr(md5(concat('mh2|', shingle)), 1, 13))
+              AS BIGINT) AS p2
+  FROM sh
+),
 hashed AS (
   SELECT doc_id,
          {hcols}
-  FROM sh
+  FROM seeds
 ),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS (
