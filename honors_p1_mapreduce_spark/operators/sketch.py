@@ -415,13 +415,28 @@ def _bloom_h(salt: str, key: Column) -> Column:
     ).cast("bigint")
 
 
-def _bloom_positions(key: Column) -> Column:
-    """The K bit positions of ``key`` by Kirsch-Mitzenmacher double
-    hashing: pos_i = (h1 + i*h2) mod M. Two md5 evaluations per key
-    (not K), and h1 + i*h2 stays < 2^63 for i <= 4 with 60-bit h1/h2."""
-    h1, h2 = _bloom_h("bf1", key), _bloom_h("bf2", key)
-    return F.array(
-        *[((h1 + F.lit(i) * h2) % BLOOM_M).cast("int") for i in range(BLOOM_K)]
+def _bloom_bits(df: DataFrame, key: str, keep: str) -> DataFrame:
+    """(keep, bit) rows: the K bit positions of ``key`` by
+    Kirsch-Mitzenmacher double hashing, pos_i = (h1 + i*h2) mod M.
+    Two-projection shape so the two md5 chains evaluate ONCE per row
+    before the K arithmetic positions reference them (inlined, the
+    explode array re-evaluates each chain K times — the CollapseProject
+    pitfall); h1 + i*h2 stays < 2^63 for i <= 4 with 60-bit h1/h2."""
+    withh = df.select(
+        F.col(keep),
+        _bloom_h("bf1", F.col(key)).alias("b1"),
+        _bloom_h("bf2", F.col(key)).alias("b2"),
+    )
+    return withh.select(
+        F.col(keep),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("b1") + F.lit(i) * F.col("b2")) % BLOOM_M).cast("int")
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
     )
 
 
@@ -460,15 +475,12 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bits = (
-        members.select(
-            F.explode(_bloom_positions(F.col("o_custkey"))).alias("bit")
-        )
+        _bloom_bits(members, "o_custkey", "o_custkey")
+        .select("bit")
         .distinct()
         .withColumn("set_", F.lit(1))
     )
-    probe = cust.select(
-        "c_custkey", F.explode(_bloom_positions(F.col("c_custkey"))).alias("bit")
-    )
+    probe = _bloom_bits(cust, "c_custkey", "c_custkey")
     per_key = (
         probe.join(F.broadcast(bits), "bit", "left")
         .groupBy("c_custkey")

@@ -94,3 +94,57 @@ def test_winnow_zero_shuffle_no_python(spark, sf_dir):
     plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Python" not in plan
+
+
+def test_ngram_dfcap_hot_set_is_broadcast(spark, sf_dir):
+    # the df-cap must filter doc-shingle rows via a BROADCAST anti-join
+    # against the bounded hot-shingle set — the round-3 window
+    # formulation reshuffled the whole frame by shingle hash
+    from honors_p1_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = _plan(ngram_jaccard_pairs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_bloom_probe_side_never_shuffles(spark, sf_dir):
+    # the bit set (<= M rows, bounded regardless of member count) must
+    # reach the probe side as a broadcast — a probe-side shuffle would
+    # surface as a SortMergeJoin on bit. (The build side's tiny distinct
+    # exchange is expected.)
+    plan = _plan(registry.QUERIES["bloom_membership"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two-projection guard: each md5 chain evaluates once per row, not
+    # once per K explode element (re-inlining would show K copies per
+    # side; <=2 because toString may truncate long expressions)
+    assert plan.count("md5(cast(concat(bf1") <= 2
+
+
+def test_star_round_is_single_window_shuffle(spark):
+    # one large-star half-round = exactly one hash exchange (the window
+    # over u) + the distinct; the round-3 groupBy+join form cost three
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.dedup import _large_star
+
+    edges = spark.range(10).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    plan = _plan(_large_star(edges))
+    # window shuffle + distinct's exchange; no join operator at all
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_portable_bucketing_single_projection_pass(spark, sf_dir):
+    # the 48 Rademacher projections must evaluate once as an attribute
+    # (one transform pass), not as 48 re-inlined fold subtrees; and the
+    # whole bucketing stays JVM-side
+    from honors_p1_mapreduce_spark.operators.similarity import _portable_bucketed
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(_portable_bucketed(emb, "vec_id", "embedding"))
+    assert "Python" not in plan
+    assert plan.count("transform(") <= 2  # one projs pass (+ cast helper)
