@@ -77,13 +77,16 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index": _ii.inverted_index,
     "log_analyzer": _la.log_analyzer,
     "bigrams": _ng.bigrams,
-    "bigrams_topk": _ng.bigrams_topk,
-    "trigrams": _ng.trigrams,
+    # --- [r4 window, block b cont.] similarity/dedup paths changed in r4
+    # (bucketing one-pass rewrite, KM hash family, precomputed-norm
+    # re-rank, new kmeans variant) — must carry fresh evidence
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "embedding_neardup": _sim.embedding_neardup,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # NEW in r4
     # --- [r4 window, block c] event-time windows + as-of/range joins
     "events_tumbling": _ev.events_tumbling,
-    "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
-    "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "events_props_stats": _ev.events_props_stats,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
@@ -100,7 +103,12 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     # ================= position 51+ — outside the r4 driver window =====
-    # all green in round 3 (CORRECTNESS_r03.json); rotate to front in r5
+    # all green in round 3 (CORRECTNESS_r03.json) with code unchanged
+    # since; rotate to front in r5
+    "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
+    "events_sliding": _ev.events_sliding,
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "doc_token_stats": _ta.doc_token_stats,
     "corpus_token_stats": _ta.corpus_token_stats,
     "lang_id": _ta.lang_id,
@@ -119,12 +127,6 @@ QUERIES: dict[str, QueryFn] = {
     "media_stats": _mm.media_stats,
     "hll_registers": _sk.hll_registers,
     "similarity_ann_topk": _sim.similarity_ann_topk,
-    "similarity_ann_portable": _sim.similarity_ann_portable,
-    "embedding_neardup": _sim.embedding_neardup,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    # rows-only (iterative Lloyd refinement is not SQL-expressible);
-    # recall >= stride-IVF asserted in tests/test_similarity.py
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
 }
 
 ORACLES: dict[str, str] = {
