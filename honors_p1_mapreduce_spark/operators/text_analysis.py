@@ -458,3 +458,70 @@ SELECT doc_id,
          AS chars_per_token
 FROM documents
 """
+
+# ------------------------------------------------- document chunking
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+CHUNK_OVERLAP = CHUNK_TOKENS - CHUNK_STRIDE  # 32 tokens shared
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking — the map-only step that turns a
+    document corpus into fixed-budget training sequences (CHUNK_TOKENS
+    per chunk, CHUNK_OVERLAP carried between neighbors for context).
+
+    Plan shape: tokenize once per doc (attribute projection), explode
+    the start offsets, slice per chunk — zero shuffles, so at 100 TB
+    the operator is pure scan bandwidth and inherits the input
+    partitioning. Trailing windows that would only re-emit overlap
+    tokens (no new content) are dropped; every kept chunk is
+    reconstructable from (doc_id, chunk_id) alone, which is what makes
+    downstream dedup/shuffling of chunks safe.
+
+    Output: (doc_id, chunk_id, chunk_tokens, chunk_text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("n_toks") - 1, F.lit(CHUNK_STRIDE))
+    chunked = toked.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    ct = F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return (
+        chunked.select(
+            "doc_id",
+            "chunk_id",
+            F.size(ct).alias("chunk_tokens"),
+            F.concat_ws(" ", ct).alias("chunk_text"),
+        )
+        .filter((F.col("chunk_id") == 0) | (F.col("chunk_tokens") > CHUNK_OVERLAP))
+    )
+
+
+DOC_CHUNKS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_T} AS toks FROM documents
+),
+t2 AS (
+  SELECT doc_id, toks, len(toks) AS n_toks FROM toked WHERE len(toks) > 0
+),
+chunked AS (
+  SELECT doc_id, s.start AS start,
+         list_slice(toks, s.start + 1, least(s.start + {CHUNK_TOKENS}, n_toks))
+           AS ct
+  FROM t2, unnest(generate_series(0, n_toks - 1, {CHUNK_STRIDE})) AS s(start)
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(ct) AS INT) AS chunk_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM chunked
+WHERE start = 0 OR len(ct) > {CHUNK_OVERLAP}
+"""

@@ -73,7 +73,7 @@ QUERIES: dict[str, QueryFn] = {
     "wordcount": _wc.wordcount,
     "wordcount_topk": _wc.wordcount_topk,
     "grep_count": _gr.grep_count,
-    "grep_total": _gr.grep_total,
+    "doc_chunks": _ta.doc_chunks,  # NEW in r4
     "inverted_index": _ii.inverted_index,
     "log_analyzer": _la.log_analyzer,
     "bigrams": _ng.bigrams,
@@ -105,6 +105,7 @@ QUERIES: dict[str, QueryFn] = {
     # ================= position 51+ — outside the r4 driver window =====
     # all green in round 3 (CORRECTNESS_r03.json) with code unchanged
     # since; rotate to front in r5
+    "grep_total": _gr.grep_total,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,
     "events_sliding": _ev.events_sliding,
@@ -189,6 +190,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
+    "doc_chunks": _ta.DOC_CHUNKS_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,

@@ -148,3 +148,34 @@ def test_portable_bucketing_single_projection_pass(spark, sf_dir):
     plan = _plan(_portable_bucketed(emb, "vec_id", "embedding"))
     assert "Python" not in plan
     assert plan.count("transform(") <= 2  # one projs pass (+ cast helper)
+
+
+def test_doc_chunks_zero_shuffle_reconstruction(spark, sf_dir):
+    # chunking is map-only (scan-bandwidth at any scale), and every
+    # chunk must be exactly tokens[start : start+CHUNK] of its doc
+    from honors_p1_mapreduce_spark.functions.text import tokens_col
+    from honors_p1_mapreduce_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        doc_chunks,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    plan = _plan(doc_chunks(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Python" not in plan
+
+    toks = {
+        r.doc_id: r.t
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("t"))
+        .collect()
+    }
+    rows = doc_chunks(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        want = toks[r.doc_id][
+            r.chunk_id * CHUNK_STRIDE : r.chunk_id * CHUNK_STRIDE + CHUNK_TOKENS
+        ]
+        assert r.chunk_text == " ".join(want)
+        assert r.chunk_tokens == len(want)
