@@ -525,3 +525,80 @@ SELECT doc_id,
 FROM chunked
 WHERE start = 0 OR len(ct) > {CHUNK_OVERLAP}
 """
+
+# ----------------------------------------------- sequence packing
+
+PACK_BUDGET = 1024  # tokens per packed training sequence
+PACK_BUCKETS = 64  # independent packing streams (parallelism knob)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack document chunks into fixed token-budget training sequences.
+
+    Parallel-deterministic packing: chunks are split into PACK_BUCKETS
+    independent streams by an md5 hash of doc_id, each stream ordered
+    by (doc_id, chunk_id), and a chunk lands in bin
+    floor(prefix_tokens_before_it / PACK_BUDGET). One shuffle keyed by
+    bucket; every stream packs independently, so at 100 TB the bucket
+    count is the parallelism knob and packing quality is unaffected by
+    it. Semantics note (documented, standard for offline packing): a
+    bin may exceed the budget by less than one chunk (the straddling
+    chunk is not split); exact-budget pipelines split or truncate the
+    straddler downstream.
+
+    Output: one row per packed sequence —
+    (bucket, bin_id, n_chunks, bin_tokens, fill_ratio).
+    """
+    chunks = doc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_id", "chunk_tokens"
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pk|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_BUCKETS
+    ).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = chunks.withColumn("bucket", bucket).withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0)) / PACK_BUDGET
+        ),
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("bin_tokens"),
+        (F.sum("chunk_tokens") / F.lit(float(PACK_BUDGET))).alias("fill_ratio"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_id, chunk_tokens FROM ({DOC_CHUNKS_ORACLE}) c
+),
+bucketed AS (
+  SELECT doc_id, chunk_id, chunk_tokens,
+         CAST(CAST(concat('0x', substr(md5(concat('pk|', CAST(doc_id AS VARCHAR))), 1, 15))
+                   AS BIGINT) % {PACK_BUCKETS} AS INT) AS bucket
+  FROM chunks
+),
+binned AS (
+  SELECT bucket, chunk_tokens,
+         CAST(floor(coalesce(sum(chunk_tokens) OVER (
+                 PARTITION BY bucket ORDER BY doc_id, chunk_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM bucketed
+)
+SELECT bucket, bin_id, count(*) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens,
+       sum(chunk_tokens) / CAST({PACK_BUDGET} AS DOUBLE) AS fill_ratio
+FROM binned
+GROUP BY bucket, bin_id
+"""

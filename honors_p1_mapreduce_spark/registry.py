@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "wordcount_topk": _wc.wordcount_topk,
     "grep_count": _gr.grep_count,
     "doc_chunks": _ta.doc_chunks,  # NEW in r4
+    "pack_sequences": _ta.pack_sequences,  # NEW in r4
     "inverted_index": _ii.inverted_index,
     "log_analyzer": _la.log_analyzer,
     "bigrams": _ng.bigrams,
@@ -89,7 +90,6 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": _ev.user_sessions,
     "events_props_stats": _ev.events_props_stats,
     "purchase_click_attribution": _asof.purchase_click_attribution,
-    "error_click_correlation": _asof.error_click_correlation,
     # --- [r4 window, block c] sketches & quantiles
     "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
@@ -106,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     # all green in round 3 (CORRECTNESS_r03.json) with code unchanged
     # since; rotate to front in r5
     "grep_total": _gr.grep_total,
+    "error_click_correlation": _asof.error_click_correlation,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,
     "events_sliding": _ev.events_sliding,
@@ -191,6 +192,7 @@ ORACLES: dict[str, str] = {
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "doc_chunks": _ta.DOC_CHUNKS_ORACLE,
+    "pack_sequences": _ta.PACK_SEQUENCES_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,

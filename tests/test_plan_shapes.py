@@ -179,3 +179,31 @@ def test_doc_chunks_zero_shuffle_reconstruction(spark, sf_dir):
         ]
         assert r.chunk_text == " ".join(want)
         assert r.chunk_tokens == len(want)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    # packing conserves tokens, never splits a chunk, and bounds bin
+    # overflow by one chunk; the plan is one bucket-window shuffle plus
+    # the final bin aggregate, JVM-only
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.text_analysis import (
+        CHUNK_TOKENS,
+        PACK_BUDGET,
+        doc_chunks,
+        pack_sequences,
+    )
+
+    bins = pack_sequences(spark, sf_dir)
+    plan = _plan(bins)
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+    rows = bins.collect()
+    assert rows
+    total_bin = sum(r.bin_tokens for r in rows)
+    total_chunk = doc_chunks(spark, sf_dir).agg(
+        F.sum("chunk_tokens")
+    ).collect()[0][0]
+    assert total_bin == total_chunk
+    assert all(r.bin_tokens < PACK_BUDGET + CHUNK_TOKENS for r in rows)
