@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim, dot, l2_norm, lsh_band_buckets
+from ..functions.vectors import dot, l2_norm, lsh_band_buckets
 from ..sources.tables import load_table
 
 N_QUERIES = 5
@@ -69,9 +69,19 @@ def similarity_topk(
     excluded. Output: (query_id, rank, vec_id, sim).
     """
     q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
+    # precomputed norms: each corpus vector's norm fold runs once, not
+    # once per query pair (same folds, identical doubles — see
+    # _rerank_topk); the query side stays a broadcast
+    qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
+    en = emb.withColumn("_en", l2_norm(F.col("embedding")))
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    )
     scored = (
-        q.join(emb, F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        qn.join(en, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
         .select("query_id", "vec_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -139,6 +149,33 @@ SIMILARITY_TOPK_ORACLE = similarity_topk_oracle()
 # ------------------------------------------------------------- LSH / ANN
 
 
+def _rerank_topk(cand: DataFrame, q: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, vec_id) candidates with
+    PRE-COMPUTED norms on both sides (the per-pair norm folds were 2/3
+    of every ANN variant's re-rank cost; same folds over the same
+    inputs → identical doubles, oracles unmoved). Shared by all four
+    ANN paths; deterministic (sim DESC, vec_id ASC) tie-break."""
+    qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
+    en = emb.withColumn("_en", l2_norm(F.col("embedding")))
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    )
+    scored = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(en, "vec_id")
+        .withColumn("sim", sim)
+        .select("query_id", "vec_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
 def _bucketed(emb: DataFrame, id_col: str, emb_col: str, n_bits: int) -> DataFrame:
     """(id, band, bucket) rows: one per LSH band."""
     buckets = lsh_band_buckets(
@@ -170,18 +207,7 @@ def similarity_ann_topk(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = (
-        cand.join(q, "query_id")
-        .join(emb, "vec_id")
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
-        .select("query_id", "vec_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim")
-    )
+    return _rerank_topk(cand, q, emb, k)
 
 
 # ----------------------------------------------------------------- IVF
@@ -205,9 +231,15 @@ def _ivf_assign(
     smaller cell id via the struct comparator, keeping assignment
     deterministic.
     """
-    scored = vecs.join(F.broadcast(cents)).withColumn(
-        "csim", cosine_sim(F.col(emb_col), F.col("c_emb"))
-    )
+    # precomputed norms: the vector's norm fold runs once per vector,
+    # not once per centroid pair (n_cells x fewer norm folds; identical
+    # doubles — same fold over the same input — so oracles are unmoved)
+    vecs_n = vecs.withColumn("_vn", l2_norm(F.col(emb_col)))
+    cents_n = cents.withColumn("_cn", l2_norm(F.col("c_emb")))
+    csim = F.when(
+        (F.col("_vn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+    ).otherwise(dot(F.col(emb_col), F.col("c_emb")) / (F.col("_vn") * F.col("_cn")))
+    scored = vecs_n.join(F.broadcast(cents_n)).withColumn("csim", csim)
     if nprobe == 1:
         ordk = F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc"))
         return scored.groupBy(id_col).agg(
@@ -262,18 +294,7 @@ def similarity_ivf_topk(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = (
-        cand.join(q, "query_id")
-        .join(emb, "vec_id")
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
-        .select("query_id", "vec_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim")
-    )
+    return _rerank_topk(cand, q, emb, k)
 
 
 def _kmeans_centroids(
@@ -361,18 +382,7 @@ def similarity_ivf_kmeans_topk(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = (
-        cand.join(q, "query_id")
-        .join(emb, "vec_id")
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
-        .select("query_id", "vec_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim")
-    )
+    return _rerank_topk(cand, q, emb, k)
 
 
 def similarity_ivf_topk_oracle(
@@ -621,18 +631,7 @@ def similarity_ann_portable(
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = (
-        cand.join(q, "query_id")
-        .join(emb, "vec_id")
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
-        .select("query_id", "vec_id", "sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "sim")
-    )
+    return _rerank_topk(cand, q, emb, k)
 
 
 def _sign_string(band: int, bit: int) -> str:
@@ -783,9 +782,16 @@ def similarity_filtered_topk(
     """
     q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
     emb = emb.filter(F.col("label").isin(*labels))
+    qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
+    en = emb.withColumn("_en", l2_norm(F.col("embedding")))
+    sim = F.when(
+        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
+    ).otherwise(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    )
     scored = (
-        q.join(emb, F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", cosine_sim(F.col("q_emb"), F.col("embedding")))
+        qn.join(en, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
         .select("query_id", "vec_id", "label", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
