@@ -226,3 +226,60 @@ SELECT source,
 FROM documents
 GROUP BY source, {_rate_sql()}
 """
+
+# --------------------------------------------------- mixture weighting
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights to rebalance the corpus toward a
+    UNIFORM token mixture — the data-recipe step that decides how hard
+    to up/down-sample each source before training.
+
+    One full-corpus pass: groupBy(source) with map-side-combined token
+    sums (the only shuffle carries one row per source), then shares and
+    weights via window arithmetic over the tiny aggregated frame —
+    global windows are safe here precisely because they run AFTER
+    aggregation, never on raw rows. weight = target_share /
+    natural_share; weight > 1 means the source repeats (epochs) to hit
+    the target, < 1 means it is subsampled.
+
+    Output: (source, n_docs, src_tokens, natural_share, target_share,
+    weight).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    natural = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        natural.alias("natural_share"),
+        target.alias("target_share"),
+        (target / natural).alias("weight"),
+    )
+
+
+MIXTURE_WEIGHTS_ORACLE = r"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+           AS src_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+       CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER () AS natural_share,
+       CAST(1.0 AS DOUBLE) / count(*) OVER () AS target_share,
+       (CAST(1.0 AS DOUBLE) / count(*) OVER ())
+         / (CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER ()) AS weight
+FROM per_source
+"""

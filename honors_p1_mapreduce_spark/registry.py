@@ -76,7 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": _ta.doc_chunks,  # NEW in r4
     "pack_sequences": _ta.pack_sequences,  # NEW in r4
     "inverted_index": _ii.inverted_index,
-    "log_analyzer": _la.log_analyzer,
+    "mixture_weights": _pl.mixture_weights,  # NEW in r4
     "bigrams": _ng.bigrams,
     # --- [r4 window, block b cont.] similarity/dedup paths changed in r4
     # (bucketing one-pass rewrite, KM hash family, precomputed-norm
@@ -106,6 +106,7 @@ QUERIES: dict[str, QueryFn] = {
     # all green in round 3 (CORRECTNESS_r03.json) with code unchanged
     # since; rotate to front in r5
     "grep_total": _gr.grep_total,
+    "log_analyzer": _la.log_analyzer,
     "error_click_correlation": _asof.error_click_correlation,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,
@@ -195,6 +196,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": _ta.PACK_SEQUENCES_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
+    "mixture_weights": _pl.MIXTURE_WEIGHTS_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "contamination_check": _cu.CONTAMINATION_ORACLE,
     "repetition_signals": _cu.REPETITION_SIGNALS_ORACLE,
