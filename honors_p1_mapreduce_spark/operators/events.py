@@ -202,3 +202,67 @@ SELECT event_type, rank, window_start, n_events FROM ranked WHERE rank <= {k}
 
 
 EVENT_TYPE_HOURLY_TOPK_ORACLE = event_type_hourly_topk_oracle()
+
+# ----------------------------------------------------- gap-filled resample
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly counts per event_type — the resample/gap-fill
+    op dashboards and downstream models need (plain tumbling windows
+    silently omit empty buckets).
+
+    Scale order: aggregate FIRST (the only full-data shuffle, same as
+    events_tumbling), then build the hour spine from the aggregated
+    frame's min/max window starts (already hour-aligned by F.window —
+    no timestamp-truncation arithmetic to keep NTZ-safe) and the
+    distinct-type frame, both tiny. The spine x types grid is a
+    broadcast nested-loop over two aggregated inputs, never over raw
+    events. Output: (window_start, event_type, n_events) for EVERY
+    (hour, type) cell in the observed range.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", TUMBLE_WIDTH).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = counts.agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    types_ = counts.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types_))
+    return grid.join(counts, ["window_start", "event_type"], "left").select(
+        "window_start",
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(window_start) AS lo, max(window_start) AS hi FROM counts
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS window_start
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM counts)
+SELECT s.window_start, t.event_type,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.window_start = s.window_start AND c.event_type = t.event_type
+"""

@@ -87,13 +87,13 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # NEW in r4
     # --- [r4 window, block c] event-time windows + as-of/range joins
     "events_tumbling": _ev.events_tumbling,
+    "events_gapfill": _ev.events_gapfill,  # NEW in r4
     "user_sessions": _ev.user_sessions,
     "events_props_stats": _ev.events_props_stats,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     # --- [r4 window, block c] sketches & quantiles
     "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
-    "cms_estimate": _sk.cms_estimate,
     "bloom_membership": _sk.bloom_membership,  # NEW in r4
     # --- [r4 window, block c] dedup + similarity core
     "dedup_exact": _dd.dedup_exact,
@@ -107,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     # since; rotate to front in r5
     "grep_total": _gr.grep_total,
     "log_analyzer": _la.log_analyzer,
+    "cms_estimate": _sk.cms_estimate,
     "error_click_correlation": _asof.error_click_correlation,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,
@@ -171,6 +172,7 @@ ORACLES: dict[str, str] = {
     "similarity_ivf_topk": _sim.SIMILARITY_IVF_TOPK_ORACLE,
     "embedding_neardup_portable": _sim.EMBEDDING_NEARDUP_PORTABLE_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
+    "events_gapfill": _ev.EVENTS_GAPFILL_ORACLE,
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
