@@ -33,11 +33,21 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine similarity with CALLER-SUPPLIED norms (0.0 for zero-norm
+    inputs). The one zero-guarded expression every precomputed-norm
+    scoring path shares — a single source of truth so no path can
+    drift from the others or from the oracle-side ``_cos_sql``
+    builder. Pass ``na``/``nb`` as plain attributes materialized once
+    per vector; the per-pair work is then just the dot fold."""
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (deterministic)."""
-    d = dot(a, b)
-    na, nb = l2_norm(a), l2_norm(b)
-    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(d / (na * nb))
+    return cosine_from_norms(a, b, l2_norm(a), l2_norm(b))
 
 
 def lsh_band_buckets(n_bands: int, n_bits: int, seed: int = 42):

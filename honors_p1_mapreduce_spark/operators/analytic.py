@@ -96,9 +96,16 @@ def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.max(y1).alias("in_y1"), F.max(y2).alias("in_y2"))
     )
+    # coalesce: F.sum over ZERO rows is NULL, but the oracle's scalar
+    # COUNT subqueries (and the old three-count form) yield 0 when no
+    # orders fall in either span — keep the engines agreeing there
     return flags.agg(
-        F.sum((F.col("in_y1") & F.col("in_y2")).cast("long")).alias("n_both_years"),
-        F.sum((F.col("in_y1") & ~F.col("in_y2")).cast("long")).alias("n_churned"),
+        F.coalesce(
+            F.sum((F.col("in_y1") & F.col("in_y2")).cast("long")), F.lit(0)
+        ).alias("n_both_years"),
+        F.coalesce(
+            F.sum((F.col("in_y1") & ~F.col("in_y2")).cast("long")), F.lit(0)
+        ).alias("n_churned"),
         F.count("*").alias("n_either_year"),
     )
 

@@ -356,6 +356,7 @@ def dedup_clusters(
         .unionByName(edges.select(F.col("v").alias("doc_id")))
         .distinct()
     )
+    first = edges
     prev = (None, None)
     for _ in range(max_iter):
         # eager=False: the checksum action below both materializes the
@@ -366,6 +367,12 @@ def dedup_clusters(
         cnt, chk = new_edges.agg(
             F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
         ).collect()[0]
+        # release the PREVIOUS round's checkpoint blocks now that the
+        # new round is materialized — without this, up to max_iter
+        # rounds of edge frames stay resident simultaneously. The
+        # initial frame is kept: `members` below still reads it.
+        if edges is not first:
+            edges.unpersist()
         edges = new_edges
         # single compare against the previous round: large-star/small-
         # star is monotone with a stable fixpoint, so one unchanged

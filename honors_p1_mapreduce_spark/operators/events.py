@@ -222,6 +222,11 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
+    # persisted because three consumers read it (bounds, types, the
+    # left join) and each recompute would re-scan+re-shuffle events;
+    # cleanup follows the codebase-wide policy (dedup_minhash etc.):
+    # the returned frame is lazy, so the cache entry is left to LRU
+    # eviction / the caller's clearCache, never eagerly unpersisted
     counts = (
         ev.groupBy(F.window("ts", TUMBLE_WIDTH).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))

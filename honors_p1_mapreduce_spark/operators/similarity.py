@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot, l2_norm, lsh_band_buckets
+from ..functions.vectors import cosine_from_norms, dot, l2_norm, lsh_band_buckets
 from ..sources.tables import load_table
 
 N_QUERIES = 5
@@ -74,10 +74,8 @@ def similarity_topk(
     # _rerank_topk); the query side stays a broadcast
     qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
     en = emb.withColumn("_en", l2_norm(F.col("embedding")))
-    sim = F.when(
-        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
-    ).otherwise(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    sim = cosine_from_norms(
+        F.col("q_emb"), F.col("embedding"), F.col("_qn"), F.col("_en")
     )
     scored = (
         qn.join(en, F.col("vec_id") != F.col("query_id"))
@@ -157,10 +155,8 @@ def _rerank_topk(cand: DataFrame, q: DataFrame, emb: DataFrame, k: int) -> DataF
     ANN paths; deterministic (sim DESC, vec_id ASC) tie-break."""
     qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
     en = emb.withColumn("_en", l2_norm(F.col("embedding")))
-    sim = F.when(
-        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
-    ).otherwise(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    sim = cosine_from_norms(
+        F.col("q_emb"), F.col("embedding"), F.col("_qn"), F.col("_en")
     )
     scored = (
         cand.join(F.broadcast(qn), "query_id")
@@ -236,9 +232,9 @@ def _ivf_assign(
     # doubles — same fold over the same input — so oracles are unmoved)
     vecs_n = vecs.withColumn("_vn", l2_norm(F.col(emb_col)))
     cents_n = cents.withColumn("_cn", l2_norm(F.col("c_emb")))
-    csim = F.when(
-        (F.col("_vn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
-    ).otherwise(dot(F.col(emb_col), F.col("c_emb")) / (F.col("_vn") * F.col("_cn")))
+    csim = cosine_from_norms(
+        F.col(emb_col), F.col("c_emb"), F.col("_vn"), F.col("_cn")
+    )
     scored = vecs_n.join(F.broadcast(cents_n)).withColumn("csim", csim)
     if nprobe == 1:
         ordk = F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc"))
@@ -479,9 +475,9 @@ def _neardup_rerank(
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nb"),
     )
-    sim = F.when(
-        (F.col("na") == 0.0) | (F.col("nb") == 0.0), F.lit(0.0)
-    ).otherwise(dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")))
+    sim = cosine_from_norms(
+        F.col("emb_a"), F.col("emb_b"), F.col("na"), F.col("nb")
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -643,7 +639,7 @@ def _sign_string(band: int, bit: int) -> str:
 def _proj_sql(band: int, bit: int) -> str:
     """One Rademacher projection as a DuckDB left fold, signs baked in
     as a '+'/'-' literal string — same index order as the Catalyst
-    fold in :func:`_portable_bucket`."""
+    projection transform in :func:`_portable_bucketed`."""
     s = _sign_string(band, bit)
     return (
         f"list_reduce(list_transform(generate_series(1, {EMB_DIM}), "
@@ -784,10 +780,8 @@ def similarity_filtered_topk(
     emb = emb.filter(F.col("label").isin(*labels))
     qn = q.withColumn("_qn", l2_norm(F.col("q_emb")))
     en = emb.withColumn("_en", l2_norm(F.col("embedding")))
-    sim = F.when(
-        (F.col("_qn") == 0.0) | (F.col("_en") == 0.0), F.lit(0.0)
-    ).otherwise(
-        dot(F.col("q_emb"), F.col("embedding")) / (F.col("_qn") * F.col("_en"))
+    sim = cosine_from_norms(
+        F.col("q_emb"), F.col("embedding"), F.col("_qn"), F.col("_en")
     )
     scored = (
         qn.join(en, F.col("vec_id") != F.col("query_id"))

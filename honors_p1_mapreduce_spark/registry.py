@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- [r4 window, block b cont.] similarity/dedup paths changed in r4
     # (bucketing one-pass rewrite, KM hash family, precomputed-norm
     # re-rank, new kmeans variant) — must carry fresh evidence
+    "similarity_ann_topk": _sim.similarity_ann_topk,  # re-rank rewired r4
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup": _sim.embedding_neardup,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
@@ -92,7 +93,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     # --- [r4 window, block c] sketches & quantiles
-    "pricing_percentiles": _sk.pricing_percentiles,
     "cms_sketch": _sk.cms_sketch,
     "bloom_membership": _sk.bloom_membership,  # NEW in r4
     # --- [r4 window, block c] dedup + similarity core
@@ -103,11 +103,13 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     # ================= position 51+ — outside the r4 driver window =====
-    # all green in round 3 (CORRECTNESS_r03.json) with code unchanged
-    # since; rotate to front in r5
+    # every entry below is green in round 3 (CORRECTNESS_r03.json) with
+    # code unchanged since; rotate ALL of them (count them — do not
+    # trust a stale number here) to the front in r5
     "grep_total": _gr.grep_total,
     "log_analyzer": _la.log_analyzer,
     "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
     "error_click_correlation": _asof.error_click_correlation,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,

@@ -125,7 +125,9 @@ def test_ivf_kmeans_recall_not_worse_than_stride(spark):
     # the Lloyd-refined centroids must retrieve at least as many true
     # top-k neighbors as the stride-sampled seed at equal nprobe, and
     # the decimal-mean refinement must be run-to-run deterministic
-    sf = "/root/testdata/sf0.01"
+    from .conftest import SF_DIR_MED
+
+    sf = SF_DIR_MED
     exact = {(r.query_id, r.vec_id) for r in sim.similarity_topk(spark, sf).collect()}
     stride = {
         (r.query_id, r.vec_id) for r in sim.similarity_ivf_topk(spark, sf).collect()

@@ -160,11 +160,13 @@ def test_bloom_membership_oracle_and_properties(spark, sf_dir):
         spark, sf_dir, registry.QUERIES["bloom_membership"],
         registry.ORACLES["bloom_membership"],
     )
-    row = sk.bloom_membership(spark, "/root/testdata/sf0.01").collect()[0]
+    from .conftest import SF_DIR_MED
+
+    row = sk.bloom_membership(spark, SF_DIR_MED).collect()[0]
     # Bloom guarantee: no false negatives -> every true member tests positive
     assert row.n_bloom_positive >= row.n_true_members
     assert row.n_bloom_positive == row.n_true_members + row.n_false_positives
-    # the operating point (M=8192, K=5) should keep FPs a small fraction
+    # the operating point (M=2^17, K=5) should keep FPs a small fraction
     non_members = row.n_probes - row.n_true_members
     if non_members:
         assert row.n_false_positives / non_members <= 0.2
