@@ -207,3 +207,43 @@ def test_pack_sequences_invariants(spark, sf_dir):
     ).collect()[0][0]
     assert total_bin == total_chunk
     assert all(r.bin_tokens < PACK_BUDGET + CHUNK_TOKENS for r in rows)
+
+
+def test_salted_join_equivalent_and_spreads_hot_key(spark):
+    # salting must produce exactly the plain join's rows while fanning
+    # the hot key over n_salts sub-keys
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.functions.skew import salted_inner_join
+
+    # 10k rows of one hot key + a long tail
+    hot = spark.range(10_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(100).select(
+        (F.col("id") + 100).alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    skewed = hot.unionByName(tail)
+    dim = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("attr")
+    )
+
+    plain = skewed.join(dim, "k").select("k", "payload", "attr")
+    salted = salted_inner_join(skewed, dim, "k", n_salts=8).select(
+        "k", "payload", "attr"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key's rows really spread: all 8 salts occur for k=7
+    n_salts_used = (
+        skewed.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("k"), F.col("payload")), F.lit(8)).cast("int"),
+        )
+        .filter(F.col("k") == 7)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used == 8
