@@ -314,49 +314,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 12
-) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the verified
-    n-gram-Jaccard pair graph, labels = min doc_id per component.
+def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+    """(node, label) for every node incident to an edge; label = the
+    minimum node id of its component.
 
-    This is the step a dedup pipeline actually keeps: pairs say "a~b",
-    clusters say "keep exactly one of {a,b,c,...}". Components are
-    computed by the alternating large-star/small-star algorithm
-    (Kiveris et al., SoCC 2014): each round contracts edges toward
-    component minima, converging in O(log d) rounds vs the O(d) of
-    plain min-label propagation — on a pathological 10k-node chain
-    that is ~14 rounds instead of 10k. The driver-side loop iterates
-    ROUNDS, not rows: each round is two grouped aggregates + joins,
-    and convergence is detected by an order-insensitive edge-set
-    checksum (count + hash-xor, ONE scalar action per round). At the
-    fixpoint the edge set is exactly the star (child → component-min),
-    so labels read off with a single aggregate. Only nodes that appear
-    in some pair enter the loop — singleton docs skip straight to
-    their own cluster id.
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round
+    contracts edges toward component minima, converging in O(log d)
+    rounds vs the O(d) of plain min-label propagation. The driver-side
+    loop iterates ROUNDS, not rows: each half-round is one window
+    shuffle + distinct, and convergence is an order-insensitive
+    edge-set checksum (count + hash-xor, ONE scalar action per round).
+    Every round frame is ``localCheckpoint``ed (truncates the
+    iterative lineage — the classic plan-growth failure mode) and the
+    previous round's blocks are released as soon as the next
+    materializes. At the fixpoint the edge set is exactly the star
+    (child → component-min), so labels read off with one aggregate; a
+    star spans ALL nodes of its component, so the output covers every
+    input node. Property-tested against a Python union-find on random
+    graphs (tests/test_properties.py).
 
-    Output: (doc_id, cluster, cluster_size) for EVERY document.
-
-    The oracle reproduces the fixpoint as a DuckDB recursive CTE
-    (transitive closure, then min reachable node) — same contract,
-    different engine idiom, full hash_match.
+    ``edges``: DataFrame with numeric columns (u, v).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # localCheckpoint (not persist): materializes the expensive pair
-    # generation once AND truncates its lineage, so each round's plan
-    # is O(1) to analyze — the round-3 persist-only version stacked the
-    # full upstream plan under every round (the classic iterative-Spark
-    # plan-growth failure mode) and regressed 11.5x.
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint()
-    members = (
-        edges.select(F.col("u").alias("doc_id"))
-        .unionByName(edges.select(F.col("v").alias("doc_id")))
-        .distinct()
-    )
-    first = edges
+    edges = edges.select("u", "v").localCheckpoint()
     prev = (None, None)
     for _ in range(max_iter):
         # eager=False: the checksum action below both materializes the
@@ -367,12 +347,10 @@ def dedup_clusters(
         cnt, chk = new_edges.agg(
             F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
         ).collect()[0]
-        # release the PREVIOUS round's checkpoint blocks now that the
+        # release the previous round's checkpoint blocks now that the
         # new round is materialized — without this, up to max_iter
-        # rounds of edge frames stay resident simultaneously. The
-        # initial frame is kept: `members` below still reads it.
-        if edges is not first:
-            edges.unpersist()
+        # rounds of edge frames stay resident simultaneously
+        edges.unpersist()
         edges = new_edges
         # single compare against the previous round: large-star/small-
         # star is monotone with a stable fixpoint, so one unchanged
@@ -382,12 +360,39 @@ def dedup_clusters(
         prev = (cnt, chk)
     # fixpoint edges are (child, root); roots carry their own id
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = (
+    return (
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
-        .select(F.col("u").alias("doc_id"), "label")
+        .select(F.col("u").alias("node"), "label")
     )
-    singles = docs.join(members, "doc_id", "left_anti").select(
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 12
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    n-gram-Jaccard pair graph, labels = min doc_id per component.
+
+    This is the step a dedup pipeline actually keeps: pairs say "a~b",
+    clusters say "keep exactly one of {a,b,c,...}". Components come
+    from :func:`connected_components`; docs in no pair skip the loop
+    and become their own singleton cluster.
+
+    Output: (doc_id, cluster, cluster_size) for EVERY document.
+
+    The oracle reproduces the fixpoint as a DuckDB recursive CTE
+    (transitive closure, then min reachable node) — same contract,
+    different engine idiom, full hash_match.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # the localCheckpoint inside connected_components also materializes
+    # the expensive pair generation once, truncating its lineage
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = connected_components(edges, max_iter=max_iter).select(
+        F.col("node").alias("doc_id"), "label"
+    )
+    singles = docs.join(labels, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("label")
     )
     everyone = labels.unionByName(singles)

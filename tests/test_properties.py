@@ -92,3 +92,44 @@ def test_map_reduce_wordcount_matches_python(spark, lines):
     }
     want = Counter(t for ln in lines for t in _py_tokens(ln))
     assert got == {(k, str(v)) for k, v in want.items()}
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    # the large-star/small-star loop must label every incident node with
+    # its component's minimum, for ANY graph — chains, stars, cycles,
+    # parallel/reversed duplicate edges
+    from honors_p1_mapreduce_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == want
