@@ -4,23 +4,28 @@ No reference counterpart (the reference is line-text MapReduce only;
 SURVEY.md §2.4) — this is the LLM-pipeline surface: approximate
 nearest neighbors over an ``array<float>`` column.
 
-Two paths:
+The family, from exact baseline to scale paths:
 
-- ``similarity_topk`` — exact brute-force cosine top-k for a small
-  query set. The query side is broadcast, so the "cross" join is a
-  map-side nested loop over each partition: no shuffle of the corpus,
-  embarrassingly parallel, and the per-row cost is one fused
-  zip_with/aggregate fold (JVM-side, no Python). This is the baseline
-  and the verification oracle for the ANN path. Oracle parity is
-  bit-exact because both engines run the identical left fold over the
-  identical doubles (DuckDB ``list_reduce`` mirrors Spark's
-  ``F.aggregate`` with 0.0 init).
-- ``similarity_ann_topk`` / ``embedding_neardup`` — the 100 TB path:
-  random-hyperplane LSH (signed projections, banded like minhash) via
-  an Arrow-batched pandas UDF (numpy matmul per batch), bucket
-  equi-join for candidates, exact cosine re-rank. Candidate volume is
-  O(bucket size), never O(n²); band/bit counts trade recall vs
-  candidate count and are explicit knobs.
+- ``similarity_topk`` / ``similarity_filtered_topk`` — exact
+  brute-force cosine top-k (optionally behind a metadata predicate
+  pushed into the scan). The query side is broadcast, so the "cross"
+  join is a map-side nested loop: no corpus shuffle, and scoring is
+  JVM-side folds with per-vector precomputed norms. This is the
+  baseline, the recall oracle for every ANN variant, and bit-exact vs
+  DuckDB (identical left folds over identical doubles).
+- ``similarity_ann_topk`` / ``embedding_neardup`` — banded
+  random-hyperplane LSH via an Arrow-batched pandas UDF (numpy matmul
+  per batch), bucket equi-join candidates, exact re-rank; bits per
+  band adapt to corpus size. Candidate volume is O(bucket size),
+  never O(n²).
+- ``similarity_ann_portable`` / ``embedding_neardup_portable`` — the
+  same architecture with md5-seeded Rademacher planes as pure
+  Catalyst folds, so the ENTIRE pipeline is DuckDB-reproducible and
+  hash-gated (fixed geometry is the price; the adaptive variants stay
+  the scale defaults).
+- ``similarity_ivf_topk`` / ``similarity_ivf_kmeans_topk`` — IVF
+  coarse quantization (stride-sampled or Lloyd-refined centroids),
+  nprobe cells per query, exact re-rank.
 """
 
 from __future__ import annotations
