@@ -753,3 +753,198 @@ WHERE c_acctbal > (
       )
 GROUP BY n_name
 """
+
+# ---------------------------------------------- Q9-shaped nation profit
+
+PROFIT_PART_TOKEN = "red"
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: revenue by SUPPLIER nation x order year for
+    lineitems of parts whose name contains a token (no partsupp table
+    in this schema, so profit = discounted revenue).
+
+    Shape: the orders⋈lineitem fact-fact join shuffles on the order
+    key; part (name-filtered, shrinks at the scan), supplier and
+    nation ride as broadcasts; 2-column group with exact decimal sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = dim(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(PROFIT_PART_TOKEN)
+    )
+    supp = dim(spark, sf_dir, "supplier")
+    nation = dim(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum_expr(rev, "profit"))
+    )
+
+
+NATION_PROFIT_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'profit')}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{PROFIT_PART_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+# ------------------------------------- Q10-shaped returned-item revenue
+
+RETURNED_FROM, RETURNED_TO = "1996-01-01", "1996-07-01"
+RETURNED_TOP_K = 20
+
+
+def returned_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top customers by revenue lost to returned
+    items ('R' lineitems) for orders in a half-year window.
+
+    The order-date filter pushes into the orders scan and the
+    returnflag filter into lineitem's BEFORE the fact-fact join;
+    customer joins on the shrunken result, nation broadcasts. Global
+    top-k via orderBy+limit on the aggregated (small) frame, with a
+    deterministic custkey tie-break.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(RETURNED_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNED_TO).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = dim(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_expr(rev, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(RETURNED_TOP_K)
+    )
+
+
+RETURNED_CUSTOMER_REVENUE_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RETURNED_FROM} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{RETURNED_TO} 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {RETURNED_TOP_K}
+"""
+
+# ----------------------------- Q11-shaped important part types (HAVING)
+
+IMPORTANT_FRACTION_DENOM = 50  # HAVING share > 1/50 = 2% of total
+
+
+def important_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: part types whose revenue exceeds a fixed
+    FRACTION of total revenue — the HAVING-against-scalar-subquery
+    shape (no partsupp here, so value = lineitem revenue by p_type).
+
+    Exactness trick: the 2% threshold compares ``rev_dec * 50 >
+    total_dec`` on EXACT decimals (1/50 == 2%), so the cut is
+    bit-identical in both engines — a double-ratio comparison could
+    disagree on the boundary. The scalar total rides a 1-row broadcast
+    cross join; ``share`` is exported as the double ratio of the two
+    exact decimals.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = dim(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    per_type = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    total = per_type.agg(F.sum("rev_dec").alias("total_dec"))
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("rev_dec") * IMPORTANT_FRACTION_DENOM > F.col("total_dec")
+        )
+        .select(
+            "p_type",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("double")
+                / F.col("total_dec").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+IMPORTANT_PART_TYPES_ORACLE = f"""
+WITH per_type AS (
+  SELECT p_type,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+),
+total AS (SELECT SUM(rev_dec) AS total_dec FROM per_type)
+SELECT p_type,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS share
+FROM per_type, total
+WHERE rev_dec * {IMPORTANT_FRACTION_DENOM} > total_dec
+"""
+
+# ------------------------- Q16-shaped supplier counts per part attr
+
+SUPPLIER_COUNT_EXCLUDED_BRAND = "Brand#3"
+SUPPLIER_COUNT_MAX_SIZE = 10
+
+
+def supplier_counts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct suppliers that shipped each
+    (p_brand, p_size) combination, excluding one brand — the
+    distinct-aggregate-after-join shape (lineitem stands in for the
+    absent partsupp as the part↔supplier bridge).
+
+    The brand/size predicates prune the broadcast part side at its
+    scan; countDistinct expands to the standard two-phase
+    partial-distinct plan (pre-aggregate on (brand, size, suppkey),
+    then count) — no row-level distinct shuffle of the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = dim(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != SUPPLIER_COUNT_EXCLUDED_BRAND)
+        & (F.col("p_size") <= SUPPLIER_COUNT_MAX_SIZE)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_COUNTS_BY_BRAND_ORACLE = f"""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{SUPPLIER_COUNT_EXCLUDED_BRAND}'
+  AND p_size <= {SUPPLIER_COUNT_MAX_SIZE}
+GROUP BY 1, 2
+"""

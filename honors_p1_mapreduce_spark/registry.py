@@ -59,6 +59,10 @@ QUERIES: dict[str, QueryFn] = {
     "disjunctive_revenue": _rel.disjunctive_revenue,
     "large_orders": _rel.large_orders,
     "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,  # NEW in r4 (Q9 shape)
+    "returned_customer_revenue": _rel.returned_customer_revenue,  # NEW in r4 (Q10)
+    "important_part_types": _rel.important_part_types,  # NEW in r4 (Q11 shape)
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,  # NEW in r4 (Q16)
     "customer_order_counts": _an.customer_order_counts,
     "customers_without_orders": _an.customers_without_orders,
     "repeat_customers": _an.repeat_customers,  # rewritten r4 (one-job flag agg)
@@ -71,13 +75,11 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": _dd.dedup_clusters,  # star rounds rewritten r4
     # --- [r4 window, block c] r3-green fill: reference parity (SURVEY §2.3)
     "wordcount": _wc.wordcount,
-    "wordcount_topk": _wc.wordcount_topk,
     "grep_count": _gr.grep_count,
     "doc_chunks": _ta.doc_chunks,  # NEW in r4
     "pack_sequences": _ta.pack_sequences,  # NEW in r4
     "inverted_index": _ii.inverted_index,
     "mixture_weights": _pl.mixture_weights,  # NEW in r4
-    "bigrams": _ng.bigrams,
     # --- [r4 window, block b cont.] similarity/dedup paths changed in r4
     # (bucketing one-pass rewrite, KM hash family, precomputed-norm
     # re-rank, new kmeans variant) — must carry fresh evidence
@@ -87,11 +89,8 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
     "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # NEW in r4
     # --- [r4 window, block c] event-time windows + as-of/range joins
-    "events_tumbling": _ev.events_tumbling,
     "events_gapfill": _ev.events_gapfill,  # NEW in r4
-    "user_sessions": _ev.user_sessions,
     "events_props_stats": _ev.events_props_stats,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
     # --- [r4 window, block c] sketches & quantiles
     "cms_sketch": _sk.cms_sketch,
     "bloom_membership": _sk.bloom_membership,  # NEW in r4
@@ -106,8 +105,13 @@ QUERIES: dict[str, QueryFn] = {
     # every entry below is green in round 3 (CORRECTNESS_r03.json) with
     # code unchanged since; rotate ALL of them (count them — do not
     # trust a stale number here) to the front in r5
+    "wordcount_topk": _wc.wordcount_topk,
     "grep_total": _gr.grep_total,
     "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "events_tumbling": _ev.events_tumbling,
+    "user_sessions": _ev.user_sessions,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
     "cms_estimate": _sk.cms_estimate,
     "pricing_percentiles": _sk.pricing_percentiles,
     "error_click_correlation": _asof.error_click_correlation,
@@ -163,6 +167,10 @@ ORACLES: dict[str, str] = {
     "disjunctive_revenue": _rel.DISJUNCTIVE_REVENUE_ORACLE,
     "large_orders": _rel.LARGE_ORDERS_ORACLE,
     "idle_customer_balance": _rel.IDLE_CUSTOMER_BALANCE_ORACLE,
+    "nation_profit": _rel.NATION_PROFIT_ORACLE,
+    "returned_customer_revenue": _rel.RETURNED_CUSTOMER_REVENUE_ORACLE,
+    "important_part_types": _rel.IMPORTANT_PART_TYPES_ORACLE,
+    "supplier_counts_by_brand": _rel.SUPPLIER_COUNTS_BY_BRAND_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
