@@ -481,7 +481,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, chunk_id, chunk_tokens, chunk_text).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_documents(docs: DataFrame) -> DataFrame:
+    """Library-level chunker over any (doc_id, text) frame — the body
+    of :func:`doc_chunks`, factored so the property tests can drive it
+    with hypothesis-generated corpora."""
     toked = (
         docs.select("doc_id", tokens_col("text").alias("toks"))
         .select("doc_id", "toks", F.size("toks").alias("n_toks"))

@@ -133,3 +133,34 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, ["u", "v"])
     got = {r.node: r.label for r in connected_components(df).collect()}
     assert got == want
+
+
+@SLOW
+@given(LINES)
+def test_chunking_matches_python_reference(spark, lines):
+    # sliding-window chunking must agree with a direct Python rendering
+    # for ANY text: empty docs dropped, full token coverage, overlap-only
+    # trailing windows suppressed
+    from honors_p1_mapreduce_spark.operators.text_analysis import (
+        CHUNK_OVERLAP,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(lines)), ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_text)
+        for r in chunk_documents(docs).collect()
+    }
+
+    want = {}
+    for doc_id, line in enumerate(lines):
+        toks = _py_tokens(line)
+        for cid, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            ct = toks[start : start + CHUNK_TOKENS]
+            if cid == 0 or len(ct) > CHUNK_OVERLAP:
+                want[(doc_id, cid)] = (len(ct), " ".join(ct))
+    assert got == want
