@@ -271,3 +271,115 @@ CROSS JOIN types t
 LEFT JOIN counts c
   ON c.window_start = s.window_start AND c.event_type = t.event_type
 """
+
+# --------------------------------------------------------- funnel
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: how many users
+    did view -> click -> purchase IN ORDER, each later step strictly
+    after the user's first qualifying earlier step.
+
+    Plan shape: ONE data shuffle. The sequential dependency (step k's
+    timestamp conditions on step k-1's) chains three window columns
+    over the SAME user partitioning — Spark stacks the three Window
+    operators on one exchange, each later min reading the previous
+    window's attribute — then the per-user dedup and the 1-row audit
+    aggregate reuse that partitioning. No self-joins and no
+    driver-side actions (the multi-count formulation is exactly the
+    anti-pattern repeat_customers was purged of). Counts are exact
+    integers; conversion rates divide those longs as doubles, so both
+    engines agree bitwise.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1, s2, s3 = FUNNEL_STEPS
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s2) & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == s3) & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    counted = per_user.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+    return counted.select(
+        "n_step1",
+        "n_step2",
+        "n_step3",
+        F.when(
+            F.col("n_step1") > 0,
+            F.col("n_step2").cast("double") / F.col("n_step1"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conv_1_2"),
+        F.when(
+            F.col("n_step2") > 0,
+            F.col("n_step3").cast("double") / F.col("n_step2"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conv_2_3"),
+    )
+
+
+FUNNEL_CONVERSION_ORACLE = f"""
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND ts > t1
+                     THEN ts END) OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND ts > t2
+                     THEN ts END) OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+         any_value(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+counted AS (
+  SELECT count(t1) AS n_step1, count(t2) AS n_step2, count(t3) AS n_step3
+  FROM per_user
+)
+SELECT n_step1, n_step2, n_step3,
+       CASE WHEN n_step1 > 0
+            THEN CAST(n_step2 AS DOUBLE) / n_step1 ELSE 0.0 END AS conv_1_2,
+       CASE WHEN n_step2 > 0
+            THEN CAST(n_step3 AS DOUBLE) / n_step2 ELSE 0.0 END AS conv_2_3
+FROM counted
+"""

@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # NEW in r4
     # --- [r4 window, block c] event-time windows + as-of/range joins
     "events_gapfill": _ev.events_gapfill,  # NEW in r4
+    "funnel_conversion": _ev.funnel_conversion,  # NEW in r4
     "events_props_stats": _ev.events_props_stats,
     # --- [r4 window, block c] sketches & quantiles
     "cms_sketch": _sk.cms_sketch,
@@ -183,6 +184,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup_portable": _sim.EMBEDDING_NEARDUP_PORTABLE_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
     "events_gapfill": _ev.EVENTS_GAPFILL_ORACLE,
+    "funnel_conversion": _ev.FUNNEL_CONVERSION_ORACLE,
     "events_sliding": _ev.EVENTS_SLIDING_ORACLE,
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,

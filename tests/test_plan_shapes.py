@@ -247,3 +247,13 @@ def test_salted_join_equivalent_and_spreads_hot_key(spark):
         .count()
     )
     assert n_salts_used == 8
+
+
+def test_funnel_single_shuffle_no_joins(spark, sf_dir):
+    # the sequential funnel dependency must chain window columns over
+    # ONE user-partition exchange (plus the 1-row final agg) — never
+    # self-joins or driver-side counts
+    plan = _plan(registry.QUERIES["funnel_conversion"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
