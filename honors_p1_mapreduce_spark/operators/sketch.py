@@ -449,6 +449,39 @@ def _bloom_pos_sql(salt1: str, salt2: str, key: str, i: int) -> str:
     return f"CAST(({h1} + {i} * {h2}) % {BLOOM_M} AS INT)"
 
 
+def bloom_audit(members: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Library-level Bloom audit over any pair of single-column key
+    frames (both exposing ``key``): build the filter from ``members``,
+    probe every distinct ``probes`` key, and report the verdict vs
+    exact membership. Factored out of :func:`bloom_membership` so the
+    hypothesis property tests can drive it with generated key sets
+    (the no-false-negative guarantee must hold for ANY input)."""
+    bits = (
+        _bloom_bits(members, key, key)
+        .select("bit")
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probe = _bloom_bits(probes, key, key)
+    per_key = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy(key)
+        .agg((F.count("set_") == BLOOM_K).alias("bloom_pos"))
+    )
+    truth = members.select(key).distinct().withColumn("is_member", F.lit(True))
+    audited = per_key.join(truth, key, "left").select(
+        "bloom_pos", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return audited.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_true_members"),
+        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("bloom_pos") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_positives"
+        ),
+    )
+
+
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership audit: build a filter over the customers
     active in one order year, probe EVERY customer, compare the
@@ -471,35 +504,11 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit(BLOOM_Y_FROM).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(BLOOM_Y_TO).cast("timestamp"))
         )
-        .select("o_custkey")
+        .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    bits = (
-        _bloom_bits(members, "o_custkey", "o_custkey")
-        .select("bit")
-        .distinct()
-        .withColumn("set_", F.lit(1))
-    )
-    probe = _bloom_bits(cust, "c_custkey", "c_custkey")
-    per_key = (
-        probe.join(F.broadcast(bits), "bit", "left")
-        .groupBy("c_custkey")
-        .agg((F.count("set_") == BLOOM_K).alias("bloom_pos"))
-    )
-    truth = members.select(
-        F.col("o_custkey").alias("c_custkey"), F.lit(True).alias("is_member")
-    )
-    audited = per_key.join(truth, "c_custkey", "left").select(
-        "bloom_pos", F.coalesce("is_member", F.lit(False)).alias("is_member")
-    )
-    return audited.agg(
-        F.count("*").alias("n_probes"),
-        F.sum(F.col("is_member").cast("long")).alias("n_true_members"),
-        F.sum(F.col("bloom_pos").cast("long")).alias("n_bloom_positive"),
-        F.sum((F.col("bloom_pos") & ~F.col("is_member")).cast("long")).alias(
-            "n_false_positives"
-        ),
-    )
+    probes = cust.select(F.col("c_custkey").alias("custkey"))
+    return bloom_audit(members, probes, "custkey")
 
 
 BLOOM_MEMBERSHIP_ORACLE = f"""

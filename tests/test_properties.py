@@ -164,3 +164,30 @@ def test_chunking_matches_python_reference(spark, lines):
             if cid == 0 or len(ct) > CHUNK_OVERLAP:
                 want[(doc_id, cid)] = (len(ct), " ".join(ct))
     assert got == want
+
+
+KEYSETS = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(KEYSETS)
+def test_bloom_never_false_negative(spark, keysets):
+    # the Bloom guarantee must hold for ANY member/probe key sets:
+    # every true member tests positive, and the audit identities hold
+    from honors_p1_mapreduce_spark.operators.sketch import bloom_audit
+
+    members_keys, probe_keys = keysets
+    members = spark.createDataFrame([(k,) for k in members_keys], ["custkey"])
+    probes = spark.createDataFrame([(k,) for k in probe_keys], ["custkey"])
+    row = bloom_audit(members, probes, "custkey").collect()[0]
+
+    distinct_probes = set(probe_keys)
+    true_members = distinct_probes & set(members_keys)
+    assert row.n_probes == len(distinct_probes)
+    assert row.n_true_members == len(true_members)
+    # no false negatives: bloom positives cover every true member
+    assert row.n_bloom_positive >= row.n_true_members
+    assert row.n_bloom_positive == row.n_true_members + row.n_false_positives
