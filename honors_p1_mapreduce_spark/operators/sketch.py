@@ -462,7 +462,11 @@ def bloom_audit(members: DataFrame, probes: DataFrame, key: str) -> DataFrame:
         .distinct()
         .withColumn("set_", F.lit(1))
     )
-    probe = _bloom_bits(probes, key, key)
+    # Dedupe probe keys FIRST: a key appearing n times would otherwise
+    # explode to n*K bit rows and the count("set_") == K test would read
+    # false for a true member (false negative). n_probes therefore
+    # counts DISTINCT probe keys.
+    probe = _bloom_bits(probes.select(key).distinct(), key, key)
     per_key = (
         probe.join(F.broadcast(bits), "bit", "left")
         .groupBy(key)
@@ -525,9 +529,12 @@ bits AS (
     )}
   )
 ),
+probe_keys AS (
+  SELECT DISTINCT c_custkey FROM customer
+),
 probe AS (
   {" UNION ALL ".join(
-      f"SELECT c_custkey, {_bloom_pos_sql('bf1', 'bf2', 'c_custkey', i)} AS bit FROM customer"
+      f"SELECT c_custkey, {_bloom_pos_sql('bf1', 'bf2', 'c_custkey', i)} AS bit FROM probe_keys"
       for i in range(BLOOM_K)
   )}
 ),
