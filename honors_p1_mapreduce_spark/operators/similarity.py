@@ -314,7 +314,16 @@ def _kmeans_centroids(
     Scale/determinism notes:
     - means are computed on exact decimals (partial-sum merge order
       can't perturb the doubles), so refined centroids — and therefore
-      cell assignments — are identical across runs and partitionings;
+      cell assignments — are identical across runs and partitionings.
+      Scale is 8 (floats carry ~7 significant digits, so nothing real
+      is lost) because that is the ENGINE-PORTABLE operating point:
+      Spark casts float->decimal via the shortest decimal repr while
+      DuckDB rounds the exact binary value, and the two agree at scale
+      8 but not 18 (verified element-exact on all test SFs — DuckDB
+      must also widen FLOAT->DOUBLE before the decimal cast or its
+      float-path cast drifts by a float ulp). The mean itself is
+      double(sum_decimal) / count — one IEEE division on identical
+      inputs, bit-equal across engines;
     - each iteration is 2 keyed shuffles (assign agg + posexplode mean)
       over (id, cell) / (cell, pos) rows — never vectors-by-vectors;
     - per-iteration ``localCheckpoint`` truncates the iterative plan
@@ -331,9 +340,9 @@ def _kmeans_centroids(
         )
         means = flat.groupBy("cell", "pos").agg(
             (
-                F.sum(F.col("x").cast("decimal(27,18)"))
+                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
                 / F.count("*")
-            ).cast("double").alias("m")
+            ).alias("m")
         )
         cents = (
             means.groupBy("cell")
@@ -355,8 +364,10 @@ def similarity_ivf_kmeans_topk(
 ) -> DataFrame:
     """IVF ANN with k-means-refined centroids — identical query shape
     to :func:`similarity_ivf_topk` (probe nprobe cells, exact re-rank);
-    only the centroid table differs. Registered rows-only (the Lloyd
-    iteration is not practically SQL-expressible); recall >= the
+    only the centroid table differs. Fully oracle-checked: the Lloyd
+    iteration unrolls to one CTE chain per round (assign -> unnest ->
+    decimal mean -> rebuild centroid list) in
+    :func:`similarity_ivf_kmeans_topk_oracle`, and recall >= the
     stride-centroid variant is asserted in tests/test_similarity.py.
 
     ``n_iter`` defaults to 1: on the driver's near-isotropic synthetic
@@ -453,6 +464,114 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}
 
 
 SIMILARITY_IVF_TOPK_ORACLE = similarity_ivf_topk_oracle()
+
+
+def similarity_ivf_kmeans_topk_oracle(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    n_iter: int = 1,
+) -> str:
+    """DuckDB twin of :func:`similarity_ivf_kmeans_topk` — the Lloyd
+    loop is unrolled into ``n_iter`` CTE chains (the same baked-static
+    trick as :func:`similarity_ann_portable_oracle`, applied to
+    iterations instead of planes). Per round: argmax assignment
+    (row_number over the identical cosine fold), positional unnest
+    (``generate_subscripts``/``unnest`` zip = Spark ``posexplode``),
+    the engine-portable decimal(20,8) mean (see
+    :func:`_kmeans_centroids` for why scale 8 and the DOUBLE-first
+    widening are load-bearing), and ``list(m ORDER BY pos)`` to
+    rebuild the centroid array (= Spark's array_sort(collect_list) +
+    transform). Every double on the cell-assignment boundary is
+    bit-identical across engines, so candidate sets — and the final
+    re-ranked rows — match under the driver's value hash."""
+    cos = _cos_sql
+    stride = (
+        f"greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)"
+    )
+    parts = [
+        f"""
+WITH cents_0 AS (
+  SELECT vec_id AS cell, embedding AS c_emb
+  FROM embeddings
+  WHERE vec_id % {stride} = {IVF_STRIDE_SALT} % {stride}
+  ORDER BY vec_id LIMIT {n_cells}
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+assigned_{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos('e.embedding', 'c.c_emb')} DESC, c.cell ASC
+           ) AS crank
+    FROM embeddings e CROSS JOIN cents_{i - 1} c
+  ) WHERE crank = 1
+),
+flat_{i} AS (
+  SELECT a.cell, generate_subscripts(e.embedding, 1) AS pos,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM assigned_{i} a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+means_{i} AS (
+  SELECT cell, pos,
+         CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS m
+  FROM flat_{i} GROUP BY cell, pos
+),
+cents_{i} AS (
+  SELECT cell, list(m ORDER BY pos) AS c_emb FROM means_{i} GROUP BY cell
+)"""
+        )
+    parts.append(
+        f""",
+corpus_scored AS (
+  SELECT e.vec_id, c.cell, {cos('e.embedding', 'c.c_emb')} AS csim
+  FROM embeddings e CROSS JOIN cents_{n_iter} c
+),
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC)
+             AS crank
+    FROM corpus_scored
+  ) WHERE crank = 1
+),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC)
+             AS crank
+    FROM corpus_scored WHERE vec_id < {n_queries}
+  ) WHERE crank <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT qc.query_id, cc.vec_id
+  FROM query_cells qc JOIN corpus_cells cc ON qc.cell = cc.cell
+  WHERE cc.vec_id <> qc.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {cos('q.embedding', 'a.embedding')} AS sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings a ON a.vec_id = cand.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+SIMILARITY_IVF_KMEANS_TOPK_ORACLE = similarity_ivf_kmeans_topk_oracle()
 
 
 NEARDUP_THRESHOLD = 0.4

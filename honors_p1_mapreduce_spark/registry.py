@@ -181,6 +181,8 @@ ORACLES: dict[str, str] = {
     "similarity_filtered_topk": _sim.SIMILARITY_FILTERED_TOPK_ORACLE,
     "similarity_ann_portable": _sim.SIMILARITY_ANN_PORTABLE_ORACLE,
     "similarity_ivf_topk": _sim.SIMILARITY_IVF_TOPK_ORACLE,
+    # Lloyd loop unrolled to one CTE chain per iteration (r5)
+    "similarity_ivf_kmeans_topk": _sim.SIMILARITY_IVF_KMEANS_TOPK_ORACLE,
     "embedding_neardup_portable": _sim.EMBEDDING_NEARDUP_PORTABLE_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
     "events_gapfill": _ev.EVENTS_GAPFILL_ORACLE,
