@@ -4,11 +4,15 @@ metadata (north-star surface; no reference counterpart).
 Model: media is an opaque ``binary`` column alongside typed metadata
 (``media_type``, byte size, checksums). All Spark-side plumbing —
 schema, partitioning, Arrow batch shapes, UDF signatures — is real
-and tested; the actual codec step is STUBBED because image/audio
-libraries are not in this container:
+and tested. Two codec tiers:
 
-- ``use_real_codecs=True`` raises ``NotImplementedError`` (the marked
-  integration point where PIL/librosa/ffmpeg decoding would plug in);
+- ``use_real_codecs=True`` decodes genuine container formats with a
+  pure-stdlib parser (:func:`stdlib_codec`): WAV via RIFF chunk walk,
+  BMP via BITMAPFILEHEADER/DIB header (row padding honored), binary
+  PPM (P6) via ASCII header tokenization. Payloads whose magic none
+  of the three parsers claims fall back to the deterministic fake —
+  the marked seam where PIL/librosa/ffmpeg would plug in for formats
+  (PNG/MP4/...) whose codecs aren't in this container;
 - the default fake decoder derives deterministic "dimensions" and a
   feature vector from the payload's md5, so the full pipeline —
   binary in, per-item features out, frame sampling — runs and is
@@ -23,6 +27,7 @@ byte-identical to Spark's ``md5(binary)``.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterable
 
 import pandas as pd
@@ -103,6 +108,112 @@ def _fake_decode(content: bytes, media_type: str) -> tuple[int, int, int, list[f
     return width, height, n_frames, feature
 
 
+# ----------------------------------------------------- real stdlib codecs
+
+
+class UnsupportedMediaError(ValueError):
+    """Raised by :func:`stdlib_codec` when no stdlib parser claims the
+    payload's magic bytes — the caller decides the fallback."""
+
+
+def _hist8(data: bytes) -> list[float]:
+    """FEATURE_DIM-bin byte histogram of a decoded data section, as
+    fractions (count / len). The real-codec feature: deterministic,
+    order-insensitive, and exactly invertible back to integer counts
+    for digest-style canonicalization (count = round(f * len))."""
+    counts = [0] * FEATURE_DIM
+    for b in data:
+        counts[b >> 5] += 1
+    n = max(len(data), 1)
+    return [c / n for c in counts]
+
+
+def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
+    """RIFF/WAVE parse: walk chunks (word-aligned), read channel count
+    / sample rate / block align from ``fmt ``, PCM frames from
+    ``data``. Returns (sample_rate, n_channels, n_frames, hist)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE container")
+    pos, rate, channels, block_align, data = 12, None, None, None, b""
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if rate is None or not block_align:
+        raise UnsupportedMediaError("WAVE missing fmt chunk")
+    return rate, channels, len(data) // block_align, _hist8(data)
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
+    """BMP parse: pixel-array offset from BITMAPFILEHEADER, geometry /
+    bpp from the DIB header; rows are read at the 4-byte-aligned
+    stride with padding bytes EXCLUDED from the histogram."""
+    if content[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    row_bytes = (bpp * width) // 8
+    stride = (bpp * width + 31) // 32 * 4
+    rows = [
+        content[offset + r * stride : offset + r * stride + row_bytes]
+        for r in range(abs(height))
+    ]
+    return width, abs(height), 1, _hist8(b"".join(rows))
+
+
+def _decode_ppm(content: bytes) -> tuple[int, int, int, list[float]]:
+    """Binary PPM (P6) parse: whitespace/comment-tolerant ASCII header
+    (magic, width, height, maxval), then one raw RGB byte triple per
+    pixel."""
+    if content[:2] != b"P6":
+        raise UnsupportedMediaError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    width, height, _maxval = fields
+    data = content[pos : pos + width * height * 3]
+    return width, height, 1, _hist8(data)
+
+
+def stdlib_codec(content: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
+    """Real decoder over public container formats, zero dependencies:
+    dispatch on magic bytes (not on the claimed ``media_type`` — real
+    pipelines distrust metadata), parse the container, histogram the
+    decoded data section. Raises :class:`UnsupportedMediaError` for
+    formats that need an external codec (PNG, MP4, ...)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    raise UnsupportedMediaError(f"no stdlib parser for {media_type}")
+
+
+def _stdlib_or_fake(content: bytes, media_type: str) -> tuple[int, int, int, list[float]]:
+    try:
+        return stdlib_codec(content, media_type)
+    except UnsupportedMediaError:
+        return _fake_decode(content, media_type)
+
+
 def decode_media_features(
     media: DataFrame,
     use_real_codecs: bool = False,
@@ -117,14 +228,14 @@ def decode_media_features(
 
     ``codec`` is the injection point: any callable matching the seam
     contract (bytes, media_type) -> (width, height, n_frames, feature)
-    is shipped to executors inside the pandas iterator closure. The
-    default is the deterministic md5 fake.
+    is shipped to executors inside the pandas iterator closure.
+    ``use_real_codecs=True`` selects :func:`stdlib_codec` (real
+    WAV/BMP/PPM container parsing, fake fallback for formats whose
+    codecs aren't installed here); the default is the deterministic
+    md5 fake.
     """
     if use_real_codecs and codec is None:
-        raise NotImplementedError(
-            "real image/audio/video codecs are not available in this "
-            "environment; pass codec=<PIL/librosa/ffmpeg adapter> here"
-        )
+        codec = _stdlib_or_fake
     decode_one = codec or _fake_decode
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -241,4 +352,134 @@ WITH b AS (
 )
 SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
 FROM v, unnest(generate_series(0, n_frames - 1, 10)) AS t(f)
+"""
+
+
+# ------------------------------------------- real-container demo surface
+
+REAL_MEDIA_TYPES = ("audio/wav", "image/bmp", "image/ppm")
+WAV_DATA_LEN = 128  # 64 mono 16-bit frames
+IMG_W, IMG_H = 4, 10  # 24bpp stride = 12 bytes -> zero row padding
+IMG_DATA_LEN = IMG_W * IMG_H * 3
+
+
+def _wav_header(data_len: int, rate: int = 8000, channels: int = 1) -> bytes:
+    """Canonical 44-byte PCM WAV header (RIFF + fmt + data)."""
+    bits = 16
+    block = channels * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def _bmp_header(w: int, h: int, data_len: int) -> bytes:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER for a 24bpp image."""
+    return b"BM" + struct.pack("<IHHI", 54 + data_len, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_len, 2835, 2835, 0, 0
+    )
+
+
+WAV_HEADER = _wav_header(WAV_DATA_LEN)
+BMP_HEADER = _bmp_header(IMG_W, IMG_H, IMG_DATA_LEN)
+PPM_HEADER = f"P6\n{IMG_W} {IMG_H}\n255\n".encode()
+
+
+def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo table of GENUINE media containers: each document's leading
+    text bytes become the data section of a real WAV / BMP / P6 PPM
+    (round-robin by doc_id), behind the constant canonical header for
+    its format. The synth side is pure Catalyst — constant binary
+    literal headers concat'd with a binary substring, zero Python — so
+    only the decode side pays the (Arrow-batched) codec cost, exactly
+    the shape of a real ingest. Docs shorter than the data section are
+    dropped rather than padded (keeps every byte of every payload a
+    real document byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.length(F.col("text").cast("binary")) >= WAV_DATA_LEN)
+    fmt1 = (F.col("doc_id") % 3 + 1).cast("int")
+    header = F.element_at(
+        F.array(F.lit(WAV_HEADER), F.lit(BMP_HEADER), F.lit(PPM_HEADER)), fmt1
+    )
+    mt = F.element_at(F.array(*[F.lit(t) for t in REAL_MEDIA_TYPES]), fmt1)
+    data = F.expr(
+        f"substring(CAST(text AS BINARY), 1, CASE WHEN doc_id % 3 = 0 "
+        f"THEN {WAV_DATA_LEN} ELSE {IMG_DATA_LEN} END)"
+    )
+    content = F.concat(header, data)
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        content.alias("content"),
+        F.length(content).alias("n_bytes"),
+    )
+
+
+def media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: REAL container decode end-to-end — synthesize
+    genuine WAV/BMP/PPM payloads (:func:`media_real_table`), parse
+    them back with :func:`stdlib_codec` (RIFF chunk walk, DIB header,
+    P6 tokenizer — no shared code with the synth side; golden tests on
+    hand-crafted bytes pin both independently), and emit the decoded
+    geometry plus a digest of the data-section byte histogram. The
+    histogram fractions invert exactly to integer counts
+    (count = round(f * data_len); data_len <= 128 << float precision),
+    so the digest covers every feature value with a canon-safe scalar,
+    and DuckDB reproduces the whole pipeline from hex(encode(text))
+    byte arithmetic."""
+    decoded = decode_media_features(
+        media_real_table(spark, sf_dir), use_real_codecs=True
+    )
+    dl = F.when(
+        F.col("media_type") == "audio/wav", F.lit(WAV_DATA_LEN)
+    ).otherwise(F.lit(IMG_DATA_LEN))
+    counts = F.transform(
+        F.col("feature"), lambda x: F.round(x * dl).cast("int").cast("string")
+    )
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        F.md5(F.concat_ws(",", counts)).alias("hist_digest"),
+    )
+
+
+MEDIA_REAL_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS fmt, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN}
+),
+bytes AS (
+  SELECT doc_id, fmt,
+         CAST(concat('0x', substr(hx, 2 * p + 1, 2)) AS BIGINT) // 32 AS bucket
+  FROM d, unnest(generate_series(
+    0, CASE WHEN fmt = 0 THEN {WAV_DATA_LEN - 1} ELSE {IMG_DATA_LEN - 1} END
+  )) AS t(p)
+),
+hist AS (
+  SELECT doc_id, fmt,
+         {", ".join(f"sum(CASE WHEN bucket = {i} THEN 1 ELSE 0 END) AS c{i}"
+                    for i in range(FEATURE_DIM))}
+  FROM bytes GROUP BY doc_id, fmt
+)
+SELECT doc_id,
+       ['audio/wav', 'image/bmp', 'image/ppm'][fmt + 1] AS media_type,
+       CAST(CASE fmt WHEN 0 THEN {44 + WAV_DATA_LEN}
+                     WHEN 1 THEN {54 + IMG_DATA_LEN}
+                     ELSE {12 + IMG_DATA_LEN} END AS INT) AS n_bytes,
+       CAST(CASE fmt WHEN 0 THEN 8000 ELSE {IMG_W} END AS INT) AS width,
+       CAST(CASE fmt WHEN 0 THEN 1 ELSE {IMG_H} END AS INT) AS height,
+       CAST(CASE fmt WHEN 0 THEN {WAV_DATA_LEN // 2} ELSE 1 END AS INT)
+         AS n_frames,
+       md5(concat_ws(',', {", ".join(f"c{i}" for i in range(FEATURE_DIM))}))
+         AS hist_digest
+FROM hist
 """

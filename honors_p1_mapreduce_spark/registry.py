@@ -71,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- [r4 window, block b] changed this round, need fresh evidence
     "media_decode_features": _mm.media_decode_features,  # oracle NEW in r4
     "media_frame_sample": _mm.media_frame_sample,  # oracle NEW in r4
+    "media_real_decode": _mm.media_real_decode,  # NEW in r5: real WAV/BMP/PPM
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,  # df-cap rewritten r4
     "dedup_clusters": _dd.dedup_clusters,  # star rounds rewritten r4
     # --- [r4 window, block c] r3-green fill: reference parity (SURVEY §2.3)
@@ -223,6 +224,8 @@ ORACLES: dict[str, str] = {
     # both media queries are fully hash-gated despite the pandas-UDF path
     "media_decode_features": _mm.MEDIA_DECODE_FEATURES_ORACLE,
     "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_ORACLE,
+    # real-container decode: hist digest reproduced from hex(encode(text))
+    "media_real_decode": _mm.MEDIA_REAL_DECODE_ORACLE,
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full
