@@ -27,6 +27,7 @@ def salted_inner_join(
     other: DataFrame,
     key: str,
     n_salts: int = 16,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Inner-join ``skewed`` with ``other`` on ``key``, salting the
     skewed side.
@@ -43,6 +44,13 @@ def salted_inner_join(
 
     The join key becomes (key, salt): the hot key's rows now spread
     over ``n_salts`` partitions.
+
+    ``join_hint`` (e.g. ``"shuffle_hash"``/``"merge"``) pins the
+    physical strategy on the replicated side. At demo scale Spark
+    would happily broadcast a small replicated side — correct, but
+    then no key-partitioned shuffle exists and the salt proves
+    nothing; the hint reproduces the production shape (other side too
+    big to broadcast) so plan tests can assert the fan-out is real.
     """
     skewed_cols = [c for c in skewed.columns]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed_cols]), F.lit(n_salts))
@@ -51,5 +59,7 @@ def salted_inner_join(
         "_salt",
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
+    if join_hint:
+        right = right.hint(join_hint)
     joined = left.join(right, [key, "_salt"])
     return joined.drop("_salt")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum_col, dsum_sql
+from ..functions.numeric import dsum_col, dsum_expr, dsum_sql
 from ..sources.tables import load_table
 
 TUMBLE_WIDTH = "1 hour"
@@ -162,6 +162,68 @@ SELECT event_type, count(*) AS n_events,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
+"""
+
+
+def events_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join demo: count each event type's above-average events
+    and their total excess — the classic two-pass (aggregate, join the
+    per-key scalar back to the fact side) that CANNOT collapse into
+    one aggregate.
+
+    ``event_type`` has only 5 distinct values, so EVERY row of the
+    fact side hashes to one of 5 join partitions no matter how many
+    tasks exist — the textbook hot-key layout AQE's skew splitting
+    can't fix (splitting a partition never splits one key's hash
+    bucket for the build side). The join runs through
+    :func:`~..functions.skew.salted_inner_join`: the fact side gains a
+    16-way deterministic salt, the 5-row profile side replicates 16x,
+    and the shuffle spreads each hot key over 16 partitions
+    (plan-asserted in tests/test_plan_shapes.py; shuffle_hash hint
+    keeps the demo honest — at this scale Spark would broadcast the
+    tiny profile and no salt-partitioned shuffle would exist at all).
+
+    The per-type average goes through the exact-decimal mean (sum of
+    decimal(27,6) cast double / count) so the comparison threshold is
+    the identical IEEE double in both engines.
+    """
+    from ..functions.skew import salted_inner_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    profile = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("type_avg")
+    )
+    joined = salted_inner_join(
+        ev, profile, "event_type", n_salts=16, join_hint="shuffle_hash"
+    )
+    return (
+        joined.filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_above"),
+            dsum_expr(
+                F.col("value") - F.col("type_avg"), "excess_sum", scale=6
+            ),
+        )
+    )
+
+
+EVENTS_ABOVE_TYPE_AVG_ORACLE = """
+WITH profile AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(*)
+           AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_above,
+       CAST(sum(CAST((e.value - p.type_avg) AS DECIMAL(27,6))) AS DOUBLE)
+         AS excess_sum
+FROM events e JOIN profile p ON e.event_type = p.event_type
+WHERE e.value > p.type_avg
+GROUP BY e.event_type
 """
 
 

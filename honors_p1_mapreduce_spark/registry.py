@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- [r4 window, block c] event-time windows + as-of/range joins
     "events_gapfill": _ev.events_gapfill,  # NEW in r4
     "funnel_conversion": _ev.funnel_conversion,  # NEW in r4
+    "events_above_type_avg": _ev.events_above_type_avg,  # NEW in r5: salted join
     "events_props_stats": _ev.events_props_stats,
     # --- [r4 window, block c] sketches & quantiles
     "cms_sketch": _sk.cms_sketch,
@@ -192,6 +193,9 @@ ORACLES: dict[str, str] = {
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
     "events_props_stats": _ev.EVENTS_PROPS_STATS_ORACLE,
+    # salted hot-key join demo: salt cancels out of the result, so the
+    # oracle is the plain two-pass join
+    "events_above_type_avg": _ev.EVENTS_ABOVE_TYPE_AVG_ORACLE,
     "purchase_click_attribution": _asof.PURCHASE_CLICK_ATTRIBUTION_ORACLE,
     "error_click_correlation": _asof.ERROR_CLICK_CORRELATION_ORACLE,
     "pricing_percentiles": _sk.PRICING_PERCENTILES_ORACLE,

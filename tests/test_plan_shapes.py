@@ -249,6 +249,25 @@ def test_salted_join_equivalent_and_spreads_hot_key(spark):
     assert n_salts_used == 8
 
 
+def test_events_above_type_avg_salt_fanout(spark, sf_dir):
+    # the registered salted-join query must really run the salted
+    # shape: a shuffled (NOT broadcast) join keyed on (event_type,
+    # _salt), with the profile side exploded across the salt range —
+    # plus oracle parity (the salt must cancel out of the result)
+    from .oracle import compare_query
+
+    df = registry.QUERIES["events_above_type_avg"](spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" not in plan
+    compare_query(
+        spark, sf_dir, registry.QUERIES["events_above_type_avg"],
+        registry.ORACLES["events_above_type_avg"],
+    )
+
+
 def test_funnel_single_shuffle_no_joins(spark, sf_dir):
     # the sequential funnel dependency must chain window columns over
     # ONE user-partition exchange (plus the 1-row final agg) — never
