@@ -165,7 +165,16 @@ def winnow_neardup(
     fps = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp_hash").distinct()
     # df-cap via a count window: ONE fp_hash shuffle serves both the
     # frequency filter and the self-join's co-partitioning (the
-    # groupBy+join-back formulation shuffles the frame twice)
+    # groupBy+join-back formulation shuffles the frame twice).
+    # A/B-measured vs the broadcast-anti-join form that won in
+    # ngram_jaccard (dedup.py): at sf0.1/local[32] the window form ran
+    # 5.0-7.5 s vs 9.2-10.6 s anti-join (7.2-10.8 s even with fps
+    # persisted) — here the upstream fingerprint extraction is the
+    # expensive part, and the window keeps it single-pass while the
+    # anti-join forces a second full pass for the hot-set count. The
+    # two df-cap forms are both scale-safe; which wins depends on
+    # whether the capped frame is cheap (ngram shingles) or expensive
+    # (winnowed fingerprints) to recompute.
     keyed = (
         fps.withColumn(
             "df", F.count("*").over(Window.partitionBy("fp_hash"))
