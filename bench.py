@@ -6,6 +6,16 @@
 Each query is forced with a cheap action (count on the already-reduced
 result) — results are small aggregates, so the measured time is the
 real scan/shuffle/agg work, not driver-side row shipping.
+
+Methodology note (round 5): two identical back-to-back runs on
+local[32] measured 91.3 s vs 109.6 s total with per-query deltas of
+±0.2-1.3 s and NO code change between them — single-run per-query
+times at sub-second scales carry ~±30% environmental noise (JVM
+warm-up, page cache, CPU contention). Treat cross-round per-query
+regressions under ~2x at the sub-2-second scale as noise unless a
+plan diff confirms them; the round-4 "relational drift" (e.g.
+market_share 1.13 -> 1.72 s) was exactly this — round-5 re-runs of
+the same code measured 1.22 s and 1.44 s.
 """
 
 from __future__ import annotations
