@@ -34,94 +34,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 """Ordering note: the driver checks exactly the FIRST 50 entries each
 round, so the window must ROTATE so no query's latest evidence is more
-than one round old. Round-4 window: (a) the 20 queries whose last green
-row is round 2 (hll_estimate + relational + analytic — their files were
-unchanged in r3, but evidence goes stale); (b) the 4 queries CHANGED
-this round (media decode pair gained oracles; ngram-jaccard df-cap and
-cluster loop rewritten); (c) r3-green fill. The 20 entries after
-position 50 all have green round-3 rows (CORRECTNESS_r03.json) and
-rotate back to the front next round."""
+than one round old. Round-5 window: (a) ALL 31 entries that sat after
+position 50 in round 4 (their latest green rows are round 3 — two
+rounds old by round 5's end if left out); (b) the 6 queries NEW or
+CHANGED in round 5 (media_real_decode + events_above_type_avg added;
+similarity_ivf_kmeans_topk gained its Lloyd oracle and the portable
+decimal mean; bloom_membership's bloom_audit dedupes probes; the media
+decode pair rides the rewired real-codec module); (c) 13 round-4-green
+fill picked from the modules round 5 touched. The 33 entries after
+position 50 all carry green round-4 rows (CORRECTNESS_r04.json) and
+rotate back to the front in round 6; the 3 rows-only queries
+(similarity_ann_topk, embedding_neardup, dedup_minhash — numpy hash
+families, each with an oracle-green portable twin in-window) sit at
+the very end so they never burn window slots on `no_oracle` rows."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r4 window, block a] last verified round 2: sketches/relational/analytic
-    "hll_estimate": _sk.hll_estimate,
-    "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
-    "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "top_supplier": _rel.top_supplier,
-    "returns_rollup": _rel.returns_rollup,
-    "cross_nation_volume": _rel.cross_nation_volume,
-    "market_share": _rel.market_share,
-    "disjunctive_revenue": _rel.disjunctive_revenue,
-    "large_orders": _rel.large_orders,
-    "idle_customer_balance": _rel.idle_customer_balance,
-    "nation_profit": _rel.nation_profit,  # NEW in r4 (Q9 shape)
-    "returned_customer_revenue": _rel.returned_customer_revenue,  # NEW in r4 (Q10)
-    "important_part_types": _rel.important_part_types,  # NEW in r4 (Q11 shape)
-    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,  # NEW in r4 (Q16)
-    "customer_order_counts": _an.customer_order_counts,
-    "customers_without_orders": _an.customers_without_orders,
-    "repeat_customers": _an.repeat_customers,  # rewritten r4 (one-job flag agg)
-    "top_orders_per_customer": _an.top_orders_per_customer,
-    "monthly_revenue_running": _an.monthly_revenue_running,
-    # --- [r4 window, block b] changed this round, need fresh evidence
-    "media_decode_features": _mm.media_decode_features,  # oracle NEW in r4
-    "media_frame_sample": _mm.media_frame_sample,  # oracle NEW in r4
-    "media_real_decode": _mm.media_real_decode,  # NEW in r5: real WAV/BMP/PPM
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,  # df-cap rewritten r4
-    "dedup_clusters": _dd.dedup_clusters,  # star rounds rewritten r4
-    # --- [r4 window, block c] r3-green fill: reference parity (SURVEY §2.3)
-    "wordcount": _wc.wordcount,
-    "grep_count": _gr.grep_count,
-    "doc_chunks": _ta.doc_chunks,  # NEW in r4
-    "pack_sequences": _ta.pack_sequences,  # NEW in r4
-    "inverted_index": _ii.inverted_index,
-    "mixture_weights": _pl.mixture_weights,  # NEW in r4
-    # --- [r4 window, block b cont.] similarity/dedup paths changed in r4
-    # (bucketing one-pass rewrite, KM hash family, precomputed-norm
-    # re-rank, new kmeans variant) — must carry fresh evidence
-    "similarity_ann_topk": _sim.similarity_ann_topk,  # re-rank rewired r4
-    "similarity_ann_portable": _sim.similarity_ann_portable,
-    "embedding_neardup": _sim.embedding_neardup,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # NEW in r4
-    # --- [r4 window, block c] event-time windows + as-of/range joins
-    "events_gapfill": _ev.events_gapfill,  # NEW in r4
-    "funnel_conversion": _ev.funnel_conversion,  # NEW in r4
-    "events_above_type_avg": _ev.events_above_type_avg,  # NEW in r5: salted join
-    "events_props_stats": _ev.events_props_stats,
-    # --- [r4 window, block c] sketches & quantiles
-    "cms_sketch": _sk.cms_sketch,
-    "bloom_membership": _sk.bloom_membership,  # NEW in r4
-    # --- [r4 window, block c] dedup + similarity core
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_minhash": _dd.dedup_minhash_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
-    "similarity_topk": _sim.similarity_topk,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,
-    # ================= position 51+ — outside the r4 driver window =====
-    # every entry below is green in round 3 (CORRECTNESS_r03.json) with
-    # code unchanged since; rotate ALL of them (count them — do not
-    # trust a stale number here) to the front in r5
+    # --- [r5 window, block a] rotated in: latest green row is round 3
     "wordcount_topk": _wc.wordcount_topk,
     "grep_total": _gr.grep_total,
     "log_analyzer": _la.log_analyzer,
     "bigrams": _ng.bigrams,
-    "events_tumbling": _ev.events_tumbling,
-    "user_sessions": _ev.user_sessions,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
-    "cms_estimate": _sk.cms_estimate,
-    "pricing_percentiles": _sk.pricing_percentiles,
-    "error_click_correlation": _asof.error_click_correlation,
     "bigrams_topk": _ng.bigrams_topk,
     "trigrams": _ng.trigrams,
+    "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
+    "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
     "doc_token_stats": _ta.doc_token_stats,
     "corpus_token_stats": _ta.corpus_token_stats,
     "lang_id": _ta.lang_id,
@@ -139,7 +81,67 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": _cu.pii_scrub,
     "media_stats": _mm.media_stats,
     "hll_registers": _sk.hll_registers,
+    # --- [r5 window, block b] new or changed in round 5
+    "media_real_decode": _mm.media_real_decode,  # NEW r5: real WAV/BMP/PPM decode
+    "events_above_type_avg": _ev.events_above_type_avg,  # NEW r5: salted hot-key join
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # oracle NEW r5
+    "bloom_membership": _sk.bloom_membership,  # bloom_audit probe dedup r5
+    "media_decode_features": _mm.media_decode_features,  # module rewired r5
+    "media_frame_sample": _mm.media_frame_sample,  # module rewired r5
+    # --- [r5 window, block c] r4-green fill from modules touched in r5
+    "events_gapfill": _ev.events_gapfill,
+    "funnel_conversion": _ev.funnel_conversion,
+    "events_props_stats": _ev.events_props_stats,
+    "similarity_topk": _sim.similarity_topk,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "cms_sketch": _sk.cms_sketch,
+    "hll_estimate": _sk.hll_estimate,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
+    # ================= position 51+ — outside the r5 driver window =====
+    # every entry below is green in round 4 (CORRECTNESS_r04.json) with
+    # code unchanged in round 5; rotate ALL of them (count the actual
+    # entries — do not trust a stale number) to the front in r6
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
+    "nation_revenue": _rel.nation_revenue,
+    "order_priority": _rel.order_priority,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
+    "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,
+    "returned_customer_revenue": _rel.returned_customer_revenue,
+    "important_part_types": _rel.important_part_types,
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
+    "wordcount": _wc.wordcount,
+    "grep_count": _gr.grep_count,
+    "inverted_index": _ii.inverted_index,
+    "doc_chunks": _ta.doc_chunks,
+    "pack_sequences": _ta.pack_sequences,
+    "mixture_weights": _pl.mixture_weights,
+    "dedup_clusters": _dd.dedup_clusters,
+    # rows-only by design (numpy hash families; oracle-green portable
+    # twins are in-window above) — kept at the tail so the driver's
+    # window never reads their `no_oracle` rows as errors
     "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
 }
 
 ORACLES: dict[str, str] = {
