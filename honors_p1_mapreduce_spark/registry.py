@@ -24,6 +24,7 @@ from .operators import multimodal as _mm
 from .operators import ngram as _ng
 from .operators import pipeline as _pl
 from .operators import relational as _rel
+from .operators import relational_ext as _rx
 from .operators import similarity as _sim
 from .operators import sketch as _sk
 from .operators import text_analysis as _ta
@@ -36,17 +37,22 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 round, so the window must ROTATE so no query's latest evidence is more
 than one round old. Round-5 window: (a) ALL 31 entries that sat after
 position 50 in round 4 (their latest green rows are round 3 — two
-rounds old by round 5's end if left out); (b) the 6 queries NEW or
-CHANGED in round 5 (media_real_decode + events_above_type_avg added;
+rounds old by round 5's end if left out); (b) the 11 queries NEW or
+CHANGED in round 5 (media_real_decode + events_above_type_avg + the 5
+TPC-H shape-completion queries in relational_ext.py added;
 similarity_ivf_kmeans_topk gained its Lloyd oracle and the portable
 decimal mean; bloom_membership's bloom_audit dedupes probes; the media
-decode pair rides the rewired real-codec module); (c) 13 round-4-green
-fill picked from the modules round 5 touched. The 33 entries after
+decode pair rides the rewired real-codec module); (c) 8 round-4-green
+fill picked from the modules round 5 touched. The 38 entries after
 position 50 all carry green round-4 rows (CORRECTNESS_r04.json) and
-rotate back to the front in round 6; the 3 rows-only queries
-(similarity_ann_topk, embedding_neardup, dedup_minhash — numpy hash
-families, each with an oracle-green portable twin in-window) sit at
-the very end so they never burn window slots on `no_oracle` rows."""
+rotate back to the front in round 6; of those, dedup_* live in a
+module UNTOUCHED in r5 and similarity_topk/similarity_filtered_topk's
+r5 module diff touches only the _kmeans_* code paths (function-level
+diff inspection; both also re-verified by this round's sf0.01 parity
+sweep). The 3 rows-only queries (similarity_ann_topk,
+embedding_neardup, dedup_minhash — numpy hash families, each with an
+oracle-green portable twin in-window) sit at the very end so they
+never burn window slots on `no_oracle` rows."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r5 window, block a] rotated in: latest green row is round 3
@@ -88,24 +94,29 @@ QUERIES: dict[str, QueryFn] = {
     "bloom_membership": _sk.bloom_membership,  # bloom_audit probe dedup r5
     "media_decode_features": _mm.media_decode_features,  # module rewired r5
     "media_frame_sample": _mm.media_frame_sample,  # module rewired r5
+    "forecast_revenue": _rx.forecast_revenue,  # NEW r5: TPC-H Q6 shape
+    "min_cost_supplier": _rx.min_cost_supplier,  # NEW r5: TPC-H Q2 shape
+    "priority_lines": _rx.priority_lines,  # NEW r5: TPC-H Q12 shape
+    "excess_shipments": _rx.excess_shipments,  # NEW r5: TPC-H Q20 shape
+    "waiting_suppliers": _rx.waiting_suppliers,  # NEW r5: TPC-H Q21 shape
     # --- [r5 window, block c] r4-green fill from modules touched in r5
     "events_gapfill": _ev.events_gapfill,
     "funnel_conversion": _ev.funnel_conversion,
     "events_props_stats": _ev.events_props_stats,
-    "similarity_topk": _sim.similarity_topk,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
     "cms_sketch": _sk.cms_sketch,
     "hll_estimate": _sk.hll_estimate,
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
     # ================= position 51+ — outside the r5 driver window =====
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
+    "similarity_topk": _sim.similarity_topk,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
@@ -176,6 +187,12 @@ ORACLES: dict[str, str] = {
     "returned_customer_revenue": _rel.RETURNED_CUSTOMER_REVENUE_ORACLE,
     "important_part_types": _rel.IMPORTANT_PART_TYPES_ORACLE,
     "supplier_counts_by_brand": _rel.SUPPLIER_COUNTS_BY_BRAND_ORACLE,
+    # TPC-H shape completion (r5) — relational_ext.py
+    "forecast_revenue": _rx.FORECAST_REVENUE_ORACLE,
+    "min_cost_supplier": _rx.MIN_COST_SUPPLIER_ORACLE,
+    "priority_lines": _rx.PRIORITY_LINES_ORACLE,
+    "excess_shipments": _rx.EXCESS_SHIPMENTS_ORACLE,
+    "waiting_suppliers": _rx.WAITING_SUPPLIERS_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

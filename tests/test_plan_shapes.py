@@ -276,3 +276,42 @@ def test_funnel_single_shuffle_no_joins(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_forecast_revenue_scan_bound(spark, sf_dir):
+    """Q6 shape: all predicates pushed, 4-column read, no join."""
+    from honors_p1_mapreduce_spark.operators.relational_ext import forecast_revenue
+
+    plan = _plan(forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, frag
+    read = plan.split("ReadSchema")[1][:400]
+    for absent in ("l_orderkey", "l_partkey", "l_tax", "l_returnflag"):
+        assert absent not in read, absent
+
+
+def test_excess_shipments_part_slice_broadcast(spark, sf_dir):
+    """Q20 shape: the LIKE-filtered part slice broadcasts into the
+    lineitem scan — the fact side never shuffles for the semi filter."""
+    from honors_p1_mapreduce_spark.operators.relational_ext import excess_shipments
+
+    plan = _plan(excess_shipments(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchanges are the (suppkey, partkey) agg and the
+    # per-supplier rollup — never a fact-vs-part shuffle join
+    assert "SortMergeJoin" not in plan.split("l_partkey#")[0]
+
+
+def test_waiting_suppliers_semi_anti_no_nested_loop(spark, sf_dir):
+    """Q21 shape: EXISTS/NOT EXISTS compile to LeftSemi/LeftAnti
+    equi-joins on l_orderkey; the suppkey inequality rides the join
+    condition instead of forcing a nested loop."""
+    from honors_p1_mapreduce_spark.operators.relational_ext import waiting_suppliers
+
+    plan = _plan(waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
