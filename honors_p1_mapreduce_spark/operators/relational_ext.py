@@ -32,7 +32,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum_expr, dsum_sql
@@ -97,9 +97,11 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: lineitem ⋈ supplier (100 TB: shuffle join; supplier filtered
     through broadcast nation⋈region first) → partial agg per
-    (part, supp) → per-part MIN → self equi-join-back on
-    (l_partkey, cost) — co-partitioned with the agg output, so the
-    join-back reuses the exchange — → broadcast part-slice filter.
+    (part, supp) → per-part MIN as a *window* over the already-reduced
+    frame (one extra exchange on l_partkey over ~|part×supp-in-region|
+    rows) → filter cost == min.  The naive agg-then-join-back
+    formulation re-derives the whole cost aggregate on both join
+    sides — two full fact scans; the window form scans lineitem once.
     MIN over doubles is exact in both engines; no decimal needed.
     """
     region = dim(spark, sf_dir, "region").filter(F.col("r_name") == MINCOST_REGION)
@@ -115,22 +117,18 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("cost"))
     )
-    # rename the agg side so the join-back on shared lineage is unambiguous
-    best = (
-        costs.groupBy("l_partkey")
-        .agg(F.min("cost").alias("min_cost"))
-        .withColumnRenamed("l_partkey", "b_partkey")
-    )
     part = F.broadcast(
         load_table(spark, sf_dir, "part").filter(
             (F.col("p_size") <= MINCOST_SIZE) & (F.col("p_type") == MINCOST_TYPE)
         )
     )
-    winners = costs.join(
-        best,
-        (F.col("l_partkey") == F.col("b_partkey"))
-        & (F.col("cost") == F.col("min_cost")),
-    ).select("l_partkey", "l_suppkey", "min_cost")
+    winners = (
+        costs.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select("l_partkey", "l_suppkey", "min_cost")
+    )
     supp_out = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )

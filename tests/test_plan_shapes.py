@@ -315,3 +315,14 @@ def test_waiting_suppliers_semi_anti_no_nested_loop(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_min_cost_supplier_single_fact_scan(spark, sf_dir):
+    """Q2 shape: the per-part MIN is a window over the reduced cost
+    frame — the agg-then-join-back form re-derived the whole cost
+    aggregate on both join sides (two full lineitem scans)."""
+    from honors_p1_mapreduce_spark.operators.relational_ext import min_cost_supplier
+
+    plan = _plan(min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
