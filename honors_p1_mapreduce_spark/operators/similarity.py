@@ -466,26 +466,22 @@ SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= {k}
 SIMILARITY_IVF_TOPK_ORACLE = similarity_ivf_topk_oracle()
 
 
-def similarity_ivf_kmeans_topk_oracle(
-    k: int = TOP_K,
-    n_queries: int = N_QUERIES,
-    n_cells: int = IVF_CELLS,
-    nprobe: int = IVF_NPROBE,
-    n_iter: int = 1,
-) -> str:
-    """DuckDB twin of :func:`similarity_ivf_kmeans_topk` — the Lloyd
-    loop is unrolled into ``n_iter`` CTE chains (the same baked-static
-    trick as :func:`similarity_ann_portable_oracle`, applied to
-    iterations instead of planes). Per round: argmax assignment
-    (row_number over the identical cosine fold), positional unnest
+def lloyd_cents_sql(n_cells: int = IVF_CELLS, n_iter: int = 1) -> str:
+    """SQL prefix ``WITH cents_0 AS (...), ..., cents_{n_iter} AS (...)``
+    unrolling the Lloyd loop of :func:`_kmeans_centroids` — the
+    baked-static trick of :func:`similarity_ann_portable_oracle`
+    applied to iterations instead of planes. Shared by the kmeans-IVF
+    oracle and the semantic-dedup oracle (operators/semdedup.py): any
+    oracle needing the engine-portable refined centroids starts from
+    this prefix and appends its own CTEs referencing
+    ``cents_{n_iter}``. Per round: argmax assignment (row_number over
+    the identical cosine fold), positional unnest
     (``generate_subscripts``/``unnest`` zip = Spark ``posexplode``),
     the engine-portable decimal(20,8) mean (see
     :func:`_kmeans_centroids` for why scale 8 and the DOUBLE-first
     widening are load-bearing), and ``list(m ORDER BY pos)`` to
-    rebuild the centroid array (= Spark's array_sort(collect_list) +
-    transform). Every double on the cell-assignment boundary is
-    bit-identical across engines, so candidate sets — and the final
-    re-ranked rows — match under the driver's value hash."""
+    rebuild the centroid array (= array_sort(collect_list) +
+    transform)."""
     cos = _cos_sql
     stride = (
         f"greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)"
@@ -526,6 +522,31 @@ cents_{i} AS (
   SELECT cell, list(m ORDER BY pos) AS c_emb FROM means_{i} GROUP BY cell
 )"""
         )
+    return "".join(parts)
+
+
+def similarity_ivf_kmeans_topk_oracle(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    n_iter: int = 1,
+) -> str:
+    """DuckDB twin of :func:`similarity_ivf_kmeans_topk` — the Lloyd
+    loop is unrolled into ``n_iter`` CTE chains (the same baked-static
+    trick as :func:`similarity_ann_portable_oracle`, applied to
+    iterations instead of planes). Per round: argmax assignment
+    (row_number over the identical cosine fold), positional unnest
+    (``generate_subscripts``/``unnest`` zip = Spark ``posexplode``),
+    the engine-portable decimal(20,8) mean (see
+    :func:`_kmeans_centroids` for why scale 8 and the DOUBLE-first
+    widening are load-bearing), and ``list(m ORDER BY pos)`` to
+    rebuild the centroid array (= Spark's array_sort(collect_list) +
+    transform). Every double on the cell-assignment boundary is
+    bit-identical across engines, so candidate sets — and the final
+    re-ranked rows — match under the driver's value hash."""
+    cos = _cos_sql
+    parts = [lloyd_cents_sql(n_cells, n_iter)]
     parts.append(
         f""",
 corpus_scored AS (

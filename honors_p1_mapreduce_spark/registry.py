@@ -25,6 +25,7 @@ from .operators import ngram as _ng
 from .operators import pipeline as _pl
 from .operators import relational as _rel
 from .operators import relational_ext as _rx
+from .operators import semdedup as _sd
 from .operators import similarity as _sim
 from .operators import sketch as _sk
 from .operators import text_analysis as _ta
@@ -99,6 +100,7 @@ QUERIES: dict[str, QueryFn] = {
     "priority_lines": _rx.priority_lines,  # NEW r5: TPC-H Q12 shape
     "excess_shipments": _rx.excess_shipments,  # NEW r5: TPC-H Q20 shape
     "waiting_suppliers": _rx.waiting_suppliers,  # NEW r5: TPC-H Q21 shape
+    "semantic_dedup": _sd.semantic_dedup,  # NEW r5: SemDeDup-style
     # --- [r5 window, block c] r4-green fill from modules touched in r5
     "events_gapfill": _ev.events_gapfill,
     "funnel_conversion": _ev.funnel_conversion,
@@ -107,8 +109,11 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
     "cms_sketch": _sk.cms_sketch,
-    "hll_estimate": _sk.hll_estimate,
     # ================= position 51+ — outside the r5 driver window =====
+    # hll_estimate: r4-green; sketch.py's r5 diff touches only the
+    # bloom_audit path (function-level inspection), and hll_registers
+    # stays in-window covering the module
+    "hll_estimate": _sk.hll_estimate,
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
@@ -193,6 +198,8 @@ ORACLES: dict[str, str] = {
     "priority_lines": _rx.PRIORITY_LINES_ORACLE,
     "excess_shipments": _rx.EXCESS_SHIPMENTS_ORACLE,
     "waiting_suppliers": _rx.WAITING_SUPPLIERS_ORACLE,
+    # SemDeDup-style semantic dedup (r5) — Lloyd chain + pair CTEs
+    "semantic_dedup": _sd.SEMANTIC_DEDUP_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

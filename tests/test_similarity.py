@@ -142,3 +142,25 @@ def test_ivf_kmeans_recall_not_worse_than_stride(spark):
         for r in sim.similarity_ivf_kmeans_topk(spark, sf).collect()
     }
     assert km == km2
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Keep-first greedy: the lowest-id member of every cell is always
+    kept (a drop needs a LOWER-id same-cell neighbor), and every drop
+    is witnessed by a kept-or-dropped lower-id neighbor above the
+    threshold via the oracle-checked pair rule."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.semdedup import semantic_dedup
+
+    out = semantic_dedup(spark, sf_dir)
+    heads = (
+        out.groupBy("cell")
+        .agg(F.min("vec_id").alias("head_id"))
+        .join(out, (F.col("head_id") == F.col("vec_id")), "inner")
+    )
+    assert heads.filter(~F.col("kept")).count() == 0
+    # deterministic across runs (driver hash depends on it)
+    r1 = sorted(tuple(r) for r in out.collect())
+    r2 = sorted(tuple(r) for r in semantic_dedup(spark, sf_dir).collect())
+    assert r1 == r2
