@@ -1,0 +1,157 @@
+"""Exact duplicated-substring spans across the corpus (Lee et al. style).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al. 2022, arXiv:2107.06499, public) removes exact substrings that
+recur across documents, found with a suffix array. A distributed
+suffix array is the wrong tool on Spark; the same spans are found at
+token-k-gram granularity with three keyed shuffles:
+
+1. every k-token gram of every document, hashed (map-only transform
+   pass, one explode — the winnowing extraction shape);
+2. grams occurring in >= 2 *distinct* documents (distinct + count —
+   the duplicated-gram set);
+3. a **semi-join** of gram occurrences against that set — fanout is
+   bounded by the occurrence count itself, never pairwise: a
+   boilerplate gram shared by a million documents costs a million
+   flag rows, not 10^12 pairs (the structural advantage over the
+   pair-joining near-dup family for this task);
+4. per-document span merge: overlapping/adjacent flagged grams
+   coalesce under one (doc_id) window — gram at ``pos`` covers tokens
+   ``[pos, pos+K-1]``, so hits chain while ``pos <= prev + K``.
+
+Any duplicated substring of >= K tokens is covered exactly (all its
+grams are flagged, and they chain into one span); shorter duplicates
+are below the detection floor by design — K is the span-granularity
+knob, exactly the suffix-array length threshold of the paper.
+
+The reference engine has nothing comparable (SURVEY.md §2.4); this is
+north-star LLM-pipeline surface beside ``operators/dedup.py``.
+
+At 100 TB: stage 1 is scan-bound; stages 2-3 shuffle (gram_hash) keyed
+rows ~= token count; stage 4 shuffles each doc's flagged positions
+once. No stage is quadratic in documents or grams.
+
+Gram hashes are 48-bit md5 prefixes via the engine-portable
+``conv(substring(md5(..)))`` / ``CAST(concat('0x',..))`` pattern
+(operators/winnow.py) so the whole pipeline reproduces in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+from ..sources.tables import load_table
+
+SPAN_K = 8  # tokens per gram == minimum duplicated-span length
+MIN_DOCS = 2  # gram is "duplicated" when in >= MIN_DOCS distinct docs
+
+
+def dedup_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    min_docs: int = MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, span_id, span_start, span_end, span_tokens) — maximal
+    merged token spans of cross-document duplicated k-grams, the rows
+    a span-level dedup pass would cut (or a loss-masking pass would
+    down-weight) from each document.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_spans_from(docs, k=k, min_docs=min_docs)
+
+
+def substring_spans_from(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Library-level span finder over any (doc_id, text) frame — the
+    body of :func:`dedup_substring_spans`, factored so tests can drive
+    it with hand-crafted corpora."""
+    toked = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    # one transform pass materializes every gram hash, then a single
+    # posexplode — the gram text itself never leaves the projection
+    ghs = (
+        f"transform(sequence(0, size(toks) - {k}), i -> "
+        f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {k}))), "
+        f"1, 12), 16, 10) as bigint))"
+    )
+    occ = toked.select(
+        "doc_id", F.posexplode(F.expr(ghs)).alias("pos", "gh")
+    )
+    dup = (
+        occ.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("gh")
+    )
+    hits = occ.join(dup, "gh", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "ns",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("span_id", F.sum("ns").over(w))
+    return (
+        flagged.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+_T = tokens_sql("text")
+
+DEDUP_SUBSTRING_SPANS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_T} AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, p.pos AS pos,
+         CAST(concat('0x', substr(md5(array_to_string(
+           list_slice(toks, p.pos + 1, p.pos + {SPAN_K}), ' ')), 1, 12))
+           AS BIGINT) AS gh
+  FROM toked, unnest(generate_series(0, len(toks) - {SPAN_K})) AS p(pos)
+  WHERE len(toks) >= {SPAN_K}
+),
+dup AS (
+  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM occ)
+  GROUP BY gh HAVING count(*) >= {MIN_DOCS}
+),
+hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (gh)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {SPAN_K} THEN 1 ELSE 0 END AS ns
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id, pos,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flagged
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {SPAN_K} - 1 AS INT) AS span_end,
+       CAST(max(pos) + {SPAN_K} - min(pos) AS INT) AS span_tokens
+FROM spans
+GROUP BY doc_id, span_id
+"""

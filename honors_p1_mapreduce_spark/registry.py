@@ -26,6 +26,7 @@ from .operators import pipeline as _pl
 from .operators import relational as _rel
 from .operators import relational_ext as _rx
 from .operators import semdedup as _sd
+from .operators import substring_dedup as _ss
 from .operators import similarity as _sim
 from .operators import sketch as _sk
 from .operators import text_analysis as _ta
@@ -101,8 +102,8 @@ QUERIES: dict[str, QueryFn] = {
     "excess_shipments": _rx.excess_shipments,  # NEW r5: TPC-H Q20 shape
     "waiting_suppliers": _rx.waiting_suppliers,  # NEW r5: TPC-H Q21 shape
     "semantic_dedup": _sd.semantic_dedup,  # NEW r5: SemDeDup-style
+    "dedup_substring_spans": _ss.dedup_substring_spans,  # NEW r5
     # --- [r5 window, block c] r4-green fill from modules touched in r5
-    "events_gapfill": _ev.events_gapfill,
     "funnel_conversion": _ev.funnel_conversion,
     "events_props_stats": _ev.events_props_stats,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
@@ -114,6 +115,9 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
+    # events_gapfill: r4-green; events.py's r5 diff only ADDS
+    # events_above_type_avg (in-window, covering the module)
+    "events_gapfill": _ev.events_gapfill,
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
@@ -200,6 +204,8 @@ ORACLES: dict[str, str] = {
     "waiting_suppliers": _rx.WAITING_SUPPLIERS_ORACLE,
     # SemDeDup-style semantic dedup (r5) — Lloyd chain + pair CTEs
     "semantic_dedup": _sd.SEMANTIC_DEDUP_ORACLE,
+    # duplicated-substring spans (r5) — portable gram hashes
+    "dedup_substring_spans": _ss.DEDUP_SUBSTRING_SPANS_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

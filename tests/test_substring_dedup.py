@@ -1,0 +1,63 @@
+"""Golden + invariant tests for duplicated-substring span detection
+(operators/substring_dedup.py; oracle parity runs via the registry
+sweep in test_reference_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from honors_p1_mapreduce_spark.operators.substring_dedup import (
+    SPAN_K,
+    substring_spans_from,
+)
+
+
+def _spans(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_spans_from(docs, **kw).collect()
+    }
+
+
+def test_shared_substring_is_found_exactly(spark):
+    shared = " ".join(f"tok{i}" for i in range(12))  # 12-token duplicate
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        (2, f"one two three four five six {shared} seven eight nine ten"),
+        (3, "completely unrelated text with no overlap at all here now"),
+    ]
+    out = _spans(spark, rows)
+    # doc 1: shared occupies token positions 2..13; doc 2: 6..17
+    assert (1, 2, 13) in out
+    assert (2, 6, 17) in out
+    assert not any(d == 3 for d, _, _ in out)
+
+
+def test_below_k_duplicates_are_ignored(spark):
+    shared = " ".join(f"tok{i}" for i in range(SPAN_K - 1))  # k-1 tokens
+    rows = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} zeta eta theta iota kappa"),
+    ]
+    assert _spans(spark, rows) == set()
+
+
+def test_overlapping_hits_merge_into_one_span(spark):
+    # a 2k-token duplicate produces k+1 overlapping gram hits per doc
+    # that must merge to ONE maximal span, not k+1 fragments
+    shared = " ".join(f"tok{i}" for i in range(2 * SPAN_K))
+    rows = [(1, f"x y {shared}"), (2, f"{shared} p q r")]
+    out = _spans(spark, rows)
+    assert out == {(1, 2, 2 * SPAN_K + 1), (2, 0, 2 * SPAN_K - 1)}
+
+
+def test_within_doc_repeat_alone_is_not_cross_doc(spark):
+    # the same k-gram twice in ONE doc only -> not duplicated across
+    # documents (min_docs counts DISTINCT docs)
+    shared = " ".join(f"tok{i}" for i in range(SPAN_K))
+    rows = [
+        (1, f"{shared} middle words here {shared}"),
+        (2, "totally different content in this document entirely okay"),
+    ]
+    assert _spans(spark, rows) == set()
