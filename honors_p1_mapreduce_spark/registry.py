@@ -23,6 +23,7 @@ from .operators import log_analyzer as _la
 from .operators import multimodal as _mm
 from .operators import ngram as _ng
 from .operators import pipeline as _pl
+from .operators import pq as _pq
 from .operators import relational as _rel
 from .operators import relational_ext as _rx
 from .operators import semdedup as _sd
@@ -103,9 +104,9 @@ QUERIES: dict[str, QueryFn] = {
     "waiting_suppliers": _rx.waiting_suppliers,  # NEW r5: TPC-H Q21 shape
     "semantic_dedup": _sd.semantic_dedup,  # NEW r5: SemDeDup-style
     "dedup_substring_spans": _ss.dedup_substring_spans,  # NEW r5
+    "similarity_pq_topk": _pq.similarity_pq_topk,  # NEW r5: PQ/ADC
     # --- [r5 window, block c] r4-green fill from modules touched in r5
     "funnel_conversion": _ev.funnel_conversion,
-    "events_props_stats": _ev.events_props_stats,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
@@ -115,9 +116,10 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
-    # events_gapfill: r4-green; events.py's r5 diff only ADDS
-    # events_above_type_avg (in-window, covering the module)
+    # events_gapfill/events_props_stats: r4-green; events.py's r5 diff
+    # only ADDS events_above_type_avg (in-window, covering the module)
     "events_gapfill": _ev.events_gapfill,
+    "events_props_stats": _ev.events_props_stats,
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
@@ -206,6 +208,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": _sd.SEMANTIC_DEDUP_ORACLE,
     # duplicated-substring spans (r5) — portable gram hashes
     "dedup_substring_spans": _ss.DEDUP_SUBSTRING_SPANS_ORACLE,
+    # PQ/ADC ANN (r5) — per-subspace Lloyd chains + decimal ADC sum
+    "similarity_pq_topk": _pq.SIMILARITY_PQ_TOPK_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

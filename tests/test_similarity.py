@@ -164,3 +164,40 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     r1 = sorted(tuple(r) for r in out.collect())
     r2 = sorted(tuple(r) for r in semantic_dedup(spark, sf_dir).collect())
     assert r1 == r2
+
+
+def test_pq_recall_beats_chance_and_is_deterministic(spark, sf_dir):
+    """PQ/ADC top-k recall vs exact squared-L2 top-k: well above the
+    random-chance floor (10/500 = 0.02) on the near-isotropic driver
+    embeddings (measured 0.32 at sf0.001 — see operators/pq.py for
+    the CELLS/ITER sweep), and bit-deterministic across runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.pq import _sq_l2, similarity_pq_topk
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        q.crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", _sq_l2(F.col("qe"), F.col("embedding")).alias("d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    truth = set(
+        map(
+            tuple,
+            exact.withColumn("r", F.row_number().over(w))
+            .filter("r <= 10")
+            .select("query_id", "vec_id")
+            .collect(),
+        )
+    )
+    out = similarity_pq_topk(spark, sf_dir)
+    got = set(map(tuple, out.select("query_id", "vec_id").collect()))
+    assert len(truth & got) / len(truth) >= 0.15
+    r2 = set(map(tuple, similarity_pq_topk(spark, sf_dir).select("query_id", "vec_id").collect()))
+    assert got == r2
