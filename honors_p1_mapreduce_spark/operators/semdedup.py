@@ -79,8 +79,15 @@ def semantic_dedup(
     cents = _kmeans_centroids(emb, seed, n_iter=n_iter)
     assigned = _ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1)
 
-    en = assigned.join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    # (vec, cell, embedding, norm) feeds BOTH pair-join sides and the
+    # kept-flag output — persist so the assignment runs once, not 3x
+    # (the embedding_neardup bucket-persist pattern)
+    en = (
+        assigned.join(emb, "vec_id")
+        .select(
+            "vec_id", "cell", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        )
+        .persist()
     )
     a = en.select(
         F.col("cell"),
@@ -106,7 +113,7 @@ def semantic_dedup(
         .distinct()
         .withColumn("is_dup", F.lit(True))
     )
-    return assigned.join(dropped, "vec_id", "left").select(
+    return en.select("vec_id", "cell").join(dropped, "vec_id", "left").select(
         "vec_id",
         "cell",
         F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),

@@ -80,6 +80,10 @@ def substring_spans_from(
         f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {k}))), "
         f"1, 12), 16, 10) as bigint))"
     )
+    # occ feeds both the duplicated-gram aggregate and the hit join;
+    # it is deliberately NOT persisted — at one row per corpus token it
+    # is the largest frame in the pipeline, and re-deriving it is one
+    # map-only pass over the scan (cheaper than caching it at 100 TB)
     occ = toked.select(
         "doc_id", F.posexplode(F.expr(ghs)).alias("pos", "gh")
     )
