@@ -18,6 +18,7 @@ from .operators import curation as _cu
 from .operators import dedup as _dd
 from .operators import events as _ev
 from .operators import grep as _gr
+from .operators import importance as _imp
 from .operators import inverted_index as _ii
 from .operators import log_analyzer as _la
 from .operators import multimodal as _mm
@@ -105,8 +106,8 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": _sd.semantic_dedup,  # NEW r5: SemDeDup-style
     "dedup_substring_spans": _ss.dedup_substring_spans,  # NEW r5
     "similarity_pq_topk": _pq.similarity_pq_topk,  # NEW r5: PQ/ADC
+    "importance_sample": _imp.importance_sample,  # NEW r5
     # --- [r5 window, block c] r4-green fill from modules touched in r5
-    "funnel_conversion": _ev.funnel_conversion,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
@@ -116,10 +117,12 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
-    # events_gapfill/events_props_stats: r4-green; events.py's r5 diff
-    # only ADDS events_above_type_avg (in-window, covering the module)
+    # events_gapfill/events_props_stats/funnel_conversion: r4-green;
+    # events.py's r5 diff only ADDS events_above_type_avg (in-window,
+    # covering the module)
     "events_gapfill": _ev.events_gapfill,
     "events_props_stats": _ev.events_props_stats,
+    "funnel_conversion": _ev.funnel_conversion,
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
@@ -210,6 +213,9 @@ ORACLES: dict[str, str] = {
     "dedup_substring_spans": _ss.DEDUP_SUBSTRING_SPANS_ORACLE,
     # PQ/ADC ANN (r5) — per-subspace Lloyd chains + decimal ADC sum
     "similarity_pq_topk": _pq.SIMILARITY_PQ_TOPK_ORACLE,
+    # quality-weighted importance sampling (r5) — embeds the
+    # quality_score oracle as its feature subquery
+    "importance_sample": _imp.IMPORTANCE_SAMPLE_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

@@ -131,3 +131,32 @@ def test_pii_scrub_is_case_insensitive(spark):
     import re as _re
 
     assert _re.fullmatch(cu.EMAIL_RE, "John.Doe@Example.COM")
+
+
+def test_importance_sample_contract(spark, sf_dir):
+    """Quality-weighted sampling: p_keep respects the proportional
+    rule, realized keep rate lands near the target, kept docs have
+    higher mean quality than the corpus, and decisions are
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.importance import (
+        IMPORTANCE_RATE,
+        importance_sample,
+    )
+
+    out = importance_sample(spark, sf_dir)
+    r = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("kept").cast("int")).alias("k"),
+        F.avg("quality").alias("mq"),
+        F.avg(F.when(F.col("kept"), F.col("quality"))).alias("mkq"),
+        F.max("p_keep").alias("maxp"),
+        F.min("p_keep").alias("minp"),
+    ).collect()[0]
+    assert 0.0 <= r["minp"] and r["maxp"] <= 1.0
+    assert abs(r["k"] / r["n"] - IMPORTANCE_RATE) < 0.1  # realized ~ target
+    assert r["mkq"] > r["mq"]  # the uplift the sampler exists for
+    a = sorted(tuple(x) for x in out.collect())
+    b = sorted(tuple(x) for x in importance_sample(spark, sf_dir).collect())
+    assert a == b
