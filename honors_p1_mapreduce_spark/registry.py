@@ -107,8 +107,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_substring_spans": _ss.dedup_substring_spans,  # NEW r5
     "similarity_pq_topk": _pq.similarity_pq_topk,  # NEW r5: PQ/ADC
     "importance_sample": _imp.importance_sample,  # NEW r5
+    "events_multi_rollup": _ev.events_multi_rollup,  # NEW r5
     # --- [r5 window, block c] r4-green fill from modules touched in r5
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
     "cms_sketch": _sk.cms_sketch,
@@ -117,9 +117,12 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
+    # similarity_ivf_topk: r4-green; similarity.py's r5 diff touches
+    # only the _kmeans_* paths, and the kmeans sibling is in-window
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
     # events_gapfill/events_props_stats/funnel_conversion: r4-green;
-    # events.py's r5 diff only ADDS events_above_type_avg (in-window,
-    # covering the module)
+    # events.py's r5 diff only ADDS events_above_type_avg +
+    # events_multi_rollup (both in-window, covering the module)
     "events_gapfill": _ev.events_gapfill,
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
@@ -216,6 +219,9 @@ ORACLES: dict[str, str] = {
     # quality-weighted importance sampling (r5) — embeds the
     # quality_score oracle as its feature subquery
     "importance_sample": _imp.IMPORTANCE_SAMPLE_ORACLE,
+    # cascading hypertable rollup (r5) — oracle re-groups raw events
+    # per grain; the engine cascades grains off one fact scan
+    "events_multi_rollup": _ev.EVENTS_MULTI_ROLLUP_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

@@ -326,3 +326,13 @@ def test_min_cost_supplier_single_fact_scan(spark, sf_dir):
     plan = _plan(min_cost_supplier(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
     assert "Window" in plan
+
+
+def test_multi_rollup_cascades_off_cached_grains(spark, sf_dir):
+    """Hypertable rollup: hour/day re-aggregate the persisted finer
+    grain (InMemoryTableScan) instead of rescanning raw events —
+    one fact scan feeds all three grains at execution time."""
+    from honors_p1_mapreduce_spark.operators.events import events_multi_rollup
+
+    plan = _plan(events_multi_rollup(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
