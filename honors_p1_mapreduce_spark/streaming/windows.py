@@ -100,3 +100,81 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_incremental_rollup(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Incremental continuous aggregate (the streaming face of
+    ``operators/events.py:events_multi_rollup``): each micro-batch
+    reduces its raw events to minute-grain PARTIAL aggregates and
+    appends them to a parquet store — raw events are touched exactly
+    once, and the store grows with distinct (minute, type) buckets,
+    not with events. Coarser grains are derived from the store by
+    ``read_rollup_store``.
+
+    Merge strategy is append-partials + aggregate-on-read (the
+    sink-agnostic version of an upsert/MERGE INTO: partial decimal
+    sums and counts are re-addable, so "merge" is just another
+    aggregation — no sink transaction support needed, which is what
+    keeps the pattern portable to plain object storage at 100 TB;
+    a compaction pass over the store is the standard companion job).
+    """
+
+    def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        (
+            batch.groupBy(
+                F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(24,6)")).alias("sdec"),
+            )
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", store_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the cascaded (grain, bucket_start, event_type, n_events,
+    sum_value) frame from the partial-aggregate store — the same
+    cascade (and the same exact-decimal carry) as the batch
+    ``events_multi_rollup``, re-aggregating stored partials instead of
+    raw events."""
+    minute = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+        .persist()
+    )
+    hour = (
+        minute.groupBy(
+            F.date_trunc("hour", "bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+        .persist()
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.col("sdec").cast("double").alias("sum_value"),
+        )
+
+    return out(minute, "minute").union(out(hour, "hour")).union(out(day, "day"))

@@ -85,3 +85,20 @@ def test_streaming_dedup_collapses_at_least_once_delivery(spark, sf_dir, tmp_pat
     assert got.count() == n_batch
     # every event_id exactly once despite double delivery
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch continuous aggregate (partial-agg append +
+    merge-on-read) must serve exactly the batch cascade's rows for
+    every grain once the stream drains."""
+    from honors_p1_mapreduce_spark.operators.events import events_multi_rollup
+    from honors_p1_mapreduce_spark.streaming.windows import (
+        read_rollup_store,
+        streaming_incremental_rollup,
+    )
+
+    store = str(tmp_path / "rollup_store")
+    streaming_incremental_rollup(spark, sf_dir, store)
+    got = {tuple(r) for r in read_rollup_store(spark, store).collect()}
+    want = {tuple(r) for r in events_multi_rollup(spark, sf_dir).collect()}
+    assert got == want
