@@ -68,7 +68,20 @@ def semantic_dedup(
     dup pair chain's head, deterministically.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()  # parquet metadata-only
+    return semantic_dedup_from(emb, n_cells=n_cells, n_iter=n_iter, threshold=threshold)
+
+
+def semantic_dedup_from(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iter: int = SEMDEDUP_ITER,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Library-level dedup over any (vec_id, embedding) frame — the
+    body of :func:`semantic_dedup`, factored so scale probes and tests
+    can drive it with synthetic corpora (``n_cells`` is the knob that
+    must scale with corpus size, ~sqrt(n), to bound Σ|cell|²)."""
+    n = emb.count()
     stride = max(n // n_cells, 1)
     seed = (
         emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT % stride)
