@@ -62,27 +62,31 @@ def main() -> None:
         # per-query timings independent.
         spark.catalog.clearCache()
 
+    line, full = build_output(timings, sf)
+    Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
+    print(line)
+    spark.stop()
+
+
+def build_output(timings: dict[str, float], sf: float) -> tuple[str, dict]:
+    """(printed JSON line, full-detail dict). The PRINTED line must
+    stay well under 2000 bytes — the driver records only the last
+    2000 bytes of this process's output and parses the JSON line out
+    of that window (round 4's line grew past it and the driver
+    recorded parsed=null). The line carries the total over ALL
+    queries plus the slowest queries that fit the byte budget; full
+    per-query detail goes to BENCH_FULL.json. Budget invariance is
+    pinned by tests/test_cli.py::test_bench_line_fits_record_window
+    for the real registry at any plausible timing magnitudes."""
     total = round(sum(timings.values()), 3)
-    # Full per-query detail goes to a repo file; the PRINTED line must
-    # stay well under 2000 bytes — the driver records only the last
-    # 2000 bytes of this process's output and parses the JSON line out
-    # of that window (round 4's line grew past it and the driver
-    # recorded parsed=null). The line carries the total over ALL
-    # queries plus the slowest queries that fit the byte budget.
-    Path("BENCH_FULL.json").write_text(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sf": sf,
-            },
-            indent=1,
-        )
-        + "\n"
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
     shown: dict[str, float] = {"wordcount": timings.get("wordcount", 0.0)}
     budget = 1600  # bytes for the "queries" dict, conservative
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
@@ -91,20 +95,18 @@ def main() -> None:
         if len(json.dumps({**shown, name: secs})) > budget:
             break
         shown[name] = secs
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": shown,
-                "n_queries": len(timings),
-                "detail": "BENCH_FULL.json",
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": shown,
+            "n_queries": len(timings),
+            "detail": "BENCH_FULL.json",
+            "sf": sf,
+        }
     )
-    spark.stop()
+    return line, full
 
 
 if __name__ == "__main__":

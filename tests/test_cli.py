@@ -49,3 +49,35 @@ def test_cli_query_list_and_run(sf_dir, spark, capsys):
     main(["query", "wordcount_topk", "--sf-dir", sf_dir, "--limit", "5"])
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 5 and all("\t" in line for line in out)
+
+
+def test_bench_line_fits_record_window():
+    """The run recorder keeps only the last 2000 bytes of bench output;
+    the printed JSON line must fit regardless of registry growth or
+    timing magnitudes (round 4's line outgrew the window and the
+    recorded bench row had parsed=null)."""
+    import json
+
+    import bench
+    from honors_p1_mapreduce_spark import registry
+
+    for magnitude in (0.001, 9.999, 12345.678):
+        timings = {n: magnitude for n in registry.QUERIES}
+        line, full = bench.build_output(timings, 0.1)
+        assert len(line.encode()) < 1900, len(line)
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert set(full["queries"]) == set(registry.QUERIES)
+
+
+def test_driver_window_has_no_rows_only_queries():
+    """The driver checks exactly the FIRST 50 registry entries each
+    round; a rows-only query inside the window burns a slot on a
+    `no_oracle` row (flagged by the round-4 verdict). Rotation edits
+    must keep every windowed entry oracle-backed."""
+    from honors_p1_mapreduce_spark import registry
+
+    window = list(registry.QUERIES)[:50]
+    missing = [n for n in window if n not in registry.ORACLES]
+    assert not missing, f"rows-only queries inside the driver window: {missing}"
+    assert len(registry.QUERIES) >= 50
