@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytic as _an
 from .operators import asof as _asof
+from .operators import crossmodal as _cm
 from .operators import curation as _cu
 from .operators import dedup as _dd
 from .operators import events as _ev
@@ -108,8 +109,8 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_pq_topk": _pq.similarity_pq_topk,  # NEW r5: PQ/ADC
     "importance_sample": _imp.importance_sample,  # NEW r5
     "events_multi_rollup": _ev.events_multi_rollup,  # NEW r5
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,  # NEW r5
     # --- [r5 window, block c] r4-green fill from modules touched in r5
-    "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
     "cms_sketch": _sk.cms_sketch,
     # ================= position 51+ — outside the r5 driver window =====
@@ -117,9 +118,12 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
-    # similarity_ivf_topk: r4-green; similarity.py's r5 diff touches
-    # only the _kmeans_* paths, and the kmeans sibling is in-window
+    # similarity_ivf_topk/similarity_ann_portable: r4-green;
+    # similarity.py's r5 diff touches only the _kmeans_* paths (incl.
+    # the byte-identical lloyd_cents_sql refactor), and the kmeans
+    # sibling is in-window covering the module
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
     # events_gapfill/events_props_stats/funnel_conversion: r4-green;
     # events.py's r5 diff only ADDS events_above_type_avg +
     # events_multi_rollup (both in-window, covering the module)
@@ -222,6 +226,9 @@ ORACLES: dict[str, str] = {
     # cascading hypertable rollup (r5) — oracle re-groups raw events
     # per grain; the engine cascades grains off one fact scan
     "events_multi_rollup": _ev.EVENTS_MULTI_ROLLUP_ORACLE,
+    # cross-table filtered ANN (r5) — quality predicate joined from
+    # the documents table before any scoring
+    "similarity_doc_quality_topk": _cm.SIMILARITY_DOC_QUALITY_TOPK_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
