@@ -1,0 +1,176 @@
+"""Distributed BPE merge training over the document corpus.
+
+Byte-pair encoding (Sennrich, Haddow, Birch 2016, arXiv:1508.07909,
+public) learns a subword vocabulary by repeatedly merging the most
+frequent adjacent symbol pair — the tokenizer-training step of every
+LLM data pipeline. The classic efficiency structure is kept: training
+runs over the WORD-FREQUENCY table (unique word, count), not the raw
+corpus, so each round's pair count aggregates |vocab|·avg_word_len
+rows no matter how big the corpus is — the corpus is scanned exactly
+once, to build the vocabulary.
+
+Symbol-sequence representation (shared with the oracle): a word's
+symbols are kept as a delimiter-wrapped string ``|s1||s2||...|``.
+Tokens are ``[a-z0-9_]`` (functions/text.py), so ``|`` can't occur in
+a symbol, and applying a merge is ONE literal string replace:
+``replace(w, '|a||b|', '|ab|')`` — leftmost non-overlapping greedy,
+which is exactly BPE's merge-application rule, with identical
+semantics in Spark and DuckDB (verified: ``'|a||a||a|'`` merges to
+``'|aa||a|'`` in both).
+
+Each round is: split the wrapped string → adjacent pairs (bounded
+fan-out of avg_word_len) → count-weighted pair aggregate (ONE keyed
+shuffle over pair keys) → deterministic argmax (count DESC, pair
+ASC) → one-row collect to the driver → literal replace over the
+vocab frame. The per-round single-row collect is the same justified
+driver scalar as ``dedup_clusters``' convergence checksum; the vocab
+frame is localCheckpoint'd per round so the iterative lineage stays
+flat. Ties and counts are exact integers — fully deterministic, and
+the DuckDB oracle unrolls the loop as CTE chains computing its own
+top pair per round (no baked literals), so the full training loop is
+hash-checked end to end.
+
+Output: (merge_rank, merge_left, merge_right, pair_count) — the
+learned merge table in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+from ..sources.tables import load_table
+
+BPE_MERGES = 10  # merge rounds to learn
+
+_SEP = "|"
+
+
+def _wrap_chars(word) -> F.Column:
+    """'abc' -> '|a||b||c|' (initial one-char symbols, wrapped)."""
+    return F.concat(
+        F.lit(_SEP),
+        F.array_join(F.split(word, ""), _SEP + _SEP),
+        F.lit(_SEP),
+    )
+
+
+def _syms(wrapped) -> F.Column:
+    return F.split(F.btrim(wrapped, F.lit(_SEP)), r"\|\|")
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges_from(spark, docs, n_merges=n_merges)
+
+
+def bpe_train_merges_from(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Library-level trainer over any (doc_id, text) frame — the body
+    of :func:`bpe_train_merges`, factored for golden tests on
+    hand-built corpora."""
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(_wrap_chars(F.col("word")).alias("w"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        syms = _syms(F.col("w"))
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.when(F.size(syms) < 2, F.array().cast("array<struct<a:string,b:string>>")).otherwise(
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                        )
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        row = pairs.collect()
+        if not row:  # vocabulary fully merged — stop early
+            break
+        a, b, total = row[0]["a"], row[0]["b"], row[0]["total"]
+        merges.append((rank, a, b, int(total)))
+        vocab = vocab.select(
+            F.expr(
+                f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
+                f"'{_SEP}{a}{b}{_SEP}')"
+            ).alias("w"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, pair_count bigint"
+    )
+
+
+_T = tokens_sql("text")
+
+
+def bpe_train_merges_oracle(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the merge loop unrolled — each round recomputes
+    its own top pair from the previous vocab (scalar subqueries into
+    the literal replace), so the oracle re-derives the entire training
+    trajectory rather than replaying baked answers. Every CTE is
+    MATERIALIZED: without it DuckDB inlines the chain and the three
+    scalar subqueries per round re-evaluate all prior rounds — an
+    exponential blowup that exhausted file handles at 10 rounds."""
+    parts = [
+        f"""
+WITH vocab_0 AS MATERIALIZED (
+  SELECT '{_SEP}' || array_to_string(regexp_split_to_array(word, ''),
+                                     '{_SEP}{_SEP}') || '{_SEP}' AS w,
+         count(*) AS cnt
+  FROM (SELECT unnest({_T}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+pairs_{i} AS MATERIALIZED (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS total
+  FROM (SELECT string_split(trim(w, '{_SEP}'), '{_SEP}{_SEP}') AS syms, cnt
+        FROM vocab_{p}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+top_{i} AS MATERIALIZED (
+  SELECT {i} AS merge_rank, a, b, total
+  FROM pairs_{i} ORDER BY total DESC, a ASC, b ASC LIMIT 1
+),
+vocab_{i} AS MATERIALIZED (
+  SELECT replace(w,
+                 '{_SEP}' || (SELECT a FROM top_{i}) || '{_SEP}{_SEP}'
+                          || (SELECT b FROM top_{i}) || '{_SEP}',
+                 '{_SEP}' || (SELECT a || b FROM top_{i}) || '{_SEP}') AS w,
+         cnt
+  FROM vocab_{p}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(merge_rank AS INT) AS merge_rank, a AS merge_left, "
+        f"b AS merge_right, CAST(total AS BIGINT) AS pair_count FROM top_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{selects}")
+    return "".join(parts)
+
+
+BPE_TRAIN_MERGES_ORACLE = bpe_train_merges_oracle()

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytic as _an
 from .operators import asof as _asof
+from .operators import bpe as _bpe
 from .operators import crossmodal as _cm
 from .operators import curation as _cu
 from .operators import dedup as _dd
@@ -110,10 +111,14 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,  # NEW r5
     "events_multi_rollup": _ev.events_multi_rollup,  # NEW r5
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,  # NEW r5
+    "bpe_train_merges": _bpe.bpe_train_merges,  # NEW r5
     # --- [r5 window, block c] r4-green fill from modules touched in r5
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "cms_sketch": _sk.cms_sketch,
     # ================= position 51+ — outside the r5 driver window =====
+    # cms_sketch: r4-green; sketch.py's r5 diff touches only the
+    # bloom_audit path, and cms_estimate + hll_registers +
+    # bloom_membership stay in-window covering the module
+    "cms_sketch": _sk.cms_sketch,
     # hll_estimate: r4-green; sketch.py's r5 diff touches only the
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
@@ -229,6 +234,9 @@ ORACLES: dict[str, str] = {
     # cross-table filtered ANN (r5) — quality predicate joined from
     # the documents table before any scoring
     "similarity_doc_quality_topk": _cm.SIMILARITY_DOC_QUALITY_TOPK_ORACLE,
+    # BPE merge training (r5) — loop unrolled to MATERIALIZED CTE
+    # rounds, each recomputing its own top pair
+    "bpe_train_merges": _bpe.BPE_TRAIN_MERGES_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,
