@@ -43,22 +43,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 round, so the window must ROTATE so no query's latest evidence is more
 than one round old. Round-5 window: (a) ALL 31 entries that sat after
 position 50 in round 4 (their latest green rows are round 3 — two
-rounds old by round 5's end if left out); (b) the 11 queries NEW or
-CHANGED in round 5 (media_real_decode + events_above_type_avg + the 5
-TPC-H shape-completion queries in relational_ext.py added;
-similarity_ivf_kmeans_topk gained its Lloyd oracle and the portable
-decimal mean; bloom_membership's bloom_audit dedupes probes; the media
-decode pair rides the rewired real-codec module); (c) 8 round-4-green
-fill picked from the modules round 5 touched. The 38 entries after
-position 50 all carry green round-4 rows (CORRECTNESS_r04.json) and
-rotate back to the front in round 6; of those, dedup_* live in a
-module UNTOUCHED in r5 and similarity_topk/similarity_filtered_topk's
-r5 module diff touches only the _kmeans_* code paths (function-level
-diff inspection; both also re-verified by this round's sf0.01 parity
-sweep). The 3 rows-only queries (similarity_ann_topk,
-embedding_neardup, dedup_minhash — numpy hash families, each with an
-oracle-green portable twin in-window) sit at the very end so they
-never burn window slots on `no_oracle` rows."""
+rounds old by round 5's end if left out); (b) the 18 queries NEW or
+CHANGED in round 5 (the 5 TPC-H shape-completion queries in
+relational_ext.py, semantic_dedup, dedup_substring_spans,
+similarity_pq_topk, importance_sample, events_multi_rollup,
+similarity_doc_quality_topk, bpe_train_merges, media_real_decode,
+events_above_type_avg; similarity_ivf_kmeans_topk gained its Lloyd
+oracle and the portable decimal mean; bloom_membership's bloom_audit
+dedupes probes; the media decode pair rides the rewired real-codec
+module); (c) 1 round-4-green fill (embedding_neardup_portable — the
+portable twin justifying the tail rows-only entries). The 45 entries
+after position 50 all carry green round-4 rows (CORRECTNESS_r04.json)
+and rotate back to the front in round 6; each carries an inline note
+where its module was touched in r5 (function-level diff inspection;
+all also re-verified by this session's sf0.01 parity sweeps). The 3
+rows-only queries (similarity_ann_topk, embedding_neardup,
+dedup_minhash — numpy hash families, each with an oracle-green
+portable twin in-window) sit at the very end so they never burn
+window slots on `no_oracle` rows. The window-integrity invariant
+(first 50 all oracle-backed) is pinned by
+tests/test_cli.py::test_driver_window_has_no_rows_only_queries."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r5 window, block a] rotated in: latest green row is round 3
@@ -138,8 +142,11 @@ QUERIES: dict[str, QueryFn] = {
     # every entry below is green in round 4 (CORRECTNESS_r04.json) with
     # code unchanged in round 5; rotate ALL of them (count the actual
     # entries — do not trust a stale number) to the front in r6
+    # similarity_topk/similarity_filtered_topk: r4-green; similarity.py's
+    # r5 diff touches only the _kmeans_* paths (see note below)
     "similarity_topk": _sim.similarity_topk,
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    # dedup_*: r4-green; dedup.py UNTOUCHED in r5
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
