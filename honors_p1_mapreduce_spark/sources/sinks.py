@@ -80,3 +80,42 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized ~``target_file_bytes`` (the HDFS/S3-friendly 128 MB default).
+
+    Append-heavy stores accumulate small files — a streaming
+    foreachBatch sink (``streaming/windows.py:streaming_incremental_
+    rollup``) appends one file set per micro-batch, and at 100 TB the
+    per-file open/footer cost comes to dominate the read path. The
+    standard companion job reads the store, coalesces to
+    ceil(bytes / target) files, and atomically swaps directories
+    (write to ``path + '.compact'``, then rename — the last-step
+    rename is the only non-idempotent moment, and re-running after a
+    crash just re-compacts).
+
+    Returns (files_before, files_after). ``coalesce`` (not
+    ``repartition``) — compaction must not pay a shuffle, only a
+    narrow merge of input splits.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    files_before = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in files_before)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = str(p) + ".compact"
+    df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    Path(tmp).rename(p)
+    files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
+    return len(files_before), files_after

@@ -80,3 +80,28 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in docs.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    """Compact the streaming rollup's append store: row-identical
+    content, fewer files (the store accumulates one file set per
+    micro-batch plus one per append below)."""
+    from honors_p1_mapreduce_spark.sources.sinks import compact_parquet
+    from honors_p1_mapreduce_spark.streaming.windows import (
+        read_rollup_store,
+        streaming_incremental_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    streaming_incremental_rollup(spark, sf_dir, store)
+    # a second append fragments the store further
+    spark.read.parquet(store).write.mode("append").parquet(store)
+    want = {tuple(r) for r in spark.read.parquet(store).collect()}
+
+    before, after = compact_parquet(spark, store)
+    got = {tuple(r) for r in spark.read.parquet(store).collect()}
+    assert got == want
+    assert after < before
+    assert after == 1  # tiny store -> single 128MB-target file
+    # the serving cascade still works over the compacted store
+    assert read_rollup_store(spark, store).count() > 0
