@@ -61,3 +61,50 @@ def test_within_doc_repeat_alone_is_not_cross_doc(spark):
         (2, "totally different content in this document entirely okay"),
     ]
     assert _spans(spark, rows) == set()
+
+
+# ---- hypothesis differential vs a pure-Python reference ------------
+# the DuckDB oracle re-expresses the SAME algorithm in SQL, so a shared
+# misconception would pass both; this reference is an independent
+# reimplementation (dict-of-sets + linear merge), breaking that
+# correlation.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+DOC = st.lists(st.sampled_from("abcde"), min_size=0, max_size=14)
+CORPUS = st.lists(DOC, min_size=2, max_size=6)
+
+
+def _expected_spans(docs: list[list[str]], k: int, min_docs: int):
+    gram_docs: dict[tuple, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            gram_docs.setdefault(tuple(toks[p : p + k]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = set()
+    for i, toks in enumerate(docs):
+        hits = [p for p in range(len(toks) - k + 1) if tuple(toks[p : p + k]) in dup]
+        j = 0
+        while j < len(hits):
+            start = hits[j]
+            end = hits[j]
+            while j + 1 < len(hits) and hits[j + 1] <= hits[j] + k:
+                j += 1
+                end = hits[j]
+            out.add((i, start, end + k - 1))
+            j += 1
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(CORPUS)
+def test_spans_match_python_reference(spark, corpus):
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_spans_from(docs, k=k).collect()
+    }
+    assert got == _expected_spans(corpus, k=3, min_docs=2)
