@@ -37,3 +37,57 @@ def test_bpe_stops_when_fully_merged(spark):
     docs = spark.createDataFrame([(1, "ab ab ab")], ["doc_id", "text"])
     out = bpe_train_merges_from(spark, docs, n_merges=5).collect()
     assert [(r["merge_left"], r["merge_right"]) for r in out] == [("a", "b")]
+
+
+# ---- hypothesis differential vs a pure-Python reference ------------
+# the DuckDB oracle runs the same dataflow in SQL; this is an
+# independent reimplementation (Counter + list rewrite) so a shared
+# misconception cannot pass both.
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+CORPUS = st.lists(WORD, min_size=1, max_size=12)
+
+
+def _expected_merges(words: list[str], n_merges: int):
+    vocab = Counter(words)
+    syms = {w: list(w) for w in vocab}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for j in range(len(s) - 1):
+                counts[(s[j], s[j + 1])] += cnt
+        if not counts:
+            break
+        # tie-break: count DESC, then pair ASC lexicographically
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        (a, b), total = top
+        out.append((rank, a, b, total))
+        for w in syms:
+            s, new, j = syms[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    new.append(a + b)
+                    j += 2
+                else:
+                    new.append(s[j])
+                    j += 1
+            syms[w] = new
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(CORPUS)
+def test_bpe_matches_python_reference(spark, corpus):
+    docs = spark.createDataFrame([(1, " ".join(corpus))], ["doc_id", "text"])
+    got = [
+        (r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train_merges_from(spark, docs, n_merges=4).collect()
+    ]
+    assert got == _expected_merges(corpus, 4)
