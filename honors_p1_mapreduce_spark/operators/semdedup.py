@@ -33,8 +33,11 @@ the pair/drop CTEs so the whole pipeline hash-matches in DuckDB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine_from_norms, l2_norm
 from ..sources.tables import load_table
@@ -169,3 +172,123 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 
 
 SEMANTIC_DEDUP_ORACLE = semantic_dedup_oracle()
+
+
+# --------------------------- fast path (Arrow/numpy, non-portable) ---
+
+
+def semantic_dedup_fast(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    n_iter: int = SEMDEDUP_ITER,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """The 100 TB face of :func:`semantic_dedup`: identical pipeline
+    shape (stride seed → Lloyd → assign → within-cell pairs →
+    keep-lowest-id), but every cosine evaluation runs as an
+    Arrow-batched numpy matmul instead of Catalyst's interpreted fold
+    — measured 21x end-to-end at a 20k-vector probe (178 s -> 8.3 s,
+    IDENTICAL kept counts; see SURVEY §8.5). Float-summation order differs from the fold, so doubles on
+    cell/threshold boundaries can flip: this variant is rows-only
+    (no DuckDB oracle) and ``tests/test_similarity.py`` pins
+    agreement with the oracle-checked portable twin instead — the
+    same fast/portable twin contract as similarity_ann_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_fast_from(
+        emb, n_cells=n_cells, n_iter=n_iter, threshold=threshold
+    )
+
+
+def semantic_dedup_fast_from(
+    emb: DataFrame,
+    n_cells: int = IVF_CELLS,
+    n_iter: int = SEMDEDUP_ITER,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Library-level fast dedup over any (vec_id, embedding) frame."""
+    n = emb.count()
+    stride = max(n // n_cells, 1)
+    seed = (
+        emb.filter(F.col("vec_id") % stride == IVF_STRIDE_SALT % stride)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+
+    def _assign_udf(cells: np.ndarray, mat_c: np.ndarray):
+        mat_cn = mat_c / np.maximum(np.linalg.norm(mat_c, axis=1, keepdims=True), 1e-30)
+
+        @pandas_udf("long")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int64")
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            sims = mn @ mat_cn.T  # (batch, n_cells)
+            # argmax with smaller-cell-id tie-break: argmax returns the
+            # FIRST max index, and cells[] is sorted ascending
+            return pd.Series(cells[np.argmax(sims, axis=1)])
+
+        return _assign
+
+    cents = seed
+    for _ in range(n_iter):
+        rows = cents.orderBy("cell").collect()
+        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+        mat_c = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+        assigned = emb.select(
+            "vec_id", _assign_udf(cells, mat_c)(F.col("embedding")).alias("cell")
+        )
+        cents = (
+            assigned.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda t: t["m"]).alias("c_emb"))
+            .localCheckpoint()
+        )
+    rows = cents.orderBy("cell").collect()
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    mat_c = np.stack([np.asarray(r["c_emb"], dtype=np.float64) for r in rows])
+    en = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            _assign_udf(cells, mat_c)(F.col("embedding")).alias("cell"),
+        )
+        .persist()
+    )
+
+    @pandas_udf("double")
+    def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        na = np.maximum(np.linalg.norm(ma, axis=1), 1e-30)
+        nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-30)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb) / (na * nb))
+
+    a = en.select(
+        "cell", F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a")
+    )
+    b = en.select(
+        "cell", F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", _pair_cos(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return en.select("vec_id", "cell").join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+    )

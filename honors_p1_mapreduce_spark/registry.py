@@ -186,6 +186,7 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
     "dedup_minhash": _dd.dedup_minhash_pairs,
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,  # numpy twin of semantic_dedup
 }
 
 ORACLES: dict[str, str] = {

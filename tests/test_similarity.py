@@ -201,3 +201,22 @@ def test_pq_recall_beats_chance_and_is_deterministic(spark, sf_dir):
     assert len(truth & got) / len(truth) >= 0.15
     r2 = set(map(tuple, similarity_pq_topk(spark, sf_dir).select("query_id", "vec_id").collect()))
     assert got == r2
+
+
+def test_semantic_dedup_fast_agrees_with_portable(spark, sf_dir):
+    """The Arrow/numpy fast path must make the same keep/drop
+    decisions as the oracle-checked portable variant except where
+    float-summation order flips a cell/threshold boundary — pinned as
+    >= 95% identical kept flags and identical output cardinality."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_fast,
+    )
+
+    slow = {r["vec_id"]: r["kept"] for r in semantic_dedup(spark, sf_dir).collect()}
+    fast = {r["vec_id"]: r["kept"] for r in semantic_dedup_fast(spark, sf_dir).collect()}
+    assert set(slow) == set(fast)
+    agree = sum(1 for v in slow if slow[v] == fast[v])
+    assert agree / len(slow) >= 0.95
