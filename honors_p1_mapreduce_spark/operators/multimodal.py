@@ -483,3 +483,147 @@ SELECT doc_id,
          AS hist_digest
 FROM hist
 """
+
+
+# --------------------------------------------------- real image resize
+
+RESIZE_W, RESIZE_H = 2, 5  # target grid for the demo resize
+
+
+def _pixel_grid(content: bytes) -> tuple[int, int, bytes]:
+    """(width, height, file-order RGB bytes) for a BMP or P6 PPM —
+    the same container parsing as the decode codecs, returning raw
+    pixels instead of a histogram. Rows are kept in FILE order (BMP
+    stores rows bottom-up; a resize over the file-order grid is
+    orientation-agnostic and keeps the BMP/PPM math identical, which
+    the oracle relies on). BMP row padding is excluded."""
+    if content[:2] == b"BM":
+        offset = struct.unpack_from("<I", content, 10)[0]
+        width, height = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+        row_bytes = (bpp * width) // 8
+        stride = (bpp * width + 31) // 32 * 4
+        rows = [
+            content[offset + r * stride : offset + r * stride + row_bytes]
+            for r in range(abs(height))
+        ]
+        return width, abs(height), b"".join(rows)
+    if content[:2] == b"P6":
+        w, h, _, data = _ppm_fields(content)
+        return w, h, data
+    raise UnsupportedMediaError("no pixel grid for this format")
+
+
+def _ppm_fields(content: bytes) -> tuple[int, int, int, bytes]:
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1
+    width, height, maxval = fields
+    return width, height, maxval, content[pos : pos + width * height * 3]
+
+
+def nearest_resize(data: bytes, w: int, h: int, rw: int, rh: int) -> bytes:
+    """Nearest-neighbor resample of a file-order RGB grid: output
+    pixel (x, y) reads source pixel (x*w//rw, y*h//rh) — the standard
+    floor mapping, pure integer arithmetic so every engine agrees."""
+    out = bytearray()
+    for y in range(rh):
+        sy = y * h // rh
+        for x in range(rw):
+            sx = x * w // rw
+            p = (sy * w + sx) * 3
+            out += data[p : p + 3]
+    return bytes(out)
+
+
+def resize_media(media: DataFrame, rw: int = RESIZE_W, rh: int = RESIZE_H) -> DataFrame:
+    """Image resize over binary payloads via ``mapInPandas`` — the
+    resize member of the decode/feature/resize/frame-sample quartet.
+    Same Arrow-batched seam as :func:`decode_media_features`: bytes
+    in, no shuffle, partitioning inherited. Output carries a digest of
+    the resized bytes (canon-safe scalar covering every output pixel).
+    """
+    schema = (
+        "doc_id long, media_type string, src_w int, src_h int, "
+        "out_w int, out_h int, resized_digest string"
+    )
+
+    def _resize(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "src_w", "src_h", "out_w", "out_h",
+                "resized_digest",
+            )}
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                w, h, data = _pixel_grid(bytes(content))
+                rz = nearest_resize(data, w, h, rw, rh)
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mt)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(rw)
+                out["out_h"].append(rh)
+                out["resized_digest"].append(
+                    hashlib.md5(",".join(str(b) for b in rz).encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_resize, schema=schema)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: nearest-neighbor resize of the real BMP/PPM
+    images to RESIZE_W x RESIZE_H. Oracle-checkable because the
+    file-order pixel grid is the document's leading text bytes
+    (media_real_table) and the nearest-neighbor offsets are static
+    integer arithmetic — DuckDB re-derives every resized byte from
+    hex(encode(text))."""
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    )
+    return resize_media(imgs)
+
+
+def _resize_offsets() -> list[int]:
+    """Static source-byte offsets of the resized output, in output
+    order — shared math with :func:`nearest_resize`."""
+    offs = []
+    for y in range(RESIZE_H):
+        sy = y * IMG_H // RESIZE_H
+        for x in range(RESIZE_W):
+            sx = x * IMG_W // RESIZE_W
+            p = (sy * IMG_W + sx) * 3
+            offs.extend([p, p + 1, p + 2])
+    return offs
+
+
+MEDIA_RESIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 3 AS INT) AS fmt, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 <> 0
+)
+SELECT doc_id,
+       ['audio/wav', 'image/bmp', 'image/ppm'][fmt + 1] AS media_type,
+       CAST({IMG_W} AS INT) AS src_w, CAST({IMG_H} AS INT) AS src_h,
+       CAST({RESIZE_W} AS INT) AS out_w, CAST({RESIZE_H} AS INT) AS out_h,
+       md5(concat_ws(',', {", ".join(
+           f"CAST(concat('0x', substr(hx, {2 * p + 1}, 2)) AS BIGINT)"
+           for p in _resize_offsets()
+       )})) AS resized_digest
+FROM d
+"""

@@ -116,8 +116,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_multi_rollup": _ev.events_multi_rollup,  # NEW r5
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,  # NEW r5
     "bpe_train_merges": _bpe.bpe_train_merges,  # NEW r5
-    # --- [r5 window, block c] r4-green fill from modules touched in r5
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "media_resize": _mm.media_resize,  # NEW r5: real-image resize
+    # (block c emptied: media_resize took the last fill slot)
     # ================= position 51+ — outside the r5 driver window =====
     # cms_sketch: r4-green; sketch.py's r5 diff touches only the
     # bloom_audit path, and cms_estimate + hll_registers +
@@ -127,12 +127,14 @@ QUERIES: dict[str, QueryFn] = {
     # bloom_audit path (function-level inspection), and hll_registers
     # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
-    # similarity_ivf_topk/similarity_ann_portable: r4-green;
-    # similarity.py's r5 diff touches only the _kmeans_* paths (incl.
-    # the byte-identical lloyd_cents_sql refactor), and the kmeans
-    # sibling is in-window covering the module
+    # similarity_ivf_topk/similarity_ann_portable/
+    # embedding_neardup_portable: r4-green; similarity.py's r5 diff
+    # touches only the _kmeans_* paths (incl. the byte-identical
+    # lloyd_cents_sql refactor), and the kmeans sibling is in-window
+    # covering the module
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
     # events_gapfill/events_props_stats/funnel_conversion: r4-green;
     # events.py's r5 diff only ADDS events_above_type_avg +
     # events_multi_rollup (both in-window, covering the module)
@@ -180,9 +182,11 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "dedup_clusters": _dd.dedup_clusters,
-    # rows-only by design (numpy hash families; oracle-green portable
-    # twins are in-window above) — kept at the tail so the driver's
-    # window never reads their `no_oracle` rows as errors
+    # rows-only by design (numpy hash families; each has an
+    # oracle-green portable twin — dedup_minhash_portable/
+    # similarity_ann_portable/embedding_neardup_portable, r4-stamped
+    # above) — kept at the tail so the driver's window never reads
+    # their `no_oracle` rows as errors
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
     "dedup_minhash": _dd.dedup_minhash_pairs,
@@ -245,6 +249,9 @@ ORACLES: dict[str, str] = {
     # BPE merge training (r5) — loop unrolled to MATERIALIZED CTE
     # rounds, each recomputing its own top pair
     "bpe_train_merges": _bpe.BPE_TRAIN_MERGES_ORACLE,
+    # real-image nearest-neighbor resize (r5) — static offset
+    # arithmetic over hex(encode(text))
+    "media_resize": _mm.MEDIA_RESIZE_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
     "repeat_customers": _an.REPEAT_CUSTOMERS_ORACLE,

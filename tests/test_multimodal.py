@@ -219,3 +219,65 @@ def test_codec_seam_injected_overrides_real_flag(spark, sf_dir):
     media = mm.media_table(spark, sf_dir)
     out = mm.decode_media_features(media, use_real_codecs=True, codec=_sha_codec)
     assert out.count() == media.count()
+
+
+def test_nearest_resize_golden():
+    """2x2 -> 1x1 nearest-neighbor picks the top-left (floor mapping)
+    pixel; 4x2 -> 2x1 picks columns 0 and 2 of row 0."""
+    from honors_p1_mapreduce_spark.operators.multimodal import nearest_resize
+
+    px = bytes(range(12))  # 2x2 RGB: pixels (0,1,2)(3,4,5)/(6,7,8)(9,10,11)
+    assert nearest_resize(px, 2, 2, 1, 1) == bytes([0, 1, 2])
+    px42 = bytes(range(24))  # 4x2 RGB
+    assert nearest_resize(px42, 4, 2, 2, 1) == bytes([0, 1, 2, 6, 7, 8])
+
+
+def test_pixel_grid_parses_bmp_and_ppm():
+    """The resize grid parser recovers the exact payload bytes from
+    hand-built containers — file-order, padding excluded."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        IMG_DATA_LEN,
+        IMG_H,
+        IMG_W,
+        BMP_HEADER,
+        PPM_HEADER,
+        _pixel_grid,
+    )
+
+    payload = bytes(i % 251 for i in range(IMG_DATA_LEN))
+    for header in (BMP_HEADER, PPM_HEADER):
+        w, h, data = _pixel_grid(header + payload)
+        assert (w, h) == (IMG_W, IMG_H)
+        assert data == payload
+
+
+def test_media_resize_digest_matches_python(spark, sf_dir):
+    """The registered query's digest equals a driver-side recompute
+    over the same leading text bytes — independent of the oracle."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        IMG_DATA_LEN,
+        IMG_H,
+        IMG_W,
+        RESIZE_H,
+        RESIZE_W,
+        media_resize,
+        nearest_resize,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    got = {r["doc_id"]: r["resized_digest"] for r in media_resize(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*list(got)[:20]))
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        data = text.encode()[:IMG_DATA_LEN]
+        rz = nearest_resize(data, IMG_W, IMG_H, RESIZE_W, RESIZE_H)
+        want = hashlib.md5(",".join(str(b) for b in rz).encode()).hexdigest()
+        assert got[doc_id] == want, doc_id

@@ -336,3 +336,16 @@ def test_multi_rollup_cascades_off_cached_grains(spark, sf_dir):
 
     plan = _plan(events_multi_rollup(spark, sf_dir))
     assert "InMemoryTableScan" in plan
+
+
+def test_pq_never_self_joins_corpus(spark, sf_dir):
+    """PQ/ADC: the corpus joins a BROADCAST distance table on
+    (subspace, code) — vectors are never pairwise compared and the
+    top-k is pushed below the exchange (WindowGroupLimit)."""
+    from honors_p1_mapreduce_spark.operators.pq import similarity_pq_topk
+
+    plan = _plan(similarity_pq_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    # every join with the full corpus code table is broadcast
+    assert "SortMergeJoin" not in plan
