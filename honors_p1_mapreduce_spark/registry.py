@@ -43,17 +43,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 round, so the window must ROTATE so no query's latest evidence is more
 than one round old. Round-5 window: (a) ALL 31 entries that sat after
 position 50 in round 4 (their latest green rows are round 3 — two
-rounds old by round 5's end if left out); (b) the 18 queries NEW or
+rounds old by round 5's end if left out); (b) the 19 queries NEW or
 CHANGED in round 5 (the 5 TPC-H shape-completion queries in
 relational_ext.py, semantic_dedup, dedup_substring_spans,
 similarity_pq_topk, importance_sample, events_multi_rollup,
-similarity_doc_quality_topk, bpe_train_merges, media_real_decode,
-events_above_type_avg; similarity_ivf_kmeans_topk gained its Lloyd
-oracle and the portable decimal mean; bloom_membership's bloom_audit
-dedupes probes; the media decode pair rides the rewired real-codec
-module); (c) 1 round-4-green fill (embedding_neardup_portable — the
-portable twin justifying the tail rows-only entries). The 45 entries
-after position 50 all carry green round-4 rows (CORRECTNESS_r04.json)
+similarity_doc_quality_topk, bpe_train_merges, media_resize,
+media_real_decode, events_above_type_avg;
+similarity_ivf_kmeans_topk gained its Lloyd oracle and the portable
+decimal mean; bloom_membership's bloom_audit dedupes probes; the
+media decode pair rides the rewired real-codec module). 31 + 19 fill
+the window exactly. The 47 entries after position 50 (except the new
+tail-only semantic_dedup_fast) all carry green round-4 rows
+(CORRECTNESS_r04.json)
 and rotate back to the front in round 6; each carries an inline note
 where its module was touched in r5 (function-level diff inspection;
 all also re-verified by this session's sf0.01 parity sweeps). The 3
