@@ -627,3 +627,48 @@ SELECT doc_id,
        )})) AS resized_digest
 FROM d
 """
+
+
+# ----------------------------------------------- real audio sampling
+
+SAMPLE_EVERY = 8  # keep every k-th PCM sample
+
+
+def sample_wav_pcm(media: DataFrame, every_k: int = SAMPLE_EVERY) -> DataFrame:
+    """Real-codec frame sampling for audio: decode each WAV payload's
+    PCM data section (RIFF chunk walk, signed 16-bit LE samples) and
+    emit every ``every_k``-th sample value — the audio face of
+    :func:`frame_sample`, over genuine containers instead of the fake
+    codec's synthetic videos. Same mapInPandas seam: bytes in, no
+    shuffle, one output row per kept sample.
+
+    Library surface (pytest-verified, like functions/skew.py's salted
+    join): golden tests pin the chunk walk and signedness against
+    hand-built WAVs.
+    """
+    schema = "doc_id long, sample_idx int, sample_value int"
+
+    def _samples(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_idx": [], "sample_value": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                    continue
+                pos, data = 12, b""
+                while pos + 8 <= len(blob):
+                    cid = blob[pos : pos + 4]
+                    sz = struct.unpack_from("<I", blob, pos + 4)[0]
+                    if cid == b"data":
+                        data = blob[pos + 8 : pos + 8 + sz]
+                    pos += 8 + sz + (sz & 1)
+                for i in range(0, len(data) // 2, every_k):
+                    v = struct.unpack_from("<h", data, 2 * i)[0]
+                    out["doc_id"].append(doc_id)
+                    out["sample_idx"].append(i)
+                    out["sample_value"].append(v)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _samples, schema=schema
+    )

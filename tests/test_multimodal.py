@@ -281,3 +281,45 @@ def test_media_resize_digest_matches_python(spark, sf_dir):
         rz = nearest_resize(data, IMG_W, IMG_H, RESIZE_W, RESIZE_H)
         want = hashlib.md5(",".join(str(b) for b in rz).encode()).hexdigest()
         assert got[doc_id] == want, doc_id
+
+
+def test_sample_wav_pcm_golden(spark):
+    """Hand-built WAV: known 16-bit LE samples, incl. a negative one —
+    pins the chunk walk, the stride, and signedness."""
+    import struct
+
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        _wav_header,
+        sample_wav_pcm,
+    )
+
+    samples = [0, 1000, -32768, 32767, -1, 5, 6, 7, 8, 9]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = _wav_header(len(data)) + data
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav)), (2, "image/bmp", bytearray(b"BM"))],
+        "doc_id long, media_type string, content binary",
+    )
+    got = {
+        (r["doc_id"], r["sample_idx"]): r["sample_value"]
+        for r in sample_wav_pcm(media, every_k=4).collect()
+    }
+    assert got == {(1, 0): 0, (1, 4): -1, (1, 8): 8}
+
+
+def test_sample_wav_pcm_on_real_table(spark, sf_dir):
+    """Over the synthesized real table: every WAV doc emits
+    WAV_DATA_LEN/2/SAMPLE_EVERY rows, values within int16 range."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        SAMPLE_EVERY,
+        WAV_DATA_LEN,
+        media_real_table,
+        sample_wav_pcm,
+    )
+
+    media = media_real_table(spark, sf_dir)
+    n_wav = media.filter("media_type = 'audio/wav'").count()
+    out = sample_wav_pcm(media)
+    assert out.count() == n_wav * (WAV_DATA_LEN // 2 // SAMPLE_EVERY)
+    mn, mx = out.agg({"sample_value": "min"}).first()[0], out.agg({"sample_value": "max"}).first()[0]
+    assert -32768 <= mn <= mx <= 32767
