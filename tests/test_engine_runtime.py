@@ -142,3 +142,39 @@ def test_grep_query_and_oracle_share_pattern(spark, sf_dir):
         lambda s, d: grep_count(s, d, pattern=pat),
         grep_count_oracle(pat),
     )
+
+
+def test_multi_rollup_grain_consistency(spark, sf_dir):
+    """Cascade invariant: every hour row's counts/sums equal the sum
+    of its minute rows, and likewise day-over-hour — so the cascade
+    cannot drift from a direct per-grain aggregation."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.events import events_multi_rollup
+
+    out = events_multi_rollup(spark, sf_dir).persist()
+
+    def grain(g):
+        return out.filter(F.col("grain") == g).drop("grain")
+
+    rolled_hours = (
+        grain("minute")
+        .groupBy(
+            F.date_trunc("hour", "bucket_start").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    hours = grain("hour")
+    joined = hours.alias("h").join(
+        rolled_hours.alias("r"), ["bucket_start", "event_type"]
+    )
+    assert joined.count() == hours.count() == rolled_hours.count()
+    bad = joined.filter(
+        (F.col("h.n_events") != F.col("r.n_events"))
+        | (F.abs(F.col("h.sum_value") - F.col("r.sum_value")) > 1e-6)
+    )
+    assert bad.count() == 0
