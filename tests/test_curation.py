@@ -160,3 +160,36 @@ def test_importance_sample_contract(spark, sf_dir):
     a = sorted(tuple(x) for x in out.collect())
     b = sorted(tuple(x) for x in importance_sample(spark, sf_dir).collect())
     assert a == b
+
+
+def test_importance_sample_matches_python_reference(spark, sf_dir):
+    """Independent recompute of p_keep and the md5-uniform keep
+    decision in pure Python over the engine's own quality values —
+    breaks Spark/DuckDB correlated-failure risk for the sampling
+    arithmetic (mean, clamp, hash threshold)."""
+    import hashlib
+
+    from honors_p1_mapreduce_spark.operators.importance import (
+        IMPORTANCE_RATE,
+        IMPORTANCE_SEED,
+        importance_sample,
+    )
+    from honors_p1_mapreduce_spark.operators.text_analysis import quality_score
+
+    q = {r["doc_id"]: r["quality"] for r in quality_score(spark, sf_dir).collect()}
+    from decimal import Decimal
+
+    mean_q = float(
+        sum(Decimal(str(round(v, 8))).quantize(Decimal("1e-8")) for v in q.values())
+    ) / len(q)
+    # NB: python round-half-even at 1e-8 == both engines' decimal cast
+    got = {
+        r["doc_id"]: (r["p_keep"], r["kept"])
+        for r in importance_sample(spark, sf_dir).collect()
+    }
+    for doc_id, quality in q.items():
+        p = min(IMPORTANCE_RATE * quality / mean_q, 1.0)
+        h = hashlib.md5(f"{IMPORTANCE_SEED}{doc_id}".encode()).hexdigest()
+        u = int(h[:8], 16) / 4294967296.0
+        assert abs(got[doc_id][0] - p) < 1e-12, doc_id
+        assert got[doc_id][1] == (u < p), doc_id

@@ -102,3 +102,22 @@ def test_streaming_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in read_rollup_store(spark, store).collect()}
     want = {tuple(r) for r in events_multi_rollup(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_rollup_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Restarting the foreachBatch sink with the SAME checkpoint and
+    no new input must not re-append partials — the checkpoint, not
+    the sink, carries exactly-once progress (the property that makes
+    the append-partials store safe to operate)."""
+    from honors_p1_mapreduce_spark.streaming.windows import (
+        read_rollup_store,
+        streaming_incremental_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    streaming_incremental_rollup(spark, sf_dir, store)
+    first = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
+    spark.catalog.clearCache()
+    streaming_incremental_rollup(spark, sf_dir, store)  # restart, no new data
+    second = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
+    assert first == second
