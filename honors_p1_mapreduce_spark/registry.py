@@ -63,7 +63,16 @@ dedup_minhash — numpy hash families, each with an oracle-green
 portable twin in-window) sit at the very end so they never burn
 window slots on `no_oracle` rows. The window-integrity invariant
 (first 50 all oracle-backed) is pinned by
-tests/test_cli.py::test_driver_window_has_no_rows_only_queries."""
+tests/test_cli.py::test_driver_window_has_no_rows_only_queries.
+
+ROUND-6 ROTATION PLAN: move the 44 oracle-backed tail entries
+(everything below position 50 except the 3 rows-only + the rows-only
+semantic_dedup_fast) into the window, and fill the remaining 6 slots
+with any queries whose modules round 6 modifies (else keep the 6
+r5-stamped queries whose modules are most central: wordcount,
+pricing_summary, dedup_exact analogs). Count the actual entries when
+rotating — do not trust this comment's numbers if the registry has
+grown."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r5 window, block a] rotated in: latest green row is round 3
