@@ -283,3 +283,18 @@ SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
          / (CAST(src_tokens AS DOUBLE) / sum(src_tokens) OVER ()) AS weight
 FROM per_source
 """
+
+
+def sample_exact_k(df, k: int, key: str = "doc_id", seed: str = SAMPLE_SEED):
+    """Exactly-k uniform sample: order by a seeded md5 of the key and
+    take k — compiles to TakeOrdered (per-partition top-k, then a
+    k-row driver merge; no global sort materializes), deterministic
+    across runs/retries/engines like every sampler here. Rate-based
+    sampling (:func:`stratified_sample`) gives binomial counts; this
+    is the "exactly 10k docs" contract a budgeted eval set wants.
+    Ties are impossible (md5 of distinct keys), so the sample is
+    unique and stable."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    return df.orderBy(h).limit(k)

@@ -190,6 +190,9 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index": _ii.inverted_index,
     "doc_chunks": _ta.doc_chunks,
     "pack_sequences": _ta.pack_sequences,
+    # mixture_weights: r4-green; pipeline.py's r5 diff only ADDS
+    # sample_exact_k (corpus_clean_funnel + stratified_sample are
+    # in-window covering the module)
     "mixture_weights": _pl.mixture_weights,
     "dedup_clusters": _dd.dedup_clusters,
     # rows-only by design (numpy hash families; each has an

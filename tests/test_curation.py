@@ -193,3 +193,20 @@ def test_importance_sample_matches_python_reference(spark, sf_dir):
         u = int(h[:8], 16) / 4294967296.0
         assert abs(got[doc_id][0] - p) < 1e-12, doc_id
         assert got[doc_id][1] == (u < p), doc_id
+
+
+def test_sample_exact_k_contract(spark, sf_dir):
+    """Exactly k rows, deterministic across runs, a subset relation
+    under growing k, and a TakeOrdered plan (no global sort)."""
+    from honors_p1_mapreduce_spark.operators.pipeline import sample_exact_k
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s100 = sample_exact_k(docs, 100)
+    ids1 = {r["doc_id"] for r in s100.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in sample_exact_k(docs, 100).select("doc_id").collect()}
+    assert len(ids1) == 100 and ids1 == ids2
+    ids200 = {r["doc_id"] for r in sample_exact_k(docs, 200).select("doc_id").collect()}
+    assert ids1 <= ids200
+    plan = s100._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
