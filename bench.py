@@ -87,7 +87,9 @@ def build_output(timings: dict[str, float], sf: float) -> tuple[str, dict]:
         "n_queries": len(timings),
         "sf": sf,
     }
-    shown: dict[str, float] = {"wordcount": timings.get("wordcount", 0.0)}
+    # seed the headline wordcount only when it actually ran — a run
+    # without it must not report a fabricated 0.0 s timing
+    shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}
     budget = 1600  # bytes for the "queries" dict, conservative
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
         if name in shown:

@@ -50,6 +50,12 @@ from ..sources.tables import load_table
 from .similarity import EMB_DIM, IVF_STRIDE_SALT, N_QUERIES, TOP_K
 
 PQ_M = 8  # subspaces
+assert EMB_DIM % PQ_M == 0, (
+    f"EMB_DIM={EMB_DIM} must be divisible by PQ_M={PQ_M}: integer "
+    "division would silently drop the trailing dims from encoding AND "
+    "ADC scoring (uneven last-subspace support would need explicit "
+    "width EMB_DIM - (PQ_M-1)*PQ_DSUB)"
+)
 PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
 PQ_CELLS = 32  # codewords per subspace (corpus-size-capped; 256 at scale)
 PQ_ITER = 2  # Lloyd rounds per subspace

@@ -82,6 +82,52 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return r.json(path)
 
 
+def _recover_swap(path) -> None:
+    """Entry-time crash recovery for :func:`_promote_dir`.
+
+    A leftover ``.old`` directory means a prior run died mid-swap:
+    if the live path also exists the crash was after the promote
+    (finish the cleanup); if the live path is gone the crash was
+    between rename-aside and promote (roll the old directory back so
+    the store is never absent). A leftover ``.compact`` is stale or
+    partial output from a run that died before/during the swap —
+    discard it; the caller re-compacts from the recovered live dir.
+    """
+    import shutil
+    from pathlib import Path
+
+    path = Path(path)
+    old = Path(str(path) + ".old")
+    tmp = Path(str(path) + ".compact")
+    if old.exists():
+        if path.exists():
+            shutil.rmtree(old)
+        else:
+            old.rename(path)
+    if tmp.exists():
+        shutil.rmtree(tmp)
+
+
+def _promote_dir(path, tmp) -> None:
+    """Crash-safe swap: promote freshly-written ``tmp`` over ``path``.
+
+    Rename the live directory ASIDE first (``path`` -> ``path.old``),
+    promote ``tmp``, delete ``.old`` last — so the data always exists
+    under either ``path`` or ``path.old`` and every crash point is
+    repaired by :func:`_recover_swap` at the next entry (the naive
+    rmtree-then-rename order has a window where the store exists
+    nowhere and a re-run fails reading the missing path).
+    """
+    import shutil
+    from pathlib import Path
+
+    path, tmp = Path(path), Path(tmp)
+    old = Path(str(path) + ".old")
+    path.rename(old)
+    tmp.rename(path)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -90,32 +136,37 @@ def compact_parquet(
     """Small-file compaction: rewrite a parquet directory into files
     sized ~``target_file_bytes`` (the HDFS/S3-friendly 128 MB default).
 
-    Append-heavy stores accumulate small files — a streaming
-    foreachBatch sink (``streaming/windows.py:streaming_incremental_
-    rollup``) appends one file set per micro-batch, and at 100 TB the
+    Append-heavy stores accumulate small files, and at 100 TB the
     per-file open/footer cost comes to dominate the read path. The
     standard companion job reads the store, coalesces to
-    ceil(bytes / target) files, and atomically swaps directories
-    (write to ``path + '.compact'``, then rename — the last-step
-    rename is the only non-idempotent moment, and re-running after a
-    crash just re-compacts).
+    ceil(bytes / target) files, and swaps directories crash-safely
+    (write to ``path + '.compact'``, rename the live dir aside,
+    promote, delete ``.old`` last — ``_recover_swap`` repairs any
+    crash point on the next entry, so a re-run after a crash really
+    does just re-compact).
+
+    Concurrency contract: SINGLE WRITER, and readers see the store
+    vanish for the instant between the two renames — schedule the
+    companion job in a quiescent window (or on a rename-atomic store
+    overlay). For the streaming rollup's partitioned store use
+    ``streaming.windows.compact_rollup_store``, which additionally
+    merges partials and preserves the batch-partition layout.
 
     Returns (files_before, files_after). ``coalesce`` (not
     ``repartition``) — compaction must not pay a shuffle, only a
     narrow merge of input splits.
     """
     import math
-    import shutil
     from pathlib import Path
 
     p = Path(path)
+    _recover_swap(p)
     files_before = [f for f in p.rglob("*.parquet") if f.is_file()]
     total_bytes = sum(f.stat().st_size for f in files_before)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(path)
     tmp = str(p) + ".compact"
     df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    Path(tmp).rename(p)
+    _promote_dir(p, tmp)
     files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
     return len(files_before), files_after

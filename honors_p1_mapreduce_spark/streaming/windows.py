@@ -118,10 +118,19 @@ def streaming_incremental_rollup(
     sums and counts are re-addable, so "merge" is just another
     aggregation — no sink transaction support needed, which is what
     keeps the pattern portable to plain object storage at 100 TB;
-    a compaction pass over the store is the standard companion job).
+    ``compact_rollup_store`` is the standard companion job).
+
+    Replay idempotency: each micro-batch OVERWRITES its own
+    ``batch_id=<id>`` hive partition directory instead of appending
+    to the store root. foreachBatch is at-least-once — a batch whose
+    parquet commit lands but whose checkpoint commit doesn't is
+    replayed on restart with the SAME batch_id, and the overwrite
+    makes the replay a no-op instead of a double-count. (Partition
+    values are derived from the directory name on read, so the
+    partials themselves carry no batch_id column.)
     """
 
-    def _merge_batch(batch: DataFrame, _batch_id: int) -> None:
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         (
             batch.groupBy(
                 F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
@@ -130,8 +139,8 @@ def streaming_incremental_rollup(
                 F.count("*").alias("n_events"),
                 F.sum(F.col("value").cast("decimal(24,6)")).alias("sdec"),
             )
-            .write.mode("append")
-            .parquet(store_dir)
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/batch_id={batch_id}")
         )
 
     q = (
@@ -142,6 +151,59 @@ def streaming_incremental_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def compact_rollup_store(
+    spark: SparkSession,
+    store_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Companion compaction for the incremental-rollup store.
+
+    The store accumulates one ``batch_id=N`` partition (≥1 file) per
+    micro-batch; at streaming rates that is thousands of files per
+    day and the read path goes footer-bound. This job MERGES all
+    partials down to one row per (bucket_start, event_type) — sums
+    and counts are re-addable, so merging partials is just another
+    aggregation — and rewrites the store as a single ``batch_id=-1``
+    partition (streaming batch ids start at 0, so the compacted
+    generation can never collide with a live batch directory, and
+    partition discovery keeps working alongside later batches).
+    Crash-safe via the same rename-aside swap as
+    ``sources.sinks.compact_parquet``.
+
+    Concurrency contract: run while the stream is STOPPED. A batch
+    replayed after its partials were folded into ``batch_id=-1``
+    would double-count — quiescence (stream fully checkpointed, then
+    compact, then restart) is the operating rule for the companion
+    job, same as any object-store table maintenance.
+
+    Returns (files_before, files_after).
+    """
+    import math
+    from pathlib import Path
+
+    from ..sources.sinks import _promote_dir, _recover_swap
+
+    p = Path(store_dir)
+    _recover_swap(p)
+    files_before = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total_bytes = sum(f.stat().st_size for f in files_before)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+    )
+    tmp = str(p) + ".compact"
+    # repartition (not coalesce): the merge is already a shuffle, and
+    # the output count must not be chained to the input split count
+    merged.repartition(n_out).write.mode("overwrite").parquet(
+        f"{tmp}/batch_id=-1"
+    )
+    _promote_dir(p, tmp)
+    files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
+    return len(files_before), files_after
 
 
 def read_rollup_store(spark: SparkSession, store_dir: str) -> DataFrame:

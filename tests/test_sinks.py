@@ -82,26 +82,67 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     assert a == b
 
 
-def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
-    """Compact the streaming rollup's append store: row-identical
-    content, fewer files (the store accumulates one file set per
-    micro-batch plus one per append below)."""
-    from honors_p1_mapreduce_spark.sources.sinks import compact_parquet
+def test_compaction_preserves_rollup_and_reduces_files(spark, sf_dir, tmp_path):
+    """Compact the streaming rollup's per-batch partition store: the
+    SERVED cascade is row-identical (partials merge losslessly), the
+    file count drops to 1, and the store ends as a single
+    ``batch_id=-1`` partition that coexists with future batch dirs."""
+    import glob as _glob
+
     from honors_p1_mapreduce_spark.streaming.windows import (
+        compact_rollup_store,
         read_rollup_store,
         streaming_incremental_rollup,
     )
 
     store = str(tmp_path / "store")
     streaming_incremental_rollup(spark, sf_dir, store)
-    # a second append fragments the store further
-    spark.read.parquet(store).write.mode("append").parquet(store)
-    want = {tuple(r) for r in spark.read.parquet(store).collect()}
+    # simulate later micro-batches fragmenting the store (sf0.001 is a
+    # single-file source, so availableNow drains it in one batch)
+    first_batch = _glob.glob(f"{store}/batch_id=*")[0]
+    partials = spark.read.parquet(first_batch)
+    for i in range(1000, 1004):
+        partials.write.parquet(f"{store}/batch_id={i}")
+    want = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
+    spark.catalog.clearCache()
 
-    before, after = compact_parquet(spark, store)
-    got = {tuple(r) for r in spark.read.parquet(store).collect()}
+    before, after = compact_rollup_store(spark, store)
+    got = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
     assert got == want
     assert after < before
     assert after == 1  # tiny store -> single 128MB-target file
-    # the serving cascade still works over the compacted store
-    assert read_rollup_store(spark, store).count() > 0
+    assert _glob.glob(f"{store}/batch_id=*") == [f"{store}/batch_id=-1"]
+
+
+def test_compact_parquet_flat_dir_and_crash_recovery(spark, sf_dir, tmp_path):
+    """Generic flat-directory compaction: row-identical, fewer files —
+    and every crash point of the rename-aside swap is repaired on the
+    next entry (the round-5 version left NO directory at ``path`` if
+    it died between rmtree and rename)."""
+    import shutil
+    from pathlib import Path
+
+    from honors_p1_mapreduce_spark.sources.sinks import compact_parquet
+
+    out = Path(tmp_path / "docs_flat")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(16).write.parquet(str(out))
+    want = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+
+    before, after = compact_parquet(spark, str(out))
+    assert before >= 16 and after == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(str(out)).collect()) == want
+
+    # crash between rename-aside and promote: data only under .old
+    out.rename(Path(str(out) + ".old"))
+    (Path(str(out) + ".compact")).mkdir()  # stale partial output too
+    compact_parquet(spark, str(out))  # recovers, then re-compacts
+    assert sorted(tuple(r) for r in spark.read.parquet(str(out)).collect()) == want
+    assert not Path(str(out) + ".old").exists()
+    assert not Path(str(out) + ".compact").exists()
+
+    # crash after promote, before .old cleanup: both dirs present
+    shutil.copytree(out, Path(str(out) + ".old"))
+    compact_parquet(spark, str(out))
+    assert sorted(tuple(r) for r in spark.read.parquet(str(out)).collect()) == want
+    assert not Path(str(out) + ".old").exists()

@@ -121,3 +121,41 @@ def test_streaming_rollup_restart_is_idempotent(spark, sf_dir, tmp_path):
     streaming_incremental_rollup(spark, sf_dir, store)  # restart, no new data
     second = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
     assert first == second
+
+
+def test_streaming_rollup_midbatch_crash_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch is at-least-once: simulate a micro-batch whose
+    parquet write committed but whose CHECKPOINT commit didn't (crash
+    between the two) by deleting the last checkpoint commit marker and
+    restarting. Spark replays that batch with the same batch_id; the
+    per-batch partition overwrite must make the replay a no-op rather
+    than doubling that batch's n_events/sums (the round-5 append-mode
+    store double-counted here)."""
+    from pathlib import Path
+
+    from honors_p1_mapreduce_spark.streaming.windows import (
+        read_rollup_store,
+        streaming_incremental_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    streaming_incremental_rollup(spark, sf_dir, store)
+    want = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
+    spark.catalog.clearCache()
+
+    commits = sorted(
+        (f for f in (Path(store + "_ckpt") / "commits").iterdir()
+         if f.name.isdigit()),
+        key=lambda f: int(f.name),
+    )
+    assert commits, "checkpoint recorded no commits"
+    commits[-1].unlink()  # the batch ran, but its commit never landed
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():  # local ChecksumFs sidecar would block the re-commit
+        crc.unlink()
+
+    streaming_incremental_rollup(spark, sf_dir, store)  # replays last batch
+    got = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
+    assert got == want
