@@ -18,17 +18,33 @@ which is exactly BPE's merge-application rule, with identical
 semantics in Spark and DuckDB (verified: ``'|a||a||a|'`` merges to
 ``'|aa||a|'`` in both).
 
-Each round is: split the wrapped string → adjacent pairs (bounded
-fan-out of avg_word_len) → count-weighted pair aggregate (ONE keyed
-shuffle over pair keys) → deterministic argmax (count DESC, pair
-ASC) → one-row collect to the driver → literal replace over the
-vocab frame. The per-round single-row collect is the same justified
-driver scalar as ``dedup_clusters``' convergence checksum; the vocab
-frame is localCheckpoint'd per round so the iterative lineage stays
-flat. Ties and counts are exact integers — fully deterministic, and
-the DuckDB oracle unrolls the loop as CTE chains computing its own
-top pair per round (no baked literals), so the full training loop is
-hash-checked end to end.
+Pair counts are DELTA-MAINTAINED across rounds (the production BPE
+trainer structure — what HuggingFace tokenizers/sentencepiece do
+in-memory, expressed as dataflow): the full |vocab|·avg_word_len
+pair explode runs ONCE to seed the count frame, and each merge round
+then touches only the words that actually CONTAIN the merged pair —
+adjacency in the wrapped representation is exactly the substring
+``|a||b|``, so the touched set is one literal `contains` filter.
+The round subtracts those words' old pair multiset, adds their
+post-replace pair multiset, and sum-merges the deltas into the
+maintained frame (invariant: untouched words contribute identical
+pairs, so counts stay exact). At a production 32 K-merge run this is
+the difference between 32 K full-vocab shuffles and 32 K
+touched-fraction-sized ones — late rounds touch a vanishing slice of
+the vocabulary (see scripts/probe_bpe_incremental.py).
+
+Each round is: deterministic argmax over the maintained counts
+(count DESC, pair ASC) → one-row collect to the driver → literal
+replace over the touched slice → delta merge. The per-round
+single-row collect is the same justified driver scalar as
+``dedup_clusters``' convergence checksum; the vocab and count frames
+are localCheckpoint'd per round so the iterative lineage stays flat.
+Ties and counts are exact integers — fully deterministic, and the
+DuckDB oracle unrolls the loop as CTE chains recomputing ALL pair
+counts from scratch each round (no baked literals), so the
+incremental maintenance is hash-checked end to end against a
+full-recompute twin; tests/test_bpe.py adds a second independent
+full-recompute reference (pure-Python Counter) under hypothesis.
 
 Output: (merge_rank, merge_left, merge_right, pair_count) — the
 learned merge table in order.
@@ -68,12 +84,39 @@ def bpe_train_merges(
     return bpe_train_merges_from(spark, docs, n_merges=n_merges)
 
 
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(a, b, total) count-weighted adjacent-pair aggregate of a
+    (w, cnt) vocab frame — the explode that the incremental trainer
+    runs once over the full vocab and then only over touched slices."""
+    syms = _syms(F.col("w"))
+    return (
+        vocab.select(
+            F.explode(
+                F.when(
+                    F.size(syms) < 2,
+                    F.array().cast("array<struct<a:string,b:string>>"),
+                ).otherwise(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
 def bpe_train_merges_from(
     spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
 ) -> DataFrame:
     """Library-level trainer over any (doc_id, text) frame — the body
     of :func:`bpe_train_merges`, factored for golden tests on
-    hand-built corpora."""
+    hand-built corpora. Delta-maintains pair counts (module
+    docstring); the full explode runs exactly once."""
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
@@ -81,39 +124,45 @@ def bpe_train_merges_from(
         .select(_wrap_chars(F.col("word")).alias("w"), "cnt")
         .localCheckpoint()
     )
+    counts = _pair_counts(vocab).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
-        syms = _syms(F.col("w"))
-        pairs = (
-            vocab.select(
-                F.explode(
-                    F.when(F.size(syms) < 2, F.array().cast("array<struct<a:string,b:string>>")).otherwise(
-                        F.zip_with(
-                            F.slice(syms, 1, F.size(syms) - 1),
-                            F.slice(syms, 2, F.size(syms) - 1),
-                            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                        )
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("total"))
-            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+        row = (
+            counts.orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
             .limit(1)
+            .collect()
         )
-        row = pairs.collect()
         if not row:  # vocabulary fully merged — stop early
             break
         a, b, total = row[0]["a"], row[0]["b"], row[0]["total"]
         merges.append((rank, a, b, int(total)))
-        vocab = vocab.select(
+        # adjacency == the literal substring |a||b| (symbols can't
+        # contain the separator), so this filter is exactly the set of
+        # words whose pair multiset changes this round
+        pat = f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"
+        touched = vocab.filter(F.col("w").contains(pat))
+        merged = touched.select(
             F.expr(
                 f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
                 f"'{_SEP}{a}{b}{_SEP}')"
             ).alias("w"),
             "cnt",
-        ).localCheckpoint()
+        )
+        delta = _pair_counts(touched).select(
+            "a", "b", (-F.col("total")).alias("total")
+        ).unionAll(_pair_counts(merged))
+        counts = (
+            counts.unionAll(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("total").alias("total"))
+            .filter(F.col("total") > 0)
+            .localCheckpoint()
+        )
+        vocab = (
+            vocab.filter(~F.col("w").contains(pat))
+            .unionAll(merged)
+            .localCheckpoint()
+        )
     return spark.createDataFrame(
         merges, "merge_rank int, merge_left string, merge_right string, pair_count bigint"
     )

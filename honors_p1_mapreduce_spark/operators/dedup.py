@@ -80,6 +80,61 @@ FROM documents
 GROUP BY 2
 """
 
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection dedup: per normalized-text group keep the
+    BEST document, not the arbitrary smallest id.
+
+    Production pipelines dedupe exact groups but choose the survivor
+    by a quality key (longest/cleanest copy, best-source copy) so
+    downstream training sees the richest variant. Ranking here is
+    (n_chars DESC, doc_id ASC) — n_chars is the best quality proxy in
+    the table schema; a real deployment swaps in the composite
+    ``quality_score``. Deterministic: doc_id breaks all ties.
+
+    Same scale shape as ``dedup_exact``: ONE hash-aggregate on the
+    16-byte key carrying a struct max — no window sort, no second
+    pass over the corpus (a row_number() formulation would shuffle
+    the full corpus into per-group sorts; max_by folds map-side).
+
+    Output: (kept_doc_id, text_md5, n_dupes, kept_n_chars).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    return (
+        docs.select(
+            "doc_id", "n_chars", F.md5(_norm_text(F.col("text"))).alias("text_md5")
+        )
+        .groupBy("text_md5")
+        .agg(best, F.count("*").alias("n_dupes"))
+        .select(
+            (-F.col("b.neg_id")).cast("bigint").alias("kept_doc_id"),
+            "text_md5",
+            "n_dupes",
+            F.col("b.n_chars").alias("kept_n_chars"),
+        )
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_md5
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_chars, text_md5,
+         count(*) OVER (PARTITION BY text_md5) AS n_dupes,
+         row_number() OVER (PARTITION BY text_md5
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id AS kept_doc_id, text_md5, n_dupes, n_chars AS kept_n_chars
+FROM ranked WHERE rn = 1
+"""
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

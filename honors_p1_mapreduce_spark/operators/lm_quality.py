@@ -1,0 +1,104 @@
+"""Bigram language-model fluency scoring over the document corpus.
+
+The classic n-gram-LM quality filter of LLM data pipelines (CCNet,
+Wenzek et al. 2020, arXiv:1911.00359, public): score each document by
+how predictable its token stream is under a language model trained on
+the corpus itself, then drop the tail. A full KenLM is out of scope
+for a SQL-parity gate, so the model here is the exact corpus bigram
+MLE — P(w2 | w1) = count(w1 w2) / count(w1 ·) — and a document's
+score is its mean conditional probability. Low scores mark
+token-salad documents; high scores mark formulaic/templated ones —
+both standard curation cut points.
+
+Determinism (the oracle-gate constraint): probabilities are computed
+in INTEGER arithmetic — parts-per-million via ``div(cnt * 1000000,
+ctx)`` (floor division, identical in Spark and DuckDB on positive
+ints) — summed exactly as bigints, and only the final mean is one
+IEEE double division of two exact integers, which both engines
+round identically.
+
+Plan shape (the part that must survive 100 TB): the bigram SCORE
+TABLE is built once — bigram counts (one keyed shuffle over distinct
+bigrams) joined to context counts (a re-aggregation of the same
+frame, so the corpus is scanned once) — and documents' bigram
+occurrences then join the score table on the bigram key. Shuffle
+volume is O(corpus bigram occurrences) for the occurrence join and
+O(|bigram vocab|) for the model build; the corpus is never joined to
+itself and nothing is collected to the driver. At 100 TB the score
+table (bigram vocab) is orders of magnitude smaller than the corpus
+and AQE picks broadcast for it when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bigrams_from_tokens, tokens_col, tokens_sql
+from ..sources.tables import load_table
+
+PPM = 1_000_000  # probability fixed-point scale (parts per million)
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional probability (ppm).
+
+    Output: (doc_id, n_bigrams, mean_prob_ppm) for documents with at
+    least one bigram. mean_prob_ppm is the mean over the document's
+    bigram occurrences of floor(1e6 · P(w2|w1)) under the corpus MLE.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+    )
+    # model: corpus bigram counts, then context totals by re-aggregating
+    # the counts frame (not the corpus — one corpus scan total)
+    bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ctx_counts = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("ctx"))
+    )
+    scores = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx_counts, "w1")
+        .select("bg", F.expr(f"div(cnt * {PPM}, ctx)").alias("p_ppm"))
+    )
+    return (
+        occ.join(scores, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.sum("p_ppm").cast("double") / F.count("*")
+            ).alias("mean_prob_ppm"),
+        )
+    )
+
+
+_T = tokens_sql("text")
+_BG_SQL = (
+    f"list_transform(generate_series(1, len({_T}) - 1), "
+    f"i -> {_T}[i] || ' ' || {_T}[i + 1])"
+)
+
+LM_BIGRAM_SCORE_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_BG_SQL}) AS bg FROM documents
+),
+bg_counts AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
+ctx_counts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx
+  FROM bg_counts GROUP BY 1
+),
+scores AS (
+  SELECT bg, (cnt * {PPM}) // ctx AS p_ppm
+  FROM bg_counts JOIN ctx_counts ON split_part(bg, ' ', 1) = w1
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(p_ppm) AS DOUBLE) / count(*) AS mean_prob_ppm
+FROM occ JOIN scores USING (bg)
+GROUP BY doc_id
+"""

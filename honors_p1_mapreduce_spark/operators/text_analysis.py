@@ -608,3 +608,57 @@ SELECT bucket, bin_id, count(*) AS n_chunks,
 FROM binned
 GROUP BY bucket, bin_id
 """
+
+# -------------------------------------------- token length histogram
+
+
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram of document token counts — the first
+    diagnostic any corpus curation pass runs (truncation cliffs,
+    boilerplate spikes, and empty-doc mass all show up here before
+    any filter is tuned).
+
+    Bucket index is floor(log2(n_tokens)) computed INTEGER-only as
+    length(bin(n)) - 1 (identical in Spark and DuckDB — no
+    floating-point log whose last bit could differ); empty documents
+    land in bucket -1. Map-only feature pass + one tiny keyed
+    aggregate: scan-bound at any scale.
+
+    Output: (bucket_log2, lo_tokens, n_docs, sum_tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col("text"))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(n.cast("bigint"))) - 1
+    )
+    return (
+        docs.select(n.alias("n_tokens"), bucket.alias("bucket_log2"))
+        .groupBy("bucket_log2")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .select(
+            F.col("bucket_log2").cast("int").alias("bucket_log2"),
+            F.when(F.col("bucket_log2") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket_log2)"))
+            .alias("lo_tokens"),
+            "n_docs",
+            "sum_tokens",
+        )
+    )
+
+
+TOKEN_LEN_HISTOGRAM_ORACLE = f"""
+WITH feat AS (
+  SELECT len({_T}) AS n_tokens,
+         CASE WHEN len({_T}) <= 0 THEN -1
+              ELSE length(bin(CAST(len({_T}) AS BIGINT))) - 1 END AS bucket_log2
+  FROM documents
+)
+SELECT CAST(bucket_log2 AS INT) AS bucket_log2,
+       CAST(CASE WHEN bucket_log2 < 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << bucket_log2) END AS BIGINT)
+         AS lo_tokens,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM feat
+GROUP BY bucket_log2
+"""

@@ -22,6 +22,7 @@ from .operators import events as _ev
 from .operators import grep as _gr
 from .operators import importance as _imp
 from .operators import inverted_index as _ii
+from .operators import lm_quality as _lm
 from .operators import log_analyzer as _la
 from .operators import multimodal as _mm
 from .operators import ngram as _ng
@@ -41,124 +42,46 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 """Ordering note: the driver checks exactly the FIRST 50 entries each
 round, so the window must ROTATE so no query's latest evidence is more
-than one round old. Round-5 window: (a) ALL 31 entries that sat after
-position 50 in round 4 (their latest green rows are round 3 — two
-rounds old by round 5's end if left out); (b) the 19 queries NEW or
-CHANGED in round 5 (the 5 TPC-H shape-completion queries in
-relational_ext.py, semantic_dedup, dedup_substring_spans,
-similarity_pq_topk, importance_sample, events_multi_rollup,
-similarity_doc_quality_topk, bpe_train_merges, media_resize,
-media_real_decode, events_above_type_avg;
-similarity_ivf_kmeans_topk gained its Lloyd oracle and the portable
-decimal mean; bloom_membership's bloom_audit dedupes probes; the
-media decode pair rides the rewired real-codec module). 31 + 19 fill
-the window exactly. The 47 entries after position 50 (except the new
-tail-only semantic_dedup_fast) all carry green round-4 rows
-(CORRECTNESS_r04.json)
-and rotate back to the front in round 6; each carries an inline note
-where its module was touched in r5 (function-level diff inspection;
-all also re-verified by this session's sf0.01 parity sweeps). The 3
+than one round old. Round-6 window: (a) ALL 43 oracle-backed entries
+that sat after position 50 in round 5 (their latest green driver rows
+are round 4 — two rounds old by round 6's end if left out); (b) the 7
+slots left go to queries NEW or CHANGED in round 6 — bpe_train_merges
+(incremental pair-count rewrite), lm_bigram_score / dedup_keep_best /
+token_len_histogram (NEW r6), similarity_pq_topk (pq.py gained the
+dimension-divisibility assert), plus the two most central r5-stamped
+queries, corpus_clean_funnel and semantic_dedup, so the flagship
+curation surface never goes a round unstamped. 43 + 7 fill the window
+exactly. The 46 entries after position 50 (all r5-stamped green,
+CORRECTNESS_r05.json) rotate back to the front in round 7; each
+carries an inline note where its module was touched in r6. The 4
 rows-only queries (similarity_ann_topk, embedding_neardup,
-dedup_minhash — numpy hash families, each with an oracle-green
-portable twin in-window) sit at the very end so they never burn
-window slots on `no_oracle` rows. The window-integrity invariant
-(first 50 all oracle-backed) is pinned by
+dedup_minhash, semantic_dedup_fast — numpy hash families / numpy
+twin, each with an oracle-green portable sibling) sit at the very end
+so they never burn window slots on `no_oracle` rows. The
+window-integrity invariant (first 50 all oracle-backed) is pinned by
 tests/test_cli.py::test_driver_window_has_no_rows_only_queries.
 
-ROUND-6 ROTATION PLAN: move the 44 oracle-backed tail entries
-(everything below position 50 except the 3 rows-only + the rows-only
-semantic_dedup_fast) into the window, and fill the remaining 6 slots
-with any queries whose modules round 6 modifies (else keep the 6
-r5-stamped queries whose modules are most central: wordcount,
-pricing_summary, dedup_exact analogs). Count the actual entries when
-rotating — do not trust this comment's numbers if the registry has
-grown."""
+ROUND-7 ROTATION PLAN: move the 46 oracle-backed tail entries
+(everything below position 50 except the 4 rows-only at the very end)
+into the window, and fill the remaining 4 slots with queries whose
+modules round 7 modifies (else keep the r6-stamped queries whose
+modules are most central). Count the actual entries when rotating —
+do not trust this comment's numbers if the registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r5 window, block a] rotated in: latest green row is round 3
-    "wordcount_topk": _wc.wordcount_topk,
-    "grep_total": _gr.grep_total,
-    "log_analyzer": _la.log_analyzer,
-    "bigrams": _ng.bigrams,
-    "bigrams_topk": _ng.bigrams_topk,
-    "trigrams": _ng.trigrams,
-    "events_tumbling": _ev.events_tumbling,
-    "events_sliding": _ev.events_sliding,
-    "user_sessions": _ev.user_sessions,
-    "event_type_hourly_topk": _ev.event_type_hourly_topk,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
-    "error_click_correlation": _asof.error_click_correlation,
-    "cms_estimate": _sk.cms_estimate,
-    "pricing_percentiles": _sk.pricing_percentiles,
-    "doc_token_stats": _ta.doc_token_stats,
-    "corpus_token_stats": _ta.corpus_token_stats,
-    "lang_id": _ta.lang_id,
-    "quality_score": _ta.quality_score,
-    "simhash_fingerprints": _ta.simhash_fingerprints,
-    "simhash_neardup": _ta.simhash_neardup,
-    "winnow_fingerprints": _wn.winnow_fingerprints,
-    "winnow_neardup": _wn.winnow_neardup,
-    "token_counts": _ta.token_counts,
-    "corpus_clean_funnel": _pl.corpus_clean_funnel,
-    "stratified_sample": _pl.stratified_sample,
-    "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
-    "repetition_signals": _cu.repetition_signals,
-    "pii_scrub": _cu.pii_scrub,
-    "media_stats": _mm.media_stats,
-    "hll_registers": _sk.hll_registers,
-    # --- [r5 window, block b] new or changed in round 5
-    "media_real_decode": _mm.media_real_decode,  # NEW r5: real WAV/BMP/PPM decode
-    "events_above_type_avg": _ev.events_above_type_avg,  # NEW r5: salted hot-key join
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,  # oracle NEW r5
-    "bloom_membership": _sk.bloom_membership,  # bloom_audit probe dedup r5
-    "media_decode_features": _mm.media_decode_features,  # module rewired r5
-    "media_frame_sample": _mm.media_frame_sample,  # module rewired r5
-    "forecast_revenue": _rx.forecast_revenue,  # NEW r5: TPC-H Q6 shape
-    "min_cost_supplier": _rx.min_cost_supplier,  # NEW r5: TPC-H Q2 shape
-    "priority_lines": _rx.priority_lines,  # NEW r5: TPC-H Q12 shape
-    "excess_shipments": _rx.excess_shipments,  # NEW r5: TPC-H Q20 shape
-    "waiting_suppliers": _rx.waiting_suppliers,  # NEW r5: TPC-H Q21 shape
-    "semantic_dedup": _sd.semantic_dedup,  # NEW r5: SemDeDup-style
-    "dedup_substring_spans": _ss.dedup_substring_spans,  # NEW r5
-    "similarity_pq_topk": _pq.similarity_pq_topk,  # NEW r5: PQ/ADC
-    "importance_sample": _imp.importance_sample,  # NEW r5
-    "events_multi_rollup": _ev.events_multi_rollup,  # NEW r5
-    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,  # NEW r5
-    "bpe_train_merges": _bpe.bpe_train_merges,  # NEW r5
-    "media_resize": _mm.media_resize,  # NEW r5: real-image resize
-    # (block c emptied: media_resize took the last fill slot)
-    # ================= position 51+ — outside the r5 driver window =====
-    # cms_sketch: r4-green; sketch.py's r5 diff touches only the
-    # bloom_audit path, and cms_estimate + hll_registers +
-    # bloom_membership stay in-window covering the module
+    # --- [r6 window, block a] rotated in: latest green driver row is
+    # round 4 (CORRECTNESS_r04.json); all re-verified by the r6
+    # session's sf0.01 parity sweep before sealing
     "cms_sketch": _sk.cms_sketch,
-    # hll_estimate: r4-green; sketch.py's r5 diff touches only the
-    # bloom_audit path (function-level inspection), and hll_registers
-    # stays in-window covering the module
     "hll_estimate": _sk.hll_estimate,
-    # similarity_ivf_topk/similarity_ann_portable/
-    # embedding_neardup_portable: r4-green; similarity.py's r5 diff
-    # touches only the _kmeans_* paths (incl. the byte-identical
-    # lloyd_cents_sql refactor), and the kmeans sibling is in-window
-    # covering the module
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    # events_gapfill/events_props_stats/funnel_conversion: r4-green;
-    # events.py's r5 diff only ADDS events_above_type_avg +
-    # events_multi_rollup (both in-window, covering the module)
     "events_gapfill": _ev.events_gapfill,
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
-    # every entry below is green in round 4 (CORRECTNESS_r04.json) with
-    # code unchanged in round 5; rotate ALL of them (count the actual
-    # entries — do not trust a stale number) to the front in r6
-    # similarity_topk/similarity_filtered_topk: r4-green; similarity.py's
-    # r5 diff touches only the _kmeans_* paths (see note below)
     "similarity_topk": _sim.similarity_topk,
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    # dedup_*: r4-green; dedup.py UNTOUCHED in r5
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
@@ -190,16 +113,76 @@ QUERIES: dict[str, QueryFn] = {
     "inverted_index": _ii.inverted_index,
     "doc_chunks": _ta.doc_chunks,
     "pack_sequences": _ta.pack_sequences,
-    # mixture_weights: r4-green; pipeline.py's r5 diff only ADDS
-    # sample_exact_k (corpus_clean_funnel + stratified_sample are
-    # in-window covering the module)
     "mixture_weights": _pl.mixture_weights,
     "dedup_clusters": _dd.dedup_clusters,
+    # --- [r6 window, block b] new or changed in round 6
+    "bpe_train_merges": _bpe.bpe_train_merges,  # r6: incremental pair counts
+    "lm_bigram_score": _lm.lm_bigram_score,  # NEW r6: bigram-LM fluency
+    "dedup_keep_best": _dd.dedup_keep_best,  # NEW r6: canonical selection
+    "token_len_histogram": _ta.token_len_histogram,  # NEW r6: log2 histogram
+    "similarity_pq_topk": _pq.similarity_pq_topk,  # pq.py dim assert r6
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,  # central; r5-stamped
+    "semantic_dedup": _sd.semantic_dedup,  # central; r5-stamped
+    # ================= position 51+ — outside the r6 driver window =====
+    # every entry below is green in round 5 (CORRECTNESS_r05.json);
+    # rotate ALL of them (count the actual entries — do not trust a
+    # stale number) to the front in r7. Inline notes mark r6 module
+    # touches; where a module was touched, an in-window sibling covers it.
+    "wordcount_topk": _wc.wordcount_topk,
+    "grep_total": _gr.grep_total,
+    "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
+    "events_tumbling": _ev.events_tumbling,
+    "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
+    "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
+    # doc_token_stats..token_counts: r5-green; text_analysis.py's r6
+    # diff only ADDS token_len_histogram (in-window) — doc_chunks/
+    # pack_sequences also rotate in above, covering the module
+    "doc_token_stats": _ta.doc_token_stats,
+    "corpus_token_stats": _ta.corpus_token_stats,
+    "lang_id": _ta.lang_id,
+    "quality_score": _ta.quality_score,
+    "simhash_fingerprints": _ta.simhash_fingerprints,
+    "simhash_neardup": _ta.simhash_neardup,
+    "winnow_fingerprints": _wn.winnow_fingerprints,
+    "winnow_neardup": _wn.winnow_neardup,
+    "token_counts": _ta.token_counts,
+    "stratified_sample": _pl.stratified_sample,
+    "tfidf_topk": _ta.tfidf_topk,
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
+    "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
+    "media_real_decode": _mm.media_real_decode,
+    "events_above_type_avg": _ev.events_above_type_avg,
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
+    "bloom_membership": _sk.bloom_membership,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
+    "forecast_revenue": _rx.forecast_revenue,
+    "min_cost_supplier": _rx.min_cost_supplier,
+    "priority_lines": _rx.priority_lines,
+    "excess_shipments": _rx.excess_shipments,
+    "waiting_suppliers": _rx.waiting_suppliers,
+    "dedup_substring_spans": _ss.dedup_substring_spans,
+    "importance_sample": _imp.importance_sample,
+    "events_multi_rollup": _ev.events_multi_rollup,
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    "media_resize": _mm.media_resize,
     # rows-only by design (numpy hash families; each has an
     # oracle-green portable twin — dedup_minhash_portable/
-    # similarity_ann_portable/embedding_neardup_portable, r4-stamped
-    # above) — kept at the tail so the driver's window never reads
-    # their `no_oracle` rows as errors
+    # similarity_ann_portable/embedding_neardup_portable in-window
+    # above, and semantic_dedup_fast's portable twin semantic_dedup
+    # is in-window) — kept at the tail so the driver's window never
+    # reads their `no_oracle` rows as errors
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
     "dedup_minhash": _dd.dedup_minhash_pairs,
@@ -259,9 +242,18 @@ ORACLES: dict[str, str] = {
     # cross-table filtered ANN (r5) — quality predicate joined from
     # the documents table before any scoring
     "similarity_doc_quality_topk": _cm.SIMILARITY_DOC_QUALITY_TOPK_ORACLE,
-    # BPE merge training (r5) — loop unrolled to MATERIALIZED CTE
-    # rounds, each recomputing its own top pair
+    # BPE merge training (r5; r6 incremental pair-count maintenance) —
+    # oracle loop unrolled to MATERIALIZED CTE rounds, each recomputing
+    # ALL pair counts from scratch, so the engine's delta maintenance
+    # is hash-checked against a full-recompute twin
     "bpe_train_merges": _bpe.BPE_TRAIN_MERGES_ORACLE,
+    # bigram-LM fluency scoring (r6) — integer ppm probabilities
+    "lm_bigram_score": _lm.LM_BIGRAM_SCORE_ORACLE,
+    # canonical-selection dedup (r6) — oracle is the window
+    # formulation, engine is the struct-max aggregate
+    "dedup_keep_best": _dd.DEDUP_KEEP_BEST_ORACLE,
+    # log2 token-length histogram (r6) — integer-only bucketing
+    "token_len_histogram": _ta.TOKEN_LEN_HISTOGRAM_ORACLE,
     # real-image nearest-neighbor resize (r5) — static offset
     # arithmetic over hex(encode(text))
     "media_resize": _mm.MEDIA_RESIZE_ORACLE,
