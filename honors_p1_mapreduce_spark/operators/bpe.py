@@ -31,7 +31,11 @@ maintained frame (invariant: untouched words contribute identical
 pairs, so counts stay exact). At a production 32 K-merge run this is
 the difference between 32 K full-vocab shuffles and 32 K
 touched-fraction-sized ones — late rounds touch a vanishing slice of
-the vocabulary (see scripts/probe_bpe_incremental.py).
+the vocabulary (see scripts/probe_bpe_incremental.py). Below
+``BPE_INCREMENTAL_MIN_VOCAB`` words the trainer falls back to full
+per-round recompute: on a toy vocab the delta machinery's extra
+per-round jobs cost more than the explode they avoid, and the two
+strategies are trajectory-identical either way.
 
 Each round is: deterministic argmax over the maintained counts
 (count DESC, pair ASC) → one-row collect to the driver → literal
@@ -110,13 +114,32 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+# below this vocab size the delta machinery's extra per-round jobs
+# (touched filter, two small aggregates, a second checkpoint) cost
+# more than just re-exploding the whole tiny vocab — measured at the
+# driver corpus's ~31-word vocab, full recompute is ~2-4x faster per
+# round, while at 100 K+ words the explode dominates and delta wins
+# (scripts/probe_bpe_incremental.py measures both corpora)
+BPE_INCREMENTAL_MIN_VOCAB = 4096
+
+
 def bpe_train_merges_from(
-    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    incremental: bool | None = None,
 ) -> DataFrame:
     """Library-level trainer over any (doc_id, text) frame — the body
     of :func:`bpe_train_merges`, factored for golden tests on
-    hand-built corpora. Delta-maintains pair counts (module
-    docstring); the full explode runs exactly once."""
+    hand-built corpora.
+
+    ``incremental=None`` (the default) picks the strategy by vocab
+    size: delta-maintained pair counts (module docstring) above
+    ``BPE_INCREMENTAL_MIN_VOCAB`` words, full per-round recompute
+    below it. Both strategies produce bit-identical trajectories
+    (probe + hypothesis differential); only the per-round dataflow
+    differs.
+    """
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
@@ -124,11 +147,18 @@ def bpe_train_merges_from(
         .select(_wrap_chars(F.col("word")).alias("w"), "cnt")
         .localCheckpoint()
     )
-    counts = _pair_counts(vocab).localCheckpoint()
+    if incremental is None:
+        incremental = vocab.count() >= BPE_INCREMENTAL_MIN_VOCAB
+    counts = _pair_counts(vocab).localCheckpoint() if incremental else None
+    # union below is narrow (n + n partitions) — without this coalesce
+    # target the vocab frame would DOUBLE its partition count every
+    # round (32 -> 32·2^rounds tiny partitions by the checkpoints)
+    n_parts = vocab.rdd.getNumPartitions()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
+        src = counts if incremental else _pair_counts(vocab)
         row = (
-            counts.orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            src.orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
@@ -136,18 +166,19 @@ def bpe_train_merges_from(
             break
         a, b, total = row[0]["a"], row[0]["b"], row[0]["total"]
         merges.append((rank, a, b, int(total)))
+        replace_expr = F.expr(
+            f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
+            f"'{_SEP}{a}{b}{_SEP}')"
+        ).alias("w")
+        if not incremental:
+            vocab = vocab.select(replace_expr, "cnt").localCheckpoint()
+            continue
         # adjacency == the literal substring |a||b| (symbols can't
         # contain the separator), so this filter is exactly the set of
         # words whose pair multiset changes this round
         pat = f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"
         touched = vocab.filter(F.col("w").contains(pat))
-        merged = touched.select(
-            F.expr(
-                f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
-                f"'{_SEP}{a}{b}{_SEP}')"
-            ).alias("w"),
-            "cnt",
-        )
+        merged = touched.select(replace_expr, "cnt")
         delta = _pair_counts(touched).select(
             "a", "b", (-F.col("total")).alias("total")
         ).unionAll(_pair_counts(merged))
@@ -161,6 +192,7 @@ def bpe_train_merges_from(
         vocab = (
             vocab.filter(~F.col("w").contains(pat))
             .unionAll(merged)
+            .coalesce(n_parts)
             .localCheckpoint()
         )
     return spark.createDataFrame(

@@ -2,24 +2,28 @@
 """Probe: incremental pair-count maintenance vs full per-round
 recompute for BPE training (operators/bpe.py).
 
-Round 5 shipped a trainer that re-exploded the ENTIRE vocab into
-pair rows every merge round — fine at the demo's 10 merges, 32 K
-full shuffles at a production 32 K-merge run. Round 6 delta-maintains
-the pair-count frame: each round touches only the words containing
-the merged pair. This probe measures, on the sf0.01 documents corpus:
+Round 5 shipped a trainer that re-exploded the ENTIRE vocab into pair
+rows every merge round — fine at the demo's 10 merges, 32 K full
+shuffles at a production 32 K-merge run. Round 6 delta-maintains the
+pair-count frame above ``BPE_INCREMENTAL_MIN_VOCAB`` words. This
+probe measures both strategies on two corpora:
 
-1. identical merge trajectories (incremental vs a full-recompute
-   twin kept inline here) at N_MERGES;
-2. per-round wall time for each, plus the fraction of vocab words
-   the incremental round actually touched — the quantity the
-   per-round cost now scales with.
+1. the sf0.01 documents corpus — vocab of ~31 words, where the delta
+   machinery's fixed per-round job overhead LOSES to the trivial
+   full explode (which is why the trainer is hybrid);
+2. a synthetic realistic-vocabulary corpus (150 K distinct words,
+   zipf-ish counts) — where the full per-round explode dominates and
+   delta maintenance wins; also records the per-round touched-vocab
+   fraction, the quantity incremental cost scales with.
 
+Asserts trajectory identity between the strategies on both corpora.
 Prints one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import random
 import sys
 import time
 from pathlib import Path
@@ -28,82 +32,72 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from honors_p1_mapreduce_spark.functions.text import tokens_col  # noqa: E402
 from honors_p1_mapreduce_spark.operators.bpe import (  # noqa: E402
     _pair_counts,
     _SEP,
     _wrap_chars,
+    bpe_train_merges_from,
 )
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 from honors_p1_mapreduce_spark.sources.tables import load_table  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
-N_MERGES = 40
+N_MERGES = 20
+SYN_VOCAB = 150_000
 
 
-def seed_vocab(spark):
-    return (
-        load_table(spark, SF_DIR, "documents")
-        .select(F.explode(tokens_col("text")).alias("word"))
+def synthetic_docs(spark):
+    """150 K distinct random words, zipf-ish counts, one word per doc
+    row — the trainer re-derives (word, cnt) by tokenizing, so word
+    frequency is carried by row repetition of the head words."""
+    rng = random.Random(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(letters) for _ in range(rng.randint(5, 12)))
+        for _ in range(SYN_VOCAB)
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    # head words repeated so top pairs are non-degenerate
+    rows += [(SYN_VOCAB + j, words[j % 500]) for j in range(20_000)]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+
+
+def timed_train(spark, docs, incremental):
+    t0 = time.perf_counter()
+    out = [
+        tuple(r)
+        for r in bpe_train_merges_from(
+            spark, docs, n_merges=N_MERGES, incremental=incremental
+        ).collect()
+    ]
+    return out, round(time.perf_counter() - t0, 2)
+
+
+def touched_fractions(spark, docs):
+    """Instrumented incremental loop: per-round touched-vocab share."""
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9_]+")).alias("word"))
+        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
         .select(_wrap_chars(F.col("word")).alias("w"), "cnt")
         .localCheckpoint()
     )
-
-
-def train_full(spark, n_merges):
-    """The round-5 structure: full pair recompute every round."""
-    vocab = seed_vocab(spark)
-    merges, round_s = [], []
-    for rank in range(1, n_merges + 1):
-        t0 = time.perf_counter()
-        row = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not row:
-            break
-        a, b, total = row[0]["a"], row[0]["b"], row[0]["total"]
-        merges.append((rank, a, b, int(total)))
-        vocab = vocab.select(
-            F.expr(
-                f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
-                f"'{_SEP}{a}{b}{_SEP}')"
-            ).alias("w"),
-            "cnt",
-        ).localCheckpoint()
-        round_s.append(round(time.perf_counter() - t0, 3))
-    return merges, round_s
-
-
-def train_incremental(spark, n_merges):
-    """The round-6 trainer, instrumented per round with touched-word
-    fraction (same dataflow as bpe_train_merges_from)."""
-    vocab = seed_vocab(spark)
     n_vocab = vocab.count()
+    n_parts = vocab.rdd.getNumPartitions()
     counts = _pair_counts(vocab).localCheckpoint()
-    merges, round_s, touched_frac = [], [], []
-    for rank in range(1, n_merges + 1):
-        t0 = time.perf_counter()
-        row = (
-            counts.orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
+    fracs = []
+    for _ in range(N_MERGES):
+        row = counts.orderBy(F.desc("total"), F.asc("a"), F.asc("b")).limit(1).collect()
         if not row:
             break
-        a, b, total = row[0]["a"], row[0]["b"], row[0]["total"]
-        merges.append((rank, a, b, int(total)))
+        a, b = row[0]["a"], row[0]["b"]
         pat = f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"
         touched = vocab.filter(F.col("w").contains(pat))
-        n_touched = touched.count()
+        fracs.append(round(touched.count() / n_vocab, 5))
         merged = touched.select(
             F.expr(
-                f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', "
-                f"'{_SEP}{a}{b}{_SEP}')"
+                f"replace(w, '{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}', '{_SEP}{a}{b}{_SEP}')"
             ).alias("w"),
             "cnt",
         )
@@ -120,38 +114,41 @@ def train_incremental(spark, n_merges):
         vocab = (
             vocab.filter(~F.col("w").contains(pat))
             .unionAll(merged)
+            .coalesce(n_parts)
             .localCheckpoint()
         )
-        round_s.append(round(time.perf_counter() - t0, 3))
-        touched_frac.append(round(n_touched / n_vocab, 4))
-    return merges, round_s, touched_frac
+    return fracs
 
 
 def main() -> None:
     spark = get_spark(app_name="probe_bpe_incremental")
-    t0 = time.perf_counter()
-    m_inc, inc_s, frac = train_incremental(spark, N_MERGES)
-    inc_total = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    m_full, full_s = train_full(spark, N_MERGES)
-    full_total = round(time.perf_counter() - t0, 2)
-    assert m_inc == m_full, (m_inc[:3], m_full[:3])
-    print(
-        json.dumps(
-            {
-                "probe": "bpe_incremental",
-                "sf_dir": SF_DIR,
-                "n_merges": len(m_inc),
-                "trajectory_identical": True,
-                "incremental_total_s": inc_total,
-                "full_recompute_total_s": full_total,
-                "speedup": round(full_total / inc_total, 2),
-                "incremental_round_s": inc_s,
-                "full_round_s": full_s,
-                "touched_vocab_fraction": frac,
-            }
-        )
-    )
+    out = {"probe": "bpe_incremental", "n_merges": N_MERGES}
+
+    docs_small = load_table(spark, SF_DIR, "documents")
+    m_inc, t_inc = timed_train(spark, docs_small, incremental=True)
+    m_full, t_full = timed_train(spark, docs_small, incremental=False)
+    assert m_inc == m_full, "small-corpus trajectory mismatch"
+    out["small_corpus"] = {
+        "sf_dir": SF_DIR,
+        "incremental_s": t_inc,
+        "full_recompute_s": t_full,
+        "winner": "full_recompute" if t_full < t_inc else "incremental",
+    }
+
+    docs_big = synthetic_docs(spark).localCheckpoint()
+    m_inc, t_inc = timed_train(spark, docs_big, incremental=True)
+    m_full, t_full = timed_train(spark, docs_big, incremental=False)
+    assert m_inc == m_full, "big-corpus trajectory mismatch"
+    fracs = touched_fractions(spark, docs_big)
+    out["big_corpus"] = {
+        "distinct_words": SYN_VOCAB,
+        "incremental_s": t_inc,
+        "full_recompute_s": t_full,
+        "speedup": round(t_full / t_inc, 2),
+        "winner": "full_recompute" if t_full < t_inc else "incremental",
+        "touched_vocab_fraction": fracs,
+    }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -31,6 +31,21 @@ def test_bpe_greedy_nonoverlap(spark):
     assert got[1] == ("aa", "aa", 3)
 
 
+def test_bpe_incremental_matches_full_recompute(spark):
+    """The delta-maintained pair-count path (auto-selected only above
+    BPE_INCREMENTAL_MIN_VOCAB words in production) must produce the
+    bit-identical merge trajectory to full per-round recompute —
+    forced here on the classic corpus plus a tie-heavy one."""
+    for text in [
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),
+        "aaaa aaab abab baba aa ab ba bb aaaa abab",
+    ]:
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        inc = bpe_train_merges_from(spark, docs, n_merges=6, incremental=True)
+        full = bpe_train_merges_from(spark, docs, n_merges=6, incremental=False)
+        assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in full.collect()]
+
+
 def test_bpe_stops_when_fully_merged(spark):
     """A single repeated 2-char word merges once, then no pairs
     remain — the trainer stops early instead of erroring."""
