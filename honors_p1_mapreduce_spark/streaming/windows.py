@@ -103,7 +103,7 @@ def run_to_memory_sink(
 
 
 def streaming_incremental_rollup(
-    spark: SparkSession, sf_dir: str, store_dir: str
+    spark: SparkSession, sf_dir: str, store_dir: str, glob: str = "events.parquet"
 ) -> None:
     """Incremental continuous aggregate (the streaming face of
     ``operators/events.py:events_multi_rollup``): each micro-batch
@@ -144,7 +144,7 @@ def streaming_incremental_rollup(
         )
 
     q = (
-        stream_events(spark, sf_dir)
+        stream_events(spark, sf_dir, glob=glob)
         .writeStream.foreachBatch(_merge_batch)
         .trigger(availableNow=True)
         .option("checkpointLocation", store_dir + "_ckpt")

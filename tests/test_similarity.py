@@ -203,20 +203,24 @@ def test_pq_recall_beats_chance_and_is_deterministic(spark, sf_dir):
     assert got == r2
 
 
-def test_semantic_dedup_fast_agrees_with_portable(spark, sf_dir):
+def test_semantic_dedup_fast_agrees_with_portable(spark):
     """The Arrow/numpy fast path must make the same keep/drop
     decisions as the oracle-checked portable variant except where
     float-summation order flips a cell/threshold boundary — pinned as
-    >= 95% identical kept flags and identical output cardinality."""
-    from pyspark.sql import functions as F
-
+    >= 95% identical kept flags and identical output cardinality, at
+    sf0.1 (2000 vectors — 4x the default test SF; VERDICT r5 item 6;
+    the round-6 probe measured agreement = 1.0 at this scale and
+    identical composed-chain outputs, scripts/probe_semdedup_chain.py)."""
     from honors_p1_mapreduce_spark.operators.semdedup import (
         semantic_dedup,
         semantic_dedup_fast,
     )
 
-    slow = {r["vec_id"]: r["kept"] for r in semantic_dedup(spark, sf_dir).collect()}
-    fast = {r["vec_id"]: r["kept"] for r in semantic_dedup_fast(spark, sf_dir).collect()}
+    sf01 = "/root/testdata/sf0.1"
+    slow = {r["vec_id"]: r["kept"] for r in semantic_dedup(spark, sf01).collect()}
+    fast = {r["vec_id"]: r["kept"] for r in semantic_dedup_fast(spark, sf01).collect()}
     assert set(slow) == set(fast)
+    assert len(slow) == 2000
+    assert sum(slow.values()) == sum(fast.values())
     agree = sum(1 for v in slow if slow[v] == fast[v])
     assert agree / len(slow) >= 0.95
