@@ -1,0 +1,318 @@
+"""Curation surface extensions (round 6): the dataset-assembly
+operators a training pipeline runs AFTER cleaning — split assignment,
+per-source health profiling, token-budget selection — plus a portable
+statistical outlier scan over the events stream.
+
+North-star LLM-pipeline surface; the reference engine has nothing
+comparable (its text ops stop at tokenize/count — SURVEY.md §2.3/§2.4).
+
+Every operator is built-in Catalyst expressions end-to-end (no Python
+in any hot path) and every numeric decision runs in integer/decimal
+arithmetic so the DuckDB oracles hash-match bit-for-bit:
+
+- :func:`dataset_split` — deterministic hash train/val/test assignment
+  (the reproducibility contract: a rand()-based split silently
+  reshuffles under task retry; a seeded-md5 split never does).
+- :func:`source_profile` — per-source corpus health: volume, exact-dup
+  mass, language spread (the "which crawl source is dirty" dashboard).
+- :func:`token_budget_select` — keep the highest-quality documents
+  whose tokens fit a fixed budget. Implemented the way it must run at
+  100 TB: a tiny per-quality-bucket histogram picks the quality
+  cutoff, full buckets above the cutoff are kept by a map-side filter,
+  and only the single BOUNDARY bucket pays a per-document ordered
+  scan — no global sort of the corpus, ever.
+- :func:`events_value_outliers` — per-type 3-sigma outliers with the
+  z-test done in cross-multiplied integer form ((n·x−S)² > 9(n·SS−S²)),
+  so no division or sqrt touches a float and both engines agree on
+  every boundary row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .pipeline import _features, features_sql
+
+# ------------------------------------------------------ dataset split
+
+SPLIT_SEED = "split1"  # re-rolls every assignment when changed
+TRAIN_PCT = 90
+VAL_PCT = 5  # test gets the remainder
+
+
+def _split_bucket(doc_id) -> F.Column:
+    """Deterministic bucket in [0, 100) from (seed, doc_id), md5-derived
+    — same construction as pipeline._uniform, kept integer all the way."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(SPLIT_SEED), doc_id.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit frame of the deterministic train/val/test assignment:
+    (source, split, n_docs, sum_chars), one row per source x split.
+
+    Map-only plan: per-row md5 bucket -> split label, then one tiny
+    keyed aggregate (sources x 3 rows). The assignment itself is the
+    same expression applied as a column — stable under retries,
+    engine-portable, and stratification-auditable per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = _split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+DATASET_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('{SPLIT_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bk
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bk < {TRAIN_PCT} THEN 'train'
+            WHEN bk < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM b
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------- source profile
+
+
+def source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: (source, n_docs, n_dup_copies,
+    n_langs, sum_chars).
+
+    ``n_dup_copies`` counts documents that are NOT the lowest-id member
+    of their corpus-wide exact-duplicate group (md5(text)) — i.e. the
+    redundant mass this source contributes. Plan: one hash-aggregate
+    over content hashes (map-side combined) broadcast-joined back to
+    the doc frame, then one tiny per-source aggregate. No row of text
+    ever shuffles; only hashes do.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", "lang", "n_chars", F.md5("text").alias("h"))
+    heads = d.groupBy("h").agg(F.min("doc_id").alias("head_id"))
+    return (
+        d.join(heads, "h")
+        .select(
+            "source",
+            "lang",
+            "n_chars",
+            (F.col("doc_id") != F.col("head_id")).cast("int").alias("dup"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup").alias("n_dup_copies"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SOURCE_PROFILE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars, md5(text) AS h FROM documents
+),
+heads AS (SELECT h, min(doc_id) AS head_id FROM d GROUP BY h)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id <> heads.head_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_copies,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+FROM d JOIN heads ON d.h = heads.h
+GROUP BY d.source
+"""
+
+# --------------------------------------------- token-budget selection
+
+# budget = this numerator/denominator of the corpus's total BPE tokens
+BUDGET_NUM = 1
+BUDGET_DEN = 2
+QB_SCALE = 1_000_000  # quality double -> ppm bucket (integer, portable)
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents whose BPE tokens fit a
+    budget of ``BUDGET_NUM/BUDGET_DEN`` of the corpus total; output the
+    per-source audit (source, n_docs, n_tokens) of the selected set.
+
+    100 TB plan shape — the histogram-cutoff algorithm, NOT a global
+    sort: (1) one feature pass buckets every document's quality into
+    integer ppm; (2) a per-bucket token histogram (tiny: <= 1e6 rows
+    whatever the corpus size) is cumulated highest-quality-first to
+    find the cutoff bucket; (3) documents in buckets strictly inside
+    the budget are kept by a broadcast-semi-join filter (map-side);
+    (4) only the ONE boundary bucket pays an ordered per-document
+    cumulative scan (doc_id ascending — deterministic), taking docs
+    until the budget is exact. The only full-corpus shuffle is the
+    bucket histogram's map-side-combined aggregate.
+
+    All arithmetic after the quality double is integer: the bucket id
+    is floor(quality*1e6) (identical doubles -> identical buckets; the
+    funnel oracle already pins quality's cross-engine bit-equality),
+    token sums are BIGINT, and the budget compare is
+    ``DEN * cum <= NUM * total``.
+    """
+    feats = _features(spark, sf_dir).select(
+        "doc_id", F.floor(F.col("quality") * QB_SCALE).cast("bigint").alias("qb"),
+        "bpe_tokens",
+    )
+    feats = feats.persist()
+    buckets = feats.groupBy("qb").agg(
+        F.sum("bpe_tokens").alias("bt"), F.count("*").alias("nd")
+    )
+    tot = buckets.agg(F.sum("bt").alias("total"))
+    w = Window.orderBy(F.desc("qb")).rowsBetween(Window.unboundedPreceding, 0)
+    bk = (
+        buckets.join(F.broadcast(tot))
+        .withColumn("cum", F.sum("bt").over(w))
+        .withColumn("cum_before", F.col("cum") - F.col("bt"))
+    )
+    in_budget = F.col("cum") * BUDGET_DEN <= F.col("total") * BUDGET_NUM
+    before_budget = F.col("cum_before") * BUDGET_DEN <= F.col("total") * BUDGET_NUM
+    full = bk.filter(in_budget).select("qb")
+    boundary = bk.filter(~in_budget & before_budget).select(
+        "qb", "cum_before", "total"
+    )
+    full_docs = feats.join(F.broadcast(full), "qb").select("doc_id", "bpe_tokens")
+    wd = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boundary_docs = (
+        feats.join(F.broadcast(boundary), "qb")
+        .withColumn("cumd", F.sum("bpe_tokens").over(wd))
+        .filter(
+            (F.col("cum_before") + F.col("cumd")) * BUDGET_DEN
+            <= F.col("total") * BUDGET_NUM
+        )
+        .select("doc_id", "bpe_tokens")
+    )
+    selected = full_docs.unionByName(boundary_docs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        selected.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("bpe_tokens").alias("n_tokens"))
+    )
+
+
+TOKEN_BUDGET_SELECT_ORACLE = f"""
+WITH {features_sql()},
+fq AS (
+  SELECT doc_id, CAST(floor(quality * {QB_SCALE}) AS BIGINT) AS qb, bpe_tokens
+  FROM feats
+),
+buckets AS (
+  SELECT qb, CAST(sum(bpe_tokens) AS BIGINT) AS bt FROM fq GROUP BY qb
+),
+tot AS (SELECT CAST(sum(bt) AS BIGINT) AS total FROM buckets),
+bk AS (
+  SELECT qb, bt, total,
+         CAST(sum(bt) OVER (ORDER BY qb DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM buckets CROSS JOIN tot
+),
+bk2 AS (SELECT *, cum - bt AS cum_before FROM bk),
+full_docs AS (
+  SELECT fq.doc_id, fq.bpe_tokens
+  FROM fq JOIN bk2 ON fq.qb = bk2.qb
+  WHERE bk2.cum * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM}
+),
+boundary_docs AS (
+  SELECT doc_id, bpe_tokens FROM (
+    SELECT fq.doc_id, fq.bpe_tokens, bk2.cum_before, bk2.total,
+           CAST(sum(fq.bpe_tokens) OVER (PARTITION BY fq.qb ORDER BY fq.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumd
+    FROM fq JOIN bk2 ON fq.qb = bk2.qb
+    WHERE NOT (bk2.cum * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM})
+      AND bk2.cum_before * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM}
+  ) WHERE (cum_before + cumd) * {BUDGET_DEN} <= total * {BUDGET_NUM}
+),
+sel AS (SELECT * FROM full_docs UNION ALL SELECT * FROM boundary_docs)
+SELECT d.source, count(*) AS n_docs, CAST(sum(sel.bpe_tokens) AS BIGINT) AS n_tokens
+FROM sel JOIN documents d ON sel.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+# ---------------------------------------------- events value outliers
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outliers: (event_id, event_type, value)
+    for every event with (x - mean)^2 > 9 * variance of its type.
+
+    Portability: the test is cross-multiplied to integers —
+    x is scaled to exact micro-units (BIGINT), per-type S = sum(x),
+    SS = sum(x^2) (decimal(38,0): SS can exceed BIGINT), and the
+    condition becomes (n*x - S)^2 > 9*(n*SS - S^2). No division, no
+    sqrt, no float accumulation — both engines agree on every
+    boundary event.
+
+    Plan: one map-side-combined aggregate to 5 stat rows, broadcast
+    back onto the scan, map-only filter — two passes over the fact,
+    zero fact shuffles. At 100 TB the stats side is bytes; the filter
+    is embarrassingly parallel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x6 = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    e = ev.select("event_id", "event_type", "value", x6.alias("x6"))
+    xd = F.col("x6").cast("decimal(19,0)")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").alias("s"),
+        F.sum(xd * xd).alias("ss"),
+    )
+    lhs_root = (F.col("n") * F.col("x6") - F.col("s")).cast("decimal(19,0)")
+    lhs = lhs_root * lhs_root
+    rhs = (
+        F.col("n").cast("decimal(19,0)") * F.col("ss")
+        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    ) * 9
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(lhs > rhs)
+        .select("event_id", "event_type", "value")
+    )
+
+
+EVENTS_VALUE_OUTLIERS_ORACLE = """
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(x6) AS s,
+         sum(CAST(x6 AS HUGEINT) * x6) AS ss
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM e JOIN stats USING (event_type)
+WHERE CAST(stats.n * e.x6 - stats.s AS HUGEINT)
+      * CAST(stats.n * e.x6 - stats.s AS HUGEINT)
+    > 9 * (CAST(stats.n AS HUGEINT) * stats.ss
+           - CAST(stats.s AS HUGEINT) * CAST(stats.s AS HUGEINT))
+"""

@@ -113,9 +113,10 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle() -> str:
-    from .winnow import WINNOW_NEARDUP_ORACLE
-
+def features_sql() -> str:
+    """DuckDB twin of :func:`_features` as a `h AS (...), feats AS
+    (...)` CTE-body fragment (shared by the funnel oracle here and the
+    token-budget oracle in ``curation_ext.py``)."""
     t = tokens_sql("text")
     hits = ",\n         ".join(
         f"{_hits_sql(t, STOPWORDS[lg])} AS hits_{lg}" for lg in LANGS
@@ -130,8 +131,7 @@ def _funnel_oracle() -> str:
         f" + CAST(length(regexp_replace(lower(text), '[^a-z0-9_ ]', '', 'g')) AS DOUBLE)"
         f" / length(text)) / 3.0"
     )
-    return f"""
-WITH h AS (
+    return f"""h AS (
   SELECT doc_id, text,
          {hits}
   FROM documents
@@ -143,7 +143,14 @@ feats AS (
          len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
          md5(text) AS content_hash
   FROM h
-),
+)"""
+
+
+def _funnel_oracle() -> str:
+    from .winnow import WINNOW_NEARDUP_ORACLE
+
+    return f"""
+WITH {features_sql()},
 s1 AS (SELECT * FROM feats WHERE pred_lang = '{KEEP_LANG}'),
 s2 AS (SELECT * FROM s1 WHERE quality >= {QUALITY_MIN}),
 s3 AS (

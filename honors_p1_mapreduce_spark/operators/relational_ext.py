@@ -355,3 +355,53 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT {WAITING_K}
 """
+
+# ------------------------------------------------- revenue CUBE
+
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (order year, order priority) of discounted
+    revenue: every combination of subtotal — (year, priority),
+    per-year, per-priority, grand total — in ONE pass.
+
+    The multi-dimensional dashboard rollup: Spark compiles ``cube()``
+    to a single Expand + hash-aggregate (each input row contributes to
+    its 4 grouping sets map-side), so the fact is scanned and shuffled
+    once no matter how many subtotal levels are served — at 100 TB
+    this replaces 4 separate aggregation jobs. NULL dimension values
+    are coalesced to sentinels (-1 / 'ALL') so the output is
+    unambiguous and hash-comparable.
+
+    Revenue rides the exact decimal-sum pattern; the year is extracted
+    from the order date (the fact-fact join happens BEFORE the Expand,
+    so each joined row is expanded, not re-joined per grouping set).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        j.cube("o_year", "priority")
+        .agg(
+            dsum_expr(F.col("rev"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+REVENUE_CUBE_ORACLE = f"""
+SELECT coalesce(CAST(year(o_orderdate) AS INT), -1) AS o_year,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (year(o_orderdate), o_orderpriority)
+"""

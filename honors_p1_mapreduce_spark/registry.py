@@ -17,6 +17,7 @@ from .operators import asof as _asof
 from .operators import bpe as _bpe
 from .operators import crossmodal as _cm
 from .operators import curation as _cu
+from .operators import curation_ext as _cx
 from .operators import dedup as _dd
 from .operators import events as _ev
 from .operators import grep as _gr
@@ -48,10 +49,10 @@ are round 4 — two rounds old by round 6's end if left out); (b) the 7
 slots left go to queries NEW or CHANGED in round 6 — bpe_train_merges
 (incremental pair-count rewrite), lm_bigram_score / dedup_keep_best /
 token_len_histogram (NEW r6), similarity_pq_topk (pq.py gained the
-dimension-divisibility assert), plus the two most central r5-stamped
-queries, corpus_clean_funnel and semantic_dedup, so the flagship
-curation surface never goes a round unstamped. 43 + 7 fill the window
-exactly. The 46 entries after position 50 (all r5-stamped green,
+dimension-divisibility assert), plus two of session 2's five NEW
+queries (token_budget_select, events_value_outliers — the other
+three sit at tail-top with recorded 3-SF parity sweeps and rotate in
+next round). 43 + 7 fill the window exactly. The 46 entries after position 50 (all r5-stamped green,
 CORRECTNESS_r05.json) rotate back to the front in round 7; each
 carries an inline note where its module was touched in r6. The 4
 rows-only queries (similarity_ann_topk, embedding_neardup,
@@ -121,13 +122,20 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": _dd.dedup_keep_best,  # NEW r6: canonical selection
     "token_len_histogram": _ta.token_len_histogram,  # NEW r6: log2 histogram
     "similarity_pq_topk": _pq.similarity_pq_topk,  # pq.py dim assert r6
-    "corpus_clean_funnel": _pl.corpus_clean_funnel,  # central; r5-stamped
-    "semantic_dedup": _sd.semantic_dedup,  # central; r5-stamped
+    "token_budget_select": _cx.token_budget_select,  # NEW r6 session 2
+    "events_value_outliers": _cx.events_value_outliers,  # NEW r6 session 2
     # ================= position 51+ — outside the r6 driver window =====
-    # every entry below is green in round 5 (CORRECTNESS_r05.json);
-    # rotate ALL of them (count the actual entries — do not trust a
-    # stale number) to the front in r7. Inline notes mark r6 module
-    # touches; where a module was touched, an in-window sibling covers it.
+    # every entry below is green in round 5 (CORRECTNESS_r05.json) or —
+    # for the NEW r6 entries at the top — in the r6 session's recorded
+    # sf0.001+sf0.01+sf0.1 parity sweeps; rotate ALL of them (count the
+    # actual entries — do not trust a stale number) to the front in r7.
+    # Inline notes mark r6 module touches; where a module was touched,
+    # an in-window sibling covers it.
+    "dataset_split": _cx.dataset_split,  # NEW r6 session 2
+    "source_profile": _cx.source_profile,  # NEW r6 session 2
+    "revenue_cube": _rx.revenue_cube,  # NEW r6 session 2
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
+    "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
     "grep_total": _gr.grep_total,
     "log_analyzer": _la.log_analyzer,
@@ -299,6 +307,11 @@ ORACLES: dict[str, str] = {
     "doc_chunks": _ta.DOC_CHUNKS_ORACLE,
     "pack_sequences": _ta.PACK_SEQUENCES_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
+    "token_budget_select": _cx.TOKEN_BUDGET_SELECT_ORACLE,
+    "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
+    "dataset_split": _cx.DATASET_SPLIT_ORACLE,
+    "source_profile": _cx.SOURCE_PROFILE_ORACLE,
+    "revenue_cube": _rx.REVENUE_CUBE_ORACLE,
     "stratified_sample": _pl.STRATIFIED_SAMPLE_ORACLE,
     "mixture_weights": _pl.MIXTURE_WEIGHTS_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,

@@ -1,0 +1,143 @@
+"""Round-6 curation-extension operators: oracle parity, independent
+Python differentials, and the semantic invariants each operator
+promises (split partition totality, budget maximality, 3-sigma
+agreement with float math, cube subtotal consistency)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from honors_p1_mapreduce_spark import registry
+from honors_p1_mapreduce_spark.operators import curation_ext as cx
+from honors_p1_mapreduce_spark.operators import relational_ext as rx
+from honors_p1_mapreduce_spark.operators.pipeline import _features
+from honors_p1_mapreduce_spark.sources.tables import load_table
+
+from .oracle import compare_query
+
+
+def test_new_r6_queries_match_oracles(spark, sf_dir):
+    for name in (
+        "dataset_split",
+        "source_profile",
+        "token_budget_select",
+        "events_value_outliers",
+        "revenue_cube",
+    ):
+        compare_query(spark, sf_dir, registry.QUERIES[name], registry.ORACLES[name])
+
+
+def test_dataset_split_partitions_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = cx.dataset_split(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["sum_chars"] for r in out) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    by_split: dict[str, int] = {}
+    for r in out:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert set(by_split) == {"train", "val", "test"}
+    # seeded-md5 buckets: train share must sit near 90% (binomial
+    # tolerance at 500 docs)
+    total = sum(by_split.values())
+    assert 0.8 < by_split["train"] / total < 0.97
+
+
+def test_dataset_split_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, cx.dataset_split(spark, sf_dir).collect()))
+    b = sorted(map(tuple, cx.dataset_split(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_source_profile_dup_mass_matches_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total_dups = sum(
+        r["n_dup_copies"] for r in cx.source_profile(spark, sf_dir).collect()
+    )
+    # corpus-wide redundant mass = docs - distinct texts
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert total_dups == n_docs - n_distinct
+
+
+def test_token_budget_select_maximal_prefix(spark, sf_dir):
+    """Differential vs an independent Python greedy: sort all docs by
+    (quality bucket desc, doc_id asc), take the maximal prefix whose
+    token sum fits floor-half of the total — the selected multiset of
+    (source, n_docs, n_tokens) must match the operator exactly."""
+    feats = (
+        _features(spark, sf_dir)
+        .select("doc_id", F.floor(F.col("quality") * cx.QB_SCALE).alias("qb"), "bpe_tokens")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    }
+    total = sum(r["bpe_tokens"] for r in feats)
+    per_source: dict[str, list[int]] = {}
+    cum = 0
+    for r in sorted(feats, key=lambda r: (-r["qb"], r["doc_id"])):
+        if (cum + r["bpe_tokens"]) * cx.BUDGET_DEN > total * cx.BUDGET_NUM:
+            break
+        cum += r["bpe_tokens"]
+        per_source.setdefault(docs[r["doc_id"]], [0, 0])
+        per_source[docs[r["doc_id"]]][0] += 1
+        per_source[docs[r["doc_id"]]][1] += r["bpe_tokens"]
+    got = {
+        r["source"]: [r["n_docs"], r["n_tokens"]]
+        for r in cx.token_budget_select(spark, sf_dir).collect()
+    }
+    assert got == per_source
+    assert cum * cx.BUDGET_DEN <= total * cx.BUDGET_NUM
+
+
+def test_events_value_outliers_matches_float_zscore(spark, sf_dir):
+    """The integer cross-multiplied test must agree with the plain
+    float 3-sigma computation away from representation noise (micro-
+    unit scaling truncates value at 1e-6, so compare against floats
+    derived from the SAME truncation)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = set()
+    for t, rows in by_type.items():
+        xs = [int(round(r["value"] * 1_000_000)) for r in rows]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        sd = math.sqrt(var)
+        for r, x in zip(rows, xs):
+            if abs(x - mu) > 3 * sd:
+                expect.add(r["event_id"])
+    got = {r["event_id"] for r in cx.events_value_outliers(spark, sf_dir).collect()}
+    assert got == expect
+    assert len(got) > 0  # corpus has outlier mass; empty means broken
+
+
+def test_revenue_cube_subtotals_consistent(spark, sf_dir):
+    rows = rx.revenue_cube(spark, sf_dir).collect()
+    leaf = [r for r in rows if r["o_year"] != -1 and r["priority"] != "ALL"]
+    grand = [r for r in rows if r["o_year"] == -1 and r["priority"] == "ALL"]
+    assert len(grand) == 1
+    assert sum(r["n_lines"] for r in leaf) == grand[0]["n_lines"]
+    assert abs(sum(r["revenue"] for r in leaf) - grand[0]["revenue"]) < 1e-4
+    # per-year subtotal rows equal their leaves
+    years = {r["o_year"] for r in leaf}
+    for y in years:
+        ysub = [r for r in rows if r["o_year"] == y and r["priority"] == "ALL"]
+        assert len(ysub) == 1
+        assert ysub[0]["n_lines"] == sum(r["n_lines"] for r in leaf if r["o_year"] == y)
+
+
+def test_outliers_plan_broadcasts_stats(spark, sf_dir):
+    plan = cx.events_value_outliers(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # stats side never shuffles the fact
