@@ -1,0 +1,165 @@
+"""BPE tokenizer APPLICATION — the encode half of the tokenizer story
+(:mod:`bpe` trains the merges; this applies them to the corpus).
+
+Encoding rule (Sennrich et al. 2016): wrap a word's characters as
+one-char symbols and apply each learned merge in rank order as a
+greedy-leftmost literal replace — the identical ``|a||b|`` wrapped
+representation and replace semantics as training (bpe.py module
+docstring), so a word encodes to exactly the symbols training left it
+with.
+
+100 TB plan shape — encode the VOCABULARY, not the corpus: the merge
+applications run over the distinct-word frame (|vocab| rows, however
+big the corpus), producing a (word -> n_subword_tokens) map that is
+megabytes for any real tokenizer; that map then BROADCAST-joins onto
+the corpus token stream, so the 100 TB side is one scan + map-side
+join + one per-source aggregate. No corpus row is ever re-tokenized
+per merge, and nothing corpus-sized shuffles.
+
+Output: per-source (source, n_words, n_bpe_tokens, n_chars,
+chars_per_token) — the fertility/compression dashboard a tokenizer
+change is judged by. All counts are exact integers; the single final
+division produces the identical IEEE double in both engines.
+
+The DuckDB oracle re-derives the WHOLE pipeline — training included —
+by unrolling the merge loop with the original word carried alongside
+the evolving symbol string (a widened twin of
+``bpe.bpe_train_merges_oracle``), then joining the encoded vocabulary
+back to the unnested corpus: a full second implementation from the
+raw table, no baked merge literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_col, tokens_sql
+from ..sources.tables import load_table
+from .bpe import _SEP, _syms, _wrap_chars, BPE_MERGES, bpe_train_merges_from
+
+
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges, encode the corpus, report
+    per-source token statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_stats_from(spark, docs, n_merges=n_merges)
+
+
+def bpe_encode_stats_from(
+    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Library-level body over any (source, text) frame — factored for
+    golden tests on hand-built corpora."""
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train_merges_from(spark, docs, n_merges=n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = (
+        docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
+    )
+    w = _wrap_chars(F.col("word"))
+    for a, b in merges:  # rank order; each is greedy-leftmost replace
+        w = F.replace(
+            w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
+        )
+    word_toks = words.select(
+        "word",
+        F.size(_syms(w)).alias("n_toks"),
+        F.length("word").alias("n_chars_w"),
+    )
+    stream = docs.select(
+        "source", F.explode(tokens_col("text")).alias("word")
+    )
+    return (
+        stream.join(F.broadcast(word_toks), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+_T = tokens_sql("text")
+
+
+def bpe_encode_stats_oracle(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the training unroll of ``bpe_train_merges_oracle``
+    widened to carry the original word through every round (pairs are
+    still counted over the evolving symbol strings weighted by word
+    frequency), then the round-N vocabulary joins the unnested corpus
+    stream. MATERIALIZED CTEs for the same exponential-inlining reason
+    as the training oracle."""
+    parts = [
+        f"""
+WITH vocab_0 AS MATERIALIZED (
+  SELECT word,
+         '{_SEP}' || array_to_string(regexp_split_to_array(word, ''),
+                                     '{_SEP}{_SEP}') || '{_SEP}' AS w,
+         count(*) AS cnt
+  FROM (SELECT unnest({_T}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+pairs_{i} AS MATERIALIZED (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS total
+  FROM (SELECT string_split(trim(w, '{_SEP}'), '{_SEP}{_SEP}') AS syms, cnt
+        FROM vocab_{p}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+top_{i} AS MATERIALIZED (
+  SELECT a, b FROM pairs_{i} ORDER BY total DESC, a ASC, b ASC LIMIT 1
+),
+vocab_{i} AS MATERIALIZED (
+  SELECT word,
+         replace(w,
+                 '{_SEP}' || (SELECT a FROM top_{i}) || '{_SEP}{_SEP}'
+                          || (SELECT b FROM top_{i}) || '{_SEP}',
+                 '{_SEP}' || (SELECT a || b FROM top_{i}) || '{_SEP}') AS w,
+         cnt
+  FROM vocab_{p}
+)"""
+        )
+    parts.append(
+        f""",
+word_toks AS MATERIALIZED (
+  SELECT word,
+         len(string_split(trim(w, '{_SEP}'), '{_SEP}{_SEP}')) AS n_toks,
+         length(word) AS n_chars_w
+  FROM vocab_{n_merges}
+),
+stream AS (SELECT source, unnest({_T}) AS word FROM documents)
+SELECT stream.source,
+       count(*) AS n_words,
+       CAST(sum(word_toks.n_toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(word_toks.n_chars_w) AS BIGINT) AS n_chars,
+       CAST(sum(word_toks.n_chars_w) AS DOUBLE)
+         / CAST(sum(word_toks.n_toks) AS DOUBLE) AS chars_per_token
+FROM stream JOIN word_toks ON stream.word = word_toks.word
+GROUP BY stream.source"""
+    )
+    return "".join(parts)
+
+
+BPE_ENCODE_STATS_ORACLE = bpe_encode_stats_oracle()

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import analytic as _an
 from .operators import asof as _asof
 from .operators import bpe as _bpe
+from .operators import bpe_encode as _bpx
 from .operators import crossmodal as _cm
 from .operators import curation as _cu
 from .operators import curation_ext as _cx
@@ -134,6 +135,7 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_split": _cx.dataset_split,  # NEW r6 session 2
     "source_profile": _cx.source_profile,  # NEW r6 session 2
     "revenue_cube": _rx.revenue_cube,  # NEW r6 session 2
+    "bpe_encode_stats": _bpx.bpe_encode_stats,  # NEW r6 session 2
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -308,6 +310,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": _ta.PACK_SEQUENCES_ORACLE,
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "token_budget_select": _cx.TOKEN_BUDGET_SELECT_ORACLE,
+    "bpe_encode_stats": _bpx.BPE_ENCODE_STATS_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

@@ -106,3 +106,72 @@ def test_bpe_matches_python_reference(spark, corpus):
         for r in bpe_train_merges_from(spark, docs, n_merges=4).collect()
     ]
     assert got == _expected_merges(corpus, 4)
+
+
+def test_bpe_encode_classic_golden(spark):
+    """Encoding the Sennrich corpus with its own 3 trained merges:
+    after (e,s), (es,t), (est,?) every 'newest'/'widest' compresses
+    by the merged subwords; verify exact per-source token counts via
+    an independent pure-Python encode of the same merge list."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_stats_from,
+    )
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "s1")], ["doc_id", "text", "source"]
+    )
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in __import__(
+            "honors_p1_mapreduce_spark.operators.bpe", fromlist=["x"]
+        ).bpe_train_merges_from(spark, docs, n_merges=3).collect()
+    ]
+
+    def py_encode(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            i = 0
+            out = []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expect_tokens = sum(py_encode(w) for w in words)
+    out = bpe_encode_stats_from(spark, docs, n_merges=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_words"] == len(words)
+    assert r["n_bpe_tokens"] == expect_tokens
+    assert r["n_chars"] == sum(len(w) for w in words)
+    # merges strictly compress: fewer tokens than chars
+    assert r["n_bpe_tokens"] < r["n_chars"]
+
+
+def test_bpe_encode_token_count_bounds(spark, sf_dir):
+    """On the driver corpus: every word encodes to between 1 and
+    len(word) tokens, so corpus-wide n_words <= n_bpe_tokens <=
+    n_chars; and n_words equals the corpus token-stream count."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.functions.text import tokens_col
+    from honors_p1_mapreduce_spark.operators.bpe_encode import bpe_encode_stats
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    rows = bpe_encode_stats(spark, sf_dir).collect()
+    n_words = sum(r["n_words"] for r in rows)
+    n_toks = sum(r["n_bpe_tokens"] for r in rows)
+    n_chars = sum(r["n_chars"] for r in rows)
+    assert n_words <= n_toks <= n_chars
+    stream_total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")))
+        .count()
+    )
+    assert n_words == stream_total
