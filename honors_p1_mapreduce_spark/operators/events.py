@@ -513,3 +513,109 @@ FROM events GROUP BY 2, 3"""
 EVENTS_MULTI_ROLLUP_ORACLE = " UNION ALL ".join(
     _rollup_grain_sql(g) for g in ("minute", "hour", "day")
 )
+
+
+# ------------------------------------------- trailing range window
+
+MOVING_WINDOW_S = 540  # trailing 9 minutes before + current minute = 10
+
+
+def events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute moving count/sum per event type, served at
+    minute grain — the time-RANGE window frame (rangeBetween over
+    event-time seconds), which row-frame windows cannot express when
+    buckets are missing (a rows-frame would reach back a fixed ROW
+    count and silently span gaps; the range frame reaches back fixed
+    TIME).
+
+    Scale shape: the window runs over the MINUTE-AGGREGATED frame
+    (one row per (type, minute) — bounded by time span, not event
+    count), never over raw events: pre-aggregate partials first, then
+    the range window costs |buckets| log |buckets| per type. The
+    moving sum re-adds exact decimal partials, so the final double is
+    engine-identical.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,6)")).alias("sdec"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("bucket_start"))
+        .rangeBetween(-MOVING_WINDOW_S, 0)
+    )
+    return minute.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(w).alias("mov_events"),
+        F.sum("sdec").over(w).cast("double").alias("mov_sum"),
+    )
+
+
+EVENTS_MOVING_STATS_ORACLE = f"""
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket_start, event_type,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(24,6))) AS sdec
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start, event_type, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS mov_events,
+       CAST(sum(sdec) OVER w AS DOUBLE) AS mov_sum
+FROM minute
+WINDOW w AS (
+  PARTITION BY event_type
+  ORDER BY CAST(epoch(bucket_start) AS BIGINT)
+  RANGE BETWEEN {MOVING_WINDOW_S} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ------------------------------------------------------- pivot
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix: one row per day, one count column per
+    event type — the pivot (long->wide) operator.
+
+    The pivot VALUE LIST is explicit (``PIVOT_TYPES``): Spark's
+    list-less pivot first runs a distinct scan to discover columns,
+    which both doubles the cost and makes the output schema
+    data-dependent — a production pipeline pins the columns. With the
+    list, the plan is a single pass: one hash aggregate with a
+    conditional-count expression per column (identical to the
+    CASE-aggregation the oracle spells out), no extra shuffle beyond
+    the day grouping.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in PIVOT_TYPES],
+        )
+    )
+
+
+EVENTS_DAILY_PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       """ + ",\n       ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in PIVOT_TYPES
+) + """
+FROM events
+GROUP BY 1
+"""

@@ -141,3 +141,49 @@ def test_outliers_plan_broadcasts_stats(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # stats side never shuffles the fact
+
+
+def test_events_moving_stats_differential(spark, sf_dir):
+    """Range-frame correctness vs an independent Python trailing-sum
+    over the collected minute frame (time reach-back, not row
+    reach-back — buckets with gaps must not over-reach)."""
+    from honors_p1_mapreduce_spark.operators.events import (
+        MOVING_WINDOW_S,
+        events_moving_stats,
+    )
+
+    rows = events_moving_stats(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket_start"])
+        for i, r in enumerate(rs):
+            lo = r["bucket_start"].timestamp() - MOVING_WINDOW_S
+            expect_ev = sum(
+                x["n_events"] for x in rs if lo <= x["bucket_start"].timestamp() <= r["bucket_start"].timestamp()
+            )
+            assert r["mov_events"] == expect_ev
+            assert r["mov_events"] >= r["n_events"]
+
+
+def test_events_daily_pivot_rows_sum_to_daily_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.events import (
+        PIVOT_TYPES,
+        events_daily_pivot,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    piv = {r["day"]: r for r in events_daily_pivot(spark, sf_dir).collect()}
+    daily = {
+        r["day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(piv) == set(daily)
+    for day, r in piv.items():
+        assert sum(r[f"n_{t}"] for t in PIVOT_TYPES) == daily[day]
