@@ -556,3 +556,58 @@ SELECT count(*) AS n_probes,
             AS BIGINT) AS n_false_positives
 FROM audited
 """
+
+
+# ---------------------------------------------- mergeable daily HLL
+
+
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct-user HLL estimates PLUS an 'ALL' row obtained
+    by MERGING the per-day register states (max(rho) per register) —
+    the property that makes HLL the scale answer for distinct
+    counting: daily sketches stored once (m=64 integer rows each)
+    re-aggregate to any coarser grain without touching raw events
+    again, where exact count-distinct would re-shuffle every user id.
+    Merge correctness is exact, not approximate: max-merging per-day
+    maxes IS the global max, so the 'ALL' estimate equals the sketch
+    computed directly over the whole table
+    (tests/test_sketch_asof.py pins the identity).
+
+    Output: (day, hll_estimate) — one row per day plus 'ALL'.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.to_date("ts").cast("string").alias("day"), "user_id"
+    )
+    regs = _hll_registers_frame(rows, key="user_id", group="day")
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("grp"), "register", "rho")
+    )
+    return _hll_estimate_frame(regs.unionByName(merged)).select(
+        F.col("grp").alias("day"), "hll_estimate"
+    )
+
+
+HLL_DAILY_USERS_ORACLE = f"""
+WITH {_hll_registers_sql("events", "user_id", "CAST(CAST(ts AS DATE) AS VARCHAR)")},
+merged AS (
+  SELECT 'ALL' AS grp, register, max(rho) AS rho
+  FROM registers GROUP BY register
+),
+allregs AS (
+  SELECT grp, register, rho FROM registers
+  UNION ALL SELECT grp, register, rho FROM merged
+),
+sums AS (
+  SELECT grp,
+         sum(CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << ({_HLL_REST_BITS} - rho) END) AS s
+  FROM allregs GROUP BY grp
+)
+SELECT grp AS day,
+       CAST({HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)} * {_HLL_SCALE}
+         / CAST(s AS DOUBLE) AS hll_estimate
+FROM sums
+"""

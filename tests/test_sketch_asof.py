@@ -170,3 +170,34 @@ def test_bloom_membership_oracle_and_properties(spark, sf_dir):
     non_members = row.n_probes - row.n_true_members
     if non_members:
         assert row.n_false_positives / non_members <= 0.2
+
+
+def test_hll_daily_merge_equals_direct_global_sketch(spark, sf_dir):
+    """Max-merging the per-day register states must reproduce the
+    sketch computed directly over the whole table — HLL merge is
+    exact on register states, so the 'ALL' estimate is identical,
+    and it approximates the true global distinct count within the
+    m=64 raw-estimator regime."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        _hll_estimate_frame,
+        _hll_registers_frame,
+        hll_daily_users,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = hll_daily_users(spark, sf_dir).collect()
+    merged = [r["hll_estimate"] for r in rows if r["day"] == "ALL"]
+    assert len(merged) == 1
+
+    direct_regs = _hll_registers_frame(
+        ev.select(F.lit("ALL").alias("g"), "user_id"), key="user_id", group="g"
+    )
+    direct = _hll_estimate_frame(direct_regs).collect()[0]["hll_estimate"]
+    assert merged[0] == direct  # bit-identical, not approximately
+
+    exact = ev.select("user_id").distinct().count()
+    if exact >= 160:  # raw-estimator regime: n >= ~2.5m (docstring)
+        assert abs(merged[0] - exact) / exact < 0.45
