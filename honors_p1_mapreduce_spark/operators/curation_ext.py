@@ -32,8 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens_col, tokens_sql
 from ..sources.tables import load_table
 from .pipeline import _features, features_sql
+
+_TOK = tokens_sql("text")
 
 # ------------------------------------------------------ dataset split
 
@@ -315,4 +318,91 @@ WHERE CAST(stats.n * e.x6 - stats.s AS HUGEINT)
       * CAST(stats.n * e.x6 - stats.s AS HUGEINT)
     > 9 * (CAST(stats.n AS HUGEINT) * stats.ss
            - CAST(stats.s AS HUGEINT) * CAST(stats.s AS HUGEINT))
+"""
+
+# -------------------------------------------------- typo pair mining
+
+TYPO_MIN_LEN = 4  # 1-edit neighbors of very short words are real words
+
+
+def word_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pairs within edit distance 1 — typo/variant mining
+    for corpus normalization (map rare misspellings onto their
+    frequent form), found WITHOUT an all-pairs scan.
+
+    Blocking is the FastSS deletion neighborhood (Bocek et al. 2007):
+    two words are within one edit iff they share a key in
+    {word} ∪ {word minus one char} — substitutions meet at the common
+    deletion, insertions/deletions meet at the shorter word itself.
+    Candidate fan-out is |word|+1 keys per word (vs |vocab|² pairs);
+    the shared-key equi-join then verifies with a real levenshtein
+    (both engines' built-in) to kill collision false positives like
+    ab/ba. Corpus frequencies ride along so the downstream fix knows
+    which spelling wins.
+
+    Scale: everything is vocab-sized (words, not documents). The key
+    join is the only shuffle; at web-corpus vocabularies (~1e8 words)
+    keys still bucket finely because the key space is nearly as large
+    as the vocabulary — no df-cap needed, unlike content shingles.
+
+    The driver corpus's 31-word synthetic vocabulary contains no
+    1-edit pairs, so the registered query returns (correctly) zero
+    rows there — the cross-engine hash check still pins the whole
+    pipeline, and tests/test_curation_ext.py proves the machinery on
+    typo-seeded corpora against a brute-force levenshtein join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return word_typo_pairs_from(docs)
+
+
+def word_typo_pairs_from(docs: DataFrame) -> DataFrame:
+    """Library-level body over any (text) frame."""
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("word") >= TYPO_MIN_LEN)
+    )
+    keys = F.array_union(
+        F.array(F.col("word")),
+        F.expr(
+            "transform(sequence(1, length(word)), "
+            "i -> concat(substring(word, 1, i-1), "
+            "substring(word, i+1, length(word))))"
+        ),
+    )
+    kv = vocab.select("word", "cnt", F.explode(keys).alias("k"))
+    a = kv.select(
+        F.col("k"), F.col("word").alias("word_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = kv.select(
+        F.col("k"), F.col("word").alias("word_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .filter(F.levenshtein("word_a", "word_b") <= 1)
+        .select("word_a", "word_b", "cnt_a", "cnt_b")
+        .distinct()
+    )
+
+
+WORD_TYPO_PAIRS_ORACLE = f"""
+WITH vocab AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest({_TOK}) AS word FROM documents)
+  GROUP BY word
+  HAVING length(word) >= {TYPO_MIN_LEN}
+),
+kv AS (
+  SELECT word, cnt,
+         substr(word, 1, j - 1) || substr(word, j + 1, length(word)) AS k
+  FROM vocab, unnest(generate_series(1, length(word))) AS t(j)
+  UNION
+  SELECT word, cnt, word AS k FROM vocab
+)
+SELECT DISTINCT a.word AS word_a, b.word AS word_b,
+       a.cnt AS cnt_a, b.cnt AS cnt_b
+FROM kv a JOIN kv b ON a.k = b.k AND a.word < b.word
+WHERE levenshtein(a.word, b.word) <= 1
 """

@@ -619,3 +619,95 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events
 GROUP BY 1
 """
+
+
+# --------------------------------------------------- cohort retention
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-seen day, then
+    for each (cohort_day, offset_days) the count of cohort members
+    active that many days later — the standard product-analytics
+    retention triangle.
+
+    Plan: one pass derives per-user first days (map-side-combined min
+    agg keyed by user — the only user-cardinality shuffle), the
+    distinct (user, day) activity frame joins it on user_id, and the
+    matrix is a tiny (days x days)/2 aggregate. At scale the join key
+    is the user id on both sides — co-partitioned, no skew beyond real
+    user skew, and the first-day frame is far smaller than events
+    (one row per user) so AQE can broadcast it outright.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset_days"),
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "offset_days",
+            "n_users",
+        )
+    )
+
+
+USER_RETENTION_ORACLE = """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(a.day - f.cohort_day AS INT) AS offset_days,
+       count(*) AS n_users
+FROM acts a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------- value deciles
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type decile boundaries of value: NTILE(10) over the
+    deterministic total order (value, event_id), reporting each
+    decile's row count and max value — the bucket-boundary profile a
+    pipeline uses to calibrate thresholds.
+
+    The window sorts WITHIN each event type (5 partitions here;
+    thousands at most in practice), so the sort parallelizes per
+    type; the output is 10 rows per type however large the fact. Max
+    per decile is order-insensitive (no decimal detour needed) and
+    the tie-break on event_id makes NTILE assignment bit-reproducible
+    across engines and retries.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("event_type", "decile")
+        .agg(F.count("*").alias("n_events"), F.max("value").alias("max_value"))
+    )
+
+
+EVENTS_VALUE_DECILES_ORACLE = """
+SELECT event_type, decile, count(*) AS n_events, max(value) AS max_value
+FROM (
+  SELECT event_type, value,
+         CAST(ntile(10) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS INT) AS decile
+  FROM events
+)
+GROUP BY event_type, decile
+"""

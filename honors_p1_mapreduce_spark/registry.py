@@ -139,6 +139,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_moving_stats": _ev.events_moving_stats,  # NEW r6 session 2
     "events_daily_pivot": _ev.events_daily_pivot,  # NEW r6 session 2
     "hll_daily_users": _sk.hll_daily_users,  # NEW r6 session 2
+    "user_retention": _ev.user_retention,  # NEW r6 session 2
+    "events_value_deciles": _ev.events_value_deciles,  # NEW r6 session 2
+    "word_typo_pairs": _cx.word_typo_pairs,  # NEW r6 session 2
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -317,6 +320,9 @@ ORACLES: dict[str, str] = {
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,
+    "user_retention": _ev.USER_RETENTION_ORACLE,
+    "events_value_deciles": _ev.EVENTS_VALUE_DECILES_ORACLE,
+    "word_typo_pairs": _cx.WORD_TYPO_PAIRS_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

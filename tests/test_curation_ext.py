@@ -187,3 +187,84 @@ def test_events_daily_pivot_rows_sum_to_daily_totals(spark, sf_dir):
     assert set(piv) == set(daily)
     for day, r in piv.items():
         assert sum(r[f"n_{t}"] for t in PIVOT_TYPES) == daily[day]
+
+
+def test_word_typo_pairs_golden_seeded_corpus(spark):
+    """Typo-seeded corpus: the deletion-neighborhood blocking + verify
+    must find exactly the true 1-edit pairs — substitution
+    (spark/sparc), deletion (table/tble), insertion (batch/batchh) —
+    and reject 2-edit siblings (spark/stack) and transpositions at
+    distance 2 (trial/trail stays OUT only if lev=2; lever/level IS
+    lev 1 substitution)."""
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        word_typo_pairs_from,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sparc table tble batch batchh"),
+            (2, "spark table batch stack lever level"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in word_typo_pairs_from(docs).collect()
+    }
+    assert got == {
+        ("sparc", "spark"),
+        ("table", "tble"),
+        ("batch", "batchh"),
+        ("level", "lever"),
+    }
+
+
+def test_word_typo_pairs_blocking_complete_vs_bruteforce(spark):
+    """FastSS completeness: on a randomized-but-fixed vocabulary the
+    blocked join must return EXACTLY the brute-force levenshtein<=1
+    pair set (the blocking is a candidate filter, never a recall
+    loss)."""
+    import itertools
+    import random
+
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        TYPO_MIN_LEN,
+        word_typo_pairs_from,
+    )
+
+    rng = random.Random(42)
+    base = ["".join(rng.choices("abc", k=rng.randint(4, 7))) for _ in range(60)]
+    # seed guaranteed neighbors: deletions, substitutions, insertions
+    vocab = set(base)
+    for w in base[:20]:
+        vocab.add(w[1:])                      # deletion
+        vocab.add("a" + w)                    # insertion
+        vocab.add(w[:2] + "z" + w[3:])        # substitution
+    words = sorted(w for w in vocab if len(w) >= TYPO_MIN_LEN)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], ["doc_id", "text"]
+    )
+
+    def lev(a: str, b: str) -> int:
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(words, 2)
+        if lev(a, b) <= 1
+    }
+    got = {
+        (r["word_a"], r["word_b"]) for r in word_typo_pairs_from(docs).collect()
+    }
+    assert got == expect
+    assert len(expect) >= 20  # the seeding actually produced neighbors
