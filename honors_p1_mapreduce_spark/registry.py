@@ -63,12 +63,15 @@ so they never burn window slots on `no_oracle` rows. The
 window-integrity invariant (first 50 all oracle-backed) is pinned by
 tests/test_cli.py::test_driver_window_has_no_rows_only_queries.
 
-ROUND-7 ROTATION PLAN: move the 46 oracle-backed tail entries
-(everything below position 50 except the 4 rows-only at the very end)
-into the window, and fill the remaining 4 slots with queries whose
-modules round 7 modifies (else keep the r6-stamped queries whose
-modules are most central). Count the actual entries when rotating —
-do not trust this comment's numbers if the registry has grown."""
+ROUND-7 ROTATION PLAN: the tail now holds 58 oracle-backed entries
+(position 51+ minus the 4 rows-only at the very end) — MORE than the
+50-slot window, so from r7 on the rotation is a sliding cycle: put
+the entries whose latest driver stamp is OLDEST first (the r6
+session-2 NEW queries at tail-top have never been driver-stamped —
+they go in first), then fill with next-oldest until 50. Entries left
+out must have a recorded builder parity sweep that round. Count the
+actual entries when rotating — do not trust this comment's numbers
+if the registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r6 window, block a] rotated in: latest green driver row is

@@ -191,3 +191,28 @@ def test_bloom_never_false_negative(spark, keysets):
     # no false negatives: bloom positives cover every true member
     assert row.n_bloom_positive >= row.n_true_members
     assert row.n_bloom_positive == row.n_true_members + row.n_false_positives
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50, unique=True))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_bucket_matches_python_md5(spark, ids):
+    """dataset_split's seeded-md5 bucket must equal an independent
+    hashlib computation for arbitrary doc ids — the reproducibility
+    contract the split is built on."""
+    import hashlib
+
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        SPLIT_SEED,
+        _split_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["bk"]
+        for r in df.select(
+            "doc_id", _split_bucket(F.col("doc_id")).alias("bk")
+        ).collect()
+    }
+    for i in ids:
+        h = hashlib.md5(f"{SPLIT_SEED}{i}".encode()).hexdigest()
+        assert got[i] == int(h[:8], 16) % 100
