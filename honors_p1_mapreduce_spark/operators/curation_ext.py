@@ -183,6 +183,20 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.floor(F.col("quality") * QB_SCALE).cast("bigint").alias("qb"),
         "bpe_tokens",
     )
+    selected = budget_select_docs(feats)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        selected.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("bpe_tokens").alias("n_tokens"))
+    )
+
+
+def budget_select_docs(feats: DataFrame) -> DataFrame:
+    """The histogram-cutoff selection stage over any (doc_id, qb,
+    bpe_tokens) frame -> selected (doc_id, bpe_tokens) — factored so
+    the scale A/B (scripts/probe_budget_ab.py) can drive it against a
+    naive global-window twin on synthetic frames."""
     feats = feats.persist()
     buckets = feats.groupBy("qb").agg(
         F.sum("bpe_tokens").alias("bt"), F.count("*").alias("nd")
@@ -213,13 +227,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bpe_tokens")
     )
-    selected = full_docs.unionByName(boundary_docs)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    return (
-        selected.join(docs, "doc_id")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("bpe_tokens").alias("n_tokens"))
-    )
+    return full_docs.unionByName(boundary_docs)
 
 
 TOKEN_BUDGET_SELECT_ORACLE = f"""
