@@ -58,10 +58,13 @@ def main() -> None:
     # window spans back-to-back re-measures, so the rerun pass happens
     # at the END of the bench (temporally separated, after an explicit
     # full GC) for every query whose first measurement crossed
-    # RERUN_THRESHOLD; report the min. Sub-second queries never spike
-    # by whole seconds, so the guard's extra wall time is bounded by
-    # the sum of genuinely-slow steady-state times, not 2x the bench.
-    RERUN_THRESHOLD = 2.0
+    # RERUN_THRESHOLD; report the min. 0.8s: low enough to cover the
+    # 1-2s band where r5 saw 2-4x round-over-round wobble on
+    # diff-untouched queries (log_analyzer 0.38<->1.64s), high enough
+    # that the sub-0.8s majority (absolute wobble is noise either
+    # way) runs once — extra wall time stays bounded by the sum of
+    # re-measured steady-state times, well under 2x the bench.
+    RERUN_THRESHOLD = 0.8
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
