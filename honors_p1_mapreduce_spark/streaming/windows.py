@@ -240,3 +240,36 @@ def read_rollup_store(spark: SparkSession, store_dir: str) -> DataFrame:
         )
 
     return out(minute, "minute").union(out(hour, "hour")).union(out(day, "day"))
+
+
+def read_rollup_moving(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serve the trailing 10-minute moving stats (the exact
+    ``operators.events.events_moving_stats`` frame) from the
+    incremental rollup STORE instead of raw events — the
+    streaming-materialized serving path: the foreachBatch job keeps
+    appending minute partials, this reader merges partials and runs
+    the same range window over them, so a dashboard query never
+    rescans an event. Batch/stream equivalence is pinned by
+    tests/test_streaming.py against events_moving_stats on the same
+    data."""
+    from pyspark.sql import Window
+
+    from ..operators.events import MOVING_WINDOW_S
+
+    minute = (
+        spark.read.parquet(store_dir)
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sdec").alias("sdec"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("bucket_start"))
+        .rangeBetween(-MOVING_WINDOW_S, 0)
+    )
+    return minute.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.sum("n_events").over(w).alias("mov_events"),
+        F.sum("sdec").over(w).cast("double").alias("mov_sum"),
+    )

@@ -159,3 +159,21 @@ def test_streaming_rollup_midbatch_crash_replay_is_idempotent(
     streaming_incremental_rollup(spark, sf_dir, store)  # replays last batch
     got = sorted(tuple(r) for r in read_rollup_store(spark, store).collect())
     assert got == want
+
+
+def test_rollup_store_serves_moving_stats(spark, sf_dir, tmp_path):
+    """The streaming-materialized serving path: moving stats computed
+    from the incrementally-built partial store must equal the batch
+    events_moving_stats over the same raw events — partials re-add
+    exactly, and the range window sees identical minute buckets."""
+    from honors_p1_mapreduce_spark.operators.events import events_moving_stats
+    from honors_p1_mapreduce_spark.streaming.windows import (
+        read_rollup_moving,
+        streaming_incremental_rollup,
+    )
+
+    store = str(tmp_path / "mstore")
+    streaming_incremental_rollup(spark, sf_dir, store)
+    got = sorted(tuple(r) for r in read_rollup_moving(spark, store).collect())
+    want = sorted(tuple(r) for r in events_moving_stats(spark, sf_dir).collect())
+    assert got == want
