@@ -349,3 +349,37 @@ def test_pq_never_self_joins_corpus(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     # every join with the full corpus code table is broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab_map(spark, sf_dir):
+    """The word->token-count map must reach the corpus stream join as
+    a broadcast: the 100 TB side never shuffles for the tokenizer."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import bpe_encode_stats
+
+    plan = _plan(bpe_encode_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE word-keyed exchange exists — the VOCAB side's
+    # distinct (vocab-sized); the corpus stream side itself reaches
+    # the join through the broadcast, never a word-keyed shuffle
+    assert plan.count("Exchange hashpartitioning(word") == 1
+
+
+def test_moving_stats_single_window_over_partials(spark, sf_dir):
+    """events_moving_stats windows over the minute-aggregated frame:
+    exactly one Window node, partitioned by event_type (no
+    unpartitioned global sort)."""
+    from honors_p1_mapreduce_spark.operators.events import events_moving_stats
+
+    plan = _plan(events_moving_stats(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_single_aggregation_pass(spark, sf_dir):
+    """The explicit-value-list pivot compiles to one aggregation pass
+    (partial+final pairs), with NO distinct-discovery scan: the events
+    parquet appears exactly once in the plan."""
+    from honors_p1_mapreduce_spark.operators.events import events_daily_pivot
+
+    plan = _plan(events_daily_pivot(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
