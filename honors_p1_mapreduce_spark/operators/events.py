@@ -711,3 +711,100 @@ FROM (
 )
 GROUP BY event_type, decile
 """
+
+
+# ---------------------------------------------------- winsorization
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized statistics: clip values at the exact
+    p01/p99 order statistics, report clipped sums and clip counts —
+    the outlier-MITIGATION counterpart to ``events_value_outliers``'s
+    outlier detection (robust aggregates instead of row removal).
+
+    Boundaries are exact order statistics (the value at
+    rank ceil(q*n) under the deterministic (value, event_id) order),
+    computed with integer rank arithmetic — ``(n+99) div 100`` /
+    ``(99n+99) div 100`` — so both engines pick the identical boundary
+    ROW, not an interpolated float. The clipped sum rides the exact
+    decimal pattern. At 100 TB the exact-rank window would yield to
+    approx_percentile boundaries (same downstream plan); the clip
+    pass itself is a broadcast join + map, scan-bound.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranks = stats.select(
+        "event_type",
+        F.expr("CAST((n + 99) div 100 AS BIGINT)").alias("lo_rank"),
+        F.expr("CAST((n * 99 + 99) div 100 AS BIGINT)").alias("hi_rank"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    bounds = (
+        ranked.join(F.broadcast(ranks), "event_type")
+        .filter((F.col("rn") == F.col("lo_rank")) | (F.col("rn") == F.col("hi_rank")))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("lo_rank"), F.col("value"))).alias("lo"),
+            F.min(F.when(F.col("rn") == F.col("hi_rank"), F.col("value"))).alias("hi"),
+        )
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            clipped.alias("cv"),
+            (F.col("value") < F.col("lo")).cast("int").alias("clip_lo"),
+            (F.col("value") > F.col("hi")).cast("int").alias("clip_hi"),
+        )
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_col("cv", "winsorized_sum", scale=6, precision=24),
+            F.sum("clip_lo").alias("n_clipped_lo"),
+            F.sum("clip_hi").alias("n_clipped_hi"),
+        )
+    )
+
+
+EVENTS_WINSORIZED_STATS_ORACLE = f"""
+WITH ev AS (SELECT event_id, event_type, value FROM events),
+ranks AS (
+  SELECT event_type,
+         CAST((count(*) + 99) // 100 AS BIGINT) AS lo_rank,
+         CAST((count(*) * 99 + 99) // 100 AS BIGINT) AS hi_rank
+  FROM ev GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn
+  FROM ev
+),
+bounds AS (
+  SELECT r.event_type,
+         min(CASE WHEN r.rn = k.lo_rank THEN r.value END) AS lo,
+         min(CASE WHEN r.rn = k.hi_rank THEN r.value END) AS hi
+  FROM ranked r JOIN ranks k ON r.event_type = k.event_type
+  WHERE r.rn = k.lo_rank OR r.rn = k.hi_rank
+  GROUP BY r.event_type
+)
+SELECT ev.event_type, b.lo, b.hi,
+       count(*) AS n_events,
+       {dsum_sql("CASE WHEN ev.value < b.lo THEN b.lo WHEN ev.value > b.hi THEN b.hi ELSE ev.value END", "winsorized_sum", scale=6, precision=24)},
+       CAST(sum(CASE WHEN ev.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN ev.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi
+FROM ev JOIN bounds b ON ev.event_type = b.event_type
+GROUP BY ev.event_type, b.lo, b.hi
+"""

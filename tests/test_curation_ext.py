@@ -268,3 +268,34 @@ def test_word_typo_pairs_blocking_complete_vs_bruteforce(spark):
     }
     assert got == expect
     assert len(expect) >= 20  # the seeding actually produced neighbors
+
+
+def test_winsorized_stats_invariants(spark, sf_dir):
+    """Winsorized sum is bounded by [n*lo, n*hi]; clip counts respect
+    the 1% tails (at most ~1% each side, never more than lo_rank /
+    n - hi_rank rows); differential vs a Python winsorization on the
+    collected frame."""
+    from honors_p1_mapreduce_spark.operators.events import (
+        events_winsorized_stats,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    rows = {r["event_type"]: r for r in events_winsorized_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(n + 99) // 100 - 1][0]
+        hi = vals[(99 * n + 99) // 100 - 1][0]
+        r = rows[t]
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        assert r["n_events"] == n
+        expect_sum = sum(min(max(v, lo), hi) for v, _ in vals)
+        assert abs(r["winsorized_sum"] - expect_sum) < 1e-6 * max(1, abs(expect_sum))
+        assert r["n_clipped_lo"] == sum(1 for v, _ in vals if v < lo)
+        assert r["n_clipped_hi"] == sum(1 for v, _ in vals if v > hi)
