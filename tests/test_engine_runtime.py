@@ -178,3 +178,54 @@ def test_multi_rollup_grain_consistency(spark, sf_dir):
         | (F.abs(F.col("h.sum_value") - F.col("r.sum_value")) > 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_task_retry_recovers_injected_failure(tmp_path):
+    """R5 failure handling, demonstrated: with task retries enabled
+    (``local[4,2]`` — maxFailures=2), a task that fails on its FIRST
+    attempt is re-run and the job completes with the correct result.
+    The default ``local[n]`` master never retries (maxFailures=1), so
+    this runs in a subprocess with its own master — the same
+    attempt-aware injection as scripts/perf_straggler_cluster.py.
+    The reference worker has no retry at all (a task failure fails
+    the job); Spark's per-task attempts are the engine upgrade this
+    pins."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = r"""
+import sys
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("retry-test")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+sc = spark.sparkContext
+sc.setLogLevel("ERROR")
+
+def flaky(it):
+    ctx = TaskContext.get()
+    if ctx.partitionId() == 2 and ctx.attemptNumber() == 0:
+        raise RuntimeError("injected first-attempt failure")
+    return iter([sum(it)])
+
+total = sum(sc.range(0, 1000, numSlices=4).mapPartitions(flaky).collect())
+assert total == sum(range(1000)), total
+print("RETRY_OK", total)
+spark.stop()
+"""
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(repo),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RETRY_OK 499500" in out.stdout
