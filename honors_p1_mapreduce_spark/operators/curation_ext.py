@@ -230,14 +230,13 @@ def budget_select_docs(feats: DataFrame) -> DataFrame:
     return full_docs.unionByName(boundary_docs)
 
 
-TOKEN_BUDGET_SELECT_ORACLE = f"""
-WITH {features_sql()},
-fq AS (
-  SELECT doc_id, CAST(floor(quality * {QB_SCALE}) AS BIGINT) AS qb, bpe_tokens
-  FROM feats
-),
-buckets AS (
-  SELECT qb, CAST(sum(bpe_tokens) AS BIGINT) AS bt FROM fq GROUP BY qb
+def budget_select_sql(src: str) -> str:
+    """CTE chain ending in ``sel(doc_id, bpe_tokens)`` — the SQL twin
+    of :func:`budget_select_docs` over any CTE ``src`` providing
+    (doc_id, qb, bpe_tokens). Shared by the token-budget oracle and
+    the dataset-build composition oracle."""
+    return f"""buckets AS (
+  SELECT qb, CAST(sum(bpe_tokens) AS BIGINT) AS bt FROM {src} GROUP BY qb
 ),
 tot AS (SELECT CAST(sum(bt) AS BIGINT) AS total FROM buckets),
 bk AS (
@@ -248,21 +247,30 @@ bk AS (
 ),
 bk2 AS (SELECT *, cum - bt AS cum_before FROM bk),
 full_docs AS (
-  SELECT fq.doc_id, fq.bpe_tokens
-  FROM fq JOIN bk2 ON fq.qb = bk2.qb
+  SELECT {src}.doc_id, {src}.bpe_tokens
+  FROM {src} JOIN bk2 ON {src}.qb = bk2.qb
   WHERE bk2.cum * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM}
 ),
 boundary_docs AS (
   SELECT doc_id, bpe_tokens FROM (
-    SELECT fq.doc_id, fq.bpe_tokens, bk2.cum_before, bk2.total,
-           CAST(sum(fq.bpe_tokens) OVER (PARTITION BY fq.qb ORDER BY fq.doc_id
+    SELECT {src}.doc_id, {src}.bpe_tokens, bk2.cum_before, bk2.total,
+           CAST(sum({src}.bpe_tokens) OVER (PARTITION BY {src}.qb ORDER BY {src}.doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumd
-    FROM fq JOIN bk2 ON fq.qb = bk2.qb
+    FROM {src} JOIN bk2 ON {src}.qb = bk2.qb
     WHERE NOT (bk2.cum * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM})
       AND bk2.cum_before * {BUDGET_DEN} <= bk2.total * {BUDGET_NUM}
   ) WHERE (cum_before + cumd) * {BUDGET_DEN} <= total * {BUDGET_NUM}
 ),
-sel AS (SELECT * FROM full_docs UNION ALL SELECT * FROM boundary_docs)
+sel AS (SELECT * FROM full_docs UNION ALL SELECT * FROM boundary_docs)"""
+
+
+TOKEN_BUDGET_SELECT_ORACLE = f"""
+WITH {features_sql()},
+fq AS (
+  SELECT doc_id, CAST(floor(quality * {QB_SCALE}) AS BIGINT) AS qb, bpe_tokens
+  FROM feats
+),
+{budget_select_sql("fq")}
 SELECT d.source, count(*) AS n_docs, CAST(sum(sel.bpe_tokens) AS BIGINT) AS n_tokens
 FROM sel JOIN documents d ON sel.doc_id = d.doc_id
 GROUP BY d.source
@@ -413,4 +421,85 @@ SELECT DISTINCT a.word AS word_a, b.word AS word_b,
        a.cnt AS cnt_a, b.cnt AS cnt_b
 FROM kv a JOIN kv b ON a.k = b.k AND a.word < b.word
 WHERE levenshtein(a.word, b.word) <= 1
+"""
+
+# ------------------------------------------- dataset build composition
+
+
+def dataset_build_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembly funnel — the round-6 capstone composition, pairing
+    ``pipeline.corpus_clean_funnel`` (cleaning) with the stages a
+    pipeline runs to turn a cleaned corpus into a TRAINING SET:
+
+      0_all          every document
+      1_quality      quality >= QUALITY_MIN (same gate as the funnel)
+      2_exact_dedup  keep the lowest-id copy per content hash
+      3_budget       highest-quality docs fitting BUDGET_NUM/DEN of
+                     the DEDUPED pool's tokens (budget_select_docs —
+                     histogram cutoff, no global sort)
+      4_train        the deterministic train split of the selection
+
+    Output: (stage, n_docs, n_bpe_tokens) per stage. One feature pass
+    feeds every stage (persisted projection); each stage adds one
+    bounded shuffle (hash-agg or vocab-size join) — composing the
+    operators does not multiply corpus scans.
+    """
+    feats = _features(spark, sf_dir).select(
+        "doc_id",
+        "quality",
+        F.floor(F.col("quality") * QB_SCALE).cast("bigint").alias("qb"),
+        "bpe_tokens",
+        "content_hash",
+    ).persist()
+    from .pipeline import QUALITY_MIN
+
+    s1 = feats.filter(F.col("quality") >= QUALITY_MIN)
+    keep = s1.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.join(keep.select("doc_id"), "doc_id")
+    s3 = budget_select_docs(s2.select("doc_id", "qb", "bpe_tokens"))
+    s4 = s3.filter(_split_bucket(F.col("doc_id")) < TRAIN_PCT)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").alias("n_bpe_tokens"),
+        )
+
+    return (
+        stage(feats, "0_all")
+        .unionByName(stage(s1, "1_quality"))
+        .unionByName(stage(s2, "2_exact_dedup"))
+        .unionByName(stage(s3, "3_budget"))
+        .unionByName(stage(s4, "4_train"))
+    )
+
+
+from .pipeline import QUALITY_MIN as _QMIN  # noqa: E402
+
+DATASET_BUILD_AUDIT_ORACLE = f"""
+WITH {features_sql()},
+s1 AS (SELECT * FROM feats WHERE quality >= {_QMIN}),
+s2 AS (
+  SELECT * FROM s1
+  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY content_hash)
+),
+fq AS (
+  SELECT doc_id, CAST(floor(quality * {QB_SCALE}) AS BIGINT) AS qb, bpe_tokens
+  FROM s2
+),
+{budget_select_sql("fq")},
+s4 AS (
+  SELECT * FROM sel
+  WHERE CAST(CAST(concat('0x', substr(md5(concat('{SPLIT_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS BIGINT) < {TRAIN_PCT}
+)
+SELECT '0_all' AS stage, count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe_tokens FROM feats
+UNION ALL
+SELECT '1_quality', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s1
+UNION ALL
+SELECT '2_exact_dedup', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_budget', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM sel
+UNION ALL
+SELECT '4_train', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s4
 """

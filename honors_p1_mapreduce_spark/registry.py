@@ -146,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_deciles": _ev.events_value_deciles,  # NEW r6 session 2
     "word_typo_pairs": _cx.word_typo_pairs,  # NEW r6 session 2
     "events_winsorized_stats": _ev.events_winsorized_stats,  # NEW r6 session 2
+    "dataset_build_audit": _cx.dataset_build_audit,  # NEW r6 session 2 capstone
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -328,6 +329,7 @@ ORACLES: dict[str, str] = {
     "events_value_deciles": _ev.EVENTS_VALUE_DECILES_ORACLE,
     "word_typo_pairs": _cx.WORD_TYPO_PAIRS_ORACLE,
     "events_winsorized_stats": _ev.EVENTS_WINSORIZED_STATS_ORACLE,
+    "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

@@ -299,3 +299,26 @@ def test_winsorized_stats_invariants(spark, sf_dir):
         assert abs(r["winsorized_sum"] - expect_sum) < 1e-6 * max(1, abs(expect_sum))
         assert r["n_clipped_lo"] == sum(1 for v, _ in vals if v < lo)
         assert r["n_clipped_hi"] == sum(1 for v, _ in vals if v > hi)
+
+
+def test_dataset_build_audit_funnel_invariants(spark, sf_dir):
+    """Stage monotonicity + the budget and split contracts: every
+    stage shrinks, the budget stage's tokens fit half of the deduped
+    pool, and the train stage keeps ~90% of the selection."""
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        dataset_build_audit,
+    )
+
+    rows = {r["stage"]: r for r in dataset_build_audit(spark, sf_dir).collect()}
+    order = ["0_all", "1_quality", "2_exact_dedup", "3_budget", "4_train"]
+    assert set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_docs"] <= rows[a]["n_docs"]
+        assert rows[b]["n_bpe_tokens"] <= rows[a]["n_bpe_tokens"]
+    assert (
+        rows["3_budget"]["n_bpe_tokens"] * BUDGET_DEN
+        <= rows["2_exact_dedup"]["n_bpe_tokens"] * BUDGET_NUM
+    )
+    assert 0.7 < rows["4_train"]["n_docs"] / rows["3_budget"]["n_docs"] <= 1.0
