@@ -147,6 +147,7 @@ QUERIES: dict[str, QueryFn] = {
     "word_typo_pairs": _cx.word_typo_pairs,  # NEW r6 session 2
     "events_winsorized_stats": _ev.events_winsorized_stats,  # NEW r6 session 2
     "dataset_build_audit": _cx.dataset_build_audit,  # NEW r6 session 2 capstone
+    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,  # NEW r6 s2
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -330,6 +331,7 @@ ORACLES: dict[str, str] = {
     "word_typo_pairs": _cx.WORD_TYPO_PAIRS_ORACLE,
     "events_winsorized_stats": _ev.EVENTS_WINSORIZED_STATS_ORACLE,
     "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
+    "similarity_pq_rerank_topk": _pq.SIMILARITY_PQ_RERANK_TOPK_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

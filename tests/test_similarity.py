@@ -224,3 +224,61 @@ def test_semantic_dedup_fast_agrees_with_portable(spark):
     assert sum(slow.values()) == sum(fast.values())
     agree = sum(1 for v in slow if slow[v] == fast[v])
     assert agree / len(slow) >= 0.95
+
+
+def test_pq_rerank_recall_beats_plain_adc(spark, sf_dir):
+    """Exact re-ranking of the ADC shortlist must never lose recall
+    vs plain PQ (measured: 0.32 -> 0.78 at the test SF) and must be
+    deterministic across runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.pq import (
+        _sq_l2,
+        similarity_pq_rerank_topk,
+        similarity_pq_topk,
+    )
+    from honors_p1_mapreduce_spark.operators.similarity import N_QUERIES, TOP_K
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_l2(F.col("embedding"), F.col("q_emb")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    truth = set(
+        map(
+            tuple,
+            exact.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= TOP_K)
+            .select("query_id", "vec_id")
+            .collect(),
+        )
+    )
+    plain = set(
+        map(tuple, similarity_pq_topk(spark, sf_dir).select("query_id", "vec_id").collect())
+    )
+    rer = set(
+        map(
+            tuple,
+            similarity_pq_rerank_topk(spark, sf_dir).select("query_id", "vec_id").collect(),
+        )
+    )
+    assert len(truth & rer) >= len(truth & plain)
+    assert len(truth & rer) / len(truth) >= 0.5  # measured 0.78
+    rer2 = set(
+        map(
+            tuple,
+            similarity_pq_rerank_topk(spark, sf_dir).select("query_id", "vec_id").collect(),
+        )
+    )
+    assert rer == rer2
