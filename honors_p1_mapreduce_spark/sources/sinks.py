@@ -170,3 +170,81 @@ def compact_parquet(
     _promote_dir(p, tmp)
     files_after = len([f for f in p.rglob("*.parquet") if f.is_file()])
     return len(files_before), files_after
+
+
+# ------------------------------------------------------ z-order layout
+
+ZORDER_BITS = 12  # bits per dimension (4096 buckets each)
+
+
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = ZORDER_BITS):
+    """Morton (Z-curve) key over 2+ numeric columns: each value is
+    scaled to a ``bits``-bit bucket inside its [min, max] range, and
+    the bucket bits are interleaved — points close in EVERY dimension
+    get close keys, so range-partitioning + sorting by the key makes
+    parquet row-group min/max stats tight in ALL dimensions at once
+    (a single-column sort gives tight stats in that column only).
+    Pure Catalyst bit arithmetic; no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) or 1.0
+        b = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                ((c.cast("double") - F.lit(float(lo))) / F.lit(span)
+                 * F.lit(float((1 << bits) - 1))).cast("bigint"),
+            ),
+        )
+        scaled.append(b)
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits - 1, -1, -1):
+        for d in range(n):
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(scaled[d], bit).bitwiseAND(one)
+            )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of ``cols``
+    — the multi-dimensional clustering a 100 TB table uses so that
+    selective predicates on ANY of the clustered columns prune row
+    groups via min/max statistics (the OPTIMIZE ZORDER pattern).
+
+    Ranges are taken from one tiny min/max aggregate (2 numbers per
+    column); the data pays one range shuffle + in-partition sort by
+    the interleaved key. The key itself is dropped before writing —
+    the layout, not a column, carries the information.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    z = zorder_key(
+        [F.col(c) for c in cols],
+        [stats[f"lo_{c}"] for c in cols],
+        [stats[f"hi_{c}"] for c in cols],
+        bits=bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -146,3 +146,64 @@ def test_compact_parquet_flat_dir_and_crash_recovery(spark, sf_dir, tmp_path):
     compact_parquet(spark, str(out))
     assert sorted(tuple(r) for r in spark.read.parquet(str(out)).collect()) == want
     assert not Path(str(out) + ".old").exists()
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Multi-dimensional clustering claim: a layout sorted on ONE
+    column has tight file min/max stats only for that column (a
+    predicate on the other column overlaps every file), while the
+    Z-ordered layout keeps stats tight in BOTH clustered columns, so
+    either predicate prunes files. Verified against real parquet
+    footer statistics, plus a read-back equality check."""
+    import pyarrow.parquet as pq_meta
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+    from honors_p1_mapreduce_spark.sources.sinks import write_zordered
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "value"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(plain)
+    )
+    write_zordered(ev, zord, ["user_id", "value"], n_files=16)
+
+    # identical content either way
+    assert (
+        sorted(map(tuple, spark.read.parquet(zord).collect()))
+        == sorted(map(tuple, ev.collect()))
+    )
+
+    stats = ev.agg(
+        F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    v_lo = stats[0] + (stats[1] - stats[0]) * 0.45
+    v_hi = stats[0] + (stats[1] - stats[0]) * 0.55
+
+    def overlapping_files(path: str) -> int:
+        n = 0
+        for f in Path(path).glob("*.parquet"):
+            md = pq_meta.ParquetFile(str(f)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names["value"]).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo <= v_hi and hi >= v_lo:
+                n += 1
+        return n
+
+    plain_hit = overlapping_files(plain)
+    z_hit = overlapping_files(zord)
+    # single-column sort: value spans the full range in every file
+    assert plain_hit >= 15
+    # z-order: the 10% value band must prune a real fraction of files
+    assert z_hit <= plain_hit - 4
