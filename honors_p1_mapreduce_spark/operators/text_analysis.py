@@ -662,3 +662,92 @@ SELECT CAST(bucket_log2 AS INT) AS bucket_log2,
 FROM feat
 GROUP BY bucket_log2
 """
+
+
+# ---------------------------------------------- boilerplate detection
+
+BOILER_MIN_DOCS = 2  # a chunk seen in this many DISTINCT docs is boilerplate
+
+
+def chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate profile: the fraction of a document's
+    chunks whose text also appears in other documents — the
+    header/footer/template signal curation pipelines subtract before
+    quality scoring (distinct from whole-doc dedup: a doc can be 90%
+    unique with a boilerplate banner in every copy).
+
+    Composes :func:`doc_chunks`: chunk the corpus, hash each chunk
+    text, count DISTINCT docs per hash (map-side-combined aggregate
+    over hashes — chunk text never shuffles), broadcast the
+    boilerplate hash set back onto the chunk frame, aggregate per doc.
+
+    Output: (doc_id, n_chunks, n_tokens, n_boiler_chunks,
+    n_boiler_tokens, boiler_frac). The driver corpus has no shared
+    chunks below sf0.1 (zero boiler counts there — correct, and the
+    per-doc chunk/token counts keep the hash check substantive);
+    tests seed boilerplate corpora to exercise the detection path,
+    and sf0.1's 8 duplicated token streams light it up for real.
+    """
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "chunk_tokens", F.md5("chunk_text").alias("h")
+    )
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("h")
+        .withColumn("is_boiler", F.lit(1))
+    )
+    per_doc = (
+        chunks.join(F.broadcast(boiler), "h", "left")
+        .select(
+            "doc_id",
+            "chunk_tokens",
+            F.coalesce(F.col("is_boiler"), F.lit(0)).alias("b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+            F.sum("b").alias("n_boiler_chunks"),
+            F.sum(F.col("chunk_tokens") * F.col("b")).alias("n_boiler_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_tokens",
+        "n_boiler_chunks",
+        "n_boiler_tokens",
+        (
+            F.col("n_boiler_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("boiler_frac"),
+    )
+
+
+CHUNK_BOILERPLATE_ORACLE = f"""
+WITH chunks_src AS ({DOC_CHUNKS_ORACLE}),
+chunks AS (
+  SELECT doc_id, chunk_tokens, md5(chunk_text) AS h FROM chunks_src
+),
+boiler AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY h
+  ) WHERE nd >= {BOILER_MIN_DOCS}
+),
+flagged AS (
+  SELECT c.doc_id, c.chunk_tokens,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS bb
+  FROM chunks c LEFT JOIN boiler b ON c.h = b.h
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(bb) AS BIGINT) AS n_boiler_chunks,
+       CAST(sum(chunk_tokens * bb) AS BIGINT) AS n_boiler_tokens,
+       CAST(sum(chunk_tokens * bb) AS DOUBLE) / CAST(sum(chunk_tokens) AS DOUBLE)
+         AS boiler_frac
+FROM flagged
+GROUP BY doc_id
+"""

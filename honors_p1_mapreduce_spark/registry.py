@@ -148,6 +148,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_winsorized_stats": _ev.events_winsorized_stats,  # NEW r6 session 2
     "dataset_build_audit": _cx.dataset_build_audit,  # NEW r6 session 2 capstone
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,  # NEW r6 s2
+    "chunk_boilerplate": _ta.chunk_boilerplate,  # NEW r6 session 2
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -332,6 +333,7 @@ ORACLES: dict[str, str] = {
     "events_winsorized_stats": _ev.EVENTS_WINSORIZED_STATS_ORACLE,
     "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
     "similarity_pq_rerank_topk": _pq.SIMILARITY_PQ_RERANK_TOPK_ORACLE,
+    "chunk_boilerplate": _ta.CHUNK_BOILERPLATE_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

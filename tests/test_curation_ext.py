@@ -322,3 +322,46 @@ def test_dataset_build_audit_funnel_invariants(spark, sf_dir):
         <= rows["2_exact_dedup"]["n_bpe_tokens"] * BUDGET_NUM
     )
     assert 0.7 < rows["4_train"]["n_docs"] / rows["3_budget"]["n_docs"] <= 1.0
+
+
+def test_chunk_boilerplate_detects_seeded_banner(spark):
+    """A banner paragraph repeated across docs must be flagged as
+    boilerplate in every doc that carries it, while each doc's unique
+    body stays clean; a doc without the banner reports zero."""
+    from honors_p1_mapreduce_spark.operators.text_analysis import (
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    banner = " ".join(f"banner{i}" for i in range(CHUNK_TOKENS))
+    bodies = {
+        1: " ".join(f"alpha{i}" for i in range(CHUNK_TOKENS)),
+        2: " ".join(f"beta{i}" for i in range(CHUNK_TOKENS)),
+        3: " ".join(f"gamma{i}" for i in range(CHUNK_TOKENS)),
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " " + bodies[1]),
+            (2, banner + " " + bodies[2]),
+            (3, bodies[3]),
+        ],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(docs).select(
+        "doc_id", "chunk_tokens", F.md5("chunk_text").alias("h")
+    )
+    from honors_p1_mapreduce_spark.operators.text_analysis import BOILER_MIN_DOCS
+
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+    )
+    flagged = chunks.join(boiler.select("h"), "h").groupBy("doc_id").count()
+    got = {r["doc_id"]: r["count"] for r in flagged.collect()}
+    # docs 1 and 2 share the banner chunk (chunk 0 == exactly the
+    # banner: CHUNK_TOKENS tokens); doc 3 has no shared chunk
+    assert got.get(1, 0) >= 1
+    assert got.get(2, 0) >= 1
+    assert 3 not in got
