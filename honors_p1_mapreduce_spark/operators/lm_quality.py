@@ -102,3 +102,97 @@ SELECT doc_id,
 FROM occ JOIN scores USING (bg)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------- interpolated (Jelinek-Mercer)
+
+LM_LAMBDA_NUM = 9  # lambda = 9/10 on the bigram term
+LM_LAMBDA_DEN = 10
+
+
+def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated LM score: per-document mean of
+    lambda*P(w2|w1) + (1-lambda)*P(w2) in integer ppm — the standard
+    smoothing that keeps rare-context bigrams from collapsing to the
+    raw MLE (Jelinek & Mercer 1980; the CCNet-style filter usually
+    runs a smoothed model, not the pure MLE of
+    :func:`lm_bigram_score`).
+
+    Same one-scan model build as the MLE variant plus one unigram
+    aggregate (re-aggregating the bigram-count frame would miss each
+    doc's first token, so unigrams count from the token stream); the
+    corpus-total scalar rides a 1-row broadcast. Interpolation is
+    floor-integer — div(9*p_bi + p_uni, 10) — so both engines agree
+    on every ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("ucnt"))
+    tot = uni.agg(F.sum("ucnt").alias("t"))
+    p_uni = uni.join(F.broadcast(tot)).select(
+        F.col("w").alias("w2"), F.expr(f"div(ucnt * {PPM}, t)").alias("pu_ppm")
+    )
+    occ = docs.select(
+        "doc_id",
+        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+    )
+    bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ctx_counts = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("cnt").alias("ctx"))
+    )
+    scores = (
+        bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(ctx_counts, "w1")
+        .join(p_uni, "w2")
+        .select(
+            "bg",
+            F.expr(
+                f"div({LM_LAMBDA_NUM} * div(cnt * {PPM}, ctx) + pu_ppm, "
+                f"{LM_LAMBDA_DEN})"
+            ).alias("pi_ppm"),
+        )
+    )
+    return (
+        occ.join(scores, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("pi_ppm").cast("double") / F.count("*")).alias(
+                "mean_interp_ppm"
+            ),
+        )
+    )
+
+
+LM_INTERP_SCORE_ORACLE = f"""
+WITH toks AS (SELECT unnest({_T}) AS w FROM documents),
+uni AS (SELECT w, count(*) AS ucnt FROM toks GROUP BY w),
+tot AS (SELECT sum(ucnt) AS t FROM uni),
+p_uni AS (
+  SELECT w AS w2, (ucnt * {PPM}) // t AS pu_ppm FROM uni CROSS JOIN tot
+),
+occ AS (
+  SELECT doc_id, unnest({_BG_SQL}) AS bg FROM documents
+),
+bg_counts AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
+ctx_counts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ctx
+  FROM bg_counts GROUP BY 1
+),
+scores AS (
+  SELECT bg,
+         ({LM_LAMBDA_NUM} * ((cnt * {PPM}) // ctx) + pu_ppm)
+           // {LM_LAMBDA_DEN} AS pi_ppm
+  FROM bg_counts
+  JOIN ctx_counts ON split_part(bg, ' ', 1) = w1
+  JOIN p_uni ON split_part(bg, ' ', 2) = w2
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(pi_ppm) AS DOUBLE) / count(*) AS mean_interp_ppm
+FROM occ JOIN scores USING (bg)
+GROUP BY doc_id
+"""

