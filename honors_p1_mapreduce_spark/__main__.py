@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--list", action="store_true")
+    q.add_argument(
+        "--describe",
+        action="store_true",
+        help="print the operator's docstring instead of running it",
+    )
 
     args = p.parse_args(argv)
 
@@ -73,6 +78,15 @@ def main(argv: list[str] | None = None) -> None:
         for name in sorted(registry.QUERIES):
             kind = "oracle" if name in registry.ORACLES else "rows-only"
             print(f"{name}\t{kind}")
+        return
+    if args.cmd == "query" and args.describe:
+        if not args.name or args.name not in registry.QUERIES:
+            raise SystemExit("query --describe: known name required")
+        import inspect
+
+        fn = registry.QUERIES[args.name]
+        print(f"{args.name} ({fn.__module__}.{fn.__qualname__})")
+        print(inspect.getdoc(fn) or "(no docstring)")
         return
 
     spark = get_spark(app_name=f"cli-{args.cmd}")

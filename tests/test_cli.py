@@ -81,3 +81,13 @@ def test_driver_window_has_no_rows_only_queries():
     missing = [n for n in window if n not in registry.ORACLES]
     assert not missing, f"rows-only queries inside the driver window: {missing}"
     assert len(registry.QUERIES) >= 50
+
+
+def test_cli_query_describe(capsys):
+    """--describe prints the operator docstring without a Spark job."""
+    from honors_p1_mapreduce_spark.__main__ import main
+
+    main(["query", "token_budget_select", "--describe"])
+    out = capsys.readouterr().out
+    assert "token_budget_select" in out
+    assert "histogram-cutoff" in out

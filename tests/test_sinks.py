@@ -207,3 +207,26 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert plain_hit >= 15
     # z-order: the 10% value band must prune a real fraction of files
     assert z_hit <= plain_hit - 4
+
+
+def test_zorder_three_columns_roundtrip(spark, tmp_path):
+    """zorder_key is n-dimensional: a 3-column layout must round-trip
+    exactly (pruning power at fixed file count decays with dimension
+    count — measured and documented in SURVEY 8.6 — but correctness
+    must not)."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.sources.sinks import write_zordered
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .select("event_id", "user_id", "value")
+        .withColumn("eid_mod", F.col("event_id") % 1000)
+    )
+    out = str(tmp_path / "z3")
+    write_zordered(ev, out, ["user_id", "value", "eid_mod"], n_files=8)
+    assert (
+        sorted(map(tuple, spark.read.parquet(out).collect()))
+        == sorted(map(tuple, ev.collect()))
+    )
