@@ -216,3 +216,49 @@ def test_split_bucket_matches_python_md5(spark, ids):
     for i in ids:
         h = hashlib.md5(f"{SPLIT_SEED}{i}".encode()).hexdigest()
         assert got[i] == int(h[:8], 16) % 100
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_matches_python_morton(spark, pts):
+    """The Catalyst bit-interleave must equal an independent Python
+    Morton encoder over the same bucketization — same mins/maxes,
+    same 12-bit scaling, same interleave order."""
+    from honors_p1_mapreduce_spark.sources.sinks import ZORDER_BITS, zorder_key
+
+    xs = [a for a, _ in pts]
+    ys = [b for _, b in pts]
+    lox, hix = min(xs), max(xs)
+    loy, hiy = min(ys), max(ys)
+
+    def bucket(v, lo, hi):
+        span = float(hi - lo) or 1.0
+        return min(
+            (1 << ZORDER_BITS) - 1,
+            max(0, int((float(v) - lo) / span * ((1 << ZORDER_BITS) - 1))),
+        )
+
+    def morton(a, b):
+        z = 0
+        for bit in range(ZORDER_BITS - 1, -1, -1):
+            z = (z << 1) | ((a >> bit) & 1)
+            z = (z << 1) | ((b >> bit) & 1)
+        return z
+
+    expect = {
+        (a, b): morton(bucket(a, lox, hix), bucket(b, loy, hiy)) for a, b in pts
+    }
+    df = spark.createDataFrame(pts, ["x", "y"])
+    z = zorder_key([F.col("x"), F.col("y")], [lox, loy], [hix, hiy])
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", z.alias("z")).collect()}
+    assert got == expect
