@@ -70,16 +70,27 @@ def test_bench_line_fits_record_window():
         assert set(full["queries"]) == set(registry.QUERIES)
 
 
-def test_driver_window_has_no_rows_only_queries():
+def test_driver_window_rows_only_queries_are_sanctioned():
     """The driver checks exactly the FIRST 50 registry entries each
-    round; a rows-only query inside the window burns a slot on a
-    `no_oracle` row (flagged by the round-4 verdict). Rotation edits
-    must keep every windowed entry oracle-backed."""
+    round. Rows-only queries inside the window produce `no_oracle`
+    rows; the round-6 verdict asks the 4 sanctioned numpy twins to
+    rejoin the rotation periodically so the driver keeps confirming
+    they execute — but no OTHER query may enter the window without an
+    oracle (round-4 verdict)."""
     from honors_p1_mapreduce_spark import registry
 
+    sanctioned = {
+        "semantic_dedup_fast",
+        "similarity_ann_topk",
+        "embedding_neardup",
+        "dedup_minhash",
+    }
     window = list(registry.QUERIES)[:50]
-    missing = [n for n in window if n not in registry.ORACLES]
-    assert not missing, f"rows-only queries inside the driver window: {missing}"
+    rows_only = {n for n in window if n not in registry.ORACLES}
+    assert rows_only <= sanctioned, (
+        f"unsanctioned rows-only queries inside the driver window: "
+        f"{rows_only - sanctioned}"
+    )
     assert len(registry.QUERIES) >= 50
 
 
