@@ -49,22 +49,19 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers are steady-state
     registry.QUERIES[names[0]](spark, sf_dir).count()
 
-    # Spike guard (round 6): deep into a 100-query single-JVM run, a
-    # RANDOM query occasionally measures 3-14x its steady-state time
-    # (multi-second whole-JVM slow window — GC pause / codegen storm;
-    # reproduced: similarity_pq_topk 29.3 s and token_len_histogram
-    # 9.1 s in full-bench runs vs 4.5 s / 0.65 s on 3 standalone
-    # repeats each, a different query spiking each run). The slow
-    # window spans back-to-back re-measures, so the rerun pass happens
-    # at the END of the bench (temporally separated, after an explicit
-    # full GC) for every query whose first measurement crossed
-    # RERUN_THRESHOLD; report the min. 0.8s: low enough to cover the
-    # 1-2s band where r5 saw 2-4x round-over-round wobble on
-    # diff-untouched queries (log_analyzer 0.38<->1.64s), high enough
-    # that the sub-0.8s majority (absolute wobble is noise either
-    # way) runs once — extra wall time stays bounded by the sum of
-    # re-measured steady-state times, well under 2x the bench.
-    RERUN_THRESHOLD = 0.8
+    # Spike guard (round 6, made uniform round 7 per advisor): deep
+    # into a 100-query single-JVM run, a RANDOM query occasionally
+    # measures 3-14x its steady-state time (multi-second whole-JVM
+    # slow window — GC pause / codegen storm; reproduced:
+    # similarity_pq_topk 29.3 s and token_len_histogram 9.1 s in
+    # full-bench runs vs 4.5 s / 0.65 s on 3 standalone repeats each,
+    # a different query spiking each run). The slow window spans
+    # back-to-back re-measures, so EVERY query gets a second pass at
+    # the END of the bench (temporally separated, after an explicit
+    # full GC); min-of-two is the headline. Round 6 re-ran only
+    # queries whose first run crossed 0.8 s — the advisor flagged the
+    # asymmetric sampling, so the policy is now uniform and both raw
+    # samples are recorded under "runs" in BENCH_FULL.json for audit.
 
     def timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -78,19 +75,23 @@ def main() -> None:
         spark.catalog.clearCache()
         return secs
 
-    timings = {name: timed(name) for name in names}
+    first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
-    for name in [n for n, t in timings.items() if t >= RERUN_THRESHOLD]:
-        timings[name] = min(timings[name], timed(name))
-    timings = {name: round(t, 3) for name, t in timings.items()}
+    second = {name: timed(name) for name in names}
+    runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
+    timings = {n: min(r) for n, r in runs.items()}
 
-    line, full = build_output(timings, sf)
+    line, full = build_output(timings, sf, runs=runs)
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
     spark.stop()
 
 
-def build_output(timings: dict[str, float], sf: float) -> tuple[str, dict]:
+def build_output(
+    timings: dict[str, float],
+    sf: float,
+    runs: dict[str, list[float]] | None = None,
+) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
     2000 bytes of this process's output and parses the JSON line out
@@ -109,6 +110,10 @@ def build_output(timings: dict[str, float], sf: float) -> tuple[str, dict]:
         "n_queries": len(timings),
         "sf": sf,
     }
+    if runs is not None:
+        # both raw samples per query (uniform min-of-two protocol,
+        # round 7) so protocol vs real speedups stay auditable
+        full["runs"] = runs
     # seed the headline wordcount only when it actually ran — a run
     # without it must not report a fabricated 0.0 s timing
     shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}

@@ -117,8 +117,16 @@ def main(argv: list[str] | None = None) -> None:
                 f"{len(registry.QUERIES)} registered names"
             )
         df = registry.QUERIES[args.name](spark, args.sf_dir)
-        for row in df.limit(args.limit).collect():
-            print("\t".join(str(v) for v in row))
+        try:
+            for row in df.limit(args.limit).collect():
+                print("\t".join(str(v) for v in row))
+        finally:
+            # operators persist() intermediates for their own
+            # multi-consumer plans and leave cleanup to the caller
+            # that materializes the result (same contract bench.py
+            # honors) — drop them so repeated CLI queries in one
+            # session don't accumulate cached frames
+            spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

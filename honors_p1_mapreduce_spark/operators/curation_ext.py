@@ -287,8 +287,17 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     x is scaled to exact micro-units (BIGINT), per-type S = sum(x),
     SS = sum(x^2) (decimal(38,0): SS can exceed BIGINT), and the
     condition becomes (n*x - S)^2 > 9*(n*SS - S^2). No division, no
-    sqrt, no float accumulation — both engines agree on every
-    boundary event.
+    sqrt, no float accumulation. All cross-multiplies run in
+    decimal(38,0) end-to-end (round-7 advisor fix: the old BIGINT
+    n*x could wrap silently at large n*|x|), so both engines agree
+    on every boundary event while every intermediate fits 38 digits
+    — exact while n * max|x6| < 5e18 per type (e.g. 5e12 events of
+    magnitude <= 1e6). Beyond that the engine fails LOUDLY instead
+    of silently dropping rows, mirroring DuckDB's HUGEINT overflow
+    error at ~1.7e38: under the session default (ANSI on) the
+    decimal multiply raises NUMERIC_VALUE_OUT_OF_RANGE itself; for
+    ANSI-off sessions the explicit assert_true guard below converts
+    the overflow NULLs into an error.
 
     Plan: one map-side-combined aggregate to 5 stat rows, broadcast
     back onto the scan, map-only filter — two passes over the fact,
@@ -304,15 +313,26 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x6").alias("s"),
         F.sum(xd * xd).alias("ss"),
     )
-    lhs_root = (F.col("n") * F.col("x6") - F.col("s")).cast("decimal(19,0)")
+    nd = F.col("n").cast("decimal(38,0)")
+    sd = F.col("s").cast("decimal(38,0)")
+    lhs_root = nd * F.col("x6").cast("decimal(38,0)") - sd
     lhs = lhs_root * lhs_root
-    rhs = (
-        F.col("n").cast("decimal(19,0)") * F.col("ss")
-        - F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
-    ) * 9
+    rhs = (nd * F.col("ss").cast("decimal(38,0)") - sd * sd) * 9
+    overflow = F.col("x6").isNotNull() & (lhs.isNull() | rhs.isNull())
+    cond = F.when(
+        overflow,
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "events_value_outliers: z-test intermediate exceeded "
+                "decimal(38,0) — n * max|x6| past the documented 5e18 "
+                "exactness bound"
+            ),
+        ).isNotNull(),
+    ).otherwise(lhs > rhs)
     return (
         e.join(F.broadcast(stats), "event_type")
-        .filter(lhs > rhs)
+        .filter(cond)
         .select("event_id", "event_type", "value")
     )
 

@@ -185,10 +185,22 @@ def zorder_key(cols: list, mins: list, maxs: list, bits: int = ZORDER_BITS):
     parquet row-group min/max stats tight in ALL dimensions at once
     (a single-column sort gives tight stats in that column only).
     Pure Catalyst bit arithmetic; no UDF.
+
+    The interleaved key must fit a signed BIGINT: ``len(cols) * bits``
+    may not exceed 63, else shiftleft would silently wrap and the key
+    would stop clustering (round-6 advisor finding) — guarded below.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} interleaved "
+            "bits exceeds the 63 available in a signed BIGINT key; lower "
+            "`bits` or cluster on fewer columns"
+        )
+    if n < 2:
+        raise ValueError("zorder_key needs 2+ columns (1-D is a plain sort)")
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = float(hi - lo) or 1.0

@@ -417,3 +417,25 @@ def test_lm_interp_score_golden_smoothing(spark):
     assert got["xx yy"] == (9 * 1_000_000 + 1_000_000 // 6) // 10  # 916666
     assert got["aa bb"] == (9 * 500_000 + 1_000_000 // 6) // 10    # 466666
     assert got["aa cc"] == got["aa bb"]
+
+
+def test_events_value_outliers_overflow_is_loud(spark, tmp_path):
+    """Past the documented n*max|x6| < 5e18 exactness bound the
+    decimal(38,0) cross-multiplies overflow; the query must FAIL
+    LOUDLY (assert_true), mirroring DuckDB's HUGEINT overflow error,
+    instead of silently dropping rows via NULL filters (round-6
+    advisor finding)."""
+    import pytest
+
+    rows = [(i, "t", 9.0e11 if i % 2 else -9.0e11, i * 10**9) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    # Under the session default (ANSI on, Spark 4) the decimal multiply
+    # itself raises NUMERIC_VALUE_OUT_OF_RANGE; under ANSI-off sessions
+    # the explicit assert_true guard fires instead. Either way: loud.
+    with pytest.raises(
+        Exception, match="5e18|exceeded decimal|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        cx.events_value_outliers(spark, str(tmp_path)).collect()

@@ -230,3 +230,22 @@ def test_zorder_three_columns_roundtrip(spark, tmp_path):
         sorted(map(tuple, spark.read.parquet(out).collect()))
         == sorted(map(tuple, ev.collect()))
     )
+
+
+def test_zorder_key_rejects_bit_overflow():
+    """6+ columns at the default 12 bits would interleave past the 63
+    bits a signed BIGINT holds — shiftleft would wrap silently and the
+    key would stop clustering. The guard must fail loudly instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.sources.sinks import zorder_key
+
+    cols = [F.col(f"c{i}") for i in range(6)]
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(cols, [0] * 6, [100] * 6)
+    # 5 cols x 12 bits = 60 <= 63: fine
+    zorder_key(cols[:5], [0] * 5, [100] * 5)
+    # 1-D interleaving is a plain sort, not a Z-curve
+    with pytest.raises(ValueError, match="2"):
+        zorder_key(cols[:1], [0], [100])
