@@ -20,13 +20,22 @@ round identically.
 Plan shape (the part that must survive 100 TB): the bigram SCORE
 TABLE is built once — bigram counts (one keyed shuffle over distinct
 bigrams) joined to context counts (a re-aggregation of the same
-frame, so the corpus is scanned once) — and documents' bigram
-occurrences then join the score table on the bigram key. Shuffle
-volume is O(corpus bigram occurrences) for the occurrence join and
-O(|bigram vocab|) for the model build; the corpus is never joined to
-itself and nothing is collected to the driver. At 100 TB the score
-table (bigram vocab) is orders of magnitude smaller than the corpus
-and AQE picks broadcast for it when it fits.
+frame) — and documents' bigram occurrences then join the score table
+on the bigram key. The occurrence frame feeds BOTH the model build
+and the scoring join, so it is ``persist()``-ed (round-7 fix; the
+round-6 plan re-derived it from the parquet scan per consumer — 2-3
+full corpus reads instead of 1): the parquet scan + regex tokenize —
+the dominant cost — runs once and each consumer reads the cached
+columnar frame (InMemoryTableScan, pinned by
+tests/test_plan_shapes.py). MEMORY_AND_DISK: at 100 TB the exploded
+occurrences (~2x corpus text) spill to local disk, the same
+disk-for-rescan trade a shuffle materialization makes. Cleanup is
+the caller's, per the repo cache policy (bench.py / CLI clearCache).
+Shuffle volume is O(corpus bigram occurrences) for the occurrence
+join and O(|bigram vocab|) for the model build; the corpus is never
+joined to itself and nothing is collected to the driver. At 100 TB
+the score table (bigram vocab) is orders of magnitude smaller than
+the corpus and AQE picks broadcast for it when it fits.
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id",
         F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
-    )
+    ).persist()
     # model: corpus bigram counts, then context totals by re-aggregating
     # the counts frame (not the corpus — one corpus scan total)
     bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
@@ -124,18 +133,26 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-total scalar rides a 1-row broadcast. Interpolation is
     floor-integer — div(9*p_bi + p_uni, 10) — so both engines agree
     on every ppm.
+
+    Round-7 single-scan fix: the tokenized array projection is
+    persisted and BOTH the unigram stream and the bigram occurrences
+    derive from it, and the occurrence frame (2 consumers: model
+    build + scoring join) is persisted too — one parquet scan + one
+    regex tokenize total, where the round-6 plan paid three (module
+    docstring has the 100 TB memory/disk rationale).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens_col("text")).alias("w"))
+    tok_arr = docs.select("doc_id", tokens_col("text").alias("tk")).persist()
+    toks = tok_arr.select(F.explode("tk").alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("ucnt"))
     tot = uni.agg(F.sum("ucnt").alias("t"))
     p_uni = uni.join(F.broadcast(tot)).select(
         F.col("w").alias("w2"), F.expr(f"div(ucnt * {PPM}, t)").alias("pu_ppm")
     )
-    occ = docs.select(
+    occ = tok_arr.select(
         "doc_id",
-        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
-    )
+        F.explode(bigrams_from_tokens(F.col("tk"))).alias("bg"),
+    ).persist()
     bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
     ctx_counts = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))

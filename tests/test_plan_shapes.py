@@ -383,3 +383,27 @@ def test_pivot_single_aggregation_pass(spark, sf_dir):
 
     plan = _plan(events_daily_pivot(spark, sf_dir))
     assert plan.count("events.parquet") == 1
+
+
+def test_lm_scoring_single_corpus_scan(spark, sf_dir):
+    """CCNet-style LM scoring reads the corpus ONCE: the tokenized /
+    exploded projections are persisted and every consumer (model
+    build, unigram aggregate, scoring join) reads the cached frame —
+    the round-6 plan re-derived them from parquet per consumer (2-3
+    full corpus reads, round-6 verdict #2)."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_bigram_score,
+        lm_interp_score,
+    )
+
+    for fn in (lm_bigram_score, lm_interp_score):
+        plan = _plan(fn(spark, sf_dir))
+        # plan text reprints the cache-builder child (FileScan) under
+        # every InMemoryRelation, so the single-scan invariant is:
+        # each documents.parquet mention belongs to an InMemoryRelation
+        # builder subtree (cache built once), never a standalone scan
+        assert plan.count("InMemoryTableScan") >= 2, fn.__name__
+        assert (
+            plan.count("documents.parquet") <= plan.count("InMemoryRelation")
+        ), fn.__name__
+    spark.catalog.clearCache()
