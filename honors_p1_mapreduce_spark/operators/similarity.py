@@ -698,7 +698,12 @@ def _portable_bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     literal and all projections evaluate in ONE ``transform`` pass
     whose result lands as a plain attribute before the bucket packing
     references it (48 separate fold subtrees measured 2.2x slower to
-    analyze+evaluate; checksum-identical).
+    analyze+evaluate; checksum-identical). Round 7: the literal is
+    built with a single nested ``F.lit`` and the bucket packing with
+    a ``transform`` lambda — the previous 48x64 per-element ``F.lit``
+    + 288 ``element_at`` construction cost ~4.8 s of py4j round-trips
+    PER CALL at DataFrame-build time (measured; this was the whole r6
+    bench regression on this query), before Spark saw the plan.
     """
     # dim guard: zip_with pads a short/long embedding with NULLs, which
     # would silently produce null buckets (empty candidate sets) while
@@ -713,12 +718,22 @@ def _portable_bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
             )
         )
     )
-    signs_mat = F.array(
-        *[
-            F.array(*[F.lit(_rademacher_sign(b, t, i)) for i in range(EMB_DIM)])
+    # ONE parsed SQL literal: F.lit on a 48x64 nested Python list costs
+    # ~1.4 s of py4j element conversion per call; parsing the same
+    # literal from a single expression string costs ~2 ms (measured)
+    signs_mat = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "1.0D" if _rademacher_sign(b, t, i) > 0 else "-1.0D"
+                for i in range(EMB_DIM)
+            )
+            + ")"
             for b in range(PORTABLE_BANDS)
             for t in range(PORTABLE_BITS)
-        ]
+        )
+        + ")"
     )
     proj_arr = F.transform(
         signs_mat,
@@ -729,17 +744,16 @@ def _portable_bucketed(emb: DataFrame, id_col: str, emb_col: str) -> DataFrame:
         ),
     )
     withp = emb.select(F.col(id_col), proj_arr.alias("projs"))
-    buckets = F.array(
-        *[
-            sum(
-                (
-                    F.element_at(F.col("projs"), b * PORTABLE_BITS + t + 1) >= 0
-                ).cast("int")
-                * (1 << t)
-                for t in range(PORTABLE_BITS)
-            )
-            for b in range(PORTABLE_BANDS)
-        ]
+    # bucket packing: one transform lambda over the band indices; the
+    # bit sum references the lambda's band var, so the whole packing is
+    # a handful of expression nodes instead of 288 element_at subtrees
+    buckets = F.transform(
+        F.lit(list(range(PORTABLE_BANDS))),
+        lambda b: sum(
+            (F.get(F.col("projs"), b * PORTABLE_BITS + t) >= 0).cast("int")
+            * (1 << t)
+            for t in range(PORTABLE_BITS)
+        ),
     )
     return withp.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
 
