@@ -12,18 +12,18 @@ This completes the engine's ANN triad — LSH buckets
 (``similarity_ann_*``), IVF cells (``similarity_ivf_*``), and now PQ
 codes — the three classic scale paths. PQ's 100 TB argument is
 MEMORY, not candidate pruning: at the module defaults each 64-float
-(256-byte) vector becomes M=8 5-bit codes (5 bytes packed, ~51x),
-which is what lets a billion-vector index live in executor RAM; at
-real scale M=8/CELLS=256 gives 8 bytes/vector (32x) with far finer
-codebooks (CELLS is capped here by the 500-2000-vector test corpora).
-Measured recall@10 vs exact L2 on the driver's near-isotropic
-synthetic embeddings (random-chance floor 0.02-0.005): 0.32 at
-sf0.001, 0.36 at sf0.01, 0.14 at sf0.1 — the sf0.1 drop is the
-corpus outgrowing the capped codebook, which is exactly the knob a
-real deployment raises (CELLS=256 -> 8-bit codes). A CELLS/ITER
-sweep at sf0.01 measured 8/1: 0.22, 16/1: 0.20, 32/1: 0.24,
-16/2: 0.22, 32/2: 0.36 — both finer codebooks and a second Lloyd
-round pay.
+(256-byte) vector becomes M=8 8-bit codes (8 bytes, 32x), which is
+what lets a billion-vector index live in executor RAM. CELLS=256 is
+the standard at-scale setting (8-bit codes) and — per the round-6
+verdict — the registered default since round 7; on corpora smaller
+than 256 vectors the seed LIMIT naturally caps the codebook at the
+corpus size in BOTH engines. Measured recall@10 vs exact L2 on the
+driver's near-isotropic synthetic embeddings (random-chance floor
+0.02-0.005) at the 256-cell default: plain ADC 0.52 at sf0.001,
+0.46 at sf0.01, 0.32 at sf0.1 (the old 32-cell default measured
+0.32 / 0.36 / 0.14). An earlier CELLS/ITER sweep at sf0.01 (8/1:
+0.22, 16/1: 0.20, 32/1: 0.24, 16/2: 0.22, 32/2: 0.36) showed both
+finer codebooks and a second Lloyd round pay — 256/2 is the knee.
 
 Engine-portable end to end, same machinery as the kmeans-IVF family:
 stride-seeded codebooks, argmin assignment on the index-ordered
@@ -57,7 +57,7 @@ assert EMB_DIM % PQ_M == 0, (
     "width EMB_DIM - (PQ_M-1)*PQ_DSUB)"
 )
 PQ_DSUB = EMB_DIM // PQ_M  # dims per subspace
-PQ_CELLS = 32  # codewords per subspace (corpus-size-capped; 256 at scale)
+PQ_CELLS = 256  # codewords per subspace (8-bit codes, the at-scale setting)
 PQ_ITER = 2  # Lloyd rounds per subspace
 
 
@@ -70,6 +70,28 @@ def _sq_l2(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _sq_l2_static(a: Column, b: Column, dim: int) -> Column:
+    """Squared L2 with the dimension count known at plan-build time,
+    expanded to ``dim`` explicit element terms instead of a
+    higher-order fold. Catalyst gives zip_with/aggregate no codegen
+    (every element hop is interpreted), which made the 256-codeword
+    assign step — corpus_subvectors x codewords ~ 10M fold evals at
+    sf0.1 — the whole PQ cost; the expanded form whole-stage-codegens
+    and measured ~5x faster there. Bit-identical to the fold: the
+    fold's left-associated sum starting at 0.0 equals the expanded
+    left-associated ``t0 + t1 + ...`` (0.0 + t0 == t0 exactly; squares
+    are never -0.0), so oracle hashes are unmoved."""
+    terms = [
+        (F.get(a, i).cast("double") - F.get(b, i).cast("double"))
+        * (F.get(a, i).cast("double") - F.get(b, i).cast("double"))
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def _sq_l2_sql(a: str, b: str) -> str:
@@ -102,7 +124,7 @@ def _assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """(id, s, cell): each subvector's nearest codeword by squared L2,
     ties to the smaller cell id (min_by on a (dist, cell) struct — the
     same deterministic argmin the IVF family uses)."""
-    d = _sq_l2(F.col("v"), F.col("c_v"))
+    d = _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB)
     return (
         subs.join(F.broadcast(cents), "s")
         .withColumn("d", d)
@@ -177,7 +199,7 @@ def similarity_pq_topk(
             "query_id",
             "s",
             F.col("cell").alias("code"),
-            _sq_l2(F.col("v"), F.col("c_v")).alias("d"),
+            _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
         )
     )
     scored = (
@@ -328,10 +350,12 @@ def similarity_pq_rerank_topk(
     This is the standard fix for quantization error (Jégou et al.
     §VII): recall is bounded by the shortlist's coverage instead of
     the code resolution. Measured on the driver corpora (recall@10 vs
-    exact L2, same protocol as the plain-PQ pytest): plain ADC 0.32 /
-    0.36 / 0.14 at sf0.001/0.01/0.1 — re-ranked 0.78 / 0.68 / 0.46
-    (2.4x/1.9x/3.3x; tests/test_similarity.py pins re-rank >= plain
-    at the test SF). The exact stage
+    exact L2, same protocol as the plain-PQ pytest) at the 256-cell
+    round-7 default: plain ADC 0.52 / 0.46 / 0.32 at sf0.001/0.01/0.1
+    — re-ranked 0.98 / 0.96 / 0.74 (at the old 32-cell default the
+    re-ranked figures were 0.78 / 0.68 / 0.46;
+    tests/test_similarity.py pins re-rank >= plain at the test SF
+    plus an absolute 0.9 floor). The exact stage
     reads ``shortlist`` full vectors per query — at a billion-vector
     deployment that is a point-lookup join against the vector store,
     not a scan.
@@ -357,7 +381,7 @@ def similarity_pq_rerank_topk(
         .select(
             "query_id",
             "vec_id",
-            _sq_l2(F.col("embedding"), F.col("q_emb")).alias("l2_dist"),
+            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias("l2_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))

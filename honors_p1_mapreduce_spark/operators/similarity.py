@@ -214,7 +214,7 @@ def similarity_ann_topk(
 # ----------------------------------------------------------------- IVF
 
 IVF_CELLS = 16
-IVF_NPROBE = 4
+IVF_NPROBE = 8
 IVF_STRIDE_SALT = 7  # deterministic centroid pick: vec_id % stride == salt
 
 
@@ -270,8 +270,12 @@ def similarity_ivf_topk(
     without changing the query shape). Corpus vectors are assigned to
     their single nearest cell; queries probe ``nprobe`` cells, so
     candidate volume is ~corpus x nprobe / n_cells per query — the
-    knob-controlled fraction an IVF index trades for recall. Same
-    output schema as ``similarity_topk`` for direct recall checks.
+    knob-controlled fraction an IVF index trades for recall. The
+    registered default is nprobe=8 since round 7 — the knee of the
+    measured sweep (sf0.01, recall@10 vs exact: nprobe 1 → 0.22,
+    2 → 0.38, 4 → 0.54, 8 → 0.84; SURVEY §8.5), per the round-6
+    verdict. Same output schema as ``similarity_topk`` for direct
+    recall checks.
     """
     q, emb = _queries_and_corpus(spark, sf_dir, n_queries)
     # parquet count(*) is answered from row-group metadata (no data
@@ -367,11 +371,15 @@ def similarity_ivf_kmeans_topk(
     only the centroid table differs. Fully oracle-checked: the Lloyd
     iteration unrolls to one CTE chain per round (assign -> unnest ->
     decimal mean -> rebuild centroid list) in
-    :func:`similarity_ivf_kmeans_topk_oracle`, and recall >= the
-    stride-centroid variant is asserted in tests/test_similarity.py.
+    :func:`similarity_ivf_kmeans_topk_oracle`; recall >= the
+    stride-centroid variant is asserted in tests/test_similarity.py
+    at nprobe=4 (where the claim was measured — at the round-7
+    nprobe=8 default the two roughly tie on the isotropic test
+    corpus, so the test pins near-parity there instead).
 
     ``n_iter`` defaults to 1: on the driver's near-isotropic synthetic
-    embeddings, measured recall@10 was 0.58 after one Lloyd round at
+    embeddings (measured at the pre-r7 nprobe=4 default), recall@10
+    was 0.58 after one Lloyd round at
     both sf0.01 and sf0.1 (vs 0.54/0.46 for stride centroids) and got
     WORSE with more rounds (0.52-0.56) — with no real cluster structure
     extra iterations just shrink some cells' basins. Real corpora with

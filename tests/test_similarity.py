@@ -70,9 +70,10 @@ def test_ivf_recall_and_precision(spark, sf_dir):
         for r in sim.similarity_ivf_topk(spark, sf_dir).collect()
     }
     hits = set(exact) & set(ivf)
-    # nprobe/n_cells = 4/16 of the corpus scanned -> recall well above
-    # that fraction for true neighbors
-    assert len(hits) / len(exact) >= 0.2
+    # nprobe/n_cells = 8/16 of the corpus scanned (round-7 default at
+    # the knee of the measured sweep) -> recall well above that
+    # fraction for true neighbors (measured 0.78 at sf0.001)
+    assert len(hits) / len(exact) >= 0.6
     for p in hits:
         assert exact[p] == ivf[p]
 
@@ -122,13 +123,26 @@ def test_ann_portable_recall(spark, sf_dir):
 
 
 def test_ivf_kmeans_recall_not_worse_than_stride(spark):
-    # the Lloyd-refined centroids must retrieve at least as many true
-    # top-k neighbors as the stride-sampled seed at equal nprobe, and
-    # the decimal-mean refinement must be run-to-run deterministic
+    # The Lloyd-refinement claim — km retrieves at least as many true
+    # top-k neighbors as the stride seed at equal nprobe — was
+    # measured at nprobe=4 (29 vs 27 at sf0.01) and is asserted
+    # there; at the round-7 nprobe=8 default the two roughly tie on
+    # this isotropic corpus (38 vs 42), so the default-setting check
+    # is near-parity (>= 85% of stride) plus an absolute floor.
+    # Decimal-mean refinement must also be run-to-run deterministic.
     from .conftest import SF_DIR_MED
 
     sf = SF_DIR_MED
     exact = {(r.query_id, r.vec_id) for r in sim.similarity_topk(spark, sf).collect()}
+    stride4 = {
+        (r.query_id, r.vec_id)
+        for r in sim.similarity_ivf_topk(spark, sf, nprobe=4).collect()
+    }
+    km4 = {
+        (r.query_id, r.vec_id)
+        for r in sim.similarity_ivf_kmeans_topk(spark, sf, nprobe=4).collect()
+    }
+    assert len(km4 & exact) >= len(stride4 & exact)
     stride = {
         (r.query_id, r.vec_id) for r in sim.similarity_ivf_topk(spark, sf).collect()
     }
@@ -136,7 +150,8 @@ def test_ivf_kmeans_recall_not_worse_than_stride(spark):
         (r.query_id, r.vec_id)
         for r in sim.similarity_ivf_kmeans_topk(spark, sf).collect()
     }
-    assert len(km & exact) >= len(stride & exact)
+    assert len(km & exact) >= 0.85 * len(stride & exact)
+    assert len(km & exact) / len(exact) >= 0.6  # measured 0.76
     km2 = {
         (r.query_id, r.vec_id)
         for r in sim.similarity_ivf_kmeans_topk(spark, sf).collect()
@@ -169,8 +184,9 @@ def test_semantic_dedup_invariants(spark, sf_dir):
 def test_pq_recall_beats_chance_and_is_deterministic(spark, sf_dir):
     """PQ/ADC top-k recall vs exact squared-L2 top-k: well above the
     random-chance floor (10/500 = 0.02) on the near-isotropic driver
-    embeddings (measured 0.32 at sf0.001 — see operators/pq.py for
-    the CELLS/ITER sweep), and bit-deterministic across runs."""
+    embeddings (measured 0.52 at sf0.001 at the round-7 256-cell
+    default — see operators/pq.py for the CELLS/ITER sweep), and
+    bit-deterministic across runs."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -198,7 +214,7 @@ def test_pq_recall_beats_chance_and_is_deterministic(spark, sf_dir):
     )
     out = similarity_pq_topk(spark, sf_dir)
     got = set(map(tuple, out.select("query_id", "vec_id").collect()))
-    assert len(truth & got) / len(truth) >= 0.15
+    assert len(truth & got) / len(truth) >= 0.4  # measured 0.52 at 256 cells
     r2 = set(map(tuple, similarity_pq_topk(spark, sf_dir).select("query_id", "vec_id").collect()))
     assert got == r2
 
@@ -228,8 +244,9 @@ def test_semantic_dedup_fast_agrees_with_portable(spark):
 
 def test_pq_rerank_recall_beats_plain_adc(spark, sf_dir):
     """Exact re-ranking of the ADC shortlist must never lose recall
-    vs plain PQ (measured: 0.32 -> 0.78 at the test SF) and must be
-    deterministic across runs."""
+    vs plain PQ (measured at the round-7 256-cell default:
+    0.52 -> 0.98 at the test SF) and must be deterministic across
+    runs."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -274,7 +291,7 @@ def test_pq_rerank_recall_beats_plain_adc(spark, sf_dir):
         )
     )
     assert len(truth & rer) >= len(truth & plain)
-    assert len(truth & rer) / len(truth) >= 0.5  # measured 0.78
+    assert len(truth & rer) / len(truth) >= 0.9  # measured 0.98
     rer2 = set(
         map(
             tuple,
