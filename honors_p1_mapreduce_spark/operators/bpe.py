@@ -122,6 +122,91 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 # (scripts/probe_bpe_incremental.py measures both corpora)
 BPE_INCREMENTAL_MIN_VOCAB = 4096
 
+# Sequential greedy BPE launches >= 1 Spark job per merge round (the
+# argmax's 1-row collect) — at a production 32 K merges that is 32 K
+# job launches regardless of how cheap delta maintenance made each
+# round (round-6 verdict #4; scripts/probe_bpe_merges_per_sec.py
+# records the distributed rounds/second bound). The standard fix is
+# the one every production trainer uses: the corpus-sized work (scan
+# + word-frequency aggregate) stays distributed, and the MERGE LOOP —
+# whose working set is only the distinct-word vocab — runs
+# driver-local once that vocab fits in memory. _local_bpe below is a
+# heap + inverted-index trainer over the identical wrapped-symbol
+# representation with the identical (count DESC, pair ASC) argmax and
+# the identical leftmost non-overlapping replace (Python str.replace
+# == Spark/DuckDB replace for these patterns), so trajectories are
+# bit-identical (pinned by tests + the full-recompute DuckDB oracle).
+# 1M words x ~100 B is ~100 MB driver heap — far under any sane
+# driver; corpora whose DISTINCT-WORD vocab exceeds this fall back to
+# the distributed incremental loop.
+BPE_LOCAL_FINISH_MAX_VOCAB = 1_000_000
+
+
+def _local_pairs(w: str) -> list[tuple[str, str]]:
+    syms = w.strip(_SEP).split(_SEP + _SEP)
+    return list(zip(syms, syms[1:]))
+
+
+def _local_bpe(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE merge loop: lazy-deletion heap for the argmax,
+    inverted pair->word index so each round touches only words that
+    contain the merged pair — the in-memory mirror of the dataflow
+    loop's delta maintenance. ~30k merges/s on a 30k-word vocab
+    (probe script), vs ~1.5 rounds/s for the per-round Spark jobs."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [w for w, _ in rows]
+    cnts = [int(c) for _, c in rows]
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for i, w in enumerate(words):
+        for p in _local_pairs(w):
+            counts[p] += cnts[i]
+            index[p].add(i)
+    heap = [(-t, a, b) for (a, b), t in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = None
+        while heap:
+            negt, a, b = heap[0]
+            if -negt > 0 and counts.get((a, b), 0) == -negt:
+                top = (a, b, -negt)
+                break
+            heapq.heappop(heap)  # stale (count changed or dead pair)
+        if top is None:
+            break
+        a, b, total = top
+        merges.append((rank, a, b, total))
+        pat = f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"
+        new = f"{_SEP}{a}{b}{_SEP}"
+        changed: set = set()
+        for i in sorted(index[(a, b)]):
+            w, c = words[i], cnts[i]
+            old_p = _local_pairs(w)
+            w2 = w.replace(pat, new)
+            new_p = _local_pairs(w2)
+            words[i] = w2
+            for p in old_p:
+                counts[p] -= c
+                changed.add(p)
+                index[p].discard(i)
+            for p in new_p:
+                counts[p] += c
+                changed.add(p)
+                index[p].add(i)
+        for p in changed:
+            t = counts[p]
+            if t > 0:
+                heapq.heappush(heap, (-t, p[0], p[1]))
+            else:
+                counts.pop(p, None)
+                index.pop(p, None)
+    return merges
+
 
 def bpe_train_merges_from(
     spark: SparkSession,
@@ -134,11 +219,15 @@ def bpe_train_merges_from(
     hand-built corpora.
 
     ``incremental=None`` (the default) picks the strategy by vocab
-    size: delta-maintained pair counts (module docstring) above
-    ``BPE_INCREMENTAL_MIN_VOCAB`` words, full per-round recompute
-    below it. Both strategies produce bit-identical trajectories
-    (probe + hypothesis differential); only the per-round dataflow
-    differs.
+    size: DRIVER-LOCAL merge loop (``_local_bpe`` — corpus scan and
+    word-frequency aggregate stay distributed, the vocab-sized merge
+    loop collects once) up to ``BPE_LOCAL_FINISH_MAX_VOCAB`` words,
+    else the distributed delta-maintained loop. ``incremental=True``
+    / ``False`` force the two distributed strategies (delta-maintained
+    vs full per-round recompute) for probes and differentials. All
+    three produce bit-identical trajectories (probe + hypothesis
+    differential + the full-recompute DuckDB oracle); only the
+    per-round execution differs.
     """
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("word"))
@@ -148,7 +237,17 @@ def bpe_train_merges_from(
         .localCheckpoint()
     )
     if incremental is None:
-        incremental = vocab.count() >= BPE_INCREMENTAL_MIN_VOCAB
+        n_vocab = vocab.count()
+        if n_vocab <= BPE_LOCAL_FINISH_MAX_VOCAB:
+            local = _local_bpe(
+                [(r["w"], r["cnt"]) for r in vocab.collect()], n_merges
+            )
+            return spark.createDataFrame(
+                local,
+                "merge_rank int, merge_left string, merge_right string, "
+                "pair_count bigint",
+            )
+        incremental = True
     counts = _pair_counts(vocab).localCheckpoint() if incremental else None
     # union below is narrow (n + n partitions) — without this coalesce
     # target the vocab frame would DOUBLE its partition count every

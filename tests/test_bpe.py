@@ -175,3 +175,34 @@ def test_bpe_encode_token_count_bounds(spark, sf_dir):
         .count()
     )
     assert n_words == stream_total
+
+
+def test_bpe_local_finish_matches_distributed(spark):
+    """The driver-local merge loop (the auto default once the vocab
+    fits BPE_LOCAL_FINISH_MAX_VOCAB) must produce the bit-identical
+    trajectory to BOTH distributed strategies — same argmax
+    tie-break, same leftmost non-overlapping replace."""
+    from honors_p1_mapreduce_spark.operators.bpe import _local_bpe
+
+    for text in [
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3),
+        "aaaa aaab abab baba aa ab ba bb aaaa abab",
+        "xy xyz zyx yx xxyy yyxx xy",
+    ]:
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        local = [
+            tuple(r) for r in bpe_train_merges_from(spark, docs, n_merges=8).collect()
+        ]
+        inc = [
+            tuple(r)
+            for r in bpe_train_merges_from(
+                spark, docs, n_merges=8, incremental=True
+            ).collect()
+        ]
+        full = [
+            tuple(r)
+            for r in bpe_train_merges_from(
+                spark, docs, n_merges=8, incremental=False
+            ).collect()
+        ]
+        assert local == inc == full
