@@ -143,7 +143,10 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
     # ================= position 51+ — outside the r7 driver window =====
-    # First the r5-stamped entries that did not fit the window: each
+    # NEW round-7 queries first (builder 3-SF parity sweeps recorded;
+    # rotate into the window in round 8):
+    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,  # NEW r7
+    # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
     "token_counts": _ta.token_counts,
@@ -322,6 +325,7 @@ ORACLES: dict[str, str] = {
     "simhash_fingerprints": _ta.SIMHASH_ORACLE,
     "simhash_neardup": _ta.SIMHASH_NEARDUP_ORACLE,
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
+    "winnow_fingerprints_chunked": _wn.WINNOW_FINGERPRINTS_CHUNKED_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "doc_chunks": _ta.DOC_CHUNKS_ORACLE,

@@ -85,3 +85,77 @@ def test_neardup_agrees_with_minhash_family(spark, sf_dir):
         return
     overlap = len(jac & win) / len(jac)
     assert overlap >= 0.6, f"winnow/jaccard overlap {overlap:.2f}"
+
+
+def test_chunked_equals_unchunked_under_cap(spark, sf_dir):
+    """For docs under the cap the chunked path must be bit-identical
+    to the zero-shuffle capped path — including with a tiny
+    chunk_grams that forces real multi-chunk geometry, which proves
+    the window-partition property (stride G-W+1 => every window in
+    exactly one chunk, union of chunk minima == whole-doc minima)."""
+    docs = wn.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {
+        tuple(r) for r in wn.winnow_fingerprints_from(docs).collect()
+    }
+    whole = {
+        tuple(r) for r in wn.winnow_fingerprints_chunked_from(docs).collect()
+    }
+    multi = {
+        tuple(r)
+        for r in wn.winnow_fingerprints_chunked_from(docs, chunk_grams=64).collect()
+    }
+    assert base == whole == multi
+    assert base  # corpus emits fingerprints
+
+
+def test_chunked_finds_post_cap_match_the_capped_path_misses(
+    spark, monkeypatch
+):
+    """Round-6 verdict #6 golden: a doc pair sharing a long substring
+    AFTER the truncation point — the capped path provably misses it,
+    the chunked path must surface shared fingerprints. The cap is
+    monkeypatch-shrunk (same pattern as the truncation test): the
+    whole-doc capped path is O(n^2) in doc length (Spark substring
+    walks UTF-8 from char 0), so running it at the real 1M cap is
+    exactly the pathology chunking removes — the real->cap scale run
+    lives in test_chunked_fingerprints_megadoc below."""
+    import random
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    cap = 20_000
+    monkeypatch.setattr(wn, "_MAX_NORM_CHARS", cap)
+    shared_tail = "".join(rng.choice(alpha) for _ in range(2000))
+    docs = [
+        (i, "".join(rng.choice(alpha) for _ in range(cap + 3000)) + shared_tail)
+        for i in (1, 2)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def shared_hashes(fps):
+        a = {r["fp_hash"] for r in fps.filter("doc_id = 1").collect()}
+        b = {r["fp_hash"] for r in fps.filter("doc_id = 2").collect()}
+        return a & b
+
+    capped_shared = shared_hashes(wn.winnow_fingerprints_from(df))
+    chunked_shared = shared_hashes(wn.winnow_fingerprints_chunked_from(df))
+    assert not capped_shared  # tail truncated away: no shared fingerprints
+    # guarantee: any >= W+K-1-char shared substring shares >= 1
+    # fingerprint; a 2000-char shared tail shares many
+    assert len(chunked_shared) >= 2000 * 2 // (wn.W + 1) // 4
+
+
+def test_chunked_fingerprints_megadoc(spark):
+    """A real 1.1M-char doc (beyond the 2^POS_BITS cap) fingerprints
+    end-to-end through the chunked path in seconds (the whole-doc
+    path would be ~40 min of quadratic substring walks), and emits
+    fingerprints at positions past the cap."""
+    import random
+
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    text = "".join(rng.choice(alpha) for _ in range(1_100_000))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    fps = wn.winnow_fingerprints_chunked_from(df)
+    past_cap = fps.filter(fps.fp_pos > wn._POS_BASE).count()
+    assert past_cap > 1000  # tail beyond the old cap is fingerprinted
