@@ -146,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     # NEW round-7 queries first (builder 3-SF parity sweeps recorded;
     # rotate into the window in round 8):
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,  # NEW r7
+    "media_png_decode": _mm.media_png_decode,  # NEW r7: real zlib INFLATE
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -362,6 +363,11 @@ ORACLES: dict[str, str] = {
     "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_ORACLE,
     # real-container decode: hist digest reproduced from hex(encode(text))
     "media_real_decode": _mm.MEDIA_REAL_DECODE_ORACLE,
+    # genuine PNG decode (r7): Catalyst-synthesized VALID PNGs
+    # (stored-deflate + expression-fold adler32 + built-in crc32),
+    # engine INFLATEs + unfilters them back; stored mode is
+    # byte-transparent so DuckDB reproduces the histogram digest
+    "media_png_decode": _mm.MEDIA_PNG_DECODE_ORACLE,
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full

@@ -323,3 +323,133 @@ def test_sample_wav_pcm_on_real_table(spark, sf_dir):
     assert out.count() == n_wav * (WAV_DATA_LEN // 2 // SAMPLE_EVERY)
     mn, mx = out.agg({"sample_value": "min"}).first()[0], out.agg({"sample_value": "max"}).first()[0]
     assert -32768 <= mn <= mx <= 32767
+
+
+# ---------------------------------------- PNG decode goldens (r7)
+
+
+def _build_png(w, h, pixels, color_type=2, filters=None, level=9):
+    """Independent PNG writer for goldens: REAL zlib compression (not
+    the stored-block path the Catalyst synth uses) and explicit
+    per-row filter types, forward-filtered here so the decoder must
+    invert them."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = w * bpp
+    rows = [bytes(pixels[r * stride : (r + 1) * stride]) for r in range(h)]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, (ft, line) in enumerate(zip(filters, rows)):
+        enc = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 255
+        elif ft == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 255
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - (a + prev[i]) // 2) & 255
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pr) & 255
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    return (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Real-compression golden: a 5-row RGB image forward-filtered
+    with every standard filter type (None/Sub/Up/Average/Paeth) must
+    decode back to the exact original pixel histogram."""
+    import random
+
+    rng = random.Random(11)
+    w, h = 6, 5
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    blob = _build_png(w, h, pixels, filters=[0, 1, 2, 3, 4])
+    gw, gh, nf, hist = mm._decode_png(blob)
+    assert (gw, gh, nf) == (w, h, 1)
+    assert hist == mm._hist8(pixels)
+
+
+def test_png_decode_gray_and_rgba():
+    import random
+
+    rng = random.Random(12)
+    for color_type in (0, 6):
+        bpp = {0: 1, 6: 4}[color_type]
+        w, h = 4, 3
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * bpp))
+        blob = _build_png(w, h, pixels, color_type=color_type, filters=[4, 2, 1])
+        gw, gh, nf, hist = mm._decode_png(blob)
+        assert (gw, gh, nf) == (w, h, 1)
+        assert hist == mm._hist8(pixels)
+
+
+def test_png_decode_rejects_unsupported():
+    import pytest
+    import struct
+    import zlib
+
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._decode_png(b"not a png at all----")
+    # 16-bit depth: unsupported, must raise not mis-decode
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    deep = (
+        mm.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._decode_png(deep)
+
+
+def test_png_synth_is_valid_and_matches_doc_bytes(spark, sf_dir):
+    """Every Catalyst-synthesized payload must be a fully valid PNG
+    (zlib verifies the expression-fold adler32 during decompress) and
+    decode to the document's own leading bytes' histogram."""
+    rows = mm.media_png_table(spark, sf_dir).limit(20).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in mm.load_table(spark, sf_dir, "documents").limit(200).collect()
+    }
+    assert rows
+    for r in rows:
+        blob = bytes(r["content"])
+        w, h, nf, hist = mm._decode_png(blob)
+        assert (w, h) == (mm.PNG_W, mm.PNG_H)
+        data = docs[r["doc_id"]].encode()[: mm.PNG_DATA_LEN]
+        assert hist == mm._hist8(data)
