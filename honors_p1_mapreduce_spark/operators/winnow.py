@@ -29,7 +29,7 @@ Spark plan (all Catalyst built-ins, no Python, ZERO shuffle):
   capped at 2^POS_BITS grams (~1M normalized chars): longer docs are
   deterministically truncated to that prefix before fingerprinting
   (mirrored in the oracle) so pos can never bleed into the hash
-  bits; a chunked variant would fingerprint full multi-MB docs.
+  bits; ``winnow_fingerprints_chunked`` (below) lifts the cap.
 
 At 100 TB: fingerprint extraction is embarrassingly parallel —
 scan-bound, scales with read bandwidth alone.
@@ -334,4 +334,67 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
 FROM keyed a JOIN keyed b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {MIN_SHARED}
+"""
+
+
+# ------------------------------------ near-dup decontamination (r7)
+
+# Benchmark decontamination, fuzzy tier: `contamination_check`
+# (curation.py) flags EXACT n-gram overlap with an eval set; real
+# pipelines (GPT-3 appx C, Dodge et al. 2021 C4 audit) also drop
+# training docs that NEAR-duplicate an eval item — paraphrased or
+# lightly-edited benchmark leakage that exact n-grams miss once
+# punctuation or numbers drift. Winnowed fingerprints are exactly the
+# right primitive: any shared >= W+K-1-char normalized substring
+# shares a fingerprint, so counting shared fingerprints against the
+# eval set is a guarantee-backed fuzzy containment test.
+#
+# The demo eval split is deterministic (doc_id % EVAL_MOD ==
+# EVAL_RESIDUE, ~1% of the corpus) — in production the eval side is
+# the benchmark suite. Scale shape: eval benchmarks are tiny (MBs),
+# so the eval fingerprint set BROADCASTS at any corpus size; the
+# training corpus contributes one map-only fingerprint pass + a
+# per-doc count aggregate. The corpus never self-joins and never
+# shuffles its text.
+
+EVAL_MOD = 101
+EVAL_RESIDUE = 7
+CONTAM_MIN_SHARED = 8  # >= 8 shared fps ~ a >= ~50-char shared region
+
+
+def decontaminate_neardup(
+    spark: SparkSession, sf_dir: str, min_shared: int = CONTAM_MIN_SHARED
+) -> DataFrame:
+    """(doc_id, shared_fps): TRAINING docs sharing >= min_shared
+    winnowed fingerprints with the eval split — the near-dup
+    decontamination drop list. The fingerprint frame is computed once
+    (persisted; eval + train consumers)."""
+    fps = (
+        winnow_fingerprints(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = fps.filter(is_eval).select("fp_hash").distinct()
+    return (
+        fps.filter(~is_eval)
+        .join(F.broadcast(eval_fps), "fp_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+DECONTAMINATE_NEARDUP_ORACLE = f"""
+WITH {_GRAMS_CTE},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+eval_fps AS (
+  SELECT DISTINCT fp_hash FROM dfp WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+)
+SELECT d.doc_id, count(*) AS shared_fps
+FROM dfp d JOIN eval_fps e ON d.fp_hash = e.fp_hash
+WHERE d.doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+GROUP BY d.doc_id
+HAVING count(*) >= {CONTAM_MIN_SHARED}
 """

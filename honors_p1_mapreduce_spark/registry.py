@@ -147,6 +147,7 @@ QUERIES: dict[str, QueryFn] = {
     # rotate into the window in round 8):
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,  # NEW r7
     "media_png_decode": _mm.media_png_decode,  # NEW r7: real zlib INFLATE
+    "decontaminate_neardup": _wn.decontaminate_neardup,  # NEW r7
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -328,6 +329,10 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
     "winnow_fingerprints_chunked": _wn.WINNOW_FINGERPRINTS_CHUNKED_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
+    # near-dup eval decontamination (r7): fuzzy tier of
+    # contamination_check — shared winnowed fingerprints vs the
+    # deterministic eval split, eval side broadcast
+    "decontaminate_neardup": _wn.DECONTAMINATE_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "doc_chunks": _ta.DOC_CHUNKS_ORACLE,
     "pack_sequences": _ta.PACK_SEQUENCES_ORACLE,

@@ -159,3 +159,40 @@ def test_chunked_fingerprints_megadoc(spark):
     fps = wn.winnow_fingerprints_chunked_from(df)
     past_cap = fps.filter(fps.fp_pos > wn._POS_BASE).count()
     assert past_cap > 1000  # tail beyond the old cap is fingerprinted
+
+
+def test_decontaminate_neardup_seeded_golden(spark):
+    """An eval doc's near-copy planted in the training split must be
+    flagged; an unrelated training doc must not. Eval ids are
+    doc_id % EVAL_MOD == EVAL_RESIDUE."""
+    import random
+
+    rng = random.Random(9)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    eval_text = "".join(rng.choice(alpha) for _ in range(400))
+    # near-copy: eval text with a small edit in the middle
+    leaked = eval_text[:180] + " EDITED SPAN " + eval_text[200:]
+    clean = "".join(rng.choice(alpha) for _ in range(400))
+    docs = spark.createDataFrame(
+        [
+            (wn.EVAL_RESIDUE, eval_text),       # the eval doc
+            (1, leaked),                        # train: leaked near-copy
+            (2, clean),                         # train: unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    import honors_p1_mapreduce_spark.operators.winnow as w
+
+    fps = w.winnow_fingerprints_from(docs).select("doc_id", "fp_hash").distinct()
+    is_eval = fps.doc_id % w.EVAL_MOD == w.EVAL_RESIDUE
+    eval_fps = fps.filter(is_eval).select("fp_hash").distinct()
+    hits = {
+        r["doc_id"]: r["shared_fps"]
+        for r in fps.filter(~is_eval)
+        .join(eval_fps, "fp_hash")
+        .groupBy("doc_id")
+        .agg(wn.F.count("*").alias("shared_fps"))
+        .collect()
+    }
+    assert hits.get(1, 0) >= wn.CONTAM_MIN_SHARED  # leak flagged
+    assert hits.get(2, 0) < wn.CONTAM_MIN_SHARED  # clean doc passes
