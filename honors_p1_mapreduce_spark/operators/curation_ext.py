@@ -523,3 +523,100 @@ SELECT '3_budget', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM sel
 UNION ALL
 SELECT '4_train', count(*), CAST(sum(bpe_tokens) AS BIGINT) FROM s4
 """
+
+
+# ---------------------------------------- robust (median/MAD) outliers
+
+# 3 * 1.4826 (the normal-consistency constant sigma ~= 1.4826 * MAD)
+# as an exact integer cross-multiply: dev * 10000 > 44478 * mad.
+MAD_NUM = 44478
+MAD_DEN = 10_000
+
+
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outliers: events with |x - median| > 3 * 1.4826
+    * MAD — the median/MAD counterpart to ``events_value_outliers``'s
+    mean/variance z-test. Robust scale estimation is the standard
+    guard when the outliers themselves corrupt the mean and variance
+    (a single 1e9 spike inflates sigma enough to hide every other
+    anomaly; the median and MAD don't move).
+
+    Exactness: values scale to micro-unit BIGINTs; the median and MAD
+    are exact ORDER STATISTICS at rank (n+1) div 2 under the
+    deterministic (value, event_id) / (deviation, event_id) orders
+    (the lower median — identical row in both engines, no
+    interpolated floats), and the test cross-multiplies to integers
+    (dev * 10000 > 44478 * mad), so every boundary row agrees across
+    engines. Degenerate MAD = 0 (over half the type's values equal
+    its median) flags every deviating row — the documented MAD
+    edge case, identical in both engines.
+
+    Plan: two per-type rank windows (values, then deviations) with
+    singleton-rank picks broadcast back, then a map-only filter — the
+    fact shuffles only for the two sorts. At 100 TB the exact-rank
+    windows would yield to approx_percentile boundaries (same
+    downstream plan), as documented for events_winsorized_stats.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x6 = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    e = ev.select("event_id", "event_type", "value", x6.alias("x6"))
+    n = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy("x6", "event_id")
+    r1 = e.select("event_type", "x6", F.row_number().over(w1).alias("rn"))
+    med = (
+        r1.join(F.broadcast(n), "event_type")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("x6").alias("med"))
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("x6") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select("event_type", "event_id", "dev").select(
+        "event_type", "dev", F.row_number().over(w2).alias("rn")
+    )
+    mad = (
+        r2.join(F.broadcast(n), "event_type")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") * MAD_DEN > MAD_NUM * F.col("mad"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+EVENTS_VALUE_MAD_OUTLIERS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+  FROM events
+),
+n AS (SELECT event_type, count(*) AS n FROM e GROUP BY event_type),
+r1 AS (
+  SELECT event_type, x6,
+         row_number() OVER (PARTITION BY event_type ORDER BY x6, event_id) AS rn
+  FROM e
+),
+med AS (
+  SELECT r1.event_type, r1.x6 AS med
+  FROM r1 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+),
+d AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.x6 - med.med) AS dev
+  FROM e JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn
+  FROM d
+),
+mad AS (
+  SELECT r2.event_type, r2.dev AS mad
+  FROM r2 JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value
+FROM d JOIN mad USING (event_type)
+WHERE d.dev * {MAD_DEN} > {MAD_NUM} * mad.mad
+"""

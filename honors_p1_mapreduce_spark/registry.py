@@ -148,6 +148,7 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,  # NEW r7
     "media_png_decode": _mm.media_png_decode,  # NEW r7: real zlib INFLATE
     "decontaminate_neardup": _wn.decontaminate_neardup,  # NEW r7
+    "events_value_mad_outliers": _cx.events_value_mad_outliers,  # NEW r7
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -351,6 +352,9 @@ ORACLES: dict[str, str] = {
     "chunk_boilerplate": _ta.CHUNK_BOILERPLATE_ORACLE,
     "lm_interp_score": _lm.LM_INTERP_SCORE_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
+    # robust median/MAD outliers (r7): exact order-statistic
+    # boundaries, integer cross-multiplied test
+    "events_value_mad_outliers": _cx.EVENTS_VALUE_MAD_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,
     "revenue_cube": _rx.REVENUE_CUBE_ORACLE,

