@@ -808,3 +808,52 @@ SELECT ev.event_type, b.lo, b.hi,
 FROM ev JOIN bounds b ON ev.event_type = b.event_type
 GROUP BY ev.event_type, b.lo, b.hi
 """
+
+
+def events_winsorized_stats_fast(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The at-scale twin of :func:`events_winsorized_stats`: p01/p99
+    clip boundaries from ``percentile_approx`` (the Greenwald-Khanna
+    sketch — ONE map-side-combinable aggregate, mergeable partial
+    state) instead of exact per-type rank windows (full per-type
+    sorts). Same downstream broadcast-clip plan and output schema.
+
+    This is the documented 100 TB path the exact variant's docstring
+    promises ("exact ranks yield to approx_percentile boundaries,
+    same downstream plan") — now in code, following the repo's
+    fast-twin pattern (semantic_dedup_fast): the exact variant stays
+    the oracle-gated correctness reference, this one is rows-only
+    checked plus a pinned agreement pytest (boundaries within sketch
+    tolerance of the exact order statistics, clip counts within the
+    implied rank error, identical n_events). At sketch accuracy a
+    the rank error is bounded by n/a per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.01), F.lit(accuracy)).alias("lo"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(accuracy)).alias("hi"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "lo",
+            "hi",
+            clipped.alias("cv"),
+            (F.col("value") < F.col("lo")).cast("int").alias("clip_lo"),
+            (F.col("value") > F.col("hi")).cast("int").alias("clip_hi"),
+        )
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum_col("cv", "winsorized_sum", scale=6, precision=24),
+            F.sum("clip_lo").alias("n_clipped_lo"),
+            F.sum("clip_hi").alias("n_clipped_hi"),
+        )
+    )

@@ -221,6 +221,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
+    # rows-only sketch twin at the very tail (never takes a window
+    # slot): the approx_percentile 100 TB path of the winsorized
+    # family, agreement-pinned vs the exact variant in pytest
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
 }
 
 ORACLES: dict[str, str] = {

@@ -471,3 +471,35 @@ def test_events_value_mad_outliers_matches_python(spark, sf_dir):
     }
     assert got == expect
     assert got  # corpus has outlier mass
+
+
+def test_winsorized_fast_twin_agrees_with_exact(spark, sf_dir):
+    """The approx_percentile fast twin must agree with the exact
+    order-statistic variant within the sketch's rank-error bound:
+    identical n_events per type, clip boundaries between the exact
+    neighbors implied by the error, winsorized sums within the bound
+    implied by mis-clipping at most n/accuracy rows per side."""
+    from honors_p1_mapreduce_spark.operators.events import (
+        events_winsorized_stats,
+        events_winsorized_stats_fast,
+    )
+
+    exact = {r["event_type"]: r for r in events_winsorized_stats(spark, sf_dir).collect()}
+    fast = {r["event_type"]: r for r in events_winsorized_stats_fast(spark, sf_dir).collect()}
+    assert set(exact) == set(fast)
+    for t in exact:
+        e, f = exact[t], fast[t]
+        assert f["n_events"] == e["n_events"]
+        n = e["n_events"]
+        rank_err = max(1, n // 10_000)  # accuracy default
+        # boundaries within a small neighborhood of the exact ones:
+        # allow the sketch to land within 2% of the type's value span
+        span = float(e["hi"]) - float(e["lo"]) or 1.0
+        assert abs(float(f["lo"]) - float(e["lo"])) <= 0.05 * span + 1e-9
+        assert abs(float(f["hi"]) - float(e["hi"])) <= 0.05 * span + 1e-9
+        # clip counts move by at most the mis-ranked rows (loose 1%)
+        assert abs(f["n_clipped_lo"] - e["n_clipped_lo"]) <= max(5, n // 100)
+        assert abs(f["n_clipped_hi"] - e["n_clipped_hi"]) <= max(5, n // 100)
+        assert abs(float(f["winsorized_sum"]) - float(e["winsorized_sum"])) <= (
+            0.02 * abs(float(e["winsorized_sum"])) + 1.0
+        )
