@@ -546,8 +546,12 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (value, event_id) / (deviation, event_id) orders
     (the lower median — identical row in both engines, no
     interpolated floats), and the test cross-multiplies to integers
-    (dev * 10000 > 44478 * mad), so every boundary row agrees across
-    engines. Degenerate MAD = 0 (over half the type's values equal
+    (dev * 10000 > 44478 * mad) carried in decimal(38,0) on the Spark
+    side and HUGEINT in DuckDB — max magnitude 4.4e22 fits both with
+    headroom across the ENTIRE representable x6 domain (|x6| <= 1e18),
+    so every boundary row agrees across engines with no overflow
+    regime at all (review r7: the plain-BIGINT form could wrap at
+    dev > ~2.1e14). Degenerate MAD = 0 (over half the type's values equal
     its median) flags every deviating row — the documented MAD
     edge case, identical in both engines.
 
@@ -580,9 +584,11 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
         .select("event_type", F.col("dev").alias("mad"))
     )
+    devd = F.col("dev").cast("decimal(38,0)")
+    madd = F.col("mad").cast("decimal(38,0)")
     return (
         d.join(F.broadcast(mad), "event_type")
-        .filter(F.col("dev") * MAD_DEN > MAD_NUM * F.col("mad"))
+        .filter(devd * MAD_DEN > madd * MAD_NUM)
         .select("event_id", "event_type", "value")
     )
 
@@ -618,5 +624,5 @@ mad AS (
 )
 SELECT d.event_id, d.event_type, d.value
 FROM d JOIN mad USING (event_type)
-WHERE d.dev * {MAD_DEN} > {MAD_NUM} * mad.mad
+WHERE CAST(d.dev AS HUGEINT) * {MAD_DEN} > {MAD_NUM} * CAST(mad.mad AS HUGEINT)
 """

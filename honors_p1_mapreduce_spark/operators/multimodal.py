@@ -211,30 +211,40 @@ def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
 
     if content[:8] != PNG_SIG:
         raise UnsupportedMediaError("not a PNG")
-    pos, idat, w = 8, b"", None
-    h = bit_depth = color_type = interlace = 0
-    while pos + 8 <= len(content):
-        ln = struct.unpack_from(">I", content, pos)[0]
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + ln]
-        if ctype == b"IHDR":
-            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", data, 0)
-            interlace = data[12]
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + crc
-    if w is None:
-        raise UnsupportedMediaError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
-        raise UnsupportedMediaError(
-            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace})"
-        )
-    bpp = {0: 1, 2: 3, 6: 4}[color_type]
-    stride = w * bpp
-    raw = zlib.decompress(idat)
+    # Corrupt-but-PNG-magic payloads (truncated IHDR, bad zlib stream,
+    # garbage chunk lengths) must surface as UnsupportedMediaError so
+    # the codec seam's fallback contract holds — a raw zlib.error /
+    # struct.error escaping here would crash the whole Spark job on
+    # one bad file instead of fake-decoding it (review r7).
+    try:
+        pos, idat, w = 8, b"", None
+        h = bit_depth = color_type = interlace = 0
+        while pos + 8 <= len(content):
+            ln = struct.unpack_from(">I", content, pos)[0]
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + ln]
+            if ctype == b"IHDR":
+                w, h, bit_depth, color_type = struct.unpack_from(">IIBB", data, 0)
+                interlace = data[12]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + crc
+        if w is None:
+            raise UnsupportedMediaError("PNG missing IHDR")
+        if bit_depth != 8 or color_type not in (0, 2, 6) or interlace:
+            raise UnsupportedMediaError(
+                f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+                f"interlace={interlace})"
+            )
+        bpp = {0: 1, 2: 3, 6: 4}[color_type]
+        stride = w * bpp
+        raw = zlib.decompress(idat)
+    except UnsupportedMediaError:
+        raise
+    except (zlib.error, struct.error, IndexError) as ex:
+        raise UnsupportedMediaError(f"corrupt PNG: {ex}") from ex
     if len(raw) != (stride + 1) * h:
         raise UnsupportedMediaError("PNG scanline stream length mismatch")
     out = bytearray()

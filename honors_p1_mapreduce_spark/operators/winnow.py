@@ -147,9 +147,12 @@ def winnow_fingerprints_chunked_from(
     (non-truncated) fingerprints for docs beyond it. ``chunk_grams``
     is parameterized so tests exercise multi-chunk geometry on small
     docs; it must not exceed 2^POS_BITS."""
-    if not 0 < chunk_grams <= _POS_BASE:
-        raise ValueError(f"chunk_grams must be in (0, {_POS_BASE}]")
-    g, s_stride = chunk_grams, chunk_grams - W + 1
+    # lower bound W: stride = chunk_grams - W + 1 must be >= 1 for the
+    # window-partition property (and to avoid div-by-zero chunk math);
+    # upper bound 2^POS_BITS: local pos must never bleed into hash bits
+    if not W <= chunk_grams <= _POS_BASE:
+        raise ValueError(f"chunk_grams must be in [{W}, {_POS_BASE}]")
+    s_stride = chunk_grams - W + 1
     chunk_len = chunk_grams + K - 1
     norm_full = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     chunk_expr = (
@@ -368,9 +371,15 @@ def decontaminate_neardup(
     """(doc_id, shared_fps): TRAINING docs sharing >= min_shared
     winnowed fingerprints with the eval split — the near-dup
     decontamination drop list. The fingerprint frame is computed once
-    (persisted; eval + train consumers)."""
+    (persisted; eval + train consumers).
+
+    Built on the UNCAPPED chunked fingerprint path, not the
+    2^POS_BITS-truncated one: decontamination is exactly the use case
+    where a silently missed match past the cap means eval leakage
+    (review r7 — the chunked golden proves the capped path misses
+    post-cap shared substrings)."""
     fps = (
-        winnow_fingerprints(spark, sf_dir)
+        winnow_fingerprints_chunked(spark, sf_dir)
         .select("doc_id", "fp_hash")
         .distinct()
         .persist()
@@ -387,8 +396,8 @@ def decontaminate_neardup(
 
 
 DECONTAMINATE_NEARDUP_ORACLE = f"""
-WITH {_GRAMS_CTE},
-dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+WITH {_chunked_fp_cte()},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp_c),
 eval_fps AS (
   SELECT DISTINCT fp_hash FROM dfp WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
 )

@@ -55,13 +55,18 @@ queries (token_budget_select, events_value_outliers — the other
 three sit at tail-top with recorded 3-SF parity sweeps and rotate in
 next round). 43 + 7 fill the window exactly. The 46 entries after position 50 (all r5-stamped green,
 CORRECTNESS_r05.json) rotate back to the front in round 7; each
-carries an inline note where its module was touched in r6. The 4
-rows-only queries (similarity_ann_topk, embedding_neardup,
-dedup_minhash, semantic_dedup_fast — numpy hash families / numpy
-twin, each with an oracle-green portable sibling) sit at the very end
-so they never burn window slots on `no_oracle` rows. The
-window-integrity invariant (first 50 all oracle-backed) is pinned by
-tests/test_cli.py::test_driver_window_has_no_rows_only_queries.
+carries an inline note where its module was touched in r6.
+
+Rows-only policy (UPDATED round 7): the 4 rows-only queries
+(similarity_ann_topk, embedding_neardup, dedup_minhash,
+semantic_dedup_fast — numpy hash families / numpy twin, each with an
+oracle-green portable sibling) normally sit at the tail so oracle
+slots aren't spent on `no_oracle` rows, but the r6 verdict asks them
+to REJOIN the window periodically so the driver keeps confirming
+they execute — r7 does so. The invariant is therefore: no rows-only
+query other than these 4 sanctioned twins may occupy a window slot —
+pinned by
+tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
 ROUND-7 WINDOW (this ordering): block A = the 16 queries with NO
 driver stamp ever (r6 session-2 additions; the r6 judge's replica

@@ -491,9 +491,8 @@ def test_winsorized_fast_twin_agrees_with_exact(spark, sf_dir):
         e, f = exact[t], fast[t]
         assert f["n_events"] == e["n_events"]
         n = e["n_events"]
-        rank_err = max(1, n // 10_000)  # accuracy default
         # boundaries within a small neighborhood of the exact ones:
-        # allow the sketch to land within 2% of the type's value span
+        # allow the sketch to land within 5% of the type's value span
         span = float(e["hi"]) - float(e["lo"]) or 1.0
         assert abs(float(f["lo"]) - float(e["lo"])) <= 0.05 * span + 1e-9
         assert abs(float(f["hi"]) - float(e["hi"])) <= 0.05 * span + 1e-9

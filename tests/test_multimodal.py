@@ -453,3 +453,28 @@ def test_png_synth_is_valid_and_matches_doc_bytes(spark, sf_dir):
         assert (w, h) == (mm.PNG_W, mm.PNG_H)
         data = docs[r["doc_id"]].encode()[: mm.PNG_DATA_LEN]
         assert hist == mm._hist8(data)
+
+
+def test_png_magic_with_garbage_falls_back_to_fake(spark, sf_dir):
+    """A payload with PNG magic but corrupt body (truncated IHDR, bad
+    zlib stream) must fall back to the fake decoder through the codec
+    seam — one bad file must never crash the job (r7 review)."""
+    bad_blobs = [
+        mm.PNG_SIG + b"garbage",                              # no chunks
+        mm.PNG_SIG + b"\x00\x00\x00\x0dIHDR\x00\x00",         # truncated IHDR
+        mm.PNG_SIG
+        + b"\x00\x00\x00\x0dIHDR"
+        + b"\x00\x00\x00\x04\x00\x00\x00\x0a\x08\x02\x00\x00\x00"
+        + b"\x00" * 4
+        + b"\x00\x00\x00\x05IDAT"
+        + b"notzl"
+        + b"\x00" * 4,                                        # bad zlib stream
+    ]
+    import pytest
+
+    for blob in bad_blobs:
+        with pytest.raises(mm.UnsupportedMediaError):
+            mm.stdlib_codec(blob, "image/png")
+        # seam fallback: fake decode instead of crash
+        w, h, nf, feat = mm._stdlib_or_fake(blob, "image/png")
+        assert len(feat) == mm.FEATURE_DIM

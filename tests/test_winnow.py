@@ -196,3 +196,14 @@ def test_decontaminate_neardup_seeded_golden(spark):
     }
     assert hits.get(1, 0) >= wn.CONTAM_MIN_SHARED  # leak flagged
     assert hits.get(2, 0) < wn.CONTAM_MIN_SHARED  # clean doc passes
+
+
+def test_chunked_rejects_bad_chunk_grams(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "abcdefghij" * 10)], ["doc_id", "text"])
+    for bad in (0, wn.W - 1, wn._POS_BASE + 1):
+        with pytest.raises(ValueError, match="chunk_grams"):
+            wn.winnow_fingerprints_chunked_from(df, chunk_grams=bad)
+    # the minimum legal value works (stride 1)
+    assert wn.winnow_fingerprints_chunked_from(df, chunk_grams=wn.W).count() > 0
