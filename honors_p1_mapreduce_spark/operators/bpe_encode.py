@@ -163,3 +163,200 @@ GROUP BY stream.source"""
 
 
 BPE_ENCODE_STATS_ORACLE = bpe_encode_stats_oracle()
+
+
+# ------------------------------------------ token-ID sequences (r7)
+
+
+def bpe_encode_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Train merges, then emit each document's actual BPE TOKEN-ID
+    sequence — the tokenize-for-training step itself, completing the
+    tokenizer story (train -> fertility stats -> id sequences).
+
+    Vocabulary ids are assigned the standard way (HF BPE): the sorted
+    corpus alphabet takes ids 0..B-1, merged symbols take
+    B + merge_rank - 1; if two different merges ever produce the same
+    symbol string, encoding uses the smaller id (min-id dedup,
+    mirrored in the oracle).
+
+    Output: (doc_id, n_tokens, ids_digest) — the digest is md5 over
+    the comma-joined id sequence, covering every id in order with a
+    canon-safe scalar (the array itself is order-sensitive data the
+    driver's order-insensitive row hash can't gate directly).
+
+    100 TB shape: everything vocabulary-sized (encode chain, symbol
+    table, word->ids map) happens on the distinct-word frame and
+    BROADCASTS; the corpus contributes one positional token explode,
+    a map-side join, and one per-doc ordered flatten — text never
+    shuffles, and no corpus row is touched per merge.
+    """
+    return bpe_encode_ids_from(
+        load_table(spark, sf_dir, "documents"), spark=spark, n_merges=n_merges
+    )
+
+
+def bpe_encode_ids_from(
+    docs: DataFrame, spark: SparkSession, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train_merges_from(spark, docs, n_merges=n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
+    w = _wrap_chars(F.col("word"))
+    for a, b in merges:
+        w = F.replace(
+            w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
+        )
+    word_syms = words.select("word", _syms(w).alias("syms")).persist()
+    base = (
+        word_syms.select(F.explode(F.split("word", "")).alias("sym"))
+        .filter(F.col("sym") != "")
+        .distinct()
+    )
+    # global (unpartitioned) row_number is fine HERE only: the frame is
+    # the distinct alphabet — dozens of rows at any corpus size
+    wb = Window.orderBy("sym")
+    base_ids = base.select(
+        "sym", (F.row_number().over(wb) - 1).cast("bigint").alias("sym_id")
+    )
+    n_base = base.count()  # vocab-bounded driver scalar
+    merge_rows = [(a + b, n_base + i) for i, (a, b) in enumerate(merges)]
+    merge_ids = spark.createDataFrame(merge_rows, "sym string, sym_id bigint")
+    sym_ids = (
+        base_ids.unionByName(merge_ids)
+        .groupBy("sym")
+        .agg(F.min("sym_id").alias("sym_id"))
+    )
+    word_ids = (
+        word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
+        .join(F.broadcast(sym_ids), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym_id"))),
+                lambda t: t["sym_id"],
+            ).alias("ids")
+        )
+    )
+    stream = docs.select(
+        "doc_id", F.posexplode(tokens_col("text")).alias("tpos", "word")
+    )
+    flat = (
+        stream.join(F.broadcast(word_ids), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "ids"))),
+                    lambda t: t["ids"],
+                )
+            ).alias("fl")
+        )
+    )
+    return flat.select(
+        "doc_id",
+        F.size("fl").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform("fl", lambda x: x.cast("string")))
+        ).alias("ids_digest"),
+    )
+
+
+def bpe_encode_ids_oracle(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the stats oracle's word-carrying training unroll,
+    extended with the symbol-id table (sorted alphabet, then merges by
+    rank, min-id on string collisions), per-word ordered id lists, and
+    the per-doc ordered flatten + digest."""
+    parts = [
+        f"""
+WITH vocab_0 AS MATERIALIZED (
+  SELECT word,
+         '{_SEP}' || array_to_string(regexp_split_to_array(word, ''),
+                                     '{_SEP}{_SEP}') || '{_SEP}' AS w,
+         count(*) AS cnt
+  FROM (SELECT unnest({_T}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+pairs_{i} AS MATERIALIZED (
+  SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS total
+  FROM (SELECT string_split(trim(w, '{_SEP}'), '{_SEP}{_SEP}') AS syms, cnt
+        FROM vocab_{p}),
+       unnest(generate_series(1, len(syms) - 1)) AS t(j)
+  GROUP BY 1, 2
+),
+top_{i} AS MATERIALIZED (
+  SELECT a, b FROM pairs_{i} ORDER BY total DESC, a ASC, b ASC LIMIT 1
+),
+vocab_{i} AS MATERIALIZED (
+  SELECT word,
+         replace(w,
+                 '{_SEP}' || (SELECT a FROM top_{i}) || '{_SEP}{_SEP}'
+                          || (SELECT b FROM top_{i}) || '{_SEP}',
+                 '{_SEP}' || (SELECT a || b FROM top_{i}) || '{_SEP}') AS w,
+         cnt
+  FROM vocab_{p}
+)"""
+        )
+    mtab = " UNION ALL ".join(
+        f"SELECT {i} AS rnk, a || b AS sym FROM top_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f""",
+word_syms AS MATERIALIZED (
+  SELECT word, string_split(trim(w, '{_SEP}'), '{_SEP}{_SEP}') AS syms
+  FROM vocab_{n_merges}
+),
+base AS (
+  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS sym_id
+  FROM (
+    SELECT DISTINCT ch AS sym
+    FROM (SELECT unnest(regexp_split_to_array(word, '')) AS ch FROM vocab_0)
+    WHERE ch <> ''
+  )
+),
+mtab AS ({mtab}),
+sym_ids AS (
+  SELECT sym, min(sym_id) AS sym_id FROM (
+    SELECT sym, sym_id FROM base
+    UNION ALL
+    SELECT sym, (SELECT count(*) FROM base) + rnk - 1 AS sym_id FROM mtab
+  ) GROUP BY sym
+),
+word_ids AS MATERIALIZED (
+  SELECT word, list(sym_id ORDER BY ord) AS ids
+  FROM (SELECT word, syms[j] AS sym, j AS ord
+        FROM word_syms, unnest(generate_series(1, len(syms))) AS t(j))
+  JOIN sym_ids USING (sym)
+  GROUP BY word
+),
+stream AS (
+  SELECT doc_id, toks[j] AS word, j AS ord
+  FROM (SELECT doc_id, {_T} AS toks FROM documents),
+       unnest(generate_series(1, len(toks))) AS t(j)
+),
+flat AS (
+  SELECT doc_id, flatten(list(ids ORDER BY ord)) AS fl
+  FROM stream JOIN word_ids USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_tokens,
+       md5(array_to_string(fl, ',')) AS ids_digest
+FROM flat"""
+    )
+    return "".join(parts)
+
+
+BPE_ENCODE_IDS_ORACLE = bpe_encode_ids_oracle()

@@ -154,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_png_decode": _mm.media_png_decode,  # NEW r7: real zlib INFLATE
     "decontaminate_neardup": _wn.decontaminate_neardup,  # NEW r7
     "events_value_mad_outliers": _cx.events_value_mad_outliers,  # NEW r7
+    "bpe_encode_ids": _bpx.bpe_encode_ids,  # NEW r7: token-id sequences
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -349,6 +350,9 @@ ORACLES: dict[str, str] = {
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "token_budget_select": _cx.TOKEN_BUDGET_SELECT_ORACLE,
     "bpe_encode_stats": _bpx.BPE_ENCODE_STATS_ORACLE,
+    # token-id sequences (r7): the whole train->encode->ids pipeline
+    # re-derived in SQL; digest covers every id in order
+    "bpe_encode_ids": _bpx.BPE_ENCODE_IDS_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -206,3 +206,56 @@ def test_bpe_local_finish_matches_distributed(spark):
             ).collect()
         ]
         assert local == inc == full
+
+
+def test_bpe_encode_ids_golden_vs_python(spark):
+    """Token-id sequences vs a fully independent Python encoder on the
+    Sennrich corpus: train merges with the Counter reference, assign
+    ids (sorted alphabet, then merges by rank), encode each doc, and
+    compare digests and counts exactly."""
+    import hashlib
+
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_ids_from,
+    )
+
+    corpus = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    texts = [(0, " ".join(corpus[:8])), (1, " ".join(corpus[8:]))]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    n_merges = 4
+
+    merges = _expected_merges(
+        [w for _, t in texts for w in t.split()], n_merges
+    )  # reference trainer
+    merge_syms = [a + b for _, a, b, _ in merges]
+    alphabet = sorted({c for _, t in texts for c in t.replace(" ", "")})
+    ids = {c: i for i, c in enumerate(alphabet)}
+    for j, m in enumerate(merge_syms):
+        ids.setdefault(m, len(alphabet) + j)  # min-id on collision
+
+    def encode_word(word):
+        syms = list(word)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [ids[s] for s in syms]
+
+    expect = {}
+    for doc_id, t in texts:
+        seq = [i for w in t.split() for i in encode_word(w)]
+        expect[doc_id] = (
+            len(seq),
+            hashlib.md5(",".join(map(str, seq)).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ids_digest"])
+        for r in bpe_encode_ids_from(docs, spark=spark, n_merges=n_merges).collect()
+    }
+    assert got == expect
