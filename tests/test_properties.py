@@ -262,3 +262,39 @@ def test_zorder_key_matches_python_morton(spark, pts):
     z = zorder_key([F.col("x"), F.col("y")], [lox, loy], [hix, hiy])
     got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", z.alias("z")).collect()}
     assert got == expect
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=4, max_value=64),
+)
+def test_chunked_winnowing_equals_whole_doc(spark, texts, chunk_grams):
+    """Window-partition property under hypothesis: for ANY corpus and
+    ANY legal chunk_grams (>= W), the chunked fingerprint set equals
+    the whole-doc set exactly — chunking is a pure execution-strategy
+    choice, never a semantic one."""
+    from honors_p1_mapreduce_spark.operators import winnow as wn
+
+    assume_ok = chunk_grams >= wn.W
+    if not assume_ok:
+        return
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    whole = {tuple(r) for r in wn.winnow_fingerprints_from(docs).collect()}
+    chunked = {
+        tuple(r)
+        for r in wn.winnow_fingerprints_chunked_from(
+            docs, chunk_grams=chunk_grams
+        ).collect()
+    }
+    assert whole == chunked
