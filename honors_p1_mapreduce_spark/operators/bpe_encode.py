@@ -200,6 +200,21 @@ def bpe_encode_ids(
 def bpe_encode_ids_from(
     docs: DataFrame, spark: SparkSession, n_merges: int = BPE_MERGES
 ) -> DataFrame:
+    flat = _doc_token_ids(docs, spark, n_merges)
+    return flat.select(
+        "doc_id",
+        F.size("fl").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform("fl", lambda x: x.cast("string")))
+        ).alias("ids_digest"),
+    )
+
+
+def _doc_token_ids(
+    docs: DataFrame, spark: SparkSession, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """(doc_id, fl): each document's full token-id array — the shared
+    body of :func:`bpe_encode_ids` and :func:`pack_token_ids`."""
     from pyspark.sql import Window
 
     merges = [
@@ -260,20 +275,13 @@ def bpe_encode_ids_from(
             ).alias("fl")
         )
     )
-    return flat.select(
-        "doc_id",
-        F.size("fl").cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(",", F.transform("fl", lambda x: x.cast("string")))
-        ).alias("ids_digest"),
-    )
+    return flat
 
 
-def bpe_encode_ids_oracle(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB twin: the stats oracle's word-carrying training unroll,
-    extended with the symbol-id table (sorted alphabet, then merges by
-    rank, min-id on string collisions), per-word ordered id lists, and
-    the per-doc ordered flatten + digest."""
+def _ids_chain_sql(n_merges: int = BPE_MERGES) -> str:
+    """The shared train->encode->per-doc-id-array CTE chain, ending in
+    ``flat(doc_id, fl)`` — composed by the ids oracle and the packing
+    oracle (same factoring as pq._pq_chain_sql)."""
     parts = [
         f"""
 WITH vocab_0 AS MATERIALIZED (
@@ -351,12 +359,130 @@ flat AS (
   SELECT doc_id, flatten(list(ids ORDER BY ord)) AS fl
   FROM stream JOIN word_ids USING (word)
   GROUP BY doc_id
-)
-SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_tokens,
-       md5(array_to_string(fl, ',')) AS ids_digest
-FROM flat"""
+)"""
     )
     return "".join(parts)
 
 
+def bpe_encode_ids_oracle(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: the stats oracle's word-carrying training unroll,
+    extended with the symbol-id table (sorted alphabet, then merges by
+    rank, min-id on string collisions), per-word ordered id lists, and
+    the per-doc ordered flatten + digest."""
+    return (
+        _ids_chain_sql(n_merges)
+        + """
+SELECT doc_id, CAST(len(fl) AS BIGINT) AS n_tokens,
+       md5(array_to_string(fl, ',')) AS ids_digest
+FROM flat"""
+    )
+
+
 BPE_ENCODE_IDS_ORACLE = bpe_encode_ids_oracle()
+
+
+# ------------------------------------------ packed training rows (r7)
+
+
+def pack_token_ids(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The end of the training-data pipeline: pack each document's
+    ACTUAL token-id sequence (:func:`bpe_encode_ids`'s arrays) into
+    fixed-budget training rows — the literal batches a trainer reads.
+
+    Packing mirrors ``pack_sequences``' parallel-deterministic scheme
+    (md5-bucketed independent streams, per-stream (doc_id)-ordered
+    prefix sum, bin = floor(prefix_before / PACK_BUDGET); a bin may
+    overshoot by less than one document — the straddler is not split,
+    as documented there). The difference is the payload: each bin
+    carries the md5 digest of its concatenated id sequence in stream
+    order, so the oracle gates the exact CONTENT of every training
+    row, not just its token count.
+
+    100 TB shape: ids ride the same vocab-broadcast plan as
+    bpe_encode_ids; packing adds one bucket-keyed shuffle and a
+    per-stream window — bucket count is the parallelism knob.
+
+    Output: (bucket, bin_id, n_docs, bin_tokens, ids_digest).
+    """
+    from pyspark.sql import Window
+
+    from .text_analysis import PACK_BUCKETS, PACK_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = _doc_token_ids(docs, spark, n_merges).select(
+        "doc_id", "fl", F.size("fl").cast("bigint").alias("n_toks")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pk|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_BUCKETS
+    ).cast("int")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = ids.withColumn("bucket", bucket).withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_toks").over(w), F.lit(0)) / PACK_BUDGET).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("bin_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("doc_id", "fl"))),
+                            lambda t: t["fl"],
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("ids_digest"),
+    )
+
+
+def pack_token_ids_oracle(n_merges: int = BPE_MERGES) -> str:
+    from .text_analysis import PACK_BUCKETS, PACK_BUDGET
+
+    return (
+        _ids_chain_sql(n_merges)
+        + f""",
+bucketed AS (
+  SELECT doc_id, fl, len(fl) AS n_toks,
+         CAST(CAST(concat('0x', substr(md5(concat('pk|', CAST(doc_id AS VARCHAR))), 1, 15))
+                   AS BIGINT) % {PACK_BUCKETS} AS INT) AS bucket
+  FROM flat
+),
+binned AS (
+  SELECT bucket, doc_id, fl, n_toks,
+         CAST(floor(coalesce(sum(n_toks) OVER (
+                 PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET}) AS BIGINT) AS bin_id
+  FROM bucketed
+)
+SELECT bucket, bin_id, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       md5(array_to_string(flatten(list(fl ORDER BY doc_id)), ',')) AS ids_digest
+FROM binned
+GROUP BY bucket, bin_id"""
+    )
+
+
+PACK_TOKEN_IDS_ORACLE = pack_token_ids_oracle()

@@ -155,6 +155,7 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_neardup": _wn.decontaminate_neardup,  # NEW r7
     "events_value_mad_outliers": _cx.events_value_mad_outliers,  # NEW r7
     "bpe_encode_ids": _bpx.bpe_encode_ids,  # NEW r7: token-id sequences
+    "pack_token_ids": _bpx.pack_token_ids,  # NEW r7: packed training rows
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -353,6 +354,9 @@ ORACLES: dict[str, str] = {
     # token-id sequences (r7): the whole train->encode->ids pipeline
     # re-derived in SQL; digest covers every id in order
     "bpe_encode_ids": _bpx.BPE_ENCODE_IDS_ORACLE,
+    # packed training rows (r7): the ids chain + deterministic
+    # bucket/bin packing; digest gates each bin's exact content
+    "pack_token_ids": _bpx.PACK_TOKEN_IDS_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -259,3 +259,23 @@ def test_bpe_encode_ids_golden_vs_python(spark):
         for r in bpe_encode_ids_from(docs, spark=spark, n_merges=n_merges).collect()
     }
     assert got == expect
+
+
+def test_pack_token_ids_conserves_tokens(spark):
+    """Packing must conserve every token: bin token totals equal the
+    per-doc totals from bpe_encode_ids, every doc lands in exactly one
+    bin, and the packing is run-to-run deterministic."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_ids,
+        pack_token_ids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = bpe_encode_ids(spark, sf).collect()
+    bins = pack_token_ids(spark, sf).collect()
+    assert sum(r["bin_tokens"] for r in bins) == sum(
+        r["n_tokens"] for r in per_doc
+    )
+    assert sum(r["n_docs"] for r in bins) == len(per_doc)
+    bins2 = pack_token_ids(spark, sf).collect()
+    assert sorted(map(tuple, bins)) == sorted(map(tuple, bins2))
