@@ -407,3 +407,31 @@ def test_lm_scoring_single_corpus_scan(spark, sf_dir):
             plan.count("documents.parquet") <= plan.count("InMemoryRelation")
         ), fn.__name__
     spark.catalog.clearCache()
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval fingerprint set must reach the training side as a
+    BROADCAST (benchmarks are tiny at any corpus scale); the corpus
+    must never self-join."""
+    from honors_p1_mapreduce_spark.operators.winnow import decontaminate_neardup
+
+    plan = _plan(decontaminate_neardup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_bpe_ids_and_packing_broadcast_vocab_maps(spark, sf_dir):
+    """bpe_encode_ids / pack_token_ids: every vocab-sized map (symbol
+    ids, word->ids) joins the corpus stream as a BROADCAST — the
+    corpus-sized side never sort-merge-joins — and packing adds no
+    nested loop."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_ids,
+        pack_token_ids,
+    )
+
+    for fn in (bpe_encode_ids, pack_token_ids):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
