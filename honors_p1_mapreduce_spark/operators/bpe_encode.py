@@ -45,17 +45,25 @@ def bpe_encode_stats(
     """Train ``n_merges`` BPE merges, encode the corpus, report
     per-source token statistics."""
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_encode_stats_from(spark, docs, n_merges=n_merges)
+    return bpe_encode_stats_from(
+        spark, docs, n_merges=n_merges, cache_key=sf_dir
+    )
 
 
 def bpe_encode_stats_from(
-    spark: SparkSession, docs: DataFrame, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Library-level body over any (source, text) frame — factored for
-    golden tests on hand-built corpora."""
+    golden tests on hand-built corpora. ``cache_key`` opts into the
+    build-once merge-table memo (bpe._MERGES_CACHE)."""
     merges = [
         (r["merge_left"], r["merge_right"])
-        for r in bpe_train_merges_from(spark, docs, n_merges=n_merges)
+        for r in bpe_train_merges_from(
+            spark, docs, n_merges=n_merges, cache_key=cache_key
+        )
         .orderBy("merge_rank")
         .collect()
     ]
@@ -193,14 +201,20 @@ def bpe_encode_ids(
     shuffles, and no corpus row is touched per merge.
     """
     return bpe_encode_ids_from(
-        load_table(spark, sf_dir, "documents"), spark=spark, n_merges=n_merges
+        load_table(spark, sf_dir, "documents"),
+        spark=spark,
+        n_merges=n_merges,
+        cache_key=sf_dir,
     )
 
 
 def bpe_encode_ids_from(
-    docs: DataFrame, spark: SparkSession, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    spark: SparkSession,
+    n_merges: int = BPE_MERGES,
+    cache_key: str | None = None,
 ) -> DataFrame:
-    flat = _doc_token_ids(docs, spark, n_merges)
+    flat = _doc_token_ids(docs, spark, n_merges, cache_key=cache_key)
     return flat.select(
         "doc_id",
         F.size("fl").cast("bigint").alias("n_tokens"),
@@ -210,16 +224,33 @@ def bpe_encode_ids_from(
     )
 
 
+# word -> id-array maps are vocab-sized build-once artifacts too:
+# memoized per (application, corpus, n_merges), localCheckpoint'd so
+# they survive clearCache (same policy as pq._CODEBOOK_CACHE).
+_WORD_IDS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _doc_token_ids(
-    docs: DataFrame, spark: SparkSession, n_merges: int = BPE_MERGES
+    docs: DataFrame,
+    spark: SparkSession,
+    n_merges: int = BPE_MERGES,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """(doc_id, fl): each document's full token-id array — the shared
     body of :func:`bpe_encode_ids` and :func:`pack_token_ids`."""
     from pyspark.sql import Window
 
+    wkey = None
+    if cache_key is not None:
+        wkey = (spark.sparkContext.applicationId, cache_key, n_merges)
+        cached = _WORD_IDS_CACHE.get(wkey)
+        if cached is not None:
+            return _ids_stream_join(docs, cached)
     merges = [
         (r["merge_left"], r["merge_right"])
-        for r in bpe_train_merges_from(spark, docs, n_merges=n_merges)
+        for r in bpe_train_merges_from(
+            spark, docs, n_merges=n_merges, cache_key=cache_key
+        )
         .orderBy("merge_rank")
         .collect()
     ]
@@ -259,11 +290,23 @@ def _doc_token_ids(
                 lambda t: t["sym_id"],
             ).alias("ids")
         )
+        # eager materialization: vocab-sized, survives clearCache
+        .localCheckpoint()
     )
+    word_syms.unpersist()
+    if wkey is not None:
+        _WORD_IDS_CACHE[wkey] = word_ids
+    return _ids_stream_join(docs, word_ids)
+
+
+def _ids_stream_join(docs: DataFrame, word_ids: DataFrame) -> DataFrame:
+    """(doc_id, fl): broadcast the word->ids map onto the positional
+    token stream and flatten per doc in order — the corpus-sized half
+    of the ids pipeline, shared by fresh and memo-hit paths."""
     stream = docs.select(
         "doc_id", F.posexplode(tokens_col("text")).alias("tpos", "word")
     )
-    flat = (
+    return (
         stream.join(F.broadcast(word_ids), "word")
         .groupBy("doc_id")
         .agg(
@@ -275,7 +318,6 @@ def _doc_token_ids(
             ).alias("fl")
         )
     )
-    return flat
 
 
 def _ids_chain_sql(n_merges: int = BPE_MERGES) -> str:
@@ -411,7 +453,7 @@ def pack_token_ids(
     from .text_analysis import PACK_BUCKETS, PACK_BUDGET
 
     docs = load_table(spark, sf_dir, "documents")
-    ids = _doc_token_ids(docs, spark, n_merges).select(
+    ids = _doc_token_ids(docs, spark, n_merges, cache_key=sf_dir).select(
         "doc_id", "fl", F.size("fl").cast("bigint").alias("n_toks")
     )
     bucket = (
