@@ -147,6 +147,16 @@ def winnow_fingerprints_chunked_from(
     (non-truncated) fingerprints for docs beyond it. ``chunk_grams``
     is parameterized so tests exercise multi-chunk geometry on small
     docs; it must not exceed 2^POS_BITS."""
+    return _chunked_fp_rows(docs, chunk_grams).distinct()
+
+
+def _chunked_fp_rows(
+    docs: DataFrame, chunk_grams: int = CHUNK_GRAMS
+) -> DataFrame:
+    """Pre-distinct chunked extraction: adjacent-chunk overlap can
+    re-select the same (hash, global pos); callers that only need a
+    coarser key (e.g. decontamination's (doc, hash)) dedupe once at
+    THEIR granularity instead of paying the 3-column distinct first."""
     # lower bound W: stride = chunk_grams - W + 1 must be >= 1 for the
     # window-partition property (and to avoid div-by-zero chunk math);
     # upper bound 2^POS_BITS: local pos must never bleed into hash bits
@@ -379,9 +389,11 @@ def decontaminate_neardup(
     (review r7 — the chunked golden proves the capped path misses
     post-cap shared substrings)."""
     fps = (
-        winnow_fingerprints_chunked(spark, sf_dir)
+        _chunked_fp_rows(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
         .select("doc_id", "fp_hash")
-        .distinct()
+        .distinct()  # the ONLY dedupe shuffle — straight to (doc, hash)
         .persist()
     )
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
