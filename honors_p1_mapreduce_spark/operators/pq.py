@@ -451,3 +451,95 @@ SELECT query_id, rank, vec_id, l2_dist FROM rr WHERE rank <= {k}"""
 
 
 SIMILARITY_PQ_RERANK_TOPK_ORACLE = similarity_pq_rerank_topk_oracle()
+
+
+# ---------------------------------------- persisted index (r7)
+
+
+def pq_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+) -> None:
+    """Materialize the PQ index to storage: ``<index_dir>/cents``
+    (M x CELLS codewords) and ``<index_dir>/codes`` (one M-code row
+    per corpus vector). This is the offline index build a real
+    deployment runs once per corpus snapshot — the session memo
+    (:data:`_CODEBOOK_CACHE`) covers repeat queries within a session;
+    the parquet index covers repeat sessions. Codes are 32x smaller
+    than the vectors (module docstring), so the index is what ships
+    to the serving cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _train_codebooks(
+        emb, n_cells=n_cells, n_iter=n_iter, cache_key=sf_dir
+    )
+    subs = _subvectors(emb, "vec_id", "embedding")
+    codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
+    cents.write.mode("overwrite").parquet(f"{index_dir}/cents")
+    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+
+
+def pq_search_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = TOP_K,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Two-stage ANN against a PERSISTED index: ADC-score the stored
+    codes with the stored codebooks (corpus vectors never read),
+    shortlist, then exact re-rank reads only |Q| x shortlist full
+    vectors — identical output to :func:`similarity_pq_rerank_topk`
+    at the same training params (pinned by test). The queries and the
+    re-rank vectors come from the embeddings table; everything else
+    comes from the index files."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = spark.read.parquet(f"{index_dir}/cents")
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_subs = _subvectors(q, "query_id", "embedding")
+    adc = q_subs.join(F.broadcast(cents), "s").select(
+        "query_id",
+        "s",
+        F.col("cell").alias("code"),
+        _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(27,12)")).cast("double").alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias(
+                "l2_dist"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "l2_dist")
+    )

@@ -315,3 +315,22 @@ def test_pq_codebook_memo_is_hit_and_deterministic(spark, sf_dir):
     ), "training did not populate the codebook memo"
     r2 = sorted(map(tuple, pq.similarity_pq_topk(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """Offline index build -> search-from-index must reproduce the
+    online two-stage query bit-for-bit (same deterministic training),
+    with the search plan reading vectors only for the re-rank."""
+    from honors_p1_mapreduce_spark.operators.pq import (
+        pq_search_index,
+        pq_write_index,
+        similarity_pq_rerank_topk,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    pq_write_index(spark, sf_dir, idx)
+    online = sorted(
+        map(tuple, similarity_pq_rerank_topk(spark, sf_dir).collect())
+    )
+    offline = sorted(map(tuple, pq_search_index(spark, sf_dir, idx).collect()))
+    assert online == offline
