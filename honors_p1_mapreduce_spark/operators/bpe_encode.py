@@ -528,3 +528,86 @@ GROUP BY bucket, bin_id"""
 
 
 PACK_TOKEN_IDS_ORACLE = pack_token_ids_oracle()
+
+
+# ---------------------------------- persisted tokenizer (r7)
+
+
+def bpe_write_tokenizer(
+    spark: SparkSession, sf_dir: str, tokenizer_dir: str, n_merges: int = BPE_MERGES
+) -> None:
+    """Materialize the trained tokenizer to storage: the merge table
+    (rank order) as parquet — the artifact a production pipeline
+    trains once and ships everywhere (HF tokenizer.json's moral
+    equivalent). The in-session memos cover repeat queries; this
+    covers repeat sessions and other consumers."""
+    bpe_train_merges_from(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        n_merges=n_merges,
+        cache_key=sf_dir,
+    ).write.mode("overwrite").parquet(f"{tokenizer_dir}/merges")
+
+
+def bpe_encode_ids_with(
+    spark: SparkSession, sf_dir: str, tokenizer_dir: str
+) -> DataFrame:
+    """Encode the corpus with a PERSISTED tokenizer — no training:
+    stored merges are read (vocab-sized), the word->ids map is rebuilt
+    from them, and the corpus pays only the stream join. Identical
+    output to :func:`bpe_encode_ids` at the same training params
+    (roundtrip pytest)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in spark.read.parquet(f"{tokenizer_dir}/merges")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    words = docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
+    w = _wrap_chars(F.col("word"))
+    for a, b in merges:
+        w = F.replace(
+            w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
+        )
+    word_syms = words.select("word", _syms(w).alias("syms")).persist()
+    base = (
+        word_syms.select(F.explode(F.split("word", "")).alias("sym"))
+        .filter(F.col("sym") != "")
+        .distinct()
+    )
+    wb = Window.orderBy("sym")
+    base_ids = base.select(
+        "sym", (F.row_number().over(wb) - 1).cast("bigint").alias("sym_id")
+    )
+    n_base = base.count()
+    merge_ids = spark.createDataFrame(
+        [(a + b, n_base + i) for i, (a, b) in enumerate(merges)],
+        "sym string, sym_id bigint",
+    )
+    sym_ids = (
+        base_ids.unionByName(merge_ids)
+        .groupBy("sym")
+        .agg(F.min("sym_id").alias("sym_id"))
+    )
+    word_ids = (
+        word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
+        .join(F.broadcast(sym_ids), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym_id"))),
+                lambda t: t["sym_id"],
+            ).alias("ids")
+        )
+    )
+    flat = _ids_stream_join(docs, word_ids)
+    return flat.select(
+        "doc_id",
+        F.size("fl").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(",", F.transform("fl", lambda x: x.cast("string")))
+        ).alias("ids_digest"),
+    )

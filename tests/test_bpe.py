@@ -279,3 +279,20 @@ def test_pack_token_ids_conserves_tokens(spark):
     assert sum(r["n_docs"] for r in bins) == len(per_doc)
     bins2 = pack_token_ids(spark, sf).collect()
     assert sorted(map(tuple, bins)) == sorted(map(tuple, bins2))
+
+
+def test_persisted_tokenizer_roundtrip(spark, tmp_path):
+    """Write merges to storage, re-encode with the stored tokenizer:
+    output must be bit-identical to the train-and-encode query."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_ids,
+        bpe_encode_ids_with,
+        bpe_write_tokenizer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tok = str(tmp_path / "tokenizer")
+    bpe_write_tokenizer(spark, sf, tok)
+    online = sorted(map(tuple, bpe_encode_ids(spark, sf).collect()))
+    stored = sorted(map(tuple, bpe_encode_ids_with(spark, sf, tok).collect()))
+    assert online == stored
