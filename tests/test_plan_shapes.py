@@ -90,8 +90,17 @@ def test_new_star_queries_single_shuffle_broadcast_dims(spark, sf_dir):
 
 def test_winnow_zero_shuffle_no_python(spark, sf_dir):
     # winnowing is per-document local: the whole selection is array
-    # expressions + explode — a row never leaves its scan partition
-    plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, sf_dir))
+    # expressions + explode — a row never leaves its scan partition.
+    # Pin the EXTRACTION plan (winnow_fingerprints_from): the registered
+    # query now serves the memoized checkpoint, whose plan is a trivial
+    # RDD scan that would vacuously pass this assert.
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints_from,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(winnow_fingerprints_from(docs))
     assert plan.count("Exchange hashpartitioning") == 0
     assert "Python" not in plan
 
