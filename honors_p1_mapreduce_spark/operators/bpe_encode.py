@@ -215,6 +215,10 @@ def bpe_encode_ids_from(
     cache_key: str | None = None,
 ) -> DataFrame:
     flat = _doc_token_ids(docs, spark, n_merges, cache_key=cache_key)
+    return _digest_select(flat)
+
+
+def _digest_select(flat: DataFrame) -> DataFrame:
     return flat.select(
         "doc_id",
         F.size("fl").cast("bigint").alias("n_tokens"),
@@ -254,13 +258,35 @@ def _doc_token_ids(
         .orderBy("merge_rank")
         .collect()
     ]
+    word_syms = _encode_word_syms(docs, merges)
+    sym_ids = _sym_id_table(word_syms, merges, spark)
+    word_ids = _word_ids_table(word_syms, sym_ids)
+    if wkey is not None:
+        _WORD_IDS_CACHE[wkey] = word_ids
+    return _ids_stream_join(docs, word_ids)
+
+
+def _encode_word_syms(docs: DataFrame, merges: list) -> DataFrame:
+    """(word, syms): the distinct-word frame encoded with the merge
+    chain (rank-order greedy-leftmost replaces), persisted — callers
+    MUST route it through :func:`_word_ids_table`, which unpersists
+    after materializing the id map."""
     words = docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
     w = _wrap_chars(F.col("word"))
     for a, b in merges:
         w = F.replace(
             w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
         )
-    word_syms = words.select("word", _syms(w).alias("syms")).persist()
+    return words.select("word", _syms(w).alias("syms")).persist()
+
+
+def _sym_id_table(
+    word_syms: DataFrame, merges: list, spark: SparkSession
+) -> DataFrame:
+    """(sym, sym_id): sorted corpus alphabet at 0..B-1, merged symbols
+    at B + rank - 1, min-id on string collisions."""
+    from pyspark.sql import Window
+
     base = (
         word_syms.select(F.explode(F.split("word", "")).alias("sym"))
         .filter(F.col("sym") != "")
@@ -275,15 +301,41 @@ def _doc_token_ids(
     n_base = base.count()  # vocab-bounded driver scalar
     merge_rows = [(a + b, n_base + i) for i, (a, b) in enumerate(merges)]
     merge_ids = spark.createDataFrame(merge_rows, "sym string, sym_id bigint")
-    sym_ids = (
+    return (
         base_ids.unionByName(merge_ids)
         .groupBy("sym")
         .agg(F.min("sym_id").alias("sym_id"))
     )
+
+
+UNK_ID = -1  # id for symbols outside a STORED tokenizer's vocabulary
+
+
+def _word_ids_table(
+    word_syms: DataFrame, sym_ids: DataFrame, unk: int | None = None
+) -> DataFrame:
+    """(word, ids): per-word ordered id arrays, localCheckpoint'd
+    (vocab-sized, survives clearCache); unpersists ``word_syms``.
+    ``unk=None`` (training-corpus path) inner-joins — every symbol is
+    in the table by construction; a STORED tokenizer applied to a new
+    corpus passes ``unk=UNK_ID`` so out-of-vocabulary symbols map to
+    the UNK id instead of silently dropping."""
+    exploded = word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
+    if unk is None:
+        joined = exploded.join(F.broadcast(sym_ids), "sym").select(
+            "word", "pos", "sym_id"
+        )
+    else:
+        joined = (
+            exploded.join(F.broadcast(sym_ids), "sym", "left")
+            .select(
+                "word",
+                "pos",
+                F.coalesce(F.col("sym_id"), F.lit(unk)).alias("sym_id"),
+            )
+        )
     word_ids = (
-        word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
-        .join(F.broadcast(sym_ids), "sym")
-        .groupBy("word")
+        joined.groupBy("word")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "sym_id"))),
@@ -294,9 +346,7 @@ def _doc_token_ids(
         .localCheckpoint()
     )
     word_syms.unpersist()
-    if wkey is not None:
-        _WORD_IDS_CACHE[wkey] = word_ids
-    return _ids_stream_join(docs, word_ids)
+    return word_ids
 
 
 def _ids_stream_join(docs: DataFrame, word_ids: DataFrame) -> DataFrame:
@@ -450,24 +500,13 @@ def pack_token_ids(
     """
     from pyspark.sql import Window
 
-    from .text_analysis import PACK_BUCKETS, PACK_BUDGET
+    from .text_analysis import PACK_BUDGET, pack_bucket_col
 
     docs = load_table(spark, sf_dir, "documents")
     ids = _doc_token_ids(docs, spark, n_merges, cache_key=sf_dir).select(
         "doc_id", "fl", F.size("fl").cast("bigint").alias("n_toks")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("pk|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % PACK_BUCKETS
-    ).cast("int")
+    bucket = pack_bucket_col(F.col("doc_id"))
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -537,28 +576,41 @@ def bpe_write_tokenizer(
     spark: SparkSession, sf_dir: str, tokenizer_dir: str, n_merges: int = BPE_MERGES
 ) -> None:
     """Materialize the trained tokenizer to storage: the merge table
-    (rank order) as parquet — the artifact a production pipeline
-    trains once and ships everywhere (HF tokenizer.json's moral
-    equivalent). The in-session memos cover repeat queries; this
-    covers repeat sessions and other consumers."""
-    bpe_train_merges_from(
-        spark,
-        load_table(spark, sf_dir, "documents"),
-        n_merges=n_merges,
-        cache_key=sf_dir,
-    ).write.mode("overwrite").parquet(f"{tokenizer_dir}/merges")
+    (rank order) AND the symbol-id vocabulary as parquet — the
+    artifact a production pipeline trains once and ships everywhere
+    (HF tokenizer.json's moral equivalent). Storing the vocabulary is
+    what makes token ids stable across corpora: re-deriving ids from
+    an encode-time alphabet would shift every id the moment the
+    target corpus's character set differs (round-7 review finding).
+    The in-session memos cover repeat queries; this covers repeat
+    sessions and other consumers."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges_df = bpe_train_merges_from(
+        spark, docs, n_merges=n_merges, cache_key=sf_dir
+    )
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    word_syms = _encode_word_syms(docs, merges)
+    sym_ids = _sym_id_table(word_syms, merges, spark)
+    merges_df.write.mode("overwrite").parquet(f"{tokenizer_dir}/merges")
+    sym_ids.write.mode("overwrite").parquet(f"{tokenizer_dir}/vocab")
+    word_syms.unpersist()
 
 
 def bpe_encode_ids_with(
     spark: SparkSession, sf_dir: str, tokenizer_dir: str
 ) -> DataFrame:
-    """Encode the corpus with a PERSISTED tokenizer — no training:
-    stored merges are read (vocab-sized), the word->ids map is rebuilt
-    from them, and the corpus pays only the stream join. Identical
-    output to :func:`bpe_encode_ids` at the same training params
-    (roundtrip pytest)."""
-    from pyspark.sql import Window
-
+    """Encode a corpus with a PERSISTED tokenizer — no training: the
+    stored merge table drives the encode chain and the STORED
+    vocabulary supplies the ids, so the same word always gets the same
+    token ids whatever corpus it appears in. Symbols outside the
+    stored vocabulary (characters the training corpus never saw) map
+    to ``UNK_ID`` instead of silently dropping. Identical output to
+    :func:`bpe_encode_ids` when applied to the training corpus
+    (roundtrip pytest); id-stability across corpora has its own
+    pytest."""
     docs = load_table(spark, sf_dir, "documents")
     merges = [
         (r["merge_left"], r["merge_right"])
@@ -566,48 +618,7 @@ def bpe_encode_ids_with(
         .orderBy("merge_rank")
         .collect()
     ]
-    words = docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
-    w = _wrap_chars(F.col("word"))
-    for a, b in merges:
-        w = F.replace(
-            w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
-        )
-    word_syms = words.select("word", _syms(w).alias("syms")).persist()
-    base = (
-        word_syms.select(F.explode(F.split("word", "")).alias("sym"))
-        .filter(F.col("sym") != "")
-        .distinct()
-    )
-    wb = Window.orderBy("sym")
-    base_ids = base.select(
-        "sym", (F.row_number().over(wb) - 1).cast("bigint").alias("sym_id")
-    )
-    n_base = base.count()
-    merge_ids = spark.createDataFrame(
-        [(a + b, n_base + i) for i, (a, b) in enumerate(merges)],
-        "sym string, sym_id bigint",
-    )
-    sym_ids = (
-        base_ids.unionByName(merge_ids)
-        .groupBy("sym")
-        .agg(F.min("sym_id").alias("sym_id"))
-    )
-    word_ids = (
-        word_syms.select("word", F.posexplode("syms").alias("pos", "sym"))
-        .join(F.broadcast(sym_ids), "sym")
-        .groupBy("word")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sym_id"))),
-                lambda t: t["sym_id"],
-            ).alias("ids")
-        )
-    )
-    flat = _ids_stream_join(docs, word_ids)
-    return flat.select(
-        "doc_id",
-        F.size("fl").cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(",", F.transform("fl", lambda x: x.cast("string")))
-        ).alias("ids_digest"),
-    )
+    sym_ids = spark.read.parquet(f"{tokenizer_dir}/vocab")
+    word_syms = _encode_word_syms(docs, merges)
+    word_ids = _word_ids_table(word_syms, sym_ids, unk=UNK_ID)
+    return _digest_select(_ids_stream_join(docs, word_ids))

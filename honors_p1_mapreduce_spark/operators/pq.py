@@ -216,7 +216,15 @@ def similarity_pq_topk(
     cents = _train_codebooks(emb, n_cells=n_cells, n_iter=n_iter, cache_key=sf_dir)
     subs = _subvectors(emb, "vec_id", "embedding")
     codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
+    return _adc_topk(emb, codes, cents, k, n_queries)
 
+
+def _adc_topk(
+    emb: DataFrame, codes: DataFrame, cents: DataFrame, k: int, n_queries: int
+) -> DataFrame:
+    """ADC scoring stage from any (codes, cents) pair — ONE definition
+    shared by the online query and the persisted-index search, so the
+    two paths cannot drift (their bit-equality is test-pinned)."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -241,6 +249,32 @@ def similarity_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_dist")
+    )
+
+
+def _exact_rerank_l2(
+    short: DataFrame, emb: DataFrame, k: int, n_queries: int
+) -> DataFrame:
+    """Exact squared-L2 re-rank of a (query_id, vec_id) shortlist —
+    shared by the online two-stage query and the persisted-index
+    search."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "l2_dist")
     )
 
 
@@ -400,24 +434,7 @@ def similarity_pq_rerank_topk(
         n_cells=n_cells,
         n_iter=n_iter,
     ).select("query_id", "vec_id")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    exact = (
-        short.join(emb, "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias("l2_dist"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "l2_dist")
-    )
+    return _exact_rerank_l2(short, emb, k, n_queries)
 
 
 def similarity_pq_rerank_topk_oracle(
@@ -499,47 +516,7 @@ def pq_search_index(
     emb = load_table(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(f"{index_dir}/cents")
     codes = spark.read.parquet(f"{index_dir}/codes")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    short = _adc_topk(emb, codes, cents, shortlist, n_queries).select(
+        "query_id", "vec_id"
     )
-    q_subs = _subvectors(q, "query_id", "embedding")
-    adc = q_subs.join(F.broadcast(cents), "s").select(
-        "query_id",
-        "s",
-        F.col("cell").alias("code"),
-        _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
-    )
-    scored = (
-        codes.join(F.broadcast(adc), ["s", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sum(F.col("d").cast("decimal(27,12)")).cast("double").alias("adc_dist")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    short = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= shortlist)
-        .select("query_id", "vec_id")
-    )
-    qv = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    exact = (
-        short.join(emb, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias(
-                "l2_dist"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "l2_dist")
-    )
+    return _exact_rerank_l2(short, emb, k, n_queries)

@@ -538,6 +538,22 @@ PACK_BUDGET = 1024  # tokens per packed training sequence
 PACK_BUCKETS = 64  # independent packing streams (parallelism knob)
 
 
+def pack_bucket_col(doc_id_col: F.Column) -> F.Column:
+    """The md5 packing-stream bucket — ONE definition shared by
+    pack_sequences and bpe_encode.pack_token_ids so the two packers
+    can never desynchronize (round-7 review)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pk|"), doc_id_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % PACK_BUCKETS
+    ).cast("int")
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack document chunks into fixed token-budget training sequences.
 
@@ -558,14 +574,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = doc_chunks(spark, sf_dir).select(
         "doc_id", "chunk_id", "chunk_tokens"
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("pk|"), F.col("doc_id").cast("string"))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-        % PACK_BUCKETS
-    ).cast("int")
+    bucket = pack_bucket_col(F.col("doc_id"))
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id", "chunk_id")

@@ -218,7 +218,6 @@ def _chunked_fp_rows(
             F.expr(f"mc div {_POS_BASE}").alias("fp_hash"),
             (F.col("off") + F.col("mc") % _POS_BASE).alias("fp_pos"),
         )
-        .distinct()
     )
 
 
@@ -229,6 +228,13 @@ def winnow_fingerprints_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`winnow_fingerprints`; its reason to exist is multi-MB docs,
     golden-tested with a >cap pair whose shared tail substring the
     capped path provably misses."""
+    return _chunked_raw_memo(spark, sf_dir).distinct()
+
+
+def _chunked_raw_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized PRE-DISTINCT chunked extraction for the corpus —
+    single owner of the 'chunked_raw' cache key so the two consumers
+    (the chunked query, decontamination) can never drift."""
     return _fp_memo(
         spark,
         sf_dir,
@@ -236,7 +242,7 @@ def winnow_fingerprints_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _chunked_fp_rows(
             load_table(spark, sf_dir, "documents").select("doc_id", "text")
         ),
-    ).distinct()
+    )
 
 
 def _chunked_fp_cte(chunk_grams: int = CHUNK_GRAMS) -> str:
@@ -421,14 +427,7 @@ def decontaminate_neardup(
     (review r7 — the chunked golden proves the capped path misses
     post-cap shared substrings)."""
     fps = (
-        _fp_memo(
-            spark,
-            sf_dir,
-            "chunked_raw",
-            lambda: _chunked_fp_rows(
-                load_table(spark, sf_dir, "documents").select("doc_id", "text")
-            ),
-        )
+        _chunked_raw_memo(spark, sf_dir)
         .select("doc_id", "fp_hash")
         .distinct()  # the ONLY dedupe shuffle — straight to (doc, hash)
         .persist()

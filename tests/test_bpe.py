@@ -261,7 +261,7 @@ def test_bpe_encode_ids_golden_vs_python(spark):
     assert got == expect
 
 
-def test_pack_token_ids_conserves_tokens(spark):
+def test_pack_token_ids_conserves_tokens(spark, sf_dir):
     """Packing must conserve every token: bin token totals equal the
     per-doc totals from bpe_encode_ids, every doc lands in exactly one
     bin, and the packing is run-to-run deterministic."""
@@ -270,7 +270,7 @@ def test_pack_token_ids_conserves_tokens(spark):
         pack_token_ids,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     per_doc = bpe_encode_ids(spark, sf).collect()
     bins = pack_token_ids(spark, sf).collect()
     assert sum(r["bin_tokens"] for r in bins) == sum(
@@ -281,18 +281,61 @@ def test_pack_token_ids_conserves_tokens(spark):
     assert sorted(map(tuple, bins)) == sorted(map(tuple, bins2))
 
 
-def test_persisted_tokenizer_roundtrip(spark, tmp_path):
-    """Write merges to storage, re-encode with the stored tokenizer:
-    output must be bit-identical to the train-and-encode query."""
+def test_persisted_tokenizer_roundtrip(spark, sf_dir, tmp_path):
+    """Write merges + vocab to storage, re-encode with the stored
+    tokenizer: output must be bit-identical to the train-and-encode
+    query on the training corpus."""
     from honors_p1_mapreduce_spark.operators.bpe_encode import (
         bpe_encode_ids,
         bpe_encode_ids_with,
         bpe_write_tokenizer,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     tok = str(tmp_path / "tokenizer")
     bpe_write_tokenizer(spark, sf, tok)
     online = sorted(map(tuple, bpe_encode_ids(spark, sf).collect()))
     stored = sorted(map(tuple, bpe_encode_ids_with(spark, sf, tok).collect()))
     assert online == stored
+
+
+def test_persisted_tokenizer_ids_stable_across_corpora(spark, tmp_path):
+    """The stored vocabulary makes ids corpus-independent: a word seen
+    at train time encodes to the SAME ids when the tokenizer is
+    applied to a different corpus whose alphabet differs, and symbols
+    the training corpus never saw map to UNK_ID instead of dropping."""
+    from honors_p1_mapreduce_spark.operators import bpe_encode as bx
+
+    train_dir = tmp_path / "train_corpus"
+    target_dir = tmp_path / "target_corpus"
+    spark.createDataFrame(
+        [(1, "abc abd bcd abc abd"), (2, "abc bcd")], ["doc_id", "text"]
+    ).write.parquet(str(train_dir / "documents.parquet"))
+    spark.createDataFrame(
+        [(1, "abc xyz"), (2, "abd qq")], ["doc_id", "text"]
+    ).write.parquet(str(target_dir / "documents.parquet"))
+    tok = str(tmp_path / "tokenizer")
+    bx.bpe_write_tokenizer(spark, str(train_dir), tok, n_merges=3)
+
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in spark.read.parquet(f"{tok}/merges").orderBy("merge_rank").collect()
+    ]
+    sym_ids = spark.read.parquet(f"{tok}/vocab")
+
+    def word_id_map(corpus_dir):
+        docs = bx.load_table(spark, str(corpus_dir), "documents")
+        ws = bx._encode_word_syms(docs, merges)
+        return {
+            r["word"]: list(r["ids"])
+            for r in bx._word_ids_table(ws, sym_ids, unk=bx.UNK_ID).collect()
+        }
+
+    train_ids = word_id_map(train_dir)
+    target_ids = word_id_map(target_dir)
+    # shared words: identical ids regardless of corpus alphabet
+    for w in set(train_ids) & set(target_ids):
+        assert train_ids[w] == target_ids[w], w
+    # unknown characters map to UNK, never drop
+    assert bx.UNK_ID in {i for ids in (target_ids["xyz"], target_ids["qq"]) for i in ids}
+    assert len(target_ids["qq"]) > 0
