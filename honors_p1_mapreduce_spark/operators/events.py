@@ -857,3 +857,81 @@ def events_winsorized_stats_fast(
             F.sum("clip_hi").alias("n_clipped_hi"),
         )
     )
+
+
+# ---------------------------------------- burst runs (r7)
+
+BURST_THRESHOLD = 4  # events per hour; ~p75 of the driver corpus
+
+
+def events_burst_runs(
+    spark: SparkSession, sf_dir: str, threshold: int = BURST_THRESHOLD
+) -> DataFrame:
+    """Maximal CONSECUTIVE-hour runs where a type's volume stays at or
+    above ``threshold`` — the gaps-and-islands alerting primitive
+    ("how long did the error burst last"), distinct from
+    ``user_sessions``' time-gap sessionization: islands here are
+    defined by bucket adjacency, found with the classic
+    index-minus-row_number constant-group trick.
+
+    Portability: the island key is hour_index - row_number, where
+    hour_index is ``timestampdiff(HOUR, <fixed literal>, bucket)`` —
+    pure calendar arithmetic on naive timestamps, no epoch/timezone
+    conversion for engines to disagree on.
+
+    Plan: one hourly aggregate of the fact (map-side combined), then
+    ONE per-type window over the ~bucket-count frame and a tiny
+    group — everything after the first aggregate is bounded by
+    hours x types, not by corpus size.
+
+    Output: (event_type, run_start, run_end, n_hours, total_events,
+    peak_events) per run.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+    hour_idx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', h)"
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    grp = (hour_idx - F.row_number().over(w)).alias("grp")
+    return (
+        buckets.select("event_type", "h", "n", grp)
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("h").alias("run_start"),
+            F.max("h").alias("run_end"),
+            F.count("*").alias("n_hours"),
+            F.sum("n").alias("total_events"),
+            F.max("n").alias("peak_events"),
+        )
+        .drop("grp")
+    )
+
+
+EVENTS_BURST_RUNS_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+above AS (SELECT * FROM b WHERE n >= {BURST_THRESHOLD}),
+grps AS (
+  SELECT event_type, h, n,
+         datediff('hour', TIMESTAMP '2024-01-01 00:00:00', h)
+           - row_number() OVER (PARTITION BY event_type ORDER BY h) AS grp
+  FROM above
+)
+SELECT event_type,
+       min(h) AS run_start,
+       max(h) AS run_end,
+       count(*) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(max(n) AS BIGINT) AS peak_events
+FROM grps
+GROUP BY event_type, grp
+"""

@@ -156,6 +156,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_value_mad_outliers": _cx.events_value_mad_outliers,  # NEW r7
     "bpe_encode_ids": _bpx.bpe_encode_ids,  # NEW r7: token-id sequences
     "pack_token_ids": _bpx.pack_token_ids,  # NEW r7: packed training rows
+    "events_burst_runs": _ev.events_burst_runs,  # NEW r7: gaps-and-islands
     # Then the r5-stamped entries that did not fit the window: each
     # gets a builder parity sweep this round (PROGRESS.jsonl) and
     # rotates in first in round 8.
@@ -364,6 +365,9 @@ ORACLES: dict[str, str] = {
     "events_value_deciles": _ev.EVENTS_VALUE_DECILES_ORACLE,
     "word_typo_pairs": _cx.WORD_TYPO_PAIRS_ORACLE,
     "events_winsorized_stats": _ev.EVENTS_WINSORIZED_STATS_ORACLE,
+    # gaps-and-islands burst runs (r7): index-minus-row_number island
+    # key via tz-free timestampdiff — adjacency-defined runs
+    "events_burst_runs": _ev.EVENTS_BURST_RUNS_ORACLE,
     "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
     "similarity_pq_rerank_topk": _pq.SIMILARITY_PQ_RERANK_TOPK_ORACLE,
     "chunk_boilerplate": _ta.CHUNK_BOILERPLATE_ORACLE,

@@ -502,3 +502,52 @@ def test_winsorized_fast_twin_agrees_with_exact(spark, sf_dir):
         assert abs(float(f["winsorized_sum"]) - float(e["winsorized_sum"])) <= (
             0.02 * abs(float(e["winsorized_sum"])) + 1.0
         )
+
+
+def test_events_burst_runs_golden_planted_bursts(spark, tmp_path):
+    """Gaps-and-islands golden: planted hourly volumes must merge
+    adjacent above-threshold hours into one run, split at gaps, and
+    drop sub-threshold hours entirely — exact run boundaries, lengths,
+    totals and peaks."""
+    from datetime import datetime, timezone
+
+    from honors_p1_mapreduce_spark.operators.events import (
+        BURST_THRESHOLD,
+        events_burst_runs,
+    )
+
+    def ns(day, hour, k):
+        dt = datetime(2024, 1, day, hour, 0, k, tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1e9) + k  # distinct ns per event
+
+    rows = []
+    eid = 0
+    # run A: hours 3,4,5 at/above threshold (5, 4, 6 events)
+    for hour, cnt in [(3, 5), (4, 4), (5, 6)]:
+        for k in range(cnt):
+            rows.append((eid, "err", 1.0, ns(1, hour, k))); eid += 1
+    # gap: hour 6 BELOW threshold (3 events) — must split runs
+    for k in range(BURST_THRESHOLD - 1):
+        rows.append((eid, "err", 1.0, ns(1, 6, k))); eid += 1
+    # run B: hour 7 alone (4 events)
+    for k in range(BURST_THRESHOLD):
+        rows.append((eid, "err", 1.0, ns(1, 7, k))); eid += 1
+    # other type: never above threshold
+    for k in range(2):
+        rows.append((eid, "ok", 1.0, ns(1, 3, k))); eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts bigint"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        (r["event_type"], r["run_start"].hour, r["run_end"].hour): (
+            r["n_hours"],
+            r["total_events"],
+            r["peak_events"],
+        )
+        for r in events_burst_runs(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("err", 3, 5): (3, 15, 6),
+        ("err", 7, 7): (1, 4, 4),
+    }
