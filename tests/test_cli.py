@@ -73,10 +73,13 @@ def test_bench_line_fits_record_window():
 def test_driver_window_rows_only_queries_are_sanctioned():
     """The driver checks exactly the FIRST 50 registry entries each
     round. Rows-only queries inside the window produce `no_oracle`
-    rows; the round-6 verdict asks the 4 sanctioned numpy twins to
+    rows; the round-6 verdict asks the sanctioned fast twins to
     rejoin the rotation periodically so the driver keeps confirming
     they execute — but no OTHER query may enter the window without an
-    oracle (round-4 verdict)."""
+    oracle (round-4 verdict). The set is the 4 numpy twins plus the
+    approx_percentile winsorize twin added round 7 (r7 verdict
+    "What's wrong" #3 asked for its rotation status to be decided:
+    it IS sanctioned — agreement-pinned in tests/test_events.py)."""
     from honors_p1_mapreduce_spark import registry
 
     sanctioned = {
@@ -84,6 +87,7 @@ def test_driver_window_rows_only_queries_are_sanctioned():
         "similarity_ann_topk",
         "embedding_neardup",
         "dedup_minhash",
+        "events_winsorized_stats_fast",
     }
     window = list(registry.QUERIES)[:50]
     rows_only = {n for n in window if n not in registry.ORACLES}
