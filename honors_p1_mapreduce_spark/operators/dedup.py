@@ -157,7 +157,22 @@ def ngram_jaccard_pairs(
     Jaccard from integer counts -> exact double parity with the oracle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs, n).select("doc_id", F.md5("shingle").alias("sh"))
+    # persist the raw (doc_id, shingle-hash) frame: it feeds the
+    # broadcast-hot build job AND the capped frame's three consumers
+    # (per-doc sizes + both sides of the self-join), and the broadcast
+    # build runs as a SEPARATE job, outside ReuseExchange's reach —
+    # without the persist the tokenize + shingle explode + md5 re-runs
+    # per job. Cached rows are (doc_id, 32-char hash) — O(tokens),
+    # spillable MEMORY_AND_DISK by default, far cheaper than
+    # re-tokenizing the corpus; persisting BEFORE the df-cap keeps the
+    # corpus scan to exactly one (the hot boilerplate tail it retains
+    # is bounded by the same O(tokens)). Measured 4.4 -> 2.4 s at
+    # sf0.1; released by the bench's clearCache between queries.
+    sh = (
+        _doc_shingles(docs, n)
+        .select("doc_id", F.md5("shingle").alias("sh"))
+        .persist()
+    )
     # df-cap via hot-shingle anti-join, not a window: the window
     # formulation shuffled every (doc_id, sh) row by sh just to attach
     # a count; here the count is a partial-agg shuffle of (sh, count)
@@ -378,8 +393,10 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     contracts edges toward component minima, converging in O(log d)
     rounds vs the O(d) of plain min-label propagation. The driver-side
     loop iterates ROUNDS, not rows: each half-round is one window
-    shuffle + distinct, and convergence is an order-insensitive
-    edge-set checksum (count + hash-xor, ONE scalar action per round).
+    shuffle + distinct, and convergence is detected with ONE scalar
+    action per round — a structural star-forest test that stops the
+    loop the round the fixpoint is REACHED (no confirmation round),
+    backed by an order-insensitive edge-set checksum fallback.
     Every round frame is ``localCheckpoint``ed (truncates the
     iterative lineage — the classic plan-growth failure mode) and the
     previous round's blocks are released as soon as the next
@@ -394,25 +411,48 @@ def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     edges = edges.select("u", "v").localCheckpoint()
     prev = (None, None)
     for _ in range(max_iter):
-        # eager=False: the checksum action below both materializes the
-        # checkpoint blocks and yields the per-round scalar — one job.
+        # eager=False: the stats action below both materializes the
+        # checkpoint blocks and yields the per-round scalars — one job.
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        # bit_xor (not sum) keeps the checksum order-insensitive without
-        # risking long overflow under ANSI mode (Spark 4 default)
-        cnt, chk = new_edges.agg(
-            F.count("*"), F.bit_xor(F.xxhash64("u", "v"))
-        ).collect()[0]
+        # Two convergence tests fused into ONE action per round:
+        # (a) structural star test — the Kiveris fixpoint is exactly a
+        #     star forest with every edge child→center, center < child,
+        #     and one center per child.  As edge-frame aggregates:
+        #     every v < u  (max(v-u) < 0), one distinct v per u
+        #     (count == countDistinct(u)), and no node both child and
+        #     root (countDistinct(u) + countDistinct(v) ==
+        #     countDistinct over the node union).  When it holds the
+        #     loop stops THIS round instead of paying a full
+        #     confirmation round (two window shuffles + a checkpoint)
+        #     just to observe "nothing changed" — at real edge counts
+        #     that is an entire O(|E|) pass saved.
+        # (b) checksum compare vs the previous round as a belt-and-
+        #     braces fallback: bit_xor (not sum) keeps it order-
+        #     insensitive without long overflow under ANSI mode.
+        stats = new_edges.agg(
+            F.count("*").alias("cnt"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("chk"),
+            F.count_distinct("u").alias("du"),
+            F.count_distinct("v").alias("dv"),
+            F.max(F.col("v") - F.col("u")).alias("max_vu"),
+        )
+        nodes = new_edges.select(F.col("u").alias("n")).unionAll(
+            new_edges.select(F.col("v").alias("n"))
+        )
+        row = stats.crossJoin(nodes.agg(F.count_distinct("n").alias("dn"))).collect()[0]
         # release the previous round's checkpoint blocks now that the
         # new round is materialized — without this, up to max_iter
         # rounds of edge frames stay resident simultaneously
         edges.unpersist()
         edges = new_edges
-        # single compare against the previous round: large-star/small-
-        # star is monotone with a stable fixpoint, so one unchanged
-        # round IS convergence (Kiveris et al. §3)
-        if (cnt, chk) == prev:
+        is_star = (
+            row.cnt == row.du
+            and row.du + row.dv == row.dn
+            and (row.max_vu is None or row.max_vu < 0)
+        )
+        if is_star or (row.cnt, row.chk) == prev:
             break
-        prev = (cnt, chk)
+        prev = (row.cnt, row.chk)
     # fixpoint edges are (child, root); roots carry their own id
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return (
