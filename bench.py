@@ -16,6 +16,16 @@ regressions under ~2x at the sub-2-second scale as noise unless a
 plan diff confirms them; the round-4 "relational drift" (e.g.
 market_share 1.13 -> 1.72 s) was exactly this — round-5 re-runs of
 the same code measured 1.22 s and 1.44 s.
+
+Protocol change (round 8, per the round-7 advisor): the build-once
+session memos are reset between timed queries, so every recorded
+time — both min-of-two samples — is a COLD run of the full query
+including any artifact build. Memo-backed families (bpe_*, pack_*,
+winnow_*, similarity_pq_*) therefore read higher than round 7, where
+the second sample was a memo hit; compare those against r7's FIRST
+samples in BENCH_r07's runs array. A fixed-size calibration shuffle
+is timed before/after the suite ("calibration_sec") to normalize the
+110-136 s host band.
 """
 
 from __future__ import annotations
@@ -71,17 +81,46 @@ def main() -> None:
         # multi-consumer plans and leave cleanup to the caller that
         # materializes the result; dropping them here keeps a long
         # suite from accumulating executor-memory pressure and keeps
-        # per-query timings independent.
+        # per-query timings independent. The build-once session memos
+        # (PQ codebooks, BPE merges, word-id maps, winnow fingerprints)
+        # survive clearCache by design, so they are reset explicitly —
+        # otherwise the min-of-two second pass of every memo-backed
+        # query measures memo lookup, not the query, and first-run
+        # times depend on registry order (round-7 advisor finding).
+        # Headline numbers are therefore COLD per-query times.
         spark.catalog.clearCache()
+        registry.reset_memos()
         return secs
 
+    def calibration() -> float:
+        """Fixed-size shuffle job timed as a host-speed scalar: a
+        constant 32M-row range, hash-aggregated over 1024 keys across
+        32 shuffle partitions. Identical work every run, independent
+        of SF, so cross-round per-query deltas can be read against
+        the host band (round-7 verdict asked for this — totals
+        wobbled 110-136 s across identical trees)."""
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 32_000_000, 1, 32)
+            .groupBy((F.col("id") % 1024).alias("k"))
+            .count()
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    cal_start = calibration()
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
     second = {name: timed(name) for name in names}
+    cal_end = calibration()
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
 
-    line, full = build_output(timings, sf, runs=runs)
+    line, full = build_output(
+        timings, sf, runs=runs, calibration=[cal_start, cal_end]
+    )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
     spark.stop()
@@ -91,6 +130,7 @@ def build_output(
     timings: dict[str, float],
     sf: float,
     runs: dict[str, list[float]] | None = None,
+    calibration: list[float] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
@@ -114,6 +154,11 @@ def build_output(
         # both raw samples per query (uniform min-of-two protocol,
         # round 7) so protocol vs real speedups stay auditable
         full["runs"] = runs
+    if calibration is not None:
+        # fixed-size shuffle job timed before the first and after the
+        # second pass: a host-speed scalar for normalizing cross-round
+        # deltas (identical work every run, independent of SF)
+        full["calibration_sec"] = calibration
     # seed the headline wordcount only when it actually ran — a run
     # without it must not report a fabricated 0.0 s timing
     shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}
@@ -124,17 +169,18 @@ def build_output(
         if len(json.dumps({**shown, name: secs})) > budget:
             break
         shown[name] = secs
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": shown,
-            "n_queries": len(timings),
-            "detail": "BENCH_FULL.json",
-            "sf": sf,
-        }
-    )
+    line_dict = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": shown,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+        "sf": sf,
+    }
+    if calibration is not None:
+        line_dict["calibration_sec"] = calibration
+    line = json.dumps(line_dict)
     return line, full
 
 

@@ -42,6 +42,38 @@ from .operators import wordcount as _wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def reset_memos() -> None:
+    """Drop every build-once session memo (PQ codebooks, BPE merge
+    tables, word-id maps, winnow fingerprint frames).
+
+    The memos are keyed by (applicationId, sf_dir, params) and their
+    localCheckpoint blocks deliberately survive
+    ``spark.catalog.clearCache()`` — correct for production reuse, but
+    a timing harness that re-runs queries must call this between
+    timed runs or the second pass of every memo-backed query measures
+    memo lookup, not the query (round-7 advisor finding). Cached
+    DataFrames are unpersisted so the executor blocks are actually
+    released, not just unreferenced."""
+    from .operators import bpe as _bpe_m
+    from .operators import bpe_encode as _bpx_m
+    from .operators import pq as _pq_m
+    from .operators import winnow as _wn_m
+
+    for cache in (
+        _bpe_m._MERGES_CACHE,
+        _bpx_m._WORD_IDS_CACHE,
+        _pq_m._CODEBOOK_CACHE,
+        _wn_m._FP_CACHE,
+    ):
+        for value in cache.values():
+            if isinstance(value, DataFrame):
+                try:
+                    value.unpersist()
+                except Exception:
+                    pass
+        cache.clear()
+
 """Ordering note: the driver checks exactly the FIRST 50 entries each
 round, so the window must ROTATE so no query's latest evidence is more
 than one round old.
