@@ -110,6 +110,8 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
+    calibration()  # throwaway: compile the calibration shape once so
+    # both recorded samples measure host speed, not codegen
     cal_start = calibration()
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
