@@ -146,6 +146,11 @@ QUERIES: dict[str, QueryFn] = {
     # --- [r8 window, block C] modules NEW or CHANGED in round 8 —
     # restamp the changed code
     "dedup_clusters": _dd.dedup_clusters,  # r8: round-overhead fix
+    # NEW r8: persisted-artifact read-back cycles (r7 verdict #4) —
+    # write the tokenizer / PQ index to parquet, read it back, apply;
+    # bit-identical to the online queries, same end-to-end oracles
+    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
+    "pq_search_stored": _pq.pq_search_stored,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -165,11 +170,11 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "top_supplier": _rel.top_supplier,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
     "returns_rollup": _rel.returns_rollup,
     "cross_nation_volume": _rel.cross_nation_volume,
     "market_share": _rel.market_share,
@@ -373,6 +378,11 @@ ORACLES: dict[str, str] = {
     # packed training rows (r7): the ids chain + deterministic
     # bucket/bin packing; digest gates each bin's exact content
     "pack_token_ids": _bpx.PACK_TOKEN_IDS_ORACLE,
+    # stored-artifact read-back cycles (r8): the stored roundtrips are
+    # bit-identical to the online queries, so the same end-to-end
+    # train+apply oracles hash-gate the write/read-back paths
+    "bpe_encode_ids_stored": _bpx.BPE_ENCODE_IDS_STORED_ORACLE,
+    "pq_search_stored": _pq.PQ_SEARCH_STORED_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -339,3 +339,18 @@ def test_persisted_tokenizer_ids_stable_across_corpora(spark, tmp_path):
     # unknown characters map to UNK, never drop
     assert bx.UNK_ID in {i for ids in (target_ids["xyz"], target_ids["qq"]) for i in ids}
     assert len(target_ids["qq"]) > 0
+
+
+def test_bpe_encode_ids_stored_registered_query_matches_online(spark, sf_dir):
+    """The registered read-back query (write tokenizer to the
+    per-application scratch dir, encode from the stored artifact) must
+    equal the online train-and-encode query — this is the entry the
+    driver hash-stamps (r7 verdict #4)."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import (
+        bpe_encode_ids,
+        bpe_encode_ids_stored,
+    )
+
+    online = sorted(map(tuple, bpe_encode_ids(spark, sf_dir).collect()))
+    stored = sorted(map(tuple, bpe_encode_ids_stored(spark, sf_dir).collect()))
+    assert online == stored

@@ -334,3 +334,20 @@ def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     )
     offline = sorted(map(tuple, pq_search_index(spark, sf_dir, idx).collect()))
     assert online == offline
+
+
+def test_pq_search_stored_registered_query_matches_online(spark, sf_dir):
+    """The registered read-back query (write PQ index to the
+    per-application scratch dir, search from the stored artifact) must
+    equal the online two-stage query — the entry the driver
+    hash-stamps (r7 verdict #4)."""
+    from honors_p1_mapreduce_spark.operators.pq import (
+        pq_search_stored,
+        similarity_pq_rerank_topk,
+    )
+
+    online = sorted(
+        map(tuple, similarity_pq_rerank_topk(spark, sf_dir).collect())
+    )
+    stored = sorted(map(tuple, pq_search_stored(spark, sf_dir).collect()))
+    assert online == stored
