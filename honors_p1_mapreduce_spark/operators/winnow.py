@@ -432,6 +432,13 @@ def decontaminate_neardup(
         .distinct()  # the ONLY dedupe shuffle — straight to (doc, hash)
         .persist()
     )
+    return _decontaminate_from_fps(fps, min_shared)
+
+
+def _decontaminate_from_fps(fps: DataFrame, min_shared: int) -> DataFrame:
+    """Shared decontamination consumer over a (doc_id, fp_hash)
+    distinct fingerprint frame — online memo and stored index call
+    the identical logic so the two paths can never drift."""
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
     eval_fps = fps.filter(is_eval).select("fp_hash").distinct()
     return (
@@ -455,3 +462,62 @@ WHERE d.doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
 GROUP BY d.doc_id
 HAVING count(*) >= {CONTAM_MIN_SHARED}
 """
+
+
+# ------------------------------------ persisted fingerprint index (r8)
+
+
+def winnow_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the corpus fingerprint frame to parquet — the
+    build-once decontamination artifact a real pipeline ships (r7
+    verdict #5). Stores the UNCAPPED chunked extraction
+    ((doc_id, fp_hash, fp_pos), post-distinct), so every consumer —
+    near-dup join, decontamination, the cleaning funnel — reads the
+    same full-coverage index the in-session memo holds; the parquet
+    index is the cross-session counterpart of :data:`_FP_CACHE`,
+    exactly as the stored tokenizer/PQ index mirror their memos.
+    Corpus-proportional size (~50 MB at sf0.1), 3-column rows that
+    compress well under parquet dictionary+RLE."""
+    winnow_fingerprints_chunked(spark, sf_dir).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/fingerprints")
+
+
+def decontaminate_from_index(
+    spark: SparkSession, index_dir: str, min_shared: int = CONTAM_MIN_SHARED
+) -> DataFrame:
+    """Near-dup decontamination running ONLY from a stored fingerprint
+    index — the corpus text is never touched: the index supplies both
+    the eval-side fingerprints (broadcast) and the training-side
+    counts. Identical output to :func:`decontaminate_neardup` on the
+    same corpus (bit-identical roundtrip, pinned by pytest)."""
+    fps = (
+        spark.read.parquet(f"{index_dir}/fingerprints")
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
+    return _decontaminate_from_fps(fps, min_shared)
+
+
+def decontaminate_stored(
+    spark: SparkSession, sf_dir: str, min_shared: int = CONTAM_MIN_SHARED
+) -> DataFrame:
+    """The full stored-index decontamination cycle as ONE registered
+    query: extract -> :func:`winnow_write_index` -> read the parquet
+    index back -> drop-list. Same end-to-end oracle as
+    :func:`decontaminate_neardup` (the roundtrip is bit-identical), so
+    the driver hash-stamps the write/read-back path — the same
+    registered-cycle pattern as ``bpe_encode_ids_stored`` /
+    ``pq_search_stored``. Scratch: per-application overwrite-in-place
+    (``bpe_encode._artifact_dir``), rewritten every call."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "winnow_index")
+    winnow_write_index(spark, sf_dir, d)
+    return decontaminate_from_index(spark, d, min_shared)
+
+
+DECONTAMINATE_STORED_ORACLE = DECONTAMINATE_NEARDUP_ORACLE

@@ -151,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     # bit-identical to the online queries, same end-to-end oracles
     "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
     "pq_search_stored": _pq.pq_search_stored,
+    "decontaminate_stored": _wn.decontaminate_stored,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -169,10 +170,10 @@ QUERIES: dict[str, QueryFn] = {
     "nation_revenue": _rel.nation_revenue,
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
     "top_supplier": _rel.top_supplier,
     "returns_rollup": _rel.returns_rollup,
@@ -383,6 +384,7 @@ ORACLES: dict[str, str] = {
     # train+apply oracles hash-gate the write/read-back paths
     "bpe_encode_ids_stored": _bpx.BPE_ENCODE_IDS_STORED_ORACLE,
     "pq_search_stored": _pq.PQ_SEARCH_STORED_ORACLE,
+    "decontaminate_stored": _wn.DECONTAMINATE_STORED_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -207,3 +207,36 @@ def test_chunked_rejects_bad_chunk_grams(spark):
             wn.winnow_fingerprints_chunked_from(df, chunk_grams=bad)
     # the minimum legal value works (stride 1)
     assert wn.winnow_fingerprints_chunked_from(df, chunk_grams=wn.W).count() > 0
+
+
+def test_winnow_stored_index_roundtrip(spark, sf_dir, tmp_path):
+    """Write the fingerprint index to parquet, decontaminate from the
+    stored index: output must be bit-identical to the online
+    memo-backed query (r7 verdict #5)."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        decontaminate_from_index,
+        decontaminate_neardup,
+        winnow_write_index,
+    )
+
+    idx = str(tmp_path / "winnow_index")
+    winnow_write_index(spark, sf_dir, idx)
+    online = sorted(map(tuple, decontaminate_neardup(spark, sf_dir).collect()))
+    stored = sorted(
+        map(tuple, decontaminate_from_index(spark, idx).collect())
+    )
+    assert online == stored
+
+
+def test_decontaminate_stored_registered_query_matches_online(spark, sf_dir):
+    """The registered read-back cycle (write index to the
+    per-application scratch dir, decontaminate from it) must equal the
+    online query — the entry the driver hash-stamps."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        decontaminate_neardup,
+        decontaminate_stored,
+    )
+
+    online = sorted(map(tuple, decontaminate_neardup(spark, sf_dir).collect()))
+    stored = sorted(map(tuple, decontaminate_stored(spark, sf_dir).collect()))
+    assert online == stored
