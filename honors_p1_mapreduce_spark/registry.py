@@ -152,6 +152,10 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
     "pq_search_stored": _pq.pq_search_stored,
     "decontaminate_stored": _wn.decontaminate_stored,
+    # NEW r8: real video-container path (r7 verdict #6) — valid AVIs
+    # synthesized in Catalyst, genuine RIFF/movi walk + per-frame DIB
+    # decode + real frame sampling, sampled-pixel digest oracle
+    "media_avi_decode": _mm.media_avi_decode,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -169,10 +173,10 @@ QUERIES: dict[str, QueryFn] = {
     "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
     "order_priority": _rel.order_priority,
-    "region_acctbal": _rel.region_acctbal,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
     "top_supplier": _rel.top_supplier,
@@ -385,6 +389,10 @@ ORACLES: dict[str, str] = {
     "bpe_encode_ids_stored": _bpx.BPE_ENCODE_IDS_STORED_ORACLE,
     "pq_search_stored": _pq.PQ_SEARCH_STORED_ORACLE,
     "decontaminate_stored": _wn.DECONTAMINATE_STORED_ORACLE,
+    # real AVI decode (r8): sampled-frame histogram digest reproduced
+    # from hex(encode(text)) byte arithmetic (uncompressed '00db'
+    # frames are byte-transparent)
+    "media_avi_decode": _mm.MEDIA_AVI_DECODE_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -478,3 +478,81 @@ def test_png_magic_with_garbage_falls_back_to_fake(spark, sf_dir):
         # seam fallback: fake decode instead of crash
         w, h, nf, feat = mm._stdlib_or_fake(blob, "image/png")
         assert len(feat) == mm.FEATURE_DIM
+
+
+# --------------------------------------------------- AVI (round 8)
+
+
+def _handcrafted_avi(data: bytes) -> bytes:
+    """Build a 4-frame AVI from raw struct bytes, independent of the
+    Catalyst synth constants, so the parser golden doesn't share its
+    fixture with the code under test beyond the header builder."""
+    content = mm.AVI_PREFIX + data[:48]
+    for i in range(1, 4):
+        content += mm._AVI_FRAME_HDR + data[i * 48 : (i + 1) * 48]
+    return content
+
+
+def test_avi_parser_golden():
+    """Genuine container walk: geometry from strf, one decoded block
+    per 00db chunk, payloads byte-identical to the frame data."""
+    data = (
+        bytes(range(48))
+        + bytes(range(100, 148))
+        + b"\x7f" * 48
+        + bytes(reversed(range(48)))
+    )
+    content = _handcrafted_avi(data)
+    assert len(content) == mm.AVI_FILE_LEN
+    w, h, frames = mm._avi_frames_parse(content)
+    assert (w, h, len(frames)) == (mm.AVI_W, mm.AVI_H, 4)
+    assert [bytes(f) for f in frames] == [
+        data[i * 48 : (i + 1) * 48] for i in range(4)
+    ]
+    # seam contract: histogram over all frames
+    sw, sh, nf, hist = mm.stdlib_codec(content, "video/avi")
+    assert (sw, sh, nf) == (4, 4, 4)
+    assert hist == mm._hist8(data)
+
+
+def test_avi_parser_rejects_corrupt():
+    data = bytes(192)
+    content = _handcrafted_avi(data)
+    for bad in (
+        content[:100],  # truncated before strf
+        content.replace(b"00db", b"00dc", 1),  # compressed frame
+        content[:16] + b"\x00" * 8 + content[24:],  # mangled hdrl walk
+    ):
+        try:
+            mm._avi_frames_parse(bad)
+        except mm.UnsupportedMediaError:
+            continue
+        raise AssertionError("corrupt AVI accepted")
+
+
+def test_avi_synth_is_valid_and_samples_doc_bytes(spark, sf_dir):
+    """Every Catalyst-synthesized payload must parse as a valid AVI
+    whose frames are the document's own leading byte slices; the
+    sampled histogram covers exactly frames 0 and 2."""
+    rows = mm.media_avi_table(spark, sf_dir).limit(20).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in mm.load_table(spark, sf_dir, "documents").limit(200).collect()
+    }
+    assert rows
+    for r in rows:
+        blob = bytes(r["content"])
+        assert len(blob) == mm.AVI_FILE_LEN
+        w, h, frames = mm._avi_frames_parse(blob)
+        data = docs[r["doc_id"]].encode()[: mm.AVI_DATA_LEN]
+        assert (w, h) == (mm.AVI_W, mm.AVI_H)
+        assert b"".join(frames) == data
+        sampled = data[:48] + data[96:144]
+        assert mm._hist8(sampled) == mm._hist8(b"".join(frames[::2]))
+
+
+def test_media_avi_decode_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, registry.QUERIES["media_avi_decode"],
+        registry.ORACLES["media_avi_decode"],
+    )
