@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
-from ..sources.tables import load_table
+from ..sources.tables import corpus_token, load_table
 
 BPE_MERGES = 10  # merge rounds to learn
 
@@ -82,7 +82,8 @@ def _syms(wrapped) -> F.Column:
 
 # Learned merge tables are build-once tokenizer artifacts (same
 # argument as pq._CODEBOOK_CACHE): train once per (application,
-# corpus, n_merges), serve every downstream encode/pack query from the
+# corpus, corpus snapshot token, n_merges), serve every downstream
+# encode/pack query from the
 # memoized merge list. The cached value is a tiny driver-side Python
 # list, training is deterministic, so a hit reproduces bit-identical
 # outputs and every oracle is unmoved.
@@ -147,10 +148,16 @@ BPE_INCREMENTAL_MIN_VOCAB = 4096
 # the identical leftmost non-overlapping replace (Python str.replace
 # == Spark/DuckDB replace for these patterns), so trajectories are
 # bit-identical (pinned by tests + the full-recompute DuckDB oracle).
-# 1M words x ~100 B is ~100 MB driver heap — far under any sane
-# driver; corpora whose DISTINCT-WORD vocab exceeds this fall back to
-# the distributed incremental loop.
-BPE_LOCAL_FINISH_MAX_VOCAB = 1_000_000
+# Threshold derivation (MEASURED, advisor r7 — the earlier "~100 B/
+# word" estimate ignored the pair Counter + pair->word-index sets'
+# Python object overhead): tracemalloc peak over _local_bpe on a
+# 50k-word random vocab (3-12 chars, 200 merges) is 59 MB ≈ 1.2 KB
+# per word, so the working set is ~1.2 GB per MILLION words. 400k
+# words ≈ 0.5 GB — comfortable inside a typical 4-8 GB driver while
+# leaving headroom for the collected rows themselves; corpora whose
+# DISTINCT-WORD vocab exceeds this fall back to the distributed
+# incremental loop, which has no driver-side working set.
+BPE_LOCAL_FINISH_MAX_VOCAB = 400_000
 
 
 def _local_pairs(w: str) -> list[tuple[str, str]]:
@@ -252,6 +259,7 @@ def bpe_train_merges_from(
         key = (
             spark.sparkContext.applicationId,
             cache_key,
+            corpus_token(cache_key),
             n_merges,
         )
         hit = _MERGES_CACHE.get(key)

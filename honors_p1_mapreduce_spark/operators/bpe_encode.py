@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
-from ..sources.tables import load_table
+from ..sources.tables import corpus_token, load_table
 from .bpe import _SEP, _syms, _wrap_chars, BPE_MERGES, bpe_train_merges_from
 
 
@@ -246,7 +246,12 @@ def _doc_token_ids(
 
     wkey = None
     if cache_key is not None:
-        wkey = (spark.sparkContext.applicationId, cache_key, n_merges)
+        wkey = (
+            spark.sparkContext.applicationId,
+            cache_key,
+            corpus_token(cache_key),
+            n_merges,
+        )
         cached = _WORD_IDS_CACHE.get(wkey)
         if cached is not None:
             return _ids_stream_join(docs, cached)

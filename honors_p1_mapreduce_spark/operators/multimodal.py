@@ -240,7 +240,17 @@ def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
             )
         bpp = {0: 1, 2: 3, 6: 4}[color_type]
         stride = w * bpp
-        raw = zlib.decompress(idat)
+        # bounded decompress (advisor r7): a corrupt/adversarial
+        # payload with PNG magic could otherwise be a decompression
+        # bomb that exhausts executor memory before the length check
+        # below ever runs. Cap output at the geometry-implied stream
+        # length; any leftover compressed input or unconsumed tail
+        # means the stream is bigger than the header admits.
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, (stride + 1) * h)
+        if d.unconsumed_tail:
+            raise UnsupportedMediaError("PNG IDAT exceeds geometry")
+        d.flush()
     except UnsupportedMediaError:
         raise
     except (zlib.error, struct.error, IndexError) as ex:

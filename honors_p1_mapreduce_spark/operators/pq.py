@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import corpus_token, load_table
 from .similarity import EMB_DIM, IVF_STRIDE_SALT, N_QUERIES, TOP_K
 
 PQ_M = 8  # subspaces
@@ -136,7 +136,9 @@ def _assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
 # Trained codebooks are build-once index artifacts: a production PQ
 # deployment trains on the corpus (or a sample) once and serves every
 # query against the same codebook. The memo mirrors that — keyed by
-# (Spark application, corpus dir, cells, iters), holding the tiny
+# (Spark application, corpus dir, corpus snapshot token, cells,
+# iters; the token folds parquet sizes+mtimes so in-place corpus
+# rewrites can't serve stale codebooks — advisor r7), holding the tiny
 # (M * CELLS rows) localCheckpoint'd centroid frame, which survives
 # spark.catalog.clearCache() because checkpoints are RDD persists,
 # not SQL cache. Training is deterministic, so a memo hit returns
@@ -160,6 +162,7 @@ def _train_codebooks(
         key = (
             emb.sparkSession.sparkContext.applicationId,
             cache_key,
+            corpus_token(cache_key),
             n_cells,
             n_iter,
         )

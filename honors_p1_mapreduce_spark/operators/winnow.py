@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import corpus_token, load_table
 
 K = 8  # k-gram length (chars of normalized text)
 W = 4  # winnowing window (consecutive grams)
@@ -102,7 +102,8 @@ def winnow_fingerprints_from(docs: DataFrame) -> DataFrame:
 # a deployment extracts once per corpus snapshot and every consumer
 # (near-dup join, decontamination, the cleaning funnel) reads the
 # stored table. The session memo mirrors that — keyed by (Spark
-# application, corpus dir, extraction flavor), holding the
+# application, corpus dir, corpus snapshot token, extraction
+# flavor), holding the
 # localCheckpoint'd frame (survives clearCache; extraction is
 # deterministic, so a hit is bit-identical and oracles are unmoved).
 # ~1.5M rows / ~50 MB at sf0.1 — corpus-proportional, the same
@@ -111,7 +112,7 @@ _FP_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _fp_memo(spark: SparkSession, sf_dir: str, flavor: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, flavor)
+    key = (spark.sparkContext.applicationId, sf_dir, corpus_token(sf_dir), flavor)
     hit = _FP_CACHE.get(key)
     if hit is None:
         hit = build().localCheckpoint()

@@ -30,6 +30,35 @@ TABLES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
 
+def corpus_token(sf_dir: str) -> str:
+    """Cheap corpus snapshot token for build-once memo keys: a digest
+    of every parquet file's (relative path, size, mtime_ns) under
+    ``sf_dir``. The session memos (_MERGES_CACHE, _CODEBOOK_CACHE,
+    _WORD_IDS_CACHE, _FP_CACHE) are keyed by (application, corpus dir,
+    params); without this token, rewriting the data under the same
+    directory within one application — a test or notebook regenerating
+    a corpus in place — would silently serve stale artifacts (advisor
+    r7). A local-FS walk of ~10 table files costs microseconds per
+    memo access; on object stores the moral equivalent is the
+    manifest/snapshot id. Non-existent paths hash to a constant so
+    synthetic cache keys in tests stay usable."""
+    import hashlib
+    import os
+
+    parts: list[str] = []
+    try:
+        for root, dirs, files in sorted(os.walk(sf_dir)):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), sf_dir)
+                    parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        return "no-such-corpus"
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

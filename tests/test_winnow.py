@@ -240,3 +240,34 @@ def test_decontaminate_stored_registered_query_matches_online(spark, sf_dir):
     online = sorted(map(tuple, decontaminate_neardup(spark, sf_dir).collect()))
     stored = sorted(map(tuple, decontaminate_stored(spark, sf_dir).collect()))
     assert online == stored
+
+
+def test_fp_memo_detects_in_place_corpus_rewrite(spark, tmp_path):
+    """Rewriting the corpus under the same directory within one
+    application must NOT serve stale memoized fingerprints: the memo
+    key folds a parquet size+mtime snapshot token (advisor r7)."""
+    import shutil
+
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    d = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+
+    def write_docs(texts):
+        shutil.rmtree(d + "/documents.parquet", ignore_errors=True)
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    write_docs(["the quick brown fox jumps over the lazy dog " * 4])
+    first = winnow_fingerprints(spark, d).count()
+    write_docs(
+        [
+            "a completely different document body with new words " * 4,
+            "and a second document to change the fingerprint count " * 4,
+        ]
+    )
+    second = winnow_fingerprints(spark, d).count()
+    assert second != first  # stale memo would return `first` again
