@@ -522,3 +522,108 @@ def decontaminate_stored(
 
 
 DECONTAMINATE_STORED_ORACLE = DECONTAMINATE_NEARDUP_ORACLE
+
+
+# ------------------------------------ incremental batch dedup (r8)
+
+# The dedup operation a production pipeline actually runs every day:
+# a NEW batch of documents arrives and must be near-dup-checked
+# against the ALREADY-INGESTED corpus — without re-fingerprinting the
+# corpus (that is what the stored fingerprint index is for) and
+# without the batch ever joining itself. The demo batch split is
+# deterministic (doc_id % BATCH_MOD == BATCH_RESIDUE, ~10% of the
+# corpus); in production the batch is the day's crawl and the index
+# side is winnow_write_index's parquet. Scale shape: batch
+# fingerprints are batch-sized (broadcastable); the index side
+# contributes one scan + equi-join on fp_hash + per-pair count; the
+# df-cap bounds hot-fingerprint fanout exactly as in winnow_neardup.
+
+BATCH_MOD = 10
+BATCH_RESIDUE = 3
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = MIN_SHARED,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """(doc_id, dup_of, shared_fps): each BATCH doc that near-dups an
+    INDEXED doc, attributed to its best-matching index doc (most
+    shared winnowed fingerprints; ties to the smallest doc_id —
+    deterministic). Batch docs with no index match pass (absent from
+    the output) — they are the genuinely-new content that gets
+    ingested. Built on the uncapped chunked fingerprints, like
+    decontamination: a silently missed match past the length cap is
+    exactly the failure mode incremental dedup exists to prevent."""
+    fps = (
+        _chunked_raw_memo(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_RESIDUE
+    index, batch = fps.filter(~is_batch), fps.filter(is_batch)
+    # df-cap from the INDEX side only: the stored corpus defines what
+    # is boilerplate; a small batch cannot (and in production the hot
+    # set ships with the index, not recomputed per batch)
+    hot = (
+        index.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("fp_hash")
+    )
+    index = index.join(F.broadcast(hot), "fp_hash", "left_anti")
+    batch = batch.join(F.broadcast(hot), "fp_hash", "left_anti")
+    pairs = (
+        F.broadcast(batch)
+        .join(index.select(F.col("doc_id").alias("dup_of"), "fp_hash"), "fp_hash")
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    best = F.max_by(
+        F.struct("dup_of", "shared_fps"),
+        F.struct(F.col("shared_fps"), (-F.col("dup_of")).alias("neg")),
+    ).alias("b")
+    return (
+        pairs.groupBy("doc_id")
+        .agg(best)
+        .select(
+            "doc_id",
+            F.col("b.dup_of").alias("dup_of"),
+            F.col("b.shared_fps").alias("shared_fps"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+WITH {_chunked_fp_cte()},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp_c),
+idx AS (
+  SELECT * FROM dfp WHERE doc_id % {BATCH_MOD} <> {BATCH_RESIDUE}
+),
+hot AS (
+  SELECT fp_hash FROM idx GROUP BY fp_hash HAVING count(*) > {DF_CAP}
+),
+idx2 AS (SELECT * FROM idx WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+bat2 AS (
+  SELECT * FROM dfp
+  WHERE doc_id % {BATCH_MOD} = {BATCH_RESIDUE}
+    AND fp_hash NOT IN (SELECT fp_hash FROM hot)
+),
+pairs AS (
+  SELECT b.doc_id, i.doc_id AS dup_of, count(*) AS shared_fps
+  FROM bat2 b JOIN idx2 i ON b.fp_hash = i.fp_hash
+  GROUP BY b.doc_id, i.doc_id
+  HAVING count(*) >= {MIN_SHARED}
+),
+ranked AS (
+  SELECT doc_id, dup_of, shared_fps,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY shared_fps DESC, dup_of ASC
+         ) AS rn
+  FROM pairs
+)
+SELECT doc_id, dup_of, shared_fps FROM ranked WHERE rn = 1
+"""

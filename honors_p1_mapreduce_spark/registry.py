@@ -156,6 +156,9 @@ QUERIES: dict[str, QueryFn] = {
     # synthesized in Catalyst, genuine RIFF/movi walk + per-frame DIB
     # decode + real frame sampling, sampled-pixel digest oracle
     "media_avi_decode": _mm.media_avi_decode,
+    # NEW r8: incremental batch-vs-index near-dup — the daily dedup a
+    # production pipeline runs against the stored fingerprint index
+    "dedup_incremental": _wn.dedup_incremental,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -172,10 +175,10 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
@@ -393,6 +396,10 @@ ORACLES: dict[str, str] = {
     # from hex(encode(text)) byte arithmetic (uncompressed '00db'
     # frames are byte-transparent)
     "media_avi_decode": _mm.MEDIA_AVI_DECODE_ORACLE,
+    # incremental dedup (r8): batch docs attributed to their
+    # best-matching index doc; argmax tie-break mirrored via
+    # row_number (shared DESC, dup_of ASC)
+    "dedup_incremental": _wn.DEDUP_INCREMENTAL_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

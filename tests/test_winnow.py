@@ -271,3 +271,48 @@ def test_fp_memo_detects_in_place_corpus_rewrite(spark, tmp_path):
     )
     second = winnow_fingerprints(spark, d).count()
     assert second != first  # stale memo would return `first` again
+
+
+def test_dedup_incremental_attributes_planted_duplicate(spark, tmp_path):
+    """Plant a batch doc (id % 10 == 3) that near-dups one index doc:
+    it must be flagged and attributed to exactly that doc; an
+    unrelated batch doc must pass."""
+    from honors_p1_mapreduce_spark.operators import winnow as wn
+
+    base = (
+        "the committee on data curation met quarterly to review the "
+        "deduplication thresholds and fingerprinting window settings "
+        "used across the ingestion services "
+    ) * 3
+    other = (
+        "completely unrelated prose about sailing boats across calm "
+        "lakes under a cold clear morning sky with no shared phrases "
+    ) * 3
+    rows = [
+        (10, base),                      # index doc: the original
+        (23, base + " with a short appended editorial note"),  # batch near-dup
+        (33, other),                     # batch doc, genuinely new
+        (40, other[::-1]),               # index noise
+    ]
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in wn.dedup_incremental(spark, d).collect()
+    }
+    assert 23 in out and out[23]["dup_of"] == 10
+    assert out[23]["shared_fps"] >= wn.MIN_SHARED
+    assert 33 not in out  # new content passes
+    assert all(k % wn.BATCH_MOD == wn.BATCH_RESIDUE for k in out)
+
+
+def test_dedup_incremental_split_invariants(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators import winnow as wn
+
+    rows = wn.dedup_incremental(spark, sf_dir).collect()
+    for r in rows:
+        assert r["doc_id"] % wn.BATCH_MOD == wn.BATCH_RESIDUE
+        assert r["dup_of"] % wn.BATCH_MOD != wn.BATCH_RESIDUE
+        assert r["shared_fps"] >= wn.MIN_SHARED
