@@ -1,0 +1,125 @@
+"""Streaming curation: the ``readStream`` swap for the LLM-pipeline
+dedup operators, completing the streaming story beyond events.
+
+``streaming_dedup_incremental`` is the production shape of daily
+ingest: NEW documents arrive as a stream, each micro-batch is
+fingerprinted map-only and checked against the STORED corpus
+fingerprint index (``operators.winnow.winnow_write_index``'s parquet
+— the static side of a stream-static join), and flagged near-dups are
+appended to a result store. Per-document attribution is independent
+of micro-batch boundaries (each doc is matched against the static
+index alone, never against other stream docs), so the drained stream
+is EXACTLY the batch ``dedup_incremental`` answer — pinned by the
+equivalence test. State story at 100 TB/day: the stream side holds no
+aggregation state at all (foreachBatch applies complete batch logic
+per micro-batch); the only long-lived object is the static index,
+which production refreshes by atomically swapping the parquet dir.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.winnow import (
+    BATCH_MOD,
+    BATCH_RESIDUE,
+    DF_CAP,
+    MIN_SHARED,
+    _chunked_fp_rows,
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """``readStream`` over the documents parquet (file-source replay,
+    one file per trigger — the AvailableNow drain pattern shared with
+    ``stream_events``)."""
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_shared: int = MIN_SHARED,
+    df_cap: int = DF_CAP,
+) -> None:
+    """Drain the document stream's NEW-batch split through per-micro-
+    batch incremental dedup against the stored fingerprint index and
+    append flagged (doc_id, dup_of, shared_fps) rows to ``out_dir``.
+
+    The static side (index fingerprints + the df-capped hot set) is
+    built ONCE outside the stream from ``index_dir`` and reused by
+    every micro-batch — exactly how a deployment serves a shipped
+    index. The hot set comes from the index side only, matching batch
+    ``dedup_incremental``; stream docs never join each other.
+    """
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_RESIDUE
+    index = (
+        spark.read.parquet(f"{index_dir}/fingerprints")
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .filter(~is_batch)
+    )
+    hot = (
+        index.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("fp_hash")
+    )
+    index_capped = (
+        index.join(F.broadcast(hot), "fp_hash", "left_anti")
+        .select(F.col("doc_id").alias("dup_of"), "fp_hash")
+        .persist()
+    )
+    index_capped.count()  # materialize once, before the stream starts
+
+    def _micro_batch(bdf: DataFrame, _batch_id: int) -> None:
+        fps_b = (
+            _chunked_fp_rows(bdf.select("doc_id", "text"))
+            .select("doc_id", "fp_hash")
+            .distinct()
+            .join(F.broadcast(hot), "fp_hash", "left_anti")
+        )
+        pairs = (
+            F.broadcast(fps_b)
+            .join(index_capped, "fp_hash")
+            .groupBy("doc_id", "dup_of")
+            .agg(F.count("*").alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared)
+        )
+        best = F.max_by(
+            F.struct("dup_of", "shared_fps"),
+            F.struct(F.col("shared_fps"), (-F.col("dup_of")).alias("neg")),
+        ).alias("b")
+        flagged = (
+            pairs.groupBy("doc_id")
+            .agg(best)
+            .select(
+                "doc_id",
+                F.col("b.dup_of").alias("dup_of"),
+                F.col("b.shared_fps").alias("shared_fps"),
+            )
+        )
+        flagged.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .filter(is_batch)
+        .writeStream.foreachBatch(_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    index_capped.unpersist()

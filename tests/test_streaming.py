@@ -177,3 +177,27 @@ def test_rollup_store_serves_moving_stats(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in read_rollup_moving(spark, store).collect())
     want = sorted(tuple(r) for r in events_moving_stats(spark, sf_dir).collect())
     assert got == want
+
+
+def test_streaming_dedup_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the document stream through per-micro-batch
+    incremental dedup against the STORED fingerprint index must
+    reproduce the batch dedup_incremental answer exactly — per-doc
+    attribution is independent of micro-batch boundaries."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        dedup_incremental,
+        winnow_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        streaming_dedup_incremental,
+    )
+
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "flagged")
+    ckpt = str(tmp_path / "ckpt")
+    winnow_write_index(spark, sf_dir, idx)
+    streaming_dedup_incremental(spark, sf_dir, idx, out, ckpt)
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
+    assert streamed == batch
+    assert streamed  # non-vacuous: the sf0.001 corpus has real matches
