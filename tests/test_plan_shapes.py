@@ -444,3 +444,27 @@ def test_bpe_ids_and_packing_broadcast_vocab_maps(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_dedup_incremental_broadcast_batch_no_self_join(spark, sf_dir):
+    """The batch side and the hot set must BROADCAST (batch-sized /
+    boilerplate-tail-sized at any corpus scale) and the index side
+    must never self-join — the operator's central 100 TB claims."""
+    from honors_p1_mapreduce_spark.operators.winnow import dedup_incremental
+
+    plan = _plan(dedup_incremental(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # hot-set df-cap is applied as anti-joins, not window re-shuffles
+    assert "LeftAnti" in plan
+
+
+def test_avi_decode_is_single_pandas_pass_no_shuffle(spark, sf_dir):
+    """Synth (pure Catalyst concat) + decode/sample (one mapInPandas)
+    must stay map-only: no exchange anywhere — a frame-sampling scan
+    at 100 TB is embarrassingly parallel or it is wrong."""
+    from honors_p1_mapreduce_spark.operators.multimodal import media_avi_decode
+
+    plan = _plan(media_avi_decode(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
