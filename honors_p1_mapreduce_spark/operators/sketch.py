@@ -611,3 +611,126 @@ SELECT grp AS day,
          / CAST(s AS DOUBLE) AS hll_estimate
 FROM sums
 """
+
+
+def hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-user OVERLAP between every event-type pair
+    by HLL sketch algebra — the set operation that makes stored
+    sketches an analytics primitive, not just a counter: union comes
+    free (register max-merge is exact), intersection by
+    inclusion-exclusion |A∩B| ≈ est(A) + est(B) − est(A∪B), all from
+    the m=64-row register states with the raw events never rescanned
+    or re-shuffled per pair. At any corpus scale the pair stage
+    touches (n_types² / 2) × m integer rows — dashboard-sized.
+
+    Regime note (same constraint as the whole raw-estimator family,
+    see :func:`_hll_estimate_frame`): estimates are meaningful for
+    n ≥ ~2.5·m distinct values per set, and inclusion-exclusion
+    compounds three ±13% (m=64) estimates, so the overlap resolves
+    reliably only when it is a substantial fraction of the union —
+    a production deployment that needs fine overlaps raises m, which
+    in turn needs the (engine-specific-libm) linear-counting
+    correction the portable family deliberately omits. The planted
+    in-regime pytest pins discrimination and accuracy; determinism is
+    exact (md5 hashing), so outputs are stable, not samples.
+
+    Output: (type_a, type_b, est_a, est_b, est_union, est_overlap),
+    type_a < type_b; est_overlap clamped at 0.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(F.col("event_type"), F.col("user_id"))
+    regs = _hll_registers_frame(rows, key="user_id", group="event_type")
+    est = _hll_estimate_frame(regs)
+    a = regs.select(
+        F.col("grp").alias("type_a"), "register", F.col("rho").alias("rho_a")
+    )
+    b = regs.select(
+        F.col("grp").alias("type_b"), "register", F.col("rho").alias("rho_b")
+    )
+    union_regs = (
+        a.join(b, "register")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "register",
+            F.greatest("rho_a", "rho_b").alias("rho"),
+        )
+    )
+    term = F.expr(
+        f"CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS} - rho) END"
+    )
+    est_union = (
+        union_regs.groupBy("type_a", "type_b")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.lit(HLL_ALPHA)
+                * F.lit(float(HLL_M * HLL_M))
+                * F.lit(_HLL_SCALE)
+                / F.col("s").cast("double")
+            ).alias("est_union"),
+        )
+    )
+    ea = est.select(F.col("grp").alias("type_a"), F.col("hll_estimate").alias("est_a"))
+    eb = est.select(F.col("grp").alias("type_b"), F.col("hll_estimate").alias("est_b"))
+    return (
+        est_union.join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_overlap"),
+        )
+    )
+
+
+HLL_TYPE_OVERLAP_ORACLE = f"""
+WITH {_hll_registers_sql("events", "user_id", "event_type")},
+sums AS (
+  SELECT grp,
+         sum(CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << ({_HLL_REST_BITS} - rho) END) AS s
+  FROM registers GROUP BY grp
+),
+est AS (
+  SELECT grp,
+         CAST({HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)} * {_HLL_SCALE}
+           / CAST(s AS DOUBLE) AS hll_estimate
+  FROM sums
+),
+union_regs AS (
+  SELECT a.grp AS type_a, b.grp AS type_b, a.register,
+         greatest(a.rho, b.rho) AS rho
+  FROM registers a JOIN registers b
+    ON a.register = b.register AND a.grp < b.grp
+),
+union_sums AS (
+  SELECT type_a, type_b,
+         sum(CASE WHEN rho >= {_HLL_REST_BITS} THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << ({_HLL_REST_BITS} - rho) END) AS s
+  FROM union_regs GROUP BY type_a, type_b
+),
+union_est AS (
+  SELECT type_a, type_b,
+         CAST({HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)} * {_HLL_SCALE}
+           / CAST(s AS DOUBLE) AS est_union
+  FROM union_sums
+)
+SELECT u.type_a, u.type_b, ea.hll_estimate AS est_a,
+       eb.hll_estimate AS est_b, u.est_union,
+       greatest(CAST(0.0 AS DOUBLE),
+                ea.hll_estimate + eb.hll_estimate - u.est_union)
+         AS est_overlap
+FROM union_est u
+JOIN est ea ON u.type_a = ea.grp
+JOIN est eb ON u.type_b = eb.grp
+"""

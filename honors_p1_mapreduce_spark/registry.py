@@ -159,6 +159,9 @@ QUERIES: dict[str, QueryFn] = {
     # NEW r8: incremental batch-vs-index near-dup — the daily dedup a
     # production pipeline runs against the stored fingerprint index
     "dedup_incremental": _wn.dedup_incremental,
+    # NEW r8: HLL set algebra — pairwise distinct-user overlap via
+    # register max-merge union + inclusion-exclusion
+    "hll_type_overlap": _sk.hll_type_overlap,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -174,10 +177,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "nation_revenue": _rel.nation_revenue,
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
@@ -400,6 +403,7 @@ ORACLES: dict[str, str] = {
     # best-matching index doc; argmax tie-break mirrored via
     # row_number (shared DESC, dup_of ASC)
     "dedup_incremental": _wn.DEDUP_INCREMENTAL_ORACLE,
+    "hll_type_overlap": _sk.HLL_TYPE_OVERLAP_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

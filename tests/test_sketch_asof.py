@@ -201,3 +201,41 @@ def test_hll_daily_merge_equals_direct_global_sketch(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     if exact >= 160:  # raw-estimator regime: n >= ~2.5m (docstring)
         assert abs(merged[0] - exact) / exact < 0.45
+
+
+def test_hll_type_overlap_discriminates_planted_sets(spark, tmp_path):
+    """Planted user sets in the raw estimator's valid regime
+    (n >= ~2.5m = 160): A = 0..1999, B = 1000..2999 (true overlap
+    1000, union 3000), C = 10000..10499 disjoint from both. The
+    sketch-algebra overlap must discriminate the true-overlap pair
+    from the disjoint ones and land within the family's m=64 error
+    band. md5 hashing makes the output deterministic — these are
+    pinned values, not samples."""
+    import datetime
+
+    from honors_p1_mapreduce_spark.operators.sketch import hll_type_overlap
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = (
+        [("A", u, ts) for u in range(0, 2000)]
+        + [("B", u, ts) for u in range(1000, 3000)]
+        + [("C", u, ts) for u in range(10000, 10500)]
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "event_type string, user_id bigint, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in hll_type_overlap(spark, d).collect()
+    }
+    ab = out[("A", "B")]
+    # deterministic values: est_overlap(A,B) = 797.8 for true 1000,
+    # est_union = 3970 for true 3000 — inside the documented m=64
+    # raw-estimator band; generous brackets guard the implementation,
+    # not the hash luck
+    assert 400 < ab["est_overlap"] < 1600
+    assert 2400 < ab["est_union"] < 5000
+    # disjoint pairs (true overlap 0) must sit far below the real pair
+    assert out[("A", "C")]["est_overlap"] < ab["est_overlap"] / 4
+    assert out[("B", "C")]["est_overlap"] < ab["est_overlap"] / 4
