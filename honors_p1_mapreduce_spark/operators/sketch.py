@@ -734,3 +734,122 @@ FROM union_est u
 JOIN est ea ON u.type_a = ea.grp
 JOIN est eb ON u.type_b = eb.grp
 """
+
+
+# --------------------------------------- mergeable daily CMS (r8)
+
+# Probe users for the merged-sketch frequency audit: present ids plus
+# one absent id (true count 0 — shows the overcount-only error side).
+CMS_USER_PROBES = (1, 2, 3, 999999)
+
+
+def cms_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from DAILY count-min sketches
+    merged by cell-wise ADDITION — the CMS counterpart of
+    ``hll_daily_users``'s max-merge, completing the mergeable-sketch
+    pair: store one D×W integer grid per day, answer global frequency
+    queries forever without rescanning raw events. The merge identity
+    is exact (addition is associative), so the merged sketch IS the
+    direct whole-table sketch — pinned bit-exact in pytest — and the
+    classic CMS guarantee survives merging: estimates only ever
+    OVERCOUNT (collisions), never undercount.
+
+    Output: (user_id, cms_estimate, true_count) for the probe ids.
+    At 100 TB the raw events are touched once per day (map-side
+    combined partial aggregate); every later question costs D×W rows
+    per day.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    per = rows.groupBy("day", "k").agg(F.count("*").alias("cnt"))
+    cells = per.select(
+        "day",
+        "cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("k"), d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    # the stored artifact: one D x W grid per day...
+    daily = cells.groupBy("day", "depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+    # ...and the additive merge that answers global questions
+    merged = daily.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(str(u)) for u in CMS_USER_PROBES])
+        ).alias("user_key")
+    )
+    probe_cells = probes.select(
+        "user_key",
+        F.posexplode(
+            F.array(
+                *[_cms_bucket(F.col("user_key"), d) for d in range(CMS_DEPTH)]
+            )
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        probe_cells.join(merged, ["depth", "bucket"], "left")
+        .groupBy("user_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        ev.filter(F.col("user_id").isin(*CMS_USER_PROBES))
+        .groupBy(F.col("user_id").cast("string").alias("user_key"))
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(exact, "user_key", "left").select(
+        F.col("user_key").cast("bigint").alias("user_id"),
+        "cms_estimate",
+        F.coalesce(F.col("true_count"), F.lit(0)).alias("true_count"),
+    )
+
+
+CMS_DAILY_MERGE_ORACLE = f"""
+WITH per AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT day, CAST({d} AS INT) AS depth, {_cms_bucket_sql('k', d)} AS bucket, cnt FROM per"
+      for d in range(CMS_DEPTH)
+  )}
+),
+daily AS (
+  SELECT day, depth, bucket, sum(cnt) AS cnt
+  FROM cells GROUP BY day, depth, bucket
+),
+merged AS (
+  SELECT depth, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM daily GROUP BY depth, bucket
+),
+probes AS (
+  SELECT CAST(u AS VARCHAR) AS user_key
+  FROM unnest([{", ".join(str(u) for u in CMS_USER_PROBES)}]) AS t(u)
+),
+probe_cells AS (
+  {" UNION ALL ".join(
+      f"SELECT user_key, CAST({d} AS INT) AS depth, {_cms_bucket_sql('user_key', d)} AS bucket FROM probes"
+      for d in range(CMS_DEPTH)
+  )}
+),
+est AS (
+  SELECT user_key, min(coalesce(m.cnt, 0)) AS cms_estimate
+  FROM probe_cells p LEFT JOIN merged m
+    ON p.depth = m.depth AND p.bucket = m.bucket
+  GROUP BY user_key
+),
+exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_key, count(*) AS true_count
+  FROM events
+  WHERE user_id IN ({", ".join(str(u) for u in CMS_USER_PROBES)})
+  GROUP BY 1
+)
+SELECT CAST(e.user_key AS BIGINT) AS user_id,
+       e.cms_estimate,
+       CAST(coalesce(x.true_count, 0) AS BIGINT) AS true_count
+FROM est e LEFT JOIN exact x ON e.user_key = x.user_key
+"""

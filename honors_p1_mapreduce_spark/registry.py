@@ -97,8 +97,10 @@ block B = the 8 round-7 additions that have never had a hard driver
 stamp (the r7 judge's replica sweep ran all 8 green at sf0.01;
 events_winsorized_stats_fast is the sanctioned rows-only member);
 block C = queries NEW in round 8 or whose modules CHANGE in round 8
-(dedup_clusters round-overhead fix; persisted-artifact read-back
-queries) so the changed code gets a fresh hard stamp;
+(dedup_clusters round-overhead fix; the stored-artifact read-back
+cycles bpe_encode_ids_stored / pq_search_stored /
+decontaminate_stored; media_avi_decode; dedup_incremental;
+hll_type_overlap) so the changed code gets a fresh hard stamp;
 block D = oldest remaining stamps (round 6, in their r6 order) until
 the window holds 50. Everything after position 50 is r6-stamped
 (1 round old) or r7-stamped (freshest, CORRECTNESS_r07.json) and
@@ -162,6 +164,10 @@ QUERIES: dict[str, QueryFn] = {
     # NEW r8: HLL set algebra — pairwise distinct-user overlap via
     # register max-merge union + inclusion-exclusion
     "hll_type_overlap": _sk.hll_type_overlap,
+    # NEW r8: additive daily-CMS merge — the CMS counterpart of
+    # hll_daily_users' max-merge (store daily grids, answer global
+    # frequency queries without rescanning)
+    "cms_daily_merge": _sk.cms_daily_merge,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -176,10 +182,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
     "order_priority": _rel.order_priority,
     "region_acctbal": _rel.region_acctbal,
@@ -404,6 +410,7 @@ ORACLES: dict[str, str] = {
     # row_number (shared DESC, dup_of ASC)
     "dedup_incremental": _wn.DEDUP_INCREMENTAL_ORACLE,
     "hll_type_overlap": _sk.HLL_TYPE_OVERLAP_ORACLE,
+    "cms_daily_merge": _sk.CMS_DAILY_MERGE_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -239,3 +239,63 @@ def test_hll_type_overlap_discriminates_planted_sets(spark, tmp_path):
     # disjoint pairs (true overlap 0) must sit far below the real pair
     assert out[("A", "C")]["est_overlap"] < ab["est_overlap"] / 4
     assert out[("B", "C")]["est_overlap"] < ab["est_overlap"] / 4
+
+
+def test_cms_daily_merge_equals_direct_global_sketch(spark, sf_dir):
+    """Cell-wise ADDING the per-day CMS grids must equal the sketch
+    built directly over the whole table (addition is associative) —
+    the identity that makes stored daily grids answer global
+    frequency questions exactly as well as a full rescan."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        CMS_DEPTH,
+        _cms_bucket,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    per = rows.groupBy("day", "k").agg(F.count("*").alias("cnt"))
+    cells = per.select(
+        "day", "cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("k"), d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    daily = cells.groupBy("day", "depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    merged = sorted(
+        map(
+            tuple,
+            daily.groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    direct_cells = rows.groupBy("k").agg(F.count("*").alias("cnt")).select(
+        "cnt",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("k"), d) for d in range(CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    direct = sorted(
+        map(
+            tuple,
+            direct_cells.groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    assert merged == direct
+
+
+def test_cms_daily_merge_never_undercounts(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.sketch import cms_daily_merge
+
+    for r in cms_daily_merge(spark, sf_dir).collect():
+        assert r["cms_estimate"] >= r["true_count"]
