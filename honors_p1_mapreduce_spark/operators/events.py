@@ -935,3 +935,206 @@ SELECT event_type,
 FROM grps
 GROUP BY event_type, grp
 """
+
+
+# --------------------------------- distribution drift audit (r8)
+
+DRIFT_BINS = 10
+# chi-square critical value, df = DRIFT_BINS - 1 = 9, p = 0.05
+DRIFT_THRESHOLD = 16.92
+
+
+def events_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-distribution DRIFT between the first and second
+    half of the time range — the data-quality gate a pipeline runs
+    before trusting a new ingest window: bin the reference (early)
+    half into DRIFT_BINS fixed-width buckets, project the late half
+    onto the same bins, and score Pearson's chi-square of observed
+    late counts vs early-proportioned expectations.
+
+    Deliberately log-free (the PSI formulation needs ln(), whose last
+    libm bit is engine-specific — same portability rule as the HLL
+    family's raw estimator): chi-square is pure +,×,÷ arithmetic, so
+    the whole statistic hash-matches in DuckDB. Add-one smoothing on
+    every bin (both halves) keeps expectations positive without
+    data-dependent branching. All per-bin double terms sum through
+    the exact decimal pattern so partial-agg merge order cannot
+    perturb the result.
+
+    Plan shape: two scans' worth of aggregates off ONE events scan —
+    the day-midpoint and per-type early min/max are tiny broadcast
+    frames; the bin histogram is a single (type, half, bucket)
+    partial-agg shuffle; the chi-square folds over a
+    types × DRIFT_BINS spine (dashboard-sized at any corpus scale).
+
+    Output: (event_type, n_early, n_late, chi_sq, drifted).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    rows = ev.select("event_type", "value", day.alias("day"))
+    # integer div, not /2-then-cast: Spark's double->bigint cast
+    # TRUNCATES while DuckDB's rounds half-to-even — a .5 midpoint
+    # would split the halves differently (caught by the oracle)
+    mid = rows.agg(
+        F.expr("(min(day) + max(day)) div 2").cast("bigint").alias("mid")
+    )
+    halved = rows.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        (F.col("day") <= F.col("mid")).alias("early"),
+    )
+    ref = (
+        halved.filter("early")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(DRIFT_BINS))
+    binned = (
+        halved.join(F.broadcast(ref), "event_type")
+        .select(
+            "event_type",
+            "early",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(DRIFT_BINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.col("vmin")) / width).cast(
+                            "int"
+                        ),
+                    ),
+                )
+            )
+            .alias("bucket"),
+        )
+    )
+    hist = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("e_cnt"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).alias("l_cnt"),
+    )
+    spine = (
+        hist.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(DRIFT_BINS - 1))
+                ).alias("bucket")
+            )
+        )
+        .select("event_type", F.col("bucket").cast("int").alias("bucket"))
+    )
+    full = spine.join(hist, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("e_cnt", F.lit(0)).alias("e_cnt"),
+        F.coalesce("l_cnt", F.lit(0)).alias("l_cnt"),
+    )
+    totals = full.groupBy("event_type").agg(
+        F.sum("e_cnt").alias("n_early"), F.sum("l_cnt").alias("n_late")
+    )
+    # add-one smoothing: o = l_cnt + 1, e = (e_cnt + 1) scaled to the
+    # smoothed late total — every factor in one fixed multiply order
+    withn = full.join(F.broadcast(totals), "event_type")
+    o = (F.col("l_cnt") + 1).cast("double")
+    e = (
+        (F.col("e_cnt") + 1).cast("double")
+        * (F.col("n_late") + DRIFT_BINS).cast("double")
+        / (F.col("n_early") + DRIFT_BINS).cast("double")
+    )
+    term = (o - e) * (o - e) / e
+    out = withn.groupBy("event_type").agg(
+        F.max("n_early").alias("n_early"),
+        F.max("n_late").alias("n_late"),
+        dsum_expr(term, "chi_sq"),
+    )
+    return out.select(
+        "event_type",
+        "n_early",
+        "n_late",
+        "chi_sq",
+        (F.col("chi_sq") > F.lit(DRIFT_THRESHOLD)).alias("drifted"),
+    )
+
+
+EVENTS_DRIFT_CHISQ_ORACLE = f"""
+WITH rows_d AS (
+  SELECT event_type, value,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+),
+mid AS (
+  SELECT CAST((min(day) + max(day)) // 2 AS BIGINT) AS mid FROM rows_d
+),
+halved AS (
+  SELECT event_type, value, day <= (SELECT mid FROM mid) AS early
+  FROM rows_d
+),
+ref AS (
+  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+  FROM halved WHERE early GROUP BY event_type
+),
+binned AS (
+  SELECT h.event_type, h.early,
+         CASE WHEN r.vmax = r.vmin THEN 0
+              ELSE least({DRIFT_BINS - 1}, greatest(0,
+                CAST(floor((h.value - r.vmin)
+                           / ((r.vmax - r.vmin) / {float(DRIFT_BINS)}))
+                     AS INT)))
+         END AS bucket
+  FROM halved h JOIN ref r ON h.event_type = r.event_type
+),
+hist AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN early THEN 1 ELSE 0 END) AS e_cnt,
+         sum(CASE WHEN early THEN 0 ELSE 1 END) AS l_cnt
+  FROM binned GROUP BY event_type, bucket
+),
+spine AS (
+  SELECT event_type, CAST(r.range AS INT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM hist), range({DRIFT_BINS}) r
+),
+full_h AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(h.e_cnt, 0) AS e_cnt, coalesce(h.l_cnt, 0) AS l_cnt
+  FROM spine s LEFT JOIN hist h
+    ON s.event_type = h.event_type AND s.bucket = h.bucket
+),
+totals AS (
+  SELECT event_type, sum(e_cnt) AS n_early, sum(l_cnt) AS n_late
+  FROM full_h GROUP BY event_type
+),
+terms AS (
+  SELECT f.event_type, t.n_early, t.n_late,
+         (CAST(f.l_cnt + 1 AS DOUBLE)
+          - CAST(f.e_cnt + 1 AS DOUBLE)
+            * CAST(t.n_late + {DRIFT_BINS} AS DOUBLE)
+            / CAST(t.n_early + {DRIFT_BINS} AS DOUBLE))
+         * (CAST(f.l_cnt + 1 AS DOUBLE)
+          - CAST(f.e_cnt + 1 AS DOUBLE)
+            * CAST(t.n_late + {DRIFT_BINS} AS DOUBLE)
+            / CAST(t.n_early + {DRIFT_BINS} AS DOUBLE))
+         / (CAST(f.e_cnt + 1 AS DOUBLE)
+            * CAST(t.n_late + {DRIFT_BINS} AS DOUBLE)
+            / CAST(t.n_early + {DRIFT_BINS} AS DOUBLE)) AS term
+  FROM full_h f JOIN totals t ON f.event_type = t.event_type
+),
+agg AS (
+  SELECT event_type,
+         max(n_early) AS n_early,
+         max(n_late) AS n_late,
+         {dsum_sql('term', 'chi_sq')}
+  FROM terms
+  GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       chi_sq,
+       chi_sq > {DRIFT_THRESHOLD} AS drifted
+FROM agg
+"""

@@ -551,3 +551,41 @@ def test_events_burst_runs_golden_planted_bursts(spark, tmp_path):
         ("err", 3, 5): (3, 15, 6),
         ("err", 7, 7): (1, 4, 4),
     }
+
+
+def test_events_drift_chisq_detects_planted_shift(spark, tmp_path):
+    """Planted drift: type 'shifted' doubles its values in the late
+    half (mass leaves the early bins), type 'stable' keeps the same
+    distribution. The chi-square gate must flag exactly the shifted
+    type. Deterministic inputs — no randomness."""
+    import datetime
+
+    from honors_p1_mapreduce_spark.operators.events import (
+        events_drift_chisq,
+    )
+
+    def day(d):
+        return datetime.datetime(2024, 1, d)
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):  # days 1-10 early, 11-20 late (mid = day 10)
+        late = d > 10
+        for i in range(200):
+            v = float(i % 100)
+            rows.append((eid, day(d), i, "stable", v, "{}"))
+            eid += 1
+            rows.append(
+                (eid, day(d), i, "shifted", v * 2.0 if late else v, "{}")
+            )
+            eid += 1
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/events.parquet")
+    out = {r["event_type"]: r for r in events_drift_chisq(spark, dirp).collect()}
+    assert out["shifted"]["drifted"] is True
+    assert out["stable"]["drifted"] is False
+    assert out["shifted"]["chi_sq"] > 10 * out["stable"]["chi_sq"]
