@@ -626,3 +626,77 @@ SELECT d.event_id, d.event_type, d.value
 FROM d JOIN mad USING (event_type)
 WHERE CAST(d.dev AS HUGEINT) * {MAD_DEN} > {MAD_NUM} * CAST(mad.mad AS HUGEINT)
 """
+
+
+def dataset_publish_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLISH step a dataset build actually ends with: write the
+    split corpus to partitioned parquet (``partitionBy(split,
+    source)`` — the standard low-cardinality publish layout) and read
+    it BACK to produce the shipping manifest. Because the manifest is
+    computed from the READ-BACK files while the oracle recomputes it
+    from the source table directly, any row lost, duplicated, or
+    mangled by the write→read roundtrip surfaces as a driver hash
+    mismatch — storage-level end-to-end verification, the same
+    pattern as the stored tokenizer/PQ/fingerprint cycles.
+
+    Output: (split, source, n_docs, sum_chars, content_checksum).
+    ``content_checksum`` is an order-insensitive ``bit_xor`` of a
+    60-bit md5-derived hash of each (doc_id, text) pair — covers
+    every document's identity AND body without any corpus-sized sort
+    or concat (manifest stays exact at any scale; both engines
+    compute the identical integers).
+
+    Scratch: per-application overwrite-in-place
+    (``bpe_encode._artifact_dir``), rewritten every call.
+    """
+    from .bpe_encode import _artifact_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    b = _split_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    d = _artifact_dir(spark, sf_dir, "published_dataset")
+    docs.withColumn("split", split).write.mode("overwrite").partitionBy(
+        "split", "source"
+    ).parquet(d)
+    back = spark.read.parquet(d)
+    doc_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        back.groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.bit_xor(doc_hash).alias("content_checksum"),
+        )
+    )
+
+
+DATASET_PUBLISH_MANIFEST_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, source, n_chars,
+         CAST(CAST(concat('0x', substr(md5(concat('{SPLIT_SEED}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < {TRAIN_PCT} THEN 'train'
+            WHEN bk < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', text)), 1, 15)) AS BIGINT)) AS content_checksum
+FROM b
+GROUP BY 1, 2
+"""

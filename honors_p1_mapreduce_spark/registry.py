@@ -171,6 +171,10 @@ QUERIES: dict[str, QueryFn] = {
     # NEW r8: chi-square value-distribution drift audit (log-free ->
     # engine-portable; decimal-exact term sums)
     "events_drift_chisq": _ev.events_drift_chisq,
+    # NEW r8: partitioned publish + read-back-verified shipping
+    # manifest (storage-level end-to-end check, same pattern as the
+    # stored-artifact cycles)
+    "dataset_publish_manifest": _cx.dataset_publish_manifest,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -183,10 +187,10 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
@@ -415,6 +419,7 @@ ORACLES: dict[str, str] = {
     "hll_type_overlap": _sk.HLL_TYPE_OVERLAP_ORACLE,
     "cms_daily_merge": _sk.CMS_DAILY_MERGE_ORACLE,
     "events_drift_chisq": _ev.EVENTS_DRIFT_CHISQ_ORACLE,
+    "dataset_publish_manifest": _cx.DATASET_PUBLISH_MANIFEST_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -589,3 +589,44 @@ def test_events_drift_chisq_detects_planted_shift(spark, tmp_path):
     assert out["shifted"]["drifted"] is True
     assert out["stable"]["drifted"] is False
     assert out["shifted"]["chi_sq"] > 10 * out["stable"]["chi_sq"]
+
+
+def test_dataset_publish_manifest_roundtrip_preserves_corpus(spark, sf_dir):
+    """The published partitioned parquet must contain exactly the
+    source corpus: manifest totals equal direct counts and the
+    checksum of the read-back equals a checksum computed with no
+    write at all."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        dataset_publish_manifest,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    man = dataset_publish_manifest(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = man.agg(
+        F.sum("n_docs").alias("d"), F.sum("sum_chars").alias("c")
+    ).collect()[0]
+    direct = docs.agg(
+        F.count("*").alias("d"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    assert (totals["d"], totals["c"]) == (direct["d"], direct["c"])
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    xor_all_published = man.agg(
+        F.bit_xor("content_checksum").alias("x")
+    ).collect()[0]["x"]
+    # per-group xors fold to the global xor only if every doc came
+    # back exactly once (xor cancels pairs — duplicates would vanish)
+    xor_all_direct = docs.agg(F.bit_xor(h).alias("x")).collect()[0]["x"]
+    assert xor_all_published == xor_all_direct
