@@ -175,6 +175,10 @@ QUERIES: dict[str, QueryFn] = {
     # manifest (storage-level end-to-end check, same pattern as the
     # stored-artifact cycles)
     "dataset_publish_manifest": _cx.dataset_publish_manifest,
+    # NEW r8: bloom runtime-filter join — 16 kB literal bitmap prunes
+    # the probe side map-side; the join removes FPs so the filter
+    # cancels out of the answer (oracle = plain join)
+    "bloom_pruned_join": _sk.bloom_pruned_join,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -186,10 +190,10 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_topk": _sim.similarity_topk,
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
@@ -420,6 +424,7 @@ ORACLES: dict[str, str] = {
     "cms_daily_merge": _sk.CMS_DAILY_MERGE_ORACLE,
     "events_drift_chisq": _ev.EVENTS_DRIFT_CHISQ_ORACLE,
     "dataset_publish_manifest": _cx.DATASET_PUBLISH_MANIFEST_ORACLE,
+    "bloom_pruned_join": _sk.BLOOM_PRUNED_JOIN_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

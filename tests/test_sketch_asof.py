@@ -299,3 +299,37 @@ def test_cms_daily_merge_never_undercounts(spark, sf_dir):
 
     for r in cms_daily_merge(spark, sf_dir).collect():
         assert r["cms_estimate"] >= r["true_count"]
+
+
+def test_bloom_pruned_join_prunes_without_false_negatives(spark, sf_dir):
+    """The bloom pre-filter must (a) pass EVERY lineitem whose order
+    is urgent (no false negatives — result equality with the plain
+    join is the oracle's job, row counts pin it here too) and (b)
+    actually prune: survivors should be close to the true match count
+    (~0.6% FP at this M/K), far below the full table."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        BLOOM_JOIN_PRIORITY,
+        bloom_pruned_join,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n_li = li.count()
+    true_matches = (
+        li.join(
+            orders.filter(F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY),
+            li.l_orderkey == orders.o_orderkey,
+        ).count()
+    )
+    out_total = (
+        bloom_pruned_join(spark, sf_dir)
+        .agg(F.sum("n_lineitems").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert out_total == true_matches  # exact semantics after the join
+    # pruning effectiveness: urgent is ~1/5 of orders; survivors must
+    # be far below the full scan (the whole point of the filter)
+    assert true_matches < n_li * 0.5
