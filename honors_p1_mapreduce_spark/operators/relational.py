@@ -948,3 +948,94 @@ WHERE p_brand <> '{SUPPLIER_COUNT_EXCLUDED_BRAND}'
   AND p_size <= {SUPPLIER_COUNT_MAX_SIZE}
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- bucketed co-located join (r8)
+
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority revenue off a SHUFFLE-FREE fact-fact join: both fact
+    tables are published as BUCKETED parquet tables (``bucketBy`` on
+    the join key, same bucket count, one file per bucket via an
+    aligned pre-repartition), read back through the catalog, and
+    sort-merge-joined with NO exchange on either side — the only
+    shuffle left in the whole plan is the final tiny priority
+    aggregate (``tests/test_plan_shapes.py`` pins exchange count <= 1
+    and the SortMergeJoin node).
+
+    This is the write-once / join-forever layout a 100 TB warehouse
+    uses for its biggest recurring join: the two full-table shuffles
+    (the dominant cost of orders⋈lineitem at scale) are paid ONCE at
+    publish time and amortized across every subsequent join, and
+    Spark's bucket spec hashes rows identically at write and read so
+    co-location is guaranteed, not probabilistic. The oracle is the
+    plain join on the source parquet — the bucketed roundtrip must
+    cancel out of the answer exactly, which also hash-gates that the
+    publish lost/duplicated/mangled nothing (same storage-level
+    contract as dataset_publish_manifest).
+
+    Output: (o_orderpriority, n_lineitems, revenue).
+    """
+    import re
+
+    from .bpe_encode import _artifact_dir
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    sides = [
+        (
+            f"bj_lineitem_{safe}",
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+        ),
+        (
+            f"bj_orders_{safe}",
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+    ]
+    for tbl, df, key in sides:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            # repartition on the key with n == bucket count uses the
+            # same murmur3-pmod layout as the bucket spec, so each
+            # task holds exactly one bucket -> one file per bucket and
+            # the bucket-side sort is a cheap single-run sort at read
+            df.repartition(BUCKETED_JOIN_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .option("path", _artifact_dir(spark, sf_dir, tbl))
+            .bucketBy(BUCKETED_JOIN_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    li = spark.table(sides[0][0])
+    orders = spark.table(sides[1][0])
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        # merge hint keeps the demo honest: without it AQE would
+        # broadcast the toy-SF orders side and the exchange-free
+        # bucket co-location this query exists to exercise would
+        # never appear in the plan
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum_expr(revenue, "revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_REVENUE_ORACLE = f"""
+SELECT o.o_orderpriority AS o_orderpriority,
+       count(*) AS n_lineitems,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""

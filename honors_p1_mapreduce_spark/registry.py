@@ -179,6 +179,11 @@ QUERIES: dict[str, QueryFn] = {
     # the probe side map-side; the join removes FPs so the filter
     # cancels out of the answer (oracle = plain join)
     "bloom_pruned_join": _sk.bloom_pruned_join,
+    # NEW r8: bucketed co-located fact-fact join — both sides
+    # published as bucketed tables on the join key, read back and
+    # sort-merge-joined with ZERO exchanges (plan-pinned); oracle =
+    # plain join on the source parquet
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -189,10 +194,10 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "dedup_exact": _dd.dedup_exact,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
@@ -425,6 +430,7 @@ ORACLES: dict[str, str] = {
     "events_drift_chisq": _ev.EVENTS_DRIFT_CHISQ_ORACLE,
     "dataset_publish_manifest": _cx.DATASET_PUBLISH_MANIFEST_ORACLE,
     "bloom_pruned_join": _sk.BLOOM_PRUNED_JOIN_ORACLE,
+    "bucketed_join_revenue": _rel.BUCKETED_JOIN_REVENUE_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

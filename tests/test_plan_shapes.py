@@ -468,3 +468,18 @@ def test_avi_decode_is_single_pandas_pass_no_shuffle(spark, sf_dir):
     plan = _plan(media_avi_decode(spark, sf_dir))
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The whole point of the bucketed publish: the orders⋈lineitem
+    sort-merge join must read both bucketed tables co-located — no
+    exchange on either join input; the only shuffle in the plan is
+    the final tiny priority aggregate."""
+    from honors_p1_mapreduce_spark.operators.relational import (
+        bucketed_join_revenue,
+    )
+
+    plan = _plan(bucketed_join_revenue(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1  # final agg only
+    assert plan.count("Bucketed: true") == 2
