@@ -1,0 +1,195 @@
+"""Graph-pattern mining over a fact-derived graph: triangle counting.
+
+The reference engine has no graph surface at all (its only iterative
+shape is the wordcount-style two-stage MR, SURVEY.md §2.4); the one
+graph operator this repo already ships is connected components
+(``operators/dedup.py:dedup_clusters``, large-star/small-star).
+Triangle enumeration is the canonical NEXT graph primitive — the
+building block of clustering coefficients, community detection, and
+spam/link-farm detection — and it has a famously bad naive plan
+(join every wedge at a hub node: a node of degree d contributes d²
+wedges, and real graphs have power-law hubs).
+
+The scale-correct plan here is the degree-ordering technique of
+Suri & Vassilvitskii ("Counting triangles and the curse of the last
+reducer", WWW 2011; also Schank & Wagner 2005): orient every
+undirected edge from its lower-(degree, name) endpoint to its
+higher one. Every triangle then has exactly ONE source node where
+both its out-edges meet, so enumerating wedges over ORIENTED
+out-neighbourhoods counts each triangle exactly once — and a node's
+out-degree under this orientation is bounded by O(√m) however big
+its raw degree, so the wedge stage does O(m^{3/2}) work total
+instead of Σd² and the "last reducer" hub task disappears. Every
+step is an equi-join or aggregation: the same plan runs on a
+web-scale edge table.
+
+The graph itself is derived from the full fact data (the 100 TB
+part): supplier-nation → customer-nation trade volume via
+lineitem⋈orders⋈customer⋈supplier, aggregated down to at most
+25×24/2 weighted undirected edges, keeping edges whose exact-decimal
+revenue is at least 1/400 of total cross-nation trade (a relative
+threshold, so the graph shape is scale-free across SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# keep an edge iff its revenue * EDGE_KEEP_DENOM >= total trade
+EDGE_KEEP_DENOM = 400
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected (u, v, w) nation-trade edges, u < v by
+    name, w = exact-decimal revenue; only edges above the relative
+    volume threshold survive. The fact joins mirror
+    cross_nation_volume (relational.py): nation broadcasts always,
+    supplier/customer broadcast as key→nation maps."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            F.least("supp_nation", "cust_nation").alias("u"),
+            F.greatest("supp_nation", "cust_nation").alias("v"),
+        )
+        .agg(F.sum(rev.cast("decimal(27,6)")).alias("w"))
+    )
+    # relative threshold on EXACT decimal sums: identical decimals
+    # cast to identical doubles in both engines, so the comparison is
+    # engine-portable with no float-accumulation boundary risk
+    total = edges.agg(F.sum("w").alias("t"))
+    return (
+        edges.crossJoin(F.broadcast(total))  # 1-row total, broadcast-tiny
+        .filter(
+            F.col("w").cast("double") * EDGE_KEEP_DENOM
+            >= F.col("t").cast("double")
+        )
+        .select("u", "v")
+    )
+
+
+def enumerate_triangles(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over a canonical
+    undirected edge frame (columns ``u`` < ``v``, one row per edge).
+
+    Orient each edge from its lower-(degree, name) endpoint, self-join
+    oriented out-edges on their source to form wedges (each wedge's
+    two far ends ordered by the same total order, so no wedge
+    repeats), and close wedges against the oriented edge set with one
+    more equi-join. Each triangle is produced exactly once, at its
+    lowest-ordered corner, and out-degrees are O(√m) — the
+    Suri-Vassilvitskii bound that removes the hub-wedge blowup.
+
+    Output: (n1, n2, n3) sorted by name.
+    """
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .count()
+    )
+    # total order: ordinal by (degree, name). Unpartitioned window is
+    # bounded by the node count (<= 25 nations at ANY scale factor —
+    # the graph is the REDUCED frame, the facts never enter a window)
+    ordn = deg.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("count"), F.col("n")))
+        .alias("ord"),
+    )
+    ou = ordn.select(F.col("n").alias("u"), F.col("ord").alias("u_ord"))
+    ov = ordn.select(F.col("n").alias("v"), F.col("ord").alias("v_ord"))
+    with_ord = edges.join(F.broadcast(ou), "u").join(F.broadcast(ov), "v")
+    oriented = with_ord.select(
+        F.when(F.col("u_ord") < F.col("v_ord"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("src"),
+        F.when(F.col("u_ord") < F.col("v_ord"), F.col("v"))
+        .otherwise(F.col("u"))
+        .alias("dst"),
+        F.least("u_ord", "v_ord").alias("src_ord"),
+        F.greatest("u_ord", "v_ord").alias("dst_ord"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "dst_ord"
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("c"),
+        F.col("dst_ord").alias("c_ord"),
+    )
+    wedges = e1.join(e2, "a").filter(F.col("dst_ord") < F.col("c_ord"))
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    names = F.sort_array(F.array("a", "b", "c"))
+    return tri.select(
+        F.element_at(names, 1).alias("n1"),
+        F.element_at(names, 2).alias("n2"),
+        F.element_at(names, 3).alias("n3"),
+    )
+
+
+def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All triangles of the thresholded nation-trade graph, one row
+    per triangle with (n1, n2, n3) sorted by name.
+
+    The fact-side edge derivation (the only big-data stage — one
+    aggregation pass over lineitem⋈orders⋈customer⋈supplier) is
+    persisted because the enumeration reads it three times (degrees +
+    both wedge sides); the graph frame it caches is <= 300 rows.
+
+    Output: (n1, n2, n3).
+    """
+    return enumerate_triangles(_trade_edges(spark, sf_dir).persist())
+
+
+TRADE_TRIANGLES_ORACLE = f"""
+WITH rev AS (
+  SELECT sn.n_name AS sa, cn.n_name AS sb,
+         l_extendedprice * (1 - l_discount) AS r
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+),
+edges AS (
+  SELECT least(sa, sb) AS u, greatest(sa, sb) AS v,
+         SUM(CAST(r AS DECIMAL(27,6))) AS w
+  FROM rev GROUP BY 1, 2
+),
+tot AS (SELECT SUM(w) AS t FROM edges),
+kept AS (
+  SELECT u, v FROM edges, tot
+  WHERE CAST(w AS DOUBLE) * {EDGE_KEEP_DENOM} >= CAST(t AS DOUBLE)
+)
+SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+FROM kept e1
+JOIN kept e2 ON e2.u = e1.v
+JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v
+"""

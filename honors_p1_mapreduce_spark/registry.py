@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import analytic as _an
 from .operators import asof as _asof
+from .operators import graph as _gph
 from .operators import bpe as _bpe
 from .operators import bpe_encode as _bpx
 from .operators import crossmodal as _cm
@@ -184,6 +185,10 @@ QUERIES: dict[str, QueryFn] = {
     # sort-merge-joined with ZERO exchanges (plan-pinned); oracle =
     # plain join on the source parquet
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
+    # NEW r8: degree-ordered triangle enumeration over the fact-derived
+    # nation trade graph (Suri-Vassilvitskii orientation — O(m^{3/2})
+    # wedges, no hub blowup); oracle = 3-way self-join
+    "trade_triangles": _gph.trade_triangles,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -193,10 +198,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
     # ================= position 51+ — outside the r8 driver window =====
     # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
     # at r8 close) — rotate back in first in round 9:
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
@@ -431,6 +436,7 @@ ORACLES: dict[str, str] = {
     "dataset_publish_manifest": _cx.DATASET_PUBLISH_MANIFEST_ORACLE,
     "bloom_pruned_join": _sk.BLOOM_PRUNED_JOIN_ORACLE,
     "bucketed_join_revenue": _rel.BUCKETED_JOIN_REVENUE_ORACLE,
+    "trade_triangles": _gph.TRADE_TRIANGLES_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,
