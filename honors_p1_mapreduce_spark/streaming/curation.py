@@ -91,8 +91,14 @@ def streaming_dedup_incremental(
             .distinct()
             .join(F.broadcast(hot), "fp_hash", "left_anti")
         )
+        # No broadcast hint on the stream side: micro-batches are
+        # trigger-bounded in production, but the drain pattern here
+        # replays a whole parquet file per trigger — AQE broadcasts a
+        # genuinely small micro-batch at runtime and shuffle-joins a
+        # large one, so neither shape can OOM (r8 advisor finding,
+        # same fix as batch dedup_incremental).
         pairs = (
-            F.broadcast(fps_b)
+            fps_b
             .join(index_capped, "fp_hash")
             .groupBy("doc_id", "dup_of")
             .agg(F.count("*").alias("shared_fps"))
