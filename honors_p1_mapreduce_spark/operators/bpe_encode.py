@@ -629,17 +629,30 @@ def bpe_encode_ids_with(
     return _digest_select(_ids_stream_join(docs, word_ids))
 
 
+def _corpus_token(sf_dir: str) -> str:
+    """Deterministic short token for a corpus directory, derived from
+    the FULL normalized path (basename alone collides when two corpora
+    share a directory name, e.g. .../a/sf0.1 and .../b/sf0.1 — r8
+    advisor finding). Human-readable basename + 8-hex path hash."""
+    import hashlib
+    import os
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    base = os.path.basename(norm)
+    return f"{base}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+
+
 def _artifact_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Deterministic scratch path for a registered stored-artifact
-    query: keyed by (applicationId, corpus dir basename, kind) so
+    query: keyed by (applicationId, full-corpus-path token, kind) so
     repeat calls within an application overwrite the same files —
     bounded disk, and no staleness because every call REWRITES the
     artifact before reading it back (unlike the in-session memos,
-    which assume path immutability — see bpe._MERGES_CACHE note)."""
-    import os
-
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/spark_graft_artifacts/{spark.sparkContext.applicationId}/{kind}_{base}"
+    which assume path immutability — see bpe._MERGES_CACHE note).
+    Distinct corpora NEVER share a path, even with equal basenames
+    (:func:`_corpus_token`)."""
+    token = _corpus_token(sf_dir)
+    return f"/tmp/spark_graft_artifacts/{spark.sparkContext.applicationId}/{kind}_{token}"
 
 
 def bpe_encode_ids_stored(

@@ -967,6 +967,12 @@ def events_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle; the chi-square folds over a
     types × DRIFT_BINS spine (dashboard-sized at any corpus scale).
 
+    A type with NO early rows (first appears in the new ingest
+    window) has no reference frame to score against — it is exactly
+    the anomaly this gate exists for, so it is kept via a LEFT join
+    (all its rows in a degenerate bucket 0) and force-flagged
+    ``drifted`` through the ``n_early = 0`` disjunct.
+
     Output: (event_type, n_early, n_late, chi_sq, drifted).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -992,12 +998,20 @@ def events_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     width = (F.col("vmax") - F.col("vmin")) / F.lit(float(DRIFT_BINS))
+    # LEFT join: a type that first appears in the late half has no
+    # early reference frame — precisely the new-ingest anomaly the
+    # gate exists to flag (r8 advisor finding). Its rows all land in
+    # bucket 0 (degenerate single bin) and the type is force-flagged
+    # below via n_early = 0.
     binned = (
-        halved.join(F.broadcast(ref), "event_type")
+        halved.join(F.broadcast(ref), "event_type", "left")
         .select(
             "event_type",
             "early",
-            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            F.when(
+                F.col("vmax").isNull() | (F.col("vmax") == F.col("vmin")),
+                F.lit(0),
+            )
             .otherwise(
                 F.least(
                     F.lit(DRIFT_BINS - 1),
@@ -1057,7 +1071,10 @@ def events_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_early",
         "n_late",
         "chi_sq",
-        (F.col("chi_sq") > F.lit(DRIFT_THRESHOLD)).alias("drifted"),
+        (
+            (F.col("chi_sq") > F.lit(DRIFT_THRESHOLD))
+            | (F.col("n_early") == 0)
+        ).alias("drifted"),
     )
 
 
@@ -1080,13 +1097,13 @@ ref AS (
 ),
 binned AS (
   SELECT h.event_type, h.early,
-         CASE WHEN r.vmax = r.vmin THEN 0
+         CASE WHEN r.vmax IS NULL OR r.vmax = r.vmin THEN 0
               ELSE least({DRIFT_BINS - 1}, greatest(0,
                 CAST(floor((h.value - r.vmin)
                            / ((r.vmax - r.vmin) / {float(DRIFT_BINS)}))
                      AS INT)))
          END AS bucket
-  FROM halved h JOIN ref r ON h.event_type = r.event_type
+  FROM halved h LEFT JOIN ref r ON h.event_type = r.event_type
 ),
 hist AS (
   SELECT event_type, bucket,
@@ -1135,6 +1152,6 @@ SELECT event_type,
        CAST(n_early AS BIGINT) AS n_early,
        CAST(n_late AS BIGINT) AS n_late,
        chi_sq,
-       chi_sq > {DRIFT_THRESHOLD} AS drifted
+       (chi_sq > {DRIFT_THRESHOLD} OR n_early = 0) AS drifted
 FROM agg
 """

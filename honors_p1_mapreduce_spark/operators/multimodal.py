@@ -250,7 +250,12 @@ def _decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
         raw = d.decompress(idat, (stride + 1) * h)
         if d.unconsumed_tail:
             raise UnsupportedMediaError("PNG IDAT exceeds geometry")
-        d.flush()
+        # unconsumed_tail alone misses a slightly-oversized stream
+        # whose extra output fits zlib's internal window (r8 advisor):
+        # flush() returning bytes, or trailing input past the deflate
+        # stream (unused_data), both mean IDAT exceeds the geometry.
+        if d.flush() or d.unused_data:
+            raise UnsupportedMediaError("PNG IDAT exceeds geometry")
     except UnsupportedMediaError:
         raise
     except (zlib.error, struct.error, IndexError) as ex:

@@ -591,6 +591,69 @@ def test_events_drift_chisq_detects_planted_shift(spark, tmp_path):
     assert out["shifted"]["chi_sq"] > 10 * out["stable"]["chi_sq"]
 
 
+def test_events_drift_chisq_flags_late_only_type(spark, tmp_path):
+    """A type that FIRST appears in the late half has no early
+    reference frame — the exact new-ingest anomaly a drift gate must
+    flag, not silently drop (r8 advisor finding). It must appear in
+    the output with n_early = 0 and drifted = True, and the DuckDB
+    oracle must agree row-for-row on the same synthetic corpus."""
+    import datetime
+
+    import duckdb
+
+    from honors_p1_mapreduce_spark.operators.events import (
+        EVENTS_DRIFT_CHISQ_ORACLE,
+        events_drift_chisq,
+    )
+
+    def day(d):
+        return datetime.datetime(2024, 1, d)
+
+    rows = []
+    eid = 0
+    for d in range(1, 21):  # days 1-10 early, 11-20 late (mid = day 10)
+        late = d > 10
+        for i in range(50):
+            rows.append((eid, day(d), i, "stable", float(i % 10), "{}"))
+            eid += 1
+            if late:
+                rows.append((eid, day(d), i, "brand_new", float(i), "{}"))
+                eid += 1
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/events.parquet")
+
+    out = {r["event_type"]: r for r in events_drift_chisq(spark, dirp).collect()}
+    assert set(out) == {"stable", "brand_new"}
+    assert out["brand_new"]["n_early"] == 0
+    assert out["brand_new"]["n_late"] == 500
+    assert out["brand_new"]["drifted"] is True
+    assert out["stable"]["drifted"] is False
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM"
+            f" read_parquet('{dirp}/events.parquet/*.parquet')"
+        )
+        ora = {
+            r[0]: r for r in con.execute(EVENTS_DRIFT_CHISQ_ORACLE).fetchall()
+        }
+    finally:
+        con.close()
+    assert set(ora) == set(out)
+    for t, r in out.items():
+        assert (
+            r["n_early"],
+            r["n_late"],
+            r["chi_sq"],
+            r["drifted"],
+        ) == tuple(ora[t][1:]), t
+
+
 def test_dataset_publish_manifest_roundtrip_preserves_corpus(spark, sf_dir):
     """The published partitioned parquet must contain exactly the
     source corpus: manifest totals equal direct counts and the

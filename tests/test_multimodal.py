@@ -480,6 +480,41 @@ def test_png_magic_with_garbage_falls_back_to_fake(spark, sf_dir):
         assert len(feat) == mm.FEATURE_DIM
 
 
+def test_png_slightly_oversized_idat_is_rejected():
+    """An IDAT stream a few bytes LONGER than the geometry admits
+    fits zlib's internal window, so unconsumed_tail stays empty — the
+    r8 advisor's gap in the bomb guard. The flush()/unused_data check
+    must reject it (and the exact-length stream must still decode)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def png(raw: bytes) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 gray
+        return (
+            mm.PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    exact = (4 + 1) * 4  # (stride + 1) * h, filter byte per row
+    w, h, nf, hist = mm._decode_png(png(bytes(exact)))
+    assert (w, h) == (4, 4)
+    for extra in (1, 3, 64):
+        with pytest.raises(mm.UnsupportedMediaError):
+            mm._decode_png(png(bytes(exact + extra)))
+
+
 # --------------------------------------------------- AVI (round 8)
 
 
