@@ -1197,3 +1197,193 @@ SELECT doc_id,
          AS hist_digest
 FROM hist
 """
+
+
+# ------------------------------------- perceptual image near-dup (r9)
+
+# Duplicate IMAGES whose bytes differ — the multimodal member of the
+# dedup family (r8 verdict #4): re-encoded, slightly-retouched, or
+# noise-perturbed copies share no byte hash, but their PERCEPTUAL
+# fingerprint (a difference hash over a normalized grayscale grid;
+# Krawetz's dHash, the integer-only cousin of pHash) lands within a
+# small hamming distance. Pipeline: real container decode
+# (_pixel_grid: BMP DIB walk / P6 tokenizer) -> nearest-neighbor
+# normalize to an 8x8 grid (nearest_resize — the same public-resize
+# math as media_resize) -> integer grayscale (r+g+b, no division: the
+# sum is order-isomorphic to the mean and exactly portable) -> 56-bit
+# horizontal-gradient fingerprint -> banded hamming self-join (the
+# simhash_neardup machinery: 4 bands x 14 bits; sharing >= 1 band is
+# the candidate condition, so candidates are bucketed equi-join rows,
+# NEVER all pairs).
+#
+# 100 TB shape: the decode+fingerprint pass is map-only mapInPandas
+# (embarrassingly parallel, Arrow-batched); downstream of it every
+# image is 8 bytes + a doc_id, so the join stage's input is ~10^-5 of
+# the pixel data; the band self-join shuffles those 8-byte rows once.
+# Every arithmetic step is integer, so DuckDB re-derives fingerprints
+# from hex(encode(text)) byte offsets and the driver hash-gates the
+# whole pipeline end-to-end.
+
+PHASH_GRID = 8  # normalize every image to 8x8 before hashing
+PHASH_BITS = (PHASH_GRID - 1) * PHASH_GRID  # 7 gradients x 8 rows = 56
+IMG_NEARDUP_BANDS = 4
+IMG_NEARDUP_BAND_BITS = PHASH_BITS // IMG_NEARDUP_BANDS  # 14
+IMG_NEARDUP_HAMMING_MAX = 6
+
+
+def image_dhash(content: bytes) -> int:
+    """56-bit perceptual difference hash of a BMP/PPM payload: decode
+    the real container, normalize to PHASH_GRID^2 via nearest
+    neighbor, grayscale by integer channel sum, set bit (y*7+x) when
+    g(x,y) > g(x+1,y). Brightness shifts and byte-level noise that
+    preserve local gradient ORDER leave the hash unchanged — which is
+    the point."""
+    w, h, data = _pixel_grid(content)
+    rz = nearest_resize(data, w, h, PHASH_GRID, PHASH_GRID)
+    g = [
+        rz[3 * i] + rz[3 * i + 1] + rz[3 * i + 2]
+        for i in range(PHASH_GRID * PHASH_GRID)
+    ]
+    fp = 0
+    for y in range(PHASH_GRID):
+        for x in range(PHASH_GRID - 1):
+            if g[y * PHASH_GRID + x] > g[y * PHASH_GRID + x + 1]:
+                fp |= 1 << (y * (PHASH_GRID - 1) + x)
+    return fp
+
+
+def image_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) via one Arrow-batched map-only pass —
+    bytes in, 8-byte hashes out, no shuffle."""
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fingerprint": [
+                        image_dhash(bytes(c)) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
+
+
+def media_image_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
+) -> DataFrame:
+    """Registered query: perceptual near-duplicate image pairs
+    (doc_a, doc_b, hamming) — decode-normalize-hash each real BMP/PPM
+    payload, then the banded hamming join: pairs sharing >= 1 of 4
+    14-bit bands with hamming <= max_hamming. The banded definition
+    is the query contract (same as simhash_neardup; for
+    hamming <= 3 the 4-band pigeonhole makes banding lossless)."""
+    from pyspark.storagelevel import StorageLevel
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    )
+    # both sides of the band self-join need the fingerprints; persist
+    # or the decode pass runs twice
+    fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    banded = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(IMG_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fingerprint", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _phash_gray_offsets() -> list[int]:
+    """Source-byte offset of each normalized grid pixel's R channel,
+    in grid order — the static arithmetic shared with
+    nearest_resize(IMG_W, IMG_H -> PHASH_GRID^2)."""
+    offs = []
+    for y in range(PHASH_GRID):
+        sy = y * IMG_H // PHASH_GRID
+        for x in range(PHASH_GRID):
+            sx = x * IMG_W // PHASH_GRID
+            offs.append((sy * IMG_W + sx) * 3)
+    return offs
+
+
+def _image_neardup_oracle() -> str:
+    offs = _phash_gray_offsets()
+
+    def gray(i: int) -> str:
+        p = offs[i]
+        return " + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * (p + c) + 1}, 2)) AS BIGINT)"
+            for c in range(3)
+        )
+
+    g_cols = ",\n         ".join(
+        f"({gray(i)}) AS g{i}" for i in range(PHASH_GRID * PHASH_GRID)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN g{y * PHASH_GRID + x} > g{y * PHASH_GRID + x + 1} "
+        f"THEN CAST({1 << (y * (PHASH_GRID - 1) + x)} AS BIGINT) ELSE 0 END"
+        for y in range(PHASH_GRID)
+        for x in range(PHASH_GRID - 1)
+    )
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    return f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 <> 0
+),
+g AS (
+  SELECT doc_id,
+         {g_cols}
+  FROM d
+),
+fp AS (SELECT doc_id, {fp_terms} AS fingerprint FROM g),
+banded AS (
+  SELECT doc_id, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM fp,
+       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
+"""
+
+
+MEDIA_IMAGE_NEARDUP_ORACLE = _image_neardup_oracle()

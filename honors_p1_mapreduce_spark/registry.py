@@ -189,6 +189,10 @@ QUERIES: dict[str, QueryFn] = {
     # nation trade graph (Suri-Vassilvitskii orientation — O(m^{3/2})
     # wedges, no hub blowup); oracle = 3-way self-join
     "trade_triangles": _gph.trade_triangles,
+    # NEW r9: perceptual image near-dup — real BMP/PPM decode ->
+    # dHash normalize-and-gradient fingerprint -> banded hamming join
+    # (the multimodal member of the dedup family; r8 verdict #4)
+    "media_image_neardup": _mm.media_image_neardup,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -437,6 +441,9 @@ ORACLES: dict[str, str] = {
     "bloom_pruned_join": _sk.BLOOM_PRUNED_JOIN_ORACLE,
     "bucketed_join_revenue": _rel.BUCKETED_JOIN_REVENUE_ORACLE,
     "trade_triangles": _gph.TRADE_TRIANGLES_ORACLE,
+    # perceptual image near-dup (r9): fingerprints re-derived from
+    # hex(encode(text)) static byte offsets, banding + hamming in SQL
+    "media_image_neardup": _mm.MEDIA_IMAGE_NEARDUP_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

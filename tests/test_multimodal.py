@@ -591,3 +591,95 @@ def test_media_avi_decode_oracle(spark, sf_dir):
         spark, sf_dir, registry.QUERIES["media_avi_decode"],
         registry.ORACLES["media_avi_decode"],
     )
+
+
+# ------------------------------------ perceptual image near-dup (r9)
+
+
+def test_image_dhash_invariances():
+    """dHash must survive byte-level edits that preserve local
+    gradient order (global brightness shift) and flip completely on
+    gradient inversion — the perceptual contract, on handcrafted
+    BMPs whose raw bytes all differ."""
+    base = bytes(
+        min(32 + x * 9 + y, 126)
+        for y in range(mm.IMG_H)
+        for x in range(mm.IMG_W)
+        for _ in range(3)
+    )
+    brighter = bytes(b + 2 for b in base)
+    inverted = bytes(
+        min(32 + (mm.IMG_W - 1 - x) * 9 + y, 126)
+        for y in range(mm.IMG_H)
+        for x in range(mm.IMG_W)
+        for _ in range(3)
+    )
+    blobs = {
+        name: mm.BMP_HEADER + data
+        for name, data in [("a", base), ("b", brighter), ("c", inverted)]
+    }
+    ha, hb, hc = (mm.image_dhash(blobs[n]) for n in "abc")
+    assert blobs["a"] != blobs["b"]
+    assert ha == hb  # brightness shift: bytes differ, hash identical
+    assert 0 <= ha < (1 << mm.PHASH_BITS)
+    # inversion flips every horizontal gradient with a nonzero step
+    assert bin(ha ^ hc).count("1") > mm.IMG_NEARDUP_HAMMING_MAX
+
+
+def test_media_image_neardup_planted_pair(spark, tmp_path):
+    """Planted perceptual duplicates: doc 1 and doc 4 (both images —
+    doc_id % 3 != 0) encode the same gradient at different brightness
+    (every byte differs), doc 2 encodes the inverted gradient. The
+    near-dup join must emit exactly the planted pair, and the DuckDB
+    oracle must agree on the same synthetic corpus."""
+    import duckdb
+
+    def grid(invert: bool, bias: int) -> str:
+        return "".join(
+            chr(
+                min(
+                    32
+                    + bias
+                    + (mm.IMG_W - 1 - x if invert else x) * 9
+                    + y,
+                    126,
+                )
+            )
+            for y in range(mm.IMG_H)
+            for x in range(mm.IMG_W)
+            for _ in range(3)
+        )
+
+    pad = " " * (mm.WAV_DATA_LEN - mm.IMG_DATA_LEN)
+    rows = [
+        (1, grid(False, 0) + pad, "synthetic"),
+        (2, grid(True, 0) + pad, "synthetic"),
+        (4, grid(False, 2) + pad, "synthetic"),
+    ]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.media_image_neardup(spark, dirp).collect()
+    ]
+    assert pairs == [(1, 4, 0)]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(mm.MEDIA_IMAGE_NEARDUP_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == pairs
+
+
+def test_media_image_neardup_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, mm.media_image_neardup, mm.MEDIA_IMAGE_NEARDUP_ORACLE
+    )
