@@ -1022,3 +1022,154 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '{BLOOM_JOIN_PRIORITY}'
 GROUP BY 1
 """
+
+
+# ------------------------------- mergeable quantile sketch (r9)
+
+# The sketch family's missing member (r8 verdict #6): membership has
+# bloom, distinct has HLL, frequency has CMS — quantiles get a
+# LOG-WIDTH HISTOGRAM sketch, the integer-portable stand-in for the
+# t-digest/KLL role. Values are quantized to k = floor(v*SCALE + 0.5)
+# and bucketed by k's BIT LENGTH (length(bin(k)) — the same
+# integer-only log2 trick as token_len_histogram), so bucket b covers
+# k in [2^(b-1), 2^b-1]: fixed <= ~18 buckets per group at any data
+# size, counts merge by ADDITION (bit-exact, associative — same
+# algebra as cms_daily_merge), and the bucket containing any target
+# rank is found EXACTLY (ranks are exact; only the value inside the
+# bucket is approximate, with guaranteed relative error <= 2x from
+# the log width). This replaces the full order-statistic sorts
+# (events_value_deciles / winsorize) at 100 TB: raw events are
+# touched once per day by a map-side-combined partial aggregate;
+# every later quantile question reads stored daily grids.
+
+QSK_SCALE = 100  # two decimal digits — events.value's native grain
+QSK_PCTS = (25, 50, 75, 90, 99)
+
+
+def _qsk_bucket(v: Column) -> Column:
+    """Log-width bucket of a value: bit length of the quantized
+    integer (clamped at 0; bin(0) = '0' has length 1, so bucket 1
+    covers k in {0, 1})."""
+    k = F.greatest(
+        F.floor(v * QSK_SCALE + F.lit(0.5)).cast("bigint"), F.lit(0)
+    )
+    return F.length(F.bin(k)).cast("int")
+
+
+def quantile_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile estimates from DAILY log-width histogram
+    sketches merged by bucket-wise addition. The daily (type, day,
+    bucket, cnt) grid is the stored artifact; the merge across days is
+    exact (pinned bit-identical to the direct whole-table grid in
+    pytest); cumulative counts over the <= ~18 buckets per type locate
+    the exact rank's bucket, whose [2^(b-1), 2^b-1] bounds bracket the
+    true order statistic (asserted against the exact percentile in
+    pytest).
+
+    Output: (event_type, q_pct, n, rank, bucket, est_klo, est_khi) —
+    all-integer columns (k units: value*SCALE), so the whole pipeline
+    is engine-portable with no float canon concerns.
+
+    Plan: one events scan -> map-side-combined daily grid -> additive
+    merge -> per-type cumulative window over a dashboard-sized frame
+    -> rank probe join (types x |QSK_PCTS| rows). No global sort, no
+    per-row window.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        _qsk_bucket(F.col("value")).alias("bucket"),
+    )
+    # the stored artifact: one tiny bucket grid per (type, day)...
+    daily = rows.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    # ...and the additive merge answering global questions
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = merged.select(
+        "event_type", "bucket", F.sum("cnt").over(w).alias("cum")
+    )
+    totals = merged.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    spine = totals.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in QSK_PCTS])).alias("q_pct"),
+    ).select(
+        "event_type",
+        "n",
+        "q_pct",
+        F.expr("(q_pct * n + 99) div 100").cast("bigint").alias("rank"),
+    )
+    picked = (
+        spine.join(cum, "event_type")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("event_type", "q_pct", "n", "rank")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return picked.select(
+        "event_type",
+        F.col("q_pct").cast("int").alias("q_pct"),
+        "n",
+        "rank",
+        "bucket",
+        F.when(F.col("bucket") == 1, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+        .alias("est_klo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+        .cast("bigint")
+        .alias("est_khi"),
+    )
+
+
+QUANTILE_DAILY_MERGE_ORACLE = f"""
+WITH rows_q AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         length(bin(greatest(
+           CAST(floor(value * {QSK_SCALE} + 0.5) AS BIGINT), 0))) AS bucket
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, bucket, count(*) AS cnt
+  FROM rows_q GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, sum(cnt) AS cnt
+  FROM daily GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM merged
+),
+totals AS (
+  SELECT event_type, sum(cnt) AS n FROM merged GROUP BY 1
+),
+spine AS (
+  SELECT t.event_type, t.n, p.p AS q_pct, (p.p * t.n + 99) // 100 AS rank
+  FROM totals t,
+       unnest([{', '.join(str(p) for p in QSK_PCTS)}]) AS p(p)
+),
+picked AS (
+  SELECT s.event_type, s.q_pct, s.n, s.rank, min(c.bucket) AS bucket
+  FROM spine s JOIN cum c
+    ON s.event_type = c.event_type AND c.cum >= s.rank
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type,
+       CAST(q_pct AS INT) AS q_pct,
+       CAST(n AS BIGINT) AS n,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(bucket AS INT) AS bucket,
+       CAST(CASE WHEN bucket = 1 THEN 0
+                 ELSE CAST(1 AS BIGINT) << (bucket - 1) END AS BIGINT)
+         AS est_klo,
+       CAST((CAST(1 AS BIGINT) << bucket) - 1 AS BIGINT) AS est_khi
+FROM picked
+"""

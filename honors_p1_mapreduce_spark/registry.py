@@ -193,6 +193,10 @@ QUERIES: dict[str, QueryFn] = {
     # dHash normalize-and-gradient fingerprint -> banded hamming join
     # (the multimodal member of the dedup family; r8 verdict #4)
     "media_image_neardup": _mm.media_image_neardup,
+    # NEW r9: mergeable quantile sketch — daily log-width histogram
+    # grids, additive merge, exact-rank bucket probe (the t-digest
+    # role, integer-portable; r8 verdict #6)
+    "quantile_daily_merge": _sk.quantile_daily_merge,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -444,6 +448,9 @@ ORACLES: dict[str, str] = {
     # perceptual image near-dup (r9): fingerprints re-derived from
     # hex(encode(text)) static byte offsets, banding + hamming in SQL
     "media_image_neardup": _mm.MEDIA_IMAGE_NEARDUP_ORACLE,
+    # mergeable quantile sketch (r9): all-integer output, windowed
+    # cumulative over the tiny merged grid mirrored in SQL
+    "quantile_daily_merge": _sk.QUANTILE_DAILY_MERGE_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

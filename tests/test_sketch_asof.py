@@ -356,3 +356,101 @@ def test_bloom_join_fp_rate_matches_theory(spark, sf_dir):
     assert abs(row["fp_rate"] - p) <= 3 * sigma + 1.0 / max(
         row["n_probe_neg"], 1
     ), (row["fp_rate"], p, sigma)
+
+
+# ------------------------------- mergeable quantile sketch (r9)
+
+from .conftest import SF_DIR_MED  # noqa: E402
+
+
+def test_quantile_daily_merge_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        QUANTILE_DAILY_MERGE_ORACLE,
+        quantile_daily_merge,
+    )
+
+    compare_query(
+        spark, sf_dir, quantile_daily_merge, QUANTILE_DAILY_MERGE_ORACLE
+    )
+
+
+def test_quantile_sketch_merge_equals_direct(spark, sf_dir):
+    """The merge identity the sketch's 100 TB story rests on: summing
+    the per-day bucket grids must be BIT-EXACT equal to bucketing the
+    whole table directly (addition is associative — same algebra as
+    cms_daily_merge)."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        _qsk_bucket,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR_MED, "events")
+    rows = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        _qsk_bucket(F.col("value")).alias("bucket"),
+    )
+    daily = rows.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    merged = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in daily.groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    direct = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in rows.groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_sketch_brackets_exact_order_statistic(spark):
+    """For every (type, q) the sketch's [est_klo, est_khi] bucket
+    bounds must contain the EXACT rank-r order statistic (in k units)
+    — ranks are exact in this sketch, only the value is bucketed, so
+    the bracket guarantee (relative error <= 2x) is a theorem the
+    implementation must not break."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        QSK_SCALE,
+        quantile_daily_merge,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    ks = {
+        t: sorted(
+            r["k"]
+            for r in load_table(spark, SF_DIR_MED, "events")
+            .filter(F.col("event_type") == t)
+            .select(
+                F.greatest(
+                    F.floor(F.col("value") * QSK_SCALE + F.lit(0.5)).cast(
+                        "bigint"
+                    ),
+                    F.lit(0),
+                ).alias("k")
+            )
+            .collect()
+        )
+        for t in ("click", "purchase")
+    }
+    out = quantile_daily_merge(spark, SF_DIR_MED).collect()
+    checked = 0
+    for r in out:
+        if r["event_type"] not in ks:
+            continue
+        exact_k = ks[r["event_type"]][r["rank"] - 1]  # rank is 1-based
+        assert r["est_klo"] <= exact_k <= r["est_khi"], (
+            r["event_type"], r["q_pct"], exact_k, r["est_klo"], r["est_khi"],
+        )
+        checked += 1
+    from honors_p1_mapreduce_spark.operators.sketch import QSK_PCTS
+
+    assert checked == 2 * len(QSK_PCTS)
