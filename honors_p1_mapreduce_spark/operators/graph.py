@@ -166,8 +166,7 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enumerate_triangles(_trade_edges(spark, sf_dir).persist())
 
 
-TRADE_TRIANGLES_ORACLE = f"""
-WITH rev AS (
+_TRADE_EDGES_CTES = f"""rev AS (
   SELECT sn.n_name AS sa, cn.n_name AS sb,
          l_extendedprice * (1 - l_discount) AS r
   FROM lineitem
@@ -187,9 +186,127 @@ tot AS (SELECT SUM(w) AS t FROM edges),
 kept AS (
   SELECT u, v FROM edges, tot
   WHERE CAST(w AS DOUBLE) * {EDGE_KEEP_DENOM} >= CAST(t AS DOUBLE)
-)
+)"""
+
+TRADE_TRIANGLES_ORACLE = f"""
+WITH {_TRADE_EDGES_CTES}
 SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
 FROM kept e1
 JOIN kept e2 ON e2.u = e1.v
 JOIN kept e3 ON e3.u = e1.u AND e3.v = e2.v
 """
+
+
+# --------------------------------------- k-core decomposition (r9)
+
+TRADE_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 26  # > max peel rounds for a <= 25-node graph
+
+
+def kcore_edges(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Edges of the k-core: iteratively PEEL nodes of degree < k
+    (Seidman 1983; the Batagelj-Zaveršnik peel in round-parallel
+    form) until fixpoint. Each round is one degree aggregate + two
+    semi-joins — equi-joins only, so the same plan runs on a
+    web-scale edge table; convergence costs ONE scalar action per
+    round (edge count: peeling strictly shrinks the edge set, so an
+    unchanged count IS the fixpoint), every round frame is
+    ``localCheckpoint``ed to truncate iterative lineage, and the
+    previous round's blocks are released as the next materializes —
+    the ``connected_components`` loop discipline. Rounds are bounded
+    by the peel depth (O(graph degeneracy), not O(n): every
+    non-final round removes at least one node).
+
+    No broadcast hint on the survivor sets: at scale the survivor
+    frame is corpus-proportional in early rounds; AQE picks the
+    strategy per round.
+    """
+    live = edges.select("u", "v").localCheckpoint()
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("u").alias("n"))
+            .unionAll(live.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        new_live = (
+            live.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        row = (
+            new_live.agg(F.count("*").alias("c"))
+            .crossJoin(live.agg(F.count("*").alias("p")))  # 1-row frames
+            .collect()[0]
+        )
+        live.unpersist()
+        live = new_live
+        if row.c == row.p:
+            break
+    return live
+
+
+def trade_kcore(
+    spark: SparkSession, sf_dir: str, k: int = TRADE_KCORE_K
+) -> DataFrame:
+    """Registered query: the k-core of the thresholded nation-trade
+    graph — the maximal subgraph where every surviving nation still
+    trades heavily with >= k other survivors (the standard cohesion
+    primitive after components + triangles: periphery nations peel
+    off even when their raw degree exceeds k, because their
+    neighbours peel first).
+
+    Output: (nation, core_degree) for each surviving node, with its
+    degree WITHIN the core (>= k by construction). The fact-side edge
+    derivation is persisted once; every peel round runs on the
+    <= 300-row reduced frame.
+    """
+    core = kcore_edges(_trade_edges(spark, sf_dir).persist(), k)
+    return (
+        core.select(F.col("u").alias("nation"))
+        .unionAll(core.select(F.col("v").alias("nation")))
+        .groupBy("nation")
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
+def _kcore_oracle(k: int = TRADE_KCORE_K) -> str:
+    """Peel loop unrolled to fixed CTE rounds (the Lloyd-chain trick:
+    DuckDB's recursive CTEs are monotone-append, peeling is not). A
+    <= 25-node graph reaches fixpoint in < _KCORE_ORACLE_ROUNDS
+    rounds, so the last round IS the fixpoint."""
+    # every round CTE is MATERIALIZED: s{{r}} is referenced twice by
+    # round r+1, so inlined CTEs would re-expand the whole chain
+    # exponentially (observed as fd exhaustion re-opening the fact
+    # parquet files); materialization makes each round evaluate once
+    rounds = []
+    rounds.append(
+        "s0 AS MATERIALIZED (SELECT u AS n FROM kept UNION SELECT v FROM kept)"
+    )
+    for r in range(1, _KCORE_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT e.n, count(*) AS d FROM dirboth e
+  WHERE e.n IN (SELECT n FROM s{r - 1})
+    AND e.m IN (SELECT n FROM s{r - 1})
+  GROUP BY e.n
+),
+s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k})"""
+        )
+    last = _KCORE_ORACLE_ROUNDS
+    return f"""
+WITH {_TRADE_EDGES_CTES},
+dirboth AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM kept UNION ALL SELECT v, u FROM kept
+),
+{",".join(rounds)}
+SELECT e.n AS nation, count(*) AS core_degree
+FROM dirboth e
+WHERE e.n IN (SELECT n FROM s{last})
+  AND e.m IN (SELECT n FROM s{last})
+GROUP BY e.n
+"""
+
+
+TRADE_KCORE_ORACLE = _kcore_oracle()

@@ -197,6 +197,9 @@ QUERIES: dict[str, QueryFn] = {
     # grids, additive merge, exact-rank bucket probe (the t-digest
     # role, integer-portable; r8 verdict #6)
     "quantile_daily_merge": _sk.quantile_daily_merge,
+    # NEW r9: k-core of the trade graph — round-parallel peel with
+    # the connected_components loop discipline (r8 verdict #7)
+    "trade_kcore": _gph.trade_kcore,
     # --- [r8 window, block D] oldest remaining driver stamps
     # (round 6, in their r6 order) until the window holds 50
     "cms_sketch": _sk.cms_sketch,
@@ -451,6 +454,8 @@ ORACLES: dict[str, str] = {
     # mergeable quantile sketch (r9): all-integer output, windowed
     # cumulative over the tiny merged grid mirrored in SQL
     "quantile_daily_merge": _sk.QUANTILE_DAILY_MERGE_ORACLE,
+    # k-core (r9): peel loop unrolled to MATERIALIZED CTE rounds
+    "trade_kcore": _gph.TRADE_KCORE_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -60,3 +60,70 @@ def test_triangles_hub_graph_counts_each_once(spark):
 
 def test_trade_triangles_matches_oracle(spark, sf_dir):
     compare_query(spark, sf_dir, trade_triangles, TRADE_TRIANGLES_ORACLE)
+
+
+# --------------------------------------- k-core decomposition (r9)
+
+
+def _brute_kcore(edges, k):
+    """Reference peel: remove min-degree-< k nodes until fixpoint."""
+    es = {tuple(e) for e in edges}
+    while True:
+        deg: dict = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        dead = {n for n, d in deg.items() if d < k}
+        if not dead:
+            return sorted(deg.items())
+        es = {(u, v) for u, v in es if u not in dead and v not in dead}
+
+
+def test_kcore_cascade_golden(spark):
+    """Planted cascade: a 4-clique (a 3-core) with a pendant chain
+    c1-c2-c3 hung off it, plus node 'x' wired to THREE chain nodes —
+    x's raw degree meets k, but the chain peels first and takes x
+    with it. Only the clique may survive k=3."""
+    from honors_p1_mapreduce_spark.operators.graph import kcore_edges
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "c1"), ("c1", "c2"), ("c2", "c3")]
+    x = [("c1", "x"), ("c2", "x"), ("c3", "x")]
+    df = spark.createDataFrame(clique + chain + x, ["u", "v"])
+    out = sorted(
+        (r["u"], r["v"]) for r in kcore_edges(df, 3).collect()
+    )
+    assert out == sorted(clique)
+
+
+def test_kcore_differential_random_graphs(spark):
+    """Engine peel vs the Python reference on random graphs, across
+    k values — including graphs whose k-core is empty."""
+    from honors_p1_mapreduce_spark.operators.graph import kcore_edges
+
+    rng = random.Random(9)
+    for trial in range(4):
+        nodes = [f"n{i}" for i in range(14)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(8, 40))
+            }
+        )
+        for k in (2, 3, 4):
+            df = spark.createDataFrame(edges, ["u", "v"])
+            surv = kcore_edges(df, k).collect()
+            got: dict = {}
+            for r in surv:
+                got[r["u"]] = got.get(r["u"], 0) + 1
+                got[r["v"]] = got.get(r["v"], 0) + 1
+            assert sorted(got.items()) == _brute_kcore(edges, k), (trial, k)
+
+
+def test_trade_kcore_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.graph import (
+        TRADE_KCORE_ORACLE,
+        trade_kcore,
+    )
+
+    compare_query(spark, sf_dir, trade_kcore, TRADE_KCORE_ORACLE)
