@@ -26,6 +26,15 @@ the second sample was a memo hit; compare those against r7's FIRST
 samples in BENCH_r07's runs array. A fixed-size calibration shuffle
 is timed before/after the suite ("calibration_sec") to normalize the
 110-136 s host band.
+
+Round 9 (per the r8 verdict): the headline stays the cold min-of-two,
+and a third pass records per-query WARM times ("warm" in
+BENCH_FULL.json: memos left in place, cache still cleared between
+queries — the production artifact-reuse number), so a future protocol
+change never again makes rounds non-commensurable. The printed line
+also carries "value_normalized": total * (CAL_REF / mean calibration)
+with CAL_REF = 0.5 s — a host-speed-corrected total comparable across
+rounds without archaeology.
 """
 
 from __future__ import annotations
@@ -110,22 +119,43 @@ def main() -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
+    def timed_warm(name: str) -> float:
+        # warm = memos LEFT IN PLACE (artifact reuse, the production
+        # steady state), cache still cleared so executor memory stays
+        # bounded across the 100+-query pass. The memos a query builds
+        # stay for later queries of its family — that reuse is the
+        # point of the warm number.
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).count()
+        secs = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return secs
+
     calibration()  # throwaway: compile the calibration shape once so
     # both recorded samples measure host speed, not codegen
     cal_start = calibration()
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
     second = {name: timed(name) for name in names}
+    warm = {name: timed_warm(name) for name in names}
+    registry.reset_memos()
     cal_end = calibration()
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
 
     line, full = build_output(
-        timings, sf, runs=runs, calibration=[cal_start, cal_end]
+        timings,
+        sf,
+        runs=runs,
+        calibration=[cal_start, cal_end],
+        warm={n: round(w, 3) for n, w in warm.items()},
     )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
     spark.stop()
+
+
+CAL_REF = 0.5  # reference calibration seconds for cross-round norm
 
 
 def build_output(
@@ -133,6 +163,7 @@ def build_output(
     sf: float,
     runs: dict[str, list[float]] | None = None,
     calibration: list[float] | None = None,
+    warm: dict[str, float] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
@@ -158,9 +189,15 @@ def build_output(
         full["runs"] = runs
     if calibration is not None:
         # fixed-size shuffle job timed before the first and after the
-        # second pass: a host-speed scalar for normalizing cross-round
+        # last pass: a host-speed scalar for normalizing cross-round
         # deltas (identical work every run, independent of SF)
         full["calibration_sec"] = calibration
+    if warm is not None:
+        # third-pass per-query times with memos left in place — the
+        # artifact-reuse steady state (r8 verdict #3); headline stays
+        # the cold min-of-two
+        full["warm"] = warm
+        full["warm_total"] = round(sum(warm.values()), 3)
     # seed the headline wordcount only when it actually ran — a run
     # without it must not report a fabricated 0.0 s timing
     shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}
@@ -182,6 +219,13 @@ def build_output(
     }
     if calibration is not None:
         line_dict["calibration_sec"] = calibration
+        cal_mean = sum(calibration) / len(calibration)
+        if cal_mean > 0:
+            # host-speed-corrected total: comparable across rounds
+            # without reading the calibration band by hand
+            line_dict["value_normalized"] = round(total * CAL_REF / cal_mean, 3)
+    if warm is not None:
+        line_dict["warm_total"] = round(sum(warm.values()), 3)
     line = json.dumps(line_dict)
     return line, full
 

@@ -91,127 +91,44 @@ invariant: no rows-only query other than these 5 sanctioned twins may
 occupy a window slot — pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
-ROUND-8 WINDOW (this ordering, per the r7 verdict's "Next round" #1):
-block A = the 22 r5-stamped tail-top leftovers (oldest driver stamps;
-swept green by the builder in r7 and by earlier driver rounds);
-block B = the 8 round-7 additions that have never had a hard driver
-stamp (the r7 judge's replica sweep ran all 8 green at sf0.01;
-events_winsorized_stats_fast is the sanctioned rows-only member);
-block C = queries NEW in round 8 or whose modules CHANGE in round 8
-(dedup_clusters round-overhead fix; the stored-artifact read-back
-cycles bpe_encode_ids_stored / pq_search_stored /
-decontaminate_stored; media_avi_decode; dedup_incremental;
-hll_type_overlap) so the changed code gets a fresh hard stamp;
-block D = oldest remaining stamps (round 6, in their r6 order) until
-the window holds 50. Everything after position 50 is r6-stamped
-(1 round old) or r7-stamped (freshest, CORRECTNESS_r07.json) and
-rotates back in round 9 oldest-first. Count the actual entries when
-rotating — do not trust this comment's numbers if the registry has
-grown."""
+ROUND-9 WINDOW (this ordering, per the r8 verdict's "Next round" #2):
+block A = the 12 queries new in r9 or whose modules changed in r9;
+block B = the 37 r6-stamped tail entries (oldest stamps), oldest
+first; block C = the single oldest r7-stamped entry, filling the
+window to 50. All five sanctioned rows-only twins sit OUTSIDE this
+window (all were stamped-executed r7/r8), so the r9 window is 50/50
+oracle-backed. After position 50: the remaining r7-stamped block,
+then the r8-stamped block — the r7 block becomes the oldest evidence
+at r9 close and rotates back in first in round 10. Count the actual
+entries when rotating — do not trust this comment's numbers if the
+registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r8 window, block A] the 22 r5-stamped tail-top leftovers —
-    # oldest driver stamps in the registry (builder parity sweep green
-    # r7, PROGRESS.jsonl)
-    "token_counts": _ta.token_counts,
-    "stratified_sample": _pl.stratified_sample,
-    "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
-    "repetition_signals": _cu.repetition_signals,
-    "pii_scrub": _cu.pii_scrub,
-    "media_stats": _mm.media_stats,
-    "hll_registers": _sk.hll_registers,
-    "events_above_type_avg": _ev.events_above_type_avg,
-    "bloom_membership": _sk.bloom_membership,
-    "media_decode_features": _mm.media_decode_features,
-    "media_frame_sample": _mm.media_frame_sample,
-    "forecast_revenue": _rx.forecast_revenue,
-    "min_cost_supplier": _rx.min_cost_supplier,
-    "priority_lines": _rx.priority_lines,
-    "excess_shipments": _rx.excess_shipments,
-    "waiting_suppliers": _rx.waiting_suppliers,
-    "dedup_substring_spans": _ss.dedup_substring_spans,
-    "importance_sample": _imp.importance_sample,
-    "events_multi_rollup": _ev.events_multi_rollup,
-    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    "media_resize": _mm.media_resize,
-    # --- [r8 window, block B] round-7 additions with no hard driver
-    # stamp yet (r7 judge replica sweep green at sf0.01; the last
-    # entry is the sanctioned rows-only approx_percentile twin)
-    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
+    # --- [r9 window, block A: 12] queries NEW in round 9 or whose
+    # modules CHANGED in round 9, so the changed code gets a fresh
+    # hard stamp: media_image_neardup / quantile_daily_merge /
+    # trade_kcore are new; dedup_incremental lost its forced batch
+    # broadcast (winnow.py); events_drift_chisq gained the late-only-
+    # type path (events.py + oracle); bucketed_join_revenue and every
+    # _artifact_dir consumer (the three stored cycles +
+    # dataset_publish_manifest) moved to full-path corpus tokens;
+    # media_png_decode's bomb guard tightened; bloom_pruned_join's
+    # prune stage was factored for the FP audit (sketch.py)
+    "media_image_neardup": _mm.media_image_neardup,
+    "quantile_daily_merge": _sk.quantile_daily_merge,
+    "trade_kcore": _gph.trade_kcore,
+    "dedup_incremental": _wn.dedup_incremental,
+    "events_drift_chisq": _ev.events_drift_chisq,
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
     "media_png_decode": _mm.media_png_decode,
-    "decontaminate_neardup": _wn.decontaminate_neardup,
-    "events_value_mad_outliers": _cx.events_value_mad_outliers,
-    "bpe_encode_ids": _bpx.bpe_encode_ids,
-    "pack_token_ids": _bpx.pack_token_ids,
-    "events_burst_runs": _ev.events_burst_runs,
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    # --- [r8 window, block C] modules NEW or CHANGED in round 8 —
-    # restamp the changed code
-    "dedup_clusters": _dd.dedup_clusters,  # r8: round-overhead fix
-    # NEW r8: persisted-artifact read-back cycles (r7 verdict #4) —
-    # write the tokenizer / PQ index to parquet, read it back, apply;
-    # bit-identical to the online queries, same end-to-end oracles
+    "bloom_pruned_join": _sk.bloom_pruned_join,
     "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
     "pq_search_stored": _pq.pq_search_stored,
     "decontaminate_stored": _wn.decontaminate_stored,
-    # NEW r8: real video-container path (r7 verdict #6) — valid AVIs
-    # synthesized in Catalyst, genuine RIFF/movi walk + per-frame DIB
-    # decode + real frame sampling, sampled-pixel digest oracle
-    "media_avi_decode": _mm.media_avi_decode,
-    # NEW r8: incremental batch-vs-index near-dup — the daily dedup a
-    # production pipeline runs against the stored fingerprint index
-    "dedup_incremental": _wn.dedup_incremental,
-    # NEW r8: HLL set algebra — pairwise distinct-user overlap via
-    # register max-merge union + inclusion-exclusion
-    "hll_type_overlap": _sk.hll_type_overlap,
-    # NEW r8: additive daily-CMS merge — the CMS counterpart of
-    # hll_daily_users' max-merge (store daily grids, answer global
-    # frequency queries without rescanning)
-    "cms_daily_merge": _sk.cms_daily_merge,
-    # NEW r8: chi-square value-distribution drift audit (log-free ->
-    # engine-portable; decimal-exact term sums)
-    "events_drift_chisq": _ev.events_drift_chisq,
-    # NEW r8: partitioned publish + read-back-verified shipping
-    # manifest (storage-level end-to-end check, same pattern as the
-    # stored-artifact cycles)
     "dataset_publish_manifest": _cx.dataset_publish_manifest,
-    # NEW r8: bloom runtime-filter join — 16 kB literal bitmap prunes
-    # the probe side map-side; the join removes FPs so the filter
-    # cancels out of the answer (oracle = plain join)
-    "bloom_pruned_join": _sk.bloom_pruned_join,
-    # NEW r8: bucketed co-located fact-fact join — both sides
-    # published as bucketed tables on the join key, read back and
-    # sort-merge-joined with ZERO exchanges (plan-pinned); oracle =
-    # plain join on the source parquet
-    "bucketed_join_revenue": _rel.bucketed_join_revenue,
-    # NEW r8: degree-ordered triangle enumeration over the fact-derived
-    # nation trade graph (Suri-Vassilvitskii orientation — O(m^{3/2})
-    # wedges, no hub blowup); oracle = 3-way self-join
-    "trade_triangles": _gph.trade_triangles,
-    # NEW r9: perceptual image near-dup — real BMP/PPM decode ->
-    # dHash normalize-and-gradient fingerprint -> banded hamming join
-    # (the multimodal member of the dedup family; r8 verdict #4)
-    "media_image_neardup": _mm.media_image_neardup,
-    # NEW r9: mergeable quantile sketch — daily log-width histogram
-    # grids, additive merge, exact-rank bucket probe (the t-digest
-    # role, integer-portable; r8 verdict #6)
-    "quantile_daily_merge": _sk.quantile_daily_merge,
-    # NEW r9: k-core of the trade graph — round-parallel peel with
-    # the connected_components loop discipline (r8 verdict #7)
-    "trade_kcore": _gph.trade_kcore,
-    # --- [r8 window, block D] oldest remaining driver stamps
-    # (round 6, in their r6 order) until the window holds 50
-    "cms_sketch": _sk.cms_sketch,
-    "hll_estimate": _sk.hll_estimate,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "events_gapfill": _ev.events_gapfill,
-    "events_props_stats": _ev.events_props_stats,
-    "funnel_conversion": _ev.funnel_conversion,
-    "similarity_topk": _sim.similarity_topk,
-    # ================= position 51+ — outside the r8 driver window =====
-    # Remaining r6-stamped entries (CORRECTNESS_r06.json, 1 round old
-    # at r8 close) — rotate back in first in round 9:
+    # --- [r9 window, block B: 37] the r6-stamped tail entries —
+    # oldest driver stamps in the registry (CORRECTNESS_r06.json),
+    # rotated back in oldest-first per the r8 verdict
     "similarity_filtered_topk": _sim.similarity_filtered_topk,
     "dedup_exact": _dd.dedup_exact,
     "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
@@ -249,10 +166,15 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
-    # Then the r7-stamped entries (CORRECTNESS_r07.json — the freshest
-    # stamps in the registry; the 4 numpy rows-only twins sit among
-    # them and never take a window slot this round):
+    # --- [r9 window, block C: 1] oldest r7-stamped entry, filling
+    # the window to exactly 50
     "dataset_split": _cx.dataset_split,
+    # ================= position 51+ — outside the r9 driver window =====
+    # Remaining r7-stamped entries (CORRECTNESS_r07.json) in their r7
+    # order — after this round these are the OLDEST stamps (2 rounds)
+    # and rotate back in first in round 10, oldest-first; the 4 numpy
+    # rows-only twins sit among them and only rejoin the window on
+    # their periodic re-execution pass (rows-only policy above):
     "source_profile": _cx.source_profile,
     "revenue_cube": _rx.revenue_cube,
     "bpe_encode_stats": _bpx.bpe_encode_stats,
@@ -267,10 +189,10 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
     "chunk_boilerplate": _ta.chunk_boilerplate,
     "lm_interp_score": _lm.lm_interp_score,
-    "semantic_dedup_fast": _sd.semantic_dedup_fast,  # rows-only numpy twin
-    "similarity_ann_topk": _sim.similarity_ann_topk,  # rows-only numpy twin
-    "embedding_neardup": _sim.embedding_neardup,  # rows-only numpy twin
-    "dedup_minhash": _dd.dedup_minhash_pairs,  # rows-only numpy twin
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
     "lm_bigram_score": _lm.lm_bigram_score,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
@@ -302,6 +224,52 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
+    # Then the r8-stamped entries (CORRECTNESS_r08.json, 1 round old
+    # at r9 close; includes events_winsorized_stats_fast, the 5th
+    # sanctioned rows-only twin), in their r8-window order. Count the
+    # actual entries when rotating — do not trust this comment's
+    # numbers if the registry has grown:
+    "token_counts": _ta.token_counts,
+    "stratified_sample": _pl.stratified_sample,
+    "tfidf_topk": _ta.tfidf_topk,
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
+    "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
+    "events_above_type_avg": _ev.events_above_type_avg,
+    "bloom_membership": _sk.bloom_membership,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
+    "forecast_revenue": _rx.forecast_revenue,
+    "min_cost_supplier": _rx.min_cost_supplier,
+    "priority_lines": _rx.priority_lines,
+    "excess_shipments": _rx.excess_shipments,
+    "waiting_suppliers": _rx.waiting_suppliers,
+    "dedup_substring_spans": _ss.dedup_substring_spans,
+    "importance_sample": _imp.importance_sample,
+    "events_multi_rollup": _ev.events_multi_rollup,
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    "media_resize": _mm.media_resize,
+    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
+    "decontaminate_neardup": _wn.decontaminate_neardup,
+    "events_value_mad_outliers": _cx.events_value_mad_outliers,
+    "bpe_encode_ids": _bpx.bpe_encode_ids,
+    "pack_token_ids": _bpx.pack_token_ids,
+    "events_burst_runs": _ev.events_burst_runs,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    "dedup_clusters": _dd.dedup_clusters,
+    "media_avi_decode": _mm.media_avi_decode,
+    "hll_type_overlap": _sk.hll_type_overlap,
+    "cms_daily_merge": _sk.cms_daily_merge,
+    "trade_triangles": _gph.trade_triangles,
+    "cms_sketch": _sk.cms_sketch,
+    "hll_estimate": _sk.hll_estimate,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "events_gapfill": _ev.events_gapfill,
+    "events_props_stats": _ev.events_props_stats,
+    "funnel_conversion": _ev.funnel_conversion,
+    "similarity_topk": _sim.similarity_topk,
 }
 
 ORACLES: dict[str, str] = {

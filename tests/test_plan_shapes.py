@@ -499,3 +499,40 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 1  # final agg only
     assert plan.count("Bucketed: true") == 2
+
+
+def test_image_neardup_single_decode_pass(spark, sf_dir):
+    """The decode+dHash stage must be ONE Arrow-batched map pass
+    (persisted for both join sides — a second MapInPandas in the plan
+    would mean pixels are decoded twice), and the candidate stage must
+    stay a bucketed equi-join — no cartesian/nested-loop pairing."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_image_neardup,
+    )
+
+    plan = _plan(media_image_neardup(spark, sf_dir))
+    # the persisted fingerprint frame feeds BOTH join sides: each
+    # InMemoryRelation prints its (shared) lineage, so MapInPandas may
+    # appear once per side in the STRING — what matters is that every
+    # decode path goes through the cache (InMemoryTableScan), so the
+    # decode executes once
+    assert "InMemoryTableScan" in plan
+    assert plan.count("MapInPandas") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_sketch_no_global_sort(spark, sf_dir):
+    """The quantile sketch exists to REPLACE order-statistic sorts:
+    its plan must contain no global Sort over event rows — the only
+    sort allowed is inside the per-type window over the <= ~18-bucket
+    merged grid (bounded frame)."""
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        quantile_daily_merge,
+    )
+
+    plan = _plan(quantile_daily_merge(spark, sf_dir))
+    # window sort over the tiny merged grid is fine; a global
+    # range-partitioned sort (Exchange rangepartitioning) is not
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
