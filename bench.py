@@ -34,7 +34,11 @@ queries — the production artifact-reuse number), so a future protocol
 change never again makes rounds non-commensurable. The printed line
 also carries "value_normalized": total * (CAL_REF / mean calibration)
 with CAL_REF = 0.5 s — a host-speed-corrected total comparable across
-rounds without archaeology.
+rounds without archaeology. Read "warm" per-query against the raw
+"runs" samples, not against the min-of-two headline: warm is a SINGLE
+sample, so for non-memo queries it carries single-run noise and only
+the memo-backed families (bpe_*, pack_*, winnow_*, similarity_pq_*,
+*_stored) are expected to read materially below their cold times.
 """
 
 from __future__ import annotations

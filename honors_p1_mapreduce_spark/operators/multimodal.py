@@ -1387,3 +1387,64 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
 
 
 MEDIA_IMAGE_NEARDUP_ORACLE = _image_neardup_oracle()
+
+
+def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the dedup DECISION over perceptual image
+    near-dups — connected components of the :func:`media_image_neardup`
+    pair graph (large-star/small-star via ``dedup.connected_components``,
+    the same O(log d)-round machinery as text ``dedup_clusters``),
+    labels = min doc_id per component, singleton images as their own
+    cluster. A pipeline keeps one image per cluster; pairs alone don't
+    say which.
+
+    Output: (doc_id, cluster, cluster_size) for EVERY image.
+
+    Scale shape: the pixel data is gone after the fingerprint pass
+    (inside media_image_neardup); the CC loop runs over 8-byte id
+    pairs with one window shuffle per half-round.
+    """
+    from .dedup import connected_components
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    ).select("doc_id")
+    edges = media_image_neardup(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "label"
+    )
+    singles = imgs.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("label")
+    )
+    everyone = labels.unionByName(singles)
+    sizes = everyone.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return everyone.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster"), "cluster_size"
+    )
+
+
+MEDIA_IMAGE_DEDUP_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MEDIA_IMAGE_NEARDUP_ORACLE}) t
+),
+imgs AS (
+  SELECT doc_id FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 <> 0
+),
+img_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM imgs
+  UNION
+  SELECT reach.node, img_edges.dst
+  FROM reach JOIN img_edges ON reach.r = img_edges.src
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
+SELECT doc_id, cluster, cluster_size FROM labels JOIN sizes USING (cluster)
+"""

@@ -104,7 +104,7 @@ entries when rotating — do not trust this comment's numbers if the
 registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r9 window, block A: 12] queries NEW in round 9 or whose
+    # --- [r9 window, block A: 13] queries NEW in round 9 or whose
     # modules CHANGED in round 9, so the changed code gets a fresh
     # hard stamp: media_image_neardup / quantile_daily_merge /
     # trade_kcore are new; dedup_incremental lost its forced batch
@@ -115,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     # media_png_decode's bomb guard tightened; bloom_pruned_join's
     # prune stage was factored for the FP audit (sketch.py)
     "media_image_neardup": _mm.media_image_neardup,
+    "media_image_dedup": _mm.media_image_dedup,
     "quantile_daily_merge": _sk.quantile_daily_merge,
     "trade_kcore": _gph.trade_kcore,
     "dedup_incremental": _wn.dedup_incremental,
@@ -166,15 +167,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
-    # --- [r9 window, block C: 1] oldest r7-stamped entry, filling
-    # the window to exactly 50
-    "dataset_split": _cx.dataset_split,
     # ================= position 51+ — outside the r9 driver window =====
     # Remaining r7-stamped entries (CORRECTNESS_r07.json) in their r7
     # order — after this round these are the OLDEST stamps (2 rounds)
     # and rotate back in first in round 10, oldest-first; the 4 numpy
     # rows-only twins sit among them and only rejoin the window on
     # their periodic re-execution pass (rows-only policy above):
+    "dataset_split": _cx.dataset_split,
     "source_profile": _cx.source_profile,
     "revenue_cube": _rx.revenue_cube,
     "bpe_encode_stats": _bpx.bpe_encode_stats,
@@ -419,6 +418,9 @@ ORACLES: dict[str, str] = {
     # perceptual image near-dup (r9): fingerprints re-derived from
     # hex(encode(text)) static byte offsets, banding + hamming in SQL
     "media_image_neardup": _mm.MEDIA_IMAGE_NEARDUP_ORACLE,
+    # image dedup decision (r9): CC over the perceptual pair graph,
+    # recursive-CTE transitive closure oracle (dedup_clusters pattern)
+    "media_image_dedup": _mm.MEDIA_IMAGE_DEDUP_ORACLE,
     # mergeable quantile sketch (r9): all-integer output, windowed
     # cumulative over the tiny merged grid mirrored in SQL
     "quantile_daily_merge": _sk.QUANTILE_DAILY_MERGE_ORACLE,

@@ -683,3 +683,31 @@ def test_media_image_neardup_matches_oracle(spark, sf_dir):
     compare_query(
         spark, sf_dir, mm.media_image_neardup, mm.MEDIA_IMAGE_NEARDUP_ORACLE
     )
+
+
+def test_media_image_dedup_invariants_and_oracle(spark, sf_dir):
+    """Cluster semantics mirror text dedup_clusters: every image
+    appears exactly once, the cluster label is the min member, sizes
+    are consistent, and every near-dup pair's endpoints share a
+    cluster; DuckDB recursive-CTE oracle agrees end-to-end."""
+    out = mm.media_image_dedup(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster"] for r in out}
+    assert len(out) == len(label)
+    n_imgs = (
+        mm.media_real_table(spark, sf_dir)
+        .filter("media_type != 'audio/wav'")
+        .count()
+    )
+    assert len(out) == n_imgs  # total partition of the image set
+    members: dict = {}
+    for r in out:
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    for c, ms in members.items():
+        assert c == min(ms)
+    for r in out:
+        assert r["cluster_size"] == len(members[r["cluster"]])
+    for p in mm.media_image_neardup(spark, sf_dir).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]], p
+    compare_query(
+        spark, sf_dir, mm.media_image_dedup, mm.MEDIA_IMAGE_DEDUP_ORACLE
+    )
