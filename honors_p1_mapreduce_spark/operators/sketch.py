@@ -1056,41 +1056,14 @@ def _qsk_bucket(v: Column) -> Column:
     return F.length(F.bin(k)).cast("int")
 
 
-def quantile_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type quantile estimates from DAILY log-width histogram
-    sketches merged by bucket-wise addition. The daily (type, day,
-    bucket, cnt) grid is the stored artifact; the merge across days is
-    exact (pinned bit-identical to the direct whole-table grid in
-    pytest); cumulative counts over the <= ~18 buckets per type locate
-    the exact rank's bucket, whose [2^(b-1), 2^b-1] bounds bracket the
-    true order statistic (asserted against the exact percentile in
-    pytest).
-
-    Output: (event_type, q_pct, n, rank, bucket, est_klo, est_khi) —
-    all-integer columns (k units: value*SCALE), so the whole pipeline
-    is engine-portable with no float canon concerns.
-
-    Plan: one events scan -> map-side-combined daily grid -> additive
-    merge -> per-type cumulative window over a dashboard-sized frame
-    -> rank probe join (types x |QSK_PCTS| rows). No global sort, no
-    per-row window.
-    """
+def quantiles_from_grid(merged: DataFrame) -> DataFrame:
+    """Quantile probe over a MERGED (event_type, bucket, cnt) grid:
+    per-type cumulative window over the <= ~18-bucket frame, exact
+    rank lookup, integer bucket bounds. Shared by the batch operator
+    and the streaming store reader
+    (``streaming.curation.read_quantiles_from_store``)."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    rows = ev.select(
-        "event_type",
-        F.to_date("ts").cast("string").alias("day"),
-        _qsk_bucket(F.col("value")).alias("bucket"),
-    )
-    # the stored artifact: one tiny bucket grid per (type, day)...
-    daily = rows.groupBy("event_type", "day", "bucket").agg(
-        F.count("*").alias("cnt")
-    )
-    # ...and the additive merge answering global questions
-    merged = daily.groupBy("event_type", "bucket").agg(
-        F.sum("cnt").alias("cnt")
-    )
     w = Window.partitionBy("event_type").orderBy("bucket")
     cum = merged.select(
         "event_type", "bucket", F.sum("cnt").over(w).alias("cum")
@@ -1125,6 +1098,42 @@ def quantile_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_khi"),
     )
+
+
+def quantile_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type quantile estimates from DAILY log-width histogram
+    sketches merged by bucket-wise addition. The daily (type, day,
+    bucket, cnt) grid is the stored artifact; the merge across days is
+    exact (pinned bit-identical to the direct whole-table grid in
+    pytest); cumulative counts over the <= ~18 buckets per type locate
+    the exact rank's bucket, whose [2^(b-1), 2^b-1] bounds bracket the
+    true order statistic (asserted against the exact percentile in
+    pytest).
+
+    Output: (event_type, q_pct, n, rank, bucket, est_klo, est_khi) —
+    all-integer columns (k units: value*SCALE), so the whole pipeline
+    is engine-portable with no float canon concerns.
+
+    Plan: one events scan -> map-side-combined daily grid -> additive
+    merge -> per-type cumulative window over a dashboard-sized frame
+    -> rank probe join (types x |QSK_PCTS| rows). No global sort, no
+    per-row window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        _qsk_bucket(F.col("value")).alias("bucket"),
+    )
+    # the stored artifact: one tiny bucket grid per (type, day)...
+    daily = rows.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    # ...and the additive merge answering global questions
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return quantiles_from_grid(merged)
 
 
 QUANTILE_DAILY_MERGE_ORACLE = f"""

@@ -129,3 +129,60 @@ def streaming_dedup_incremental(
     )
     q.awaitTermination()
     index_capped.unpersist()
+
+
+def streaming_quantile_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the event stream into STORED daily quantile-sketch grids:
+    each micro-batch contributes its (event_type, day, bucket) partial
+    counts, appended to ``store_dir`` — the streaming ingest half of
+    ``operators.sketch.quantile_daily_merge``. Because the sketch
+    merges by ADDITION, partial grids from arbitrary micro-batch
+    boundaries sum to exactly the batch grids (associativity), so
+    quantiles read from the drained store are bit-identical to the
+    batch answer — pinned by the equivalence test. No cross-batch
+    state at all: the stream side holds nothing between triggers, and
+    a reader compacts by summing at query time (or a maintenance job
+    rewrites the store, exactly like a production rollup)."""
+    from ..operators.sketch import _qsk_bucket
+    from .windows import stream_events
+
+    def _micro_batch(bdf: DataFrame, _batch_id: int) -> None:
+        (
+            bdf.select(
+                "event_type",
+                F.to_date("ts").cast("string").alias("day"),
+                _qsk_bucket(F.col("value")).alias("bucket"),
+            )
+            .groupBy("event_type", "day", "bucket")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_quantiles_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Answer the quantile question from the streamed grid store:
+    sum partial grids (the additive merge), then the same cumulative
+    probe as the batch operator. Never touches raw events."""
+    from ..operators.sketch import quantiles_from_grid
+
+    merged = (
+        spark.read.parquet(store_dir)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return quantiles_from_grid(merged)

@@ -201,3 +201,27 @@ def test_streaming_dedup_incremental_matches_batch(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
     assert streamed == batch
     assert streamed  # non-vacuous: the sf0.001 corpus has real matches
+
+
+def test_streaming_quantile_merge_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the event stream into per-micro-batch partial sketch
+    grids and answering from the store must reproduce the batch
+    quantile_daily_merge answer BIT-EXACTLY — additive merge is
+    associative, so micro-batch boundaries cannot matter."""
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        quantile_daily_merge,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_quantiles_from_store,
+        streaming_quantile_merge,
+    )
+
+    store = str(tmp_path / "qstore")
+    ckpt = str(tmp_path / "qckpt")
+    streaming_quantile_merge(spark, sf_dir, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_quantiles_from_store(spark, store).collect())
+    )
+    batch = sorted(map(tuple, quantile_daily_merge(spark, sf_dir).collect()))
+    assert streamed == batch
+    assert streamed  # non-vacuous
