@@ -1340,7 +1340,10 @@ def _phash_gray_offsets() -> list[int]:
     return offs
 
 
-def _image_neardup_oracle() -> str:
+def _image_fp_oracle_core() -> str:
+    """Standalone SELECT producing (doc_id, fingerprint) for every
+    image — the dHash pipeline re-derived from hex(encode(text))
+    static byte offsets; shared by the near-dup and dedup oracles."""
     offs = _phash_gray_offsets()
 
     def gray(i: int) -> str:
@@ -1359,7 +1362,6 @@ def _image_neardup_oracle() -> str:
         for y in range(PHASH_GRID)
         for x in range(PHASH_GRID - 1)
     )
-    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
     return f"""
 WITH d AS (
   SELECT doc_id, hex(encode(text)) AS hx
@@ -1370,8 +1372,16 @@ g AS (
   SELECT doc_id,
          {g_cols}
   FROM d
+)
+SELECT doc_id, {fp_terms} AS fingerprint FROM g"""
+
+
+def _image_neardup_oracle() -> str:
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    return f"""
+WITH fp AS (
+  SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
 ),
-fp AS (SELECT doc_id, {fp_terms} AS fingerprint FROM g),
 banded AS (
   SELECT doc_id, fingerprint, b.b AS band,
          (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
@@ -1391,60 +1401,126 @@ MEDIA_IMAGE_NEARDUP_ORACLE = _image_neardup_oracle()
 
 def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: the dedup DECISION over perceptual image
-    near-dups — connected components of the :func:`media_image_neardup`
-    pair graph (large-star/small-star via ``dedup.connected_components``,
-    the same O(log d)-round machinery as text ``dedup_clusters``),
-    labels = min doc_id per component, singleton images as their own
-    cluster. A pipeline keeps one image per cluster; pairs alone don't
-    say which.
+    near-dups — cluster label (min doc_id of the cluster) and size
+    for EVERY image. A pipeline keeps one image per cluster; pairs
+    alone don't say which.
 
-    Output: (doc_id, cluster, cluster_size) for EVERY image.
+    Scale design (r9 probe finding): corpora are dup-heavy, and a
+    popular fingerprint (flat banners, boilerplate images) forms a
+    PAIR clique whose enumeration is quadratic — a 10x-data probe of
+    the pair query measured 81x output precisely because dHash maps
+    every byte-order-preserving variant to the same hash (its job).
+    So the decision operator never enumerates same-fingerprint pairs:
+    connected components run over DISTINCT fingerprints (node = the
+    min-doc_id representative per fp; edge = two distinct fps sharing
+    a band with hamming <= max — the same candidate condition as
+    :func:`media_image_neardup`, which depends only on fps, so the
+    clusters are IDENTICAL to CC over the doc-pair graph), and doc
+    membership broadcasts back through the fp -> rep map. CC node
+    count is bounded by content diversity, not corpus size.
 
-    Scale shape: the pixel data is gone after the fingerprint pass
-    (inside media_image_neardup); the CC loop runs over 8-byte id
-    pairs with one window shuffle per half-round.
+    Output: (doc_id, cluster, cluster_size).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import connected_components
 
     imgs = media_real_table(spark, sf_dir).filter(
         F.col("media_type").isin("image/bmp", "image/ppm")
-    ).select("doc_id")
-    edges = media_image_neardup(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    labels = connected_components(edges).select(
-        F.col("node").alias("doc_id"), "label"
+    fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
+    # one representative doc per distinct fingerprint: same-fp docs
+    # are dups by construction and collapse here — no pair enumeration
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    banded = reps.select(
+        "rep",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(IMG_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep", "fingerprint", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.fingerprint") < F.col("b.fingerprint")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            )
+            <= IMG_NEARDUP_HAMMING_MAX
+        )
+        .select(F.col("a.rep").alias("u"), F.col("b.rep").alias("v"))
+        .distinct()
     )
-    singles = imgs.join(labels, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("label")
+    rep_labels = connected_components(edges).select(
+        F.col("node").alias("rep"), "label"
     )
-    everyone = labels.unionByName(singles)
-    sizes = everyone.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return everyone.join(sizes, "label").select(
-        "doc_id", F.col("label").alias("cluster"), "cluster_size"
+    fp_rep = fp.join(reps, "fingerprint")
+    labeled = fp_rep.join(rep_labels, "rep", "left").select(
+        "doc_id", F.coalesce("label", F.col("rep")).alias("cluster")
+    )
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
     )
 
 
 MEDIA_IMAGE_DEDUP_ORACLE = f"""
-WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({MEDIA_IMAGE_NEARDUP_ORACLE}) t
+WITH RECURSIVE fp_doc AS (
+  SELECT doc_id, fingerprint
+  FROM ({_image_fp_oracle_core()}) t
 ),
-imgs AS (
-  SELECT doc_id FROM documents
-  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 <> 0
+reps AS (
+  SELECT fingerprint, min(doc_id) AS rep FROM fp_doc GROUP BY fingerprint
 ),
-img_edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
+banded AS (
+  SELECT rep, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS}))
+           & {(1 << IMG_NEARDUP_BAND_BITS) - 1} AS bucket
+  FROM reps,
+       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+),
+rep_edges AS (
+  SELECT DISTINCT a.rep AS u, b.rep AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.fingerprint < b.fingerprint
+  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
+          <= {IMG_NEARDUP_HAMMING_MAX}
+),
+dir_edges AS (
+  SELECT u AS src, v AS dst FROM rep_edges
   UNION ALL
-  SELECT doc_b, doc_a FROM pairs
+  SELECT v, u FROM rep_edges
 ),
 reach(node, r) AS (
-  SELECT doc_id, doc_id FROM imgs
+  SELECT rep, rep FROM reps
   UNION
-  SELECT reach.node, img_edges.dst
-  FROM reach JOIN img_edges ON reach.r = img_edges.src
+  SELECT reach.node, dir_edges.dst
+  FROM reach JOIN dir_edges ON reach.r = dir_edges.src
 ),
-labels AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
-sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY cluster)
-SELECT doc_id, cluster, cluster_size FROM labels JOIN sizes USING (cluster)
+rep_labels AS (SELECT node AS rep, min(r) AS label FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, l.label AS cluster
+  FROM fp_doc d
+  JOIN reps rp ON d.fingerprint = rp.fingerprint
+  JOIN rep_labels l ON rp.rep = l.rep
+),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
+SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
 """

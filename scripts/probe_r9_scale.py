@@ -7,12 +7,18 @@ like an sf dir:
 
 - media_image_neardup: the decode+dHash pass is map-only mapInPandas
   (expected ~linear); the band join runs over 8-byte fingerprints.
-  Enlarged documents are LETTER-ROTATED (translate) like the r8
-  dedup probe: verbatim copies would make every image a k-clique of
-  perceptual duplicates across copies — a real property of
-  duplication, but it would measure pair-output blowup, not the
-  operator's scaling. Rotation keeps each copy a distinct corpus
-  slice with the same intra-copy near-dup structure.
+  Enlarged documents are STRING-ROTATED by a per-copy offset
+  (substring cycle), which shifts every pixel position: verbatim OR
+  letter-translated copies keep their gradient ORDER and stay
+  perceptual duplicates across copies (measured: letter rotation
+  gave 101x pair output = copies^2 cliques — dHash is invariant to
+  order-preserving byte maps, which is its JOB), so positional
+  rotation is what makes each copy a distinct corpus slice with the
+  same intra-copy near-dup structure. Pair OUTPUT still grows
+  super-linearly when popular fingerprints form cliques (a real
+  corpus property); the DECISION operator media_image_dedup is the
+  scale path — CC over DISTINCT fingerprints, so same-fp megacliques
+  collapse to one node and its probe must stay near-linear.
 - quantile_daily_merge: one map-side-combined pass to the daily
   grids; the merge/window/probe stages run on dashboard-sized frames
   regardless of data size — expected ~linear in the scan.
@@ -39,6 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.operators.graph import trade_kcore  # noqa: E402
 from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    media_image_dedup,
     media_image_neardup,
 )
 from honors_p1_mapreduce_spark.operators.sketch import (  # noqa: E402
@@ -58,12 +65,17 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     n_docs = docs.count()
     big = docs
-    rotalpha = "etaoinshrd"
     for i in range(1, COPIES):
-        rot = rotalpha[i:] + rotalpha[:i]
+        off = 7 * i + 1
         big = big.unionByName(
             docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-            .withColumn("text", F.translate("text", rotalpha, rot))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.expr(f"substring(text, {off + 1})"),
+                    F.expr(f"substring(text, 1, {off})"),
+                ),
+            )
         )
     big.repartition(32).write.parquet(str(work / "documents.parquet"))
 
@@ -103,6 +115,7 @@ def main() -> None:
 
     for name, fn in [
         ("media_image_neardup", media_image_neardup),
+        ("media_image_dedup", media_image_dedup),
         ("quantile_daily_merge", quantile_daily_merge),
         ("trade_kcore", trade_kcore),
     ]:
