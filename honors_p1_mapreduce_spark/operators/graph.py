@@ -310,3 +310,121 @@ GROUP BY e.n
 
 
 TRADE_KCORE_ORACLE = _kcore_oracle()
+
+
+# ------------------------------------------ integer PageRank (r9)
+
+PAGERANK_ITERS = 8
+PAGERANK_DAMP_PCT = 85  # d = 0.85 as an integer percentage
+PAGERANK_SCALE = 1_000_000  # ranks in parts-per-million
+
+
+def pagerank_nodes(
+    edges: DataFrame,
+    n_iter: int = PAGERANK_ITERS,
+    damp_pct: int = PAGERANK_DAMP_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """(n, rank_ppm) — PageRank over a canonical undirected edge
+    frame in PURE INTEGER arithmetic (ranks in parts-per-million,
+    per-edge contributions by integer division), run for a FIXED
+    n_iter rounds: truncating division makes the recurrence
+    engine-portable bit-for-bit (floor-div agrees in Spark and
+    DuckDB for non-negative ints), and the fixed round count makes
+    the whole computation expressible as an unrolled oracle — the
+    same portability-over-libm rule as the HLL/chi-square families.
+    The truncation error is bounded by deg(n) ppm per node per round.
+
+    Ranks are in PER-NODE NORMALIZED units (average rank == scale,
+    r0 = scale for every node): the recurrence never divides by the
+    node count, so the integer grain never collapses however large
+    the graph (a mass-normalized r0 = scale/N would round to 0 past
+    N = scale nodes) and no driver-side scalar is needed at all.
+
+    Every round is one equi-join (ranks onto directed edges) + one
+    aggregation + one left join back to the node spine — web-scale
+    plan shapes; the loop frame is ``localCheckpoint``ed per round
+    (kcore/CC discipline). Undirected edges contribute in both
+    directions; the graph has no dangling nodes by construction
+    (every node is an edge endpoint).
+    """
+    dirb = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    dirb = dirb.localCheckpoint()
+    deg = dirb.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = deg.select(F.col("src").alias("n"), "deg")
+    ranks = nodes.select("n", F.lit(scale).cast("bigint").alias("r"))
+    teleport = (100 - damp_pct) * scale
+    for _ in range(n_iter):
+        contrib = (
+            dirb.join(
+                ranks.select(F.col("n").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.n == contrib.dst, "left")
+            .select(
+                "n",
+                F.expr(
+                    f"({teleport} + {damp_pct}"
+                    " * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("n", F.col("r").alias("rank_ppm"))
+
+
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: integer PageRank over the thresholded
+    nation-trade graph — which nations sit at the center of the
+    heavy-trade topology (the influence primitive after components /
+    triangles / k-core). Output: (nation, rank_ppm)."""
+    return pagerank_nodes(_trade_edges(spark, sf_dir).persist()).select(
+        F.col("n").alias("nation"), "rank_ppm"
+    )
+
+
+def _pagerank_oracle(
+    n_iter: int = PAGERANK_ITERS,
+    damp_pct: int = PAGERANK_DAMP_PCT,
+    scale: int = PAGERANK_SCALE,
+) -> str:
+    """Fixed-round unroll, every CTE MATERIALIZED (the kcore lesson:
+    inlined CTE chains re-expand exponentially)."""
+    rounds = []
+    for t in range(1, n_iter + 1):
+        rounds.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT e.dst, sum(r.r // d.deg) AS s
+  FROM dirb e
+  JOIN r{t - 1} r ON e.src = r.n
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{t} AS MATERIALIZED (
+  SELECT nodes.n,
+         ({(100 - damp_pct) * scale}
+          + {damp_pct} * coalesce(c{t}.s, 0)) // 100 AS r
+  FROM nodes LEFT JOIN c{t} ON nodes.n = c{t}.dst
+)"""
+        )
+    return f"""
+WITH {_TRADE_EDGES_CTES},
+dirb AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM kept UNION ALL SELECT v, u FROM kept
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM dirb GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS n FROM deg),
+r0 AS MATERIALIZED (SELECT n, CAST({scale} AS BIGINT) AS r FROM nodes),
+{",".join(rounds)}
+SELECT n AS nation, CAST(r AS BIGINT) AS rank_ppm FROM r{n_iter}
+"""
+
+
+TRADE_PAGERANK_ORACLE = _pagerank_oracle()

@@ -127,3 +127,78 @@ def test_trade_kcore_matches_oracle(spark, sf_dir):
     )
 
     compare_query(spark, sf_dir, trade_kcore, TRADE_KCORE_ORACLE)
+
+
+# ------------------------------------------ integer PageRank (r9)
+
+
+def _brute_pagerank(edges, n_iter, damp_pct, scale):
+    """Python reference of the integer recurrence (floor division)."""
+    deg: dict = {}
+    adj: dict = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        adj.setdefault(v, []).append(u)
+        adj.setdefault(u, []).append(v)
+    r = {n: scale for n in deg}
+    for _ in range(n_iter):
+        r = {
+            n: (
+                (100 - damp_pct) * scale
+                + damp_pct * sum(r[m] // deg[m] for m in adj.get(n, []))
+            )
+            // 100
+            for n in deg
+        }
+    return sorted(r.items())
+
+
+def test_pagerank_differential_random_graphs(spark):
+    from honors_p1_mapreduce_spark.operators.graph import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_nodes,
+    )
+
+    rng = random.Random(17)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(12)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(8, 30))
+            }
+        )
+        df = spark.createDataFrame(edges, ["u", "v"])
+        got = sorted(
+            (r["n"], r["rank_ppm"]) for r in pagerank_nodes(df).collect()
+        )
+        assert got == _brute_pagerank(
+            edges, PAGERANK_ITERS, PAGERANK_DAMP_PCT, PAGERANK_SCALE
+        ), trial
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    """A star's hub must out-rank every leaf (the sanity property any
+    PageRank variant owes), and leaves tie by symmetry."""
+    from honors_p1_mapreduce_spark.operators.graph import pagerank_nodes
+
+    edges = [("hub", f"leaf{i}") for i in range(6)]
+    df = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], ["u", "v"]
+    )
+    out = {r["n"]: r["rank_ppm"] for r in pagerank_nodes(df).collect()}
+    leaves = [out[f"leaf{i}"] for i in range(6)]
+    assert len(set(leaves)) == 1
+    assert out["hub"] > leaves[0]
+
+
+def test_trade_pagerank_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.graph import (
+        TRADE_PAGERANK_ORACLE,
+        trade_pagerank,
+    )
+
+    compare_query(spark, sf_dir, trade_pagerank, TRADE_PAGERANK_ORACLE)
