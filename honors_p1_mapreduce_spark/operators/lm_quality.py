@@ -141,6 +141,14 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex tokenize total, where the round-6 plan paid three (module
     docstring has the 100 TB memory/disk rationale).
     """
+    occ, scores = _interp_occ_scores(spark, sf_dir)
+    return _score_occurrences(occ, scores)
+
+
+def _interp_occ_scores(spark: SparkSession, sf_dir: str):
+    """(persisted bigram-occurrence frame, interpolated per-bigram
+    score table) — the shared build of :func:`lm_interp_score` and
+    :func:`lm_write_model`."""
     docs = load_table(spark, sf_dir, "documents")
     tok_arr = docs.select("doc_id", tokens_col("text").alias("tk")).persist()
     toks = tok_arr.select(F.explode("tk").alias("w"))
@@ -172,6 +180,16 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pi_ppm"),
         )
     )
+    return occ, scores
+
+
+def _score_occurrences(occ: DataFrame, scores: DataFrame) -> DataFrame:
+    """Per-document mean interpolated probability from a bigram
+    occurrence frame and a (bg, pi_ppm) score table. Bigrams absent
+    from the score table are dropped by the inner join — on the
+    training corpus there are none; scoring NEW text against a stored
+    model treats them as out-of-vocabulary (a production model ships
+    a smoothed backoff instead)."""
     return (
         occ.join(scores, "bg")
         .groupBy("doc_id")
@@ -182,6 +200,50 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def lm_write_model(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
+    """Train the interpolated bigram model and persist the SHIPPED
+    artifact — the (bg, pi_ppm) score table — to parquet. This is the
+    train-once / score-everywhere LM the CCNet-style filter deploys:
+    consumers never redo the model build (the two corpus-wide
+    aggregations), they read |bigram vocab| rows."""
+    occ, scores = _interp_occ_scores(spark, sf_dir)
+    scores.write.mode("overwrite").parquet(f"{model_dir}/bigram_scores")
+    occ.unpersist()
+
+
+def lm_score_with(
+    spark: SparkSession, sf_dir: str, model_dir: str
+) -> DataFrame:
+    """Score a corpus against a STORED bigram model: one tokenize +
+    explode pass over the documents, one join against the parquet
+    score table — no training aggregations at all. Bit-identical to
+    :func:`lm_interp_score` on the training corpus (ppm scores are
+    exact integers, so the parquet roundtrip is lossless)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+    )
+    scores = spark.read.parquet(f"{model_dir}/bigram_scores")
+    return _score_occurrences(occ, scores)
+
+
+def lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the full stored-model LM cycle — train ->
+    :func:`lm_write_model` (parquet score table) -> read back ->
+    score. Same end-to-end oracle as :func:`lm_interp_score` (the
+    roundtrip is bit-identical), so the driver hash-stamps the
+    write/read-back path — the same registered-cycle pattern as
+    bpe_encode_ids_stored / pq_search_stored / decontaminate_stored.
+    Scratch: per-application overwrite-in-place
+    (``bpe_encode._artifact_dir``), rewritten every call."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "lm_model")
+    lm_write_model(spark, sf_dir, d)
+    return lm_score_with(spark, sf_dir, d)
 
 
 LM_INTERP_SCORE_ORACLE = f"""
@@ -213,3 +275,6 @@ SELECT doc_id,
 FROM occ JOIN scores USING (bg)
 GROUP BY doc_id
 """
+
+
+LM_SCORE_STORED_ORACLE = LM_INTERP_SCORE_ORACLE

@@ -210,3 +210,26 @@ def test_sample_exact_k_contract(spark, sf_dir):
     assert ids1 <= ids200
     plan = s100._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lm_stored_model_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    """The stored-model cycle (train -> parquet score table ->
+    read-back -> score) must reproduce the online lm_interp_score
+    BIT-identically on the training corpus — ppm scores are exact
+    integers, so the parquet roundtrip is lossless."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_interp_score,
+        lm_score_with,
+        lm_write_model,
+    )
+
+    d = str(tmp_path / "lm_model")
+    lm_write_model(spark, sf_dir, d)
+    stored = sorted(map(tuple, lm_score_with(spark, sf_dir, d).collect()))
+    online = sorted(map(tuple, lm_interp_score(spark, sf_dir).collect()))
+    assert stored == online
+    assert stored  # non-vacuous
+    # the artifact really is the model: |bigram vocab| rows, int scores
+    model = spark.read.parquet(d + "/bigram_scores")
+    assert model.columns == ["bg", "pi_ppm"]
+    assert model.count() == model.select("bg").distinct().count()
