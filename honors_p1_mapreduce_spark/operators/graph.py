@@ -343,10 +343,15 @@ def pagerank_nodes(
 
     Every round is one equi-join (ranks onto directed edges) + one
     aggregation + one left join back to the node spine — web-scale
-    plan shapes; the loop frame is ``localCheckpoint``ed per round
-    (kcore/CC discipline). Undirected edges contribute in both
-    directions; the graph has no dangling nodes by construction
-    (every node is an edge endpoint).
+    plan shapes. Unlike the data-dependent CC/kcore loops, the round
+    count is FIXED and small, so per-round lineage truncation is
+    round-overhead without benefit (measured: per-round
+    localCheckpoint cost ~4s of an 8s query on the tiny trade graph);
+    the loop checkpoints every CHECKPOINT_EVERY rounds instead, which
+    bounds plan depth at web scale while paying the materialization
+    cost only twice. Undirected edges contribute in both directions;
+    the graph has no dangling nodes by construction (every node is an
+    edge endpoint).
     """
     dirb = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
@@ -356,7 +361,8 @@ def pagerank_nodes(
     nodes = deg.select(F.col("src").alias("n"), "deg")
     ranks = nodes.select("n", F.lit(scale).cast("bigint").alias("r"))
     teleport = (100 - damp_pct) * scale
-    for _ in range(n_iter):
+    CHECKPOINT_EVERY = 4
+    for it in range(n_iter):
         contrib = (
             dirb.join(
                 ranks.select(F.col("n").alias("src"), "r"), "src"
@@ -375,8 +381,9 @@ def pagerank_nodes(
                     " * coalesce(s, CAST(0 AS BIGINT))) div 100"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        if (it + 1) % CHECKPOINT_EVERY == 0 and (it + 1) < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("n", F.col("r").alias("rank_ppm"))
 
 
