@@ -298,3 +298,80 @@ def test_chunked_winnowing_equals_whole_doc(spark, texts, chunk_grams):
         ).collect()
     }
     assert whole == chunked
+
+
+KCORE_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=11),
+    ).filter(lambda e: e[0] < e[1]),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(KCORE_EDGES)
+def test_kcore_matches_python_peel(spark, edges):
+    # the round-parallel peel must agree with the sequential reference
+    # peel for ANY graph and k — including empty cores and cascades
+    from honors_p1_mapreduce_spark.operators.graph import kcore_edges
+
+    def brute(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            dead = {n for n, d in deg.items() if d < k}
+            if not dead:
+                return sorted(es)
+            es = {(u, v) for u, v in es if u not in dead and v not in dead}
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    for k in (2, 3):
+        got = sorted((r["u"], r["v"]) for r in kcore_edges(df, k).collect())
+        assert got == brute(edges, k), k
+
+
+VALUES = st.lists(
+    st.floats(
+        min_value=0.0, max_value=1000.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(VALUES)
+def test_quantile_grid_brackets_exact_for_any_values(spark, values):
+    # the log-width sketch's bracket guarantee must hold for ANY value
+    # multiset: for every target rank, the chosen bucket's [klo, khi]
+    # contains the exact rank-r order statistic in k units
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        QSK_SCALE,
+        _qsk_bucket,
+        quantiles_from_grid,
+    )
+
+    df = spark.createDataFrame(
+        [("t", v) for v in values], ["event_type", "value"]
+    )
+    grid = (
+        df.select("event_type", _qsk_bucket(F.col("value")).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = quantiles_from_grid(grid).collect()
+    ks = sorted(max(0, int(v * QSK_SCALE + 0.5)) for v in values)
+    assert len(out) > 0
+    for r in out:
+        exact_k = ks[r["rank"] - 1]
+        assert r["est_klo"] <= exact_k <= r["est_khi"], (
+            values, r["q_pct"], exact_k, r["est_klo"], r["est_khi"],
+        )
