@@ -285,12 +285,19 @@ def _pq_chain_sql(
     n_queries: int = N_QUERIES,
     n_cells: int = PQ_CELLS,
     n_iter: int = PQ_ITER,
+    train_pred: str = "TRUE",
 ) -> str:
     """The shared train->encode->ADC-score->rank CTE chain, ending in
     ``ranked(query_id, vec_id, adc_dist, rank)`` — composed by the
-    plain PQ oracle and the re-rank oracle."""
+    plain PQ oracle and the re-rank oracle. ``train_pred`` (a vec_id
+    predicate) restricts TRAINING (seeding + Lloyd) to a subset while
+    codes/ADC still cover every vector — the incremental-index oracle
+    trains on the base split only (:func:`pq_search_appended`)."""
     sq = _sq_l2_sql
-    stride = f"greatest((SELECT count(*) FROM embeddings) // {n_cells}, 1)"
+    stride = (
+        f"greatest((SELECT count(*) FROM embeddings WHERE {train_pred})"
+        f" // {n_cells}, 1)"
+    )
     parts = [
         f"""
 WITH subs AS (
@@ -300,9 +307,10 @@ WITH subs AS (
   FROM embeddings
   CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) t
 ),
+tsubs AS (SELECT * FROM subs WHERE {train_pred}),
 seed_ids AS (
   SELECT vec_id FROM embeddings
-  WHERE vec_id % {stride} = {IVF_STRIDE_SALT} % {stride}
+  WHERE ({train_pred}) AND vec_id % {stride} = {IVF_STRIDE_SALT} % {stride}
   ORDER BY vec_id LIMIT {n_cells}
 ),
 cents_0 AS (
@@ -320,13 +328,13 @@ assigned_{i} AS (
              PARTITION BY sub.vec_id, sub.s
              ORDER BY {sq('sub.v', 'c.c_v')} ASC, c.cell ASC
            ) AS crank
-    FROM subs sub JOIN cents_{i - 1} c ON sub.s = c.s
+    FROM tsubs sub JOIN cents_{i - 1} c ON sub.s = c.s
   ) WHERE crank = 1
 ),
 flat_{i} AS (
   SELECT a.s, a.cell, generate_subscripts(sub.v, 1) AS pos,
          CAST(unnest(sub.v) AS DOUBLE) AS x
-  FROM assigned_{i} a JOIN subs sub ON a.vec_id = sub.vec_id AND a.s = sub.s
+  FROM assigned_{i} a JOIN tsubs sub ON a.vec_id = sub.vec_id AND a.s = sub.s
 ),
 means_{i} AS (
   SELECT s, cell, pos,
@@ -446,10 +454,11 @@ def similarity_pq_rerank_topk_oracle(
     n_queries: int = N_QUERIES,
     n_cells: int = PQ_CELLS,
     n_iter: int = PQ_ITER,
+    train_pred: str = "TRUE",
 ) -> str:
     sq = _sq_l2_sql
     return (
-        _pq_chain_sql(n_queries, n_cells, n_iter)
+        _pq_chain_sql(n_queries, n_cells, n_iter, train_pred)
         + f""",
 short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {shortlist}),
 rer AS (
@@ -561,3 +570,84 @@ def pq_search_stored(
 # roundtrip is bit-identical, so the train+ADC+re-rank oracle
 # re-derives the artifact + application end-to-end
 PQ_SEARCH_STORED_ORACLE = SIMILARITY_PQ_RERANK_TOPK_ORACLE
+
+
+# ------------------------------------- incremental index append (r9)
+
+# The ANN counterpart of dedup_incremental: new embeddings arrive
+# daily and are added to the SERVING index without retraining — they
+# are encoded against the STORED codebooks (a per-vector assignment,
+# map-shaped) and their codes appended; search covers old + new
+# immediately. Retraining cadence is an offline decision (codebook
+# drift), not a per-batch cost. Demo split mirrors dedup_incremental:
+# vec_id % 10 == 3 is "today's batch", the rest is the indexed corpus.
+
+PQ_APPEND_MOD = 10
+PQ_APPEND_RESIDUE = 3
+
+
+def pq_append_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Append TODAY'S batch to a persisted PQ index: encode only the
+    batch vectors against the stored codebooks (one _assign pass —
+    |batch| x M code rows, no training jobs at all) and append to
+    ``codes``. The codebook files are untouched."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(
+        F.col("vec_id") % PQ_APPEND_MOD == PQ_APPEND_RESIDUE
+    )
+    cents = spark.read.parquet(f"{index_dir}/cents")
+    codes = _assign(
+        _subvectors(batch, "vec_id", "embedding"), cents, "vec_id"
+    ).withColumnRenamed("cell", "code")
+    codes.write.mode("append").parquet(f"{index_dir}/codes")
+
+
+def pq_search_appended(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    shortlist: int = PQ_RERANK_SHORTLIST,
+    n_queries: int = N_QUERIES,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+) -> DataFrame:
+    """Registered query: the full incremental-index cycle — train
+    codebooks on the BASE split only, persist the base index, APPEND
+    the batch split's codes via :func:`pq_append_index` (stored
+    codebooks, no retraining), then two-stage search over the
+    combined index. The oracle re-derives exactly this: Lloyd trained
+    on ``vec_id % 10 <> 3``, codes/ADC over every vector — so the
+    driver hash-gates that appended codes are bit-identical to codes
+    computed at build time (assignment is per-vector, so append ==
+    rebuild by construction; the test pins it).
+
+    Scratch: per-application overwrite-in-place (_artifact_dir)."""
+    from .bpe_encode import _artifact_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(
+        F.col("vec_id") % PQ_APPEND_MOD != PQ_APPEND_RESIDUE
+    )
+    d = _artifact_dir(spark, sf_dir, f"pq_incr_{n_cells}c{n_iter}i")
+    cents = _train_codebooks(
+        emb=base,
+        n_cells=n_cells,
+        n_iter=n_iter,
+        cache_key=f"{sf_dir}/__pq_base__",
+    )
+    base_codes = _assign(
+        _subvectors(base, "vec_id", "embedding"), cents, "vec_id"
+    ).withColumnRenamed("cell", "code")
+    cents.write.mode("overwrite").parquet(f"{d}/cents")
+    base_codes.write.mode("overwrite").parquet(f"{d}/codes")
+    pq_append_index(spark, sf_dir, d)
+    return pq_search_index(
+        spark, sf_dir, d, k=k, shortlist=shortlist, n_queries=n_queries
+    )
+
+
+PQ_SEARCH_APPENDED_ORACLE = similarity_pq_rerank_topk_oracle(
+    train_pred=f"vec_id % {PQ_APPEND_MOD} <> {PQ_APPEND_RESIDUE}"
+)

