@@ -28,17 +28,22 @@ is timed before/after the suite ("calibration_sec") to normalize the
 110-136 s host band.
 
 Round 9 (per the r8 verdict): the headline stays the cold min-of-two,
-and a third pass records per-query WARM times ("warm" in
-BENCH_FULL.json: memos left in place, cache still cleared between
-queries — the production artifact-reuse number), so a future protocol
-change never again makes rounds non-commensurable. The printed line
+and a warm pass records per-query WARM times ("warm" in
+BENCH_FULL.json: an untimed run builds the query's own memos, the
+timed run measures the memo-hit path, memos reset after — the
+production artifact-reuse number, order-independent and without
+cross-family memo accumulation), so a future protocol change never
+again makes rounds non-commensurable. The printed line
 also carries "value_normalized": total * (CAL_REF / mean calibration)
 with CAL_REF = 0.5 s — a host-speed-corrected total comparable across
 rounds without archaeology. Read "warm" per-query against the raw
-"runs" samples, not against the min-of-two headline: warm is a SINGLE
+"runs" samples, not against the min-of-two headline: warm is a single
 sample, so for non-memo queries it carries single-run noise and only
 the memo-backed families (bpe_*, pack_*, winnow_*, similarity_pq_*,
 *_stored) are expected to read materially below their cold times.
+The warm pass costs one extra untimed run per query; that is the
+price of a steady-state number that cannot be perturbed by registry
+order or by other families' resident memo blocks.
 """
 
 from __future__ import annotations
@@ -124,15 +129,21 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def timed_warm(name: str) -> float:
-        # warm = memos LEFT IN PLACE (artifact reuse, the production
-        # steady state), cache still cleared so executor memory stays
-        # bounded across the 100+-query pass. The memos a query builds
-        # stay for later queries of its family — that reuse is the
-        # point of the warm number.
+        # warm = the query's OWN artifacts already built (production
+        # steady state): one untimed run builds the memos, the timed
+        # run measures the memo-hit path, then memos reset. Isolating
+        # per query keeps the number order-independent and stops ALL
+        # families' memo blocks accumulating across the 140+-query
+        # pass — the first r9 protocol (leave every memo in place)
+        # measured a 38.5 s "warm" for a 0.85 s query because the
+        # whole suite's checkpoint blocks were resident at once.
+        registry.QUERIES[name](spark, sf_dir).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         registry.QUERIES[name](spark, sf_dir).count()
         secs = time.perf_counter() - t0
         spark.catalog.clearCache()
+        registry.reset_memos()
         return secs
 
     calibration()  # throwaway: compile the calibration shape once so
@@ -142,7 +153,6 @@ def main() -> None:
     spark._jvm.System.gc()
     second = {name: timed(name) for name in names}
     warm = {name: timed_warm(name) for name in names}
-    registry.reset_memos()
     cal_end = calibration()
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
