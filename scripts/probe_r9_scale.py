@@ -22,9 +22,15 @@ like an sf dir:
 - quantile_daily_merge: one map-side-combined pass to the daily
   grids; the merge/window/probe stages run on dashboard-sized frames
   regardless of data size — expected ~linear in the scan.
-- trade_kcore: the only big-data stage is the fact join deriving the
-  <= 300-row edge frame (lineitem+orders enlarged 10x with shifted
-  keys; customer/supplier reused); the peel loop never touches facts.
+- trade_kcore / trade_pagerank: the only big-data stage is the fact
+  join deriving the <= 300-row edge frame (lineitem+orders enlarged
+  10x with shifted keys; customer/supplier reused); the peel loop and
+  the 8 PageRank rounds never touch facts.
+- lm_score_stored: model build = two corpus aggregations, scoring =
+  one tokenize pass + a vocab-sized join — ~linear in the scan.
+- pq_search_appended: codebook training on the base split dominates
+  (Lloyd over 10x vectors); the append itself is one per-vector
+  assignment pass.
 
 Usage: python scripts/probe_r9_scale.py
 """
@@ -43,7 +49,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from honors_p1_mapreduce_spark import registry  # noqa: E402
-from honors_p1_mapreduce_spark.operators.graph import trade_kcore  # noqa: E402
+from honors_p1_mapreduce_spark.operators.graph import (  # noqa: E402
+    trade_kcore,
+    trade_pagerank,
+)
+from honors_p1_mapreduce_spark.operators.lm_quality import (  # noqa: E402
+    lm_score_stored,
+)
+from honors_p1_mapreduce_spark.operators.pq import (  # noqa: E402
+    pq_search_appended,
+)
 from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
     media_image_dedup,
     media_image_neardup,
@@ -101,6 +116,15 @@ def main() -> None:
         )
     big_o.repartition(32).write.parquet(str(work / "orders.parquet"))
     big_l.repartition(32).write.parquet(str(work / "lineitem.parquet"))
+
+    embx = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_emb = embx.count()
+    big_e = embx
+    for i in range(1, COPIES):
+        big_e = big_e.unionByName(
+            embx.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+        )
+    big_e.repartition(32).write.parquet(str(work / "embeddings.parquet"))
     for t in ("customer", "supplier", "nation", "region", "part"):
         spark.read.parquet(f"{SF}/{t}.parquet").write.parquet(
             str(work / f"{t}.parquet")
@@ -118,6 +142,9 @@ def main() -> None:
         ("media_image_dedup", media_image_dedup),
         ("quantile_daily_merge", quantile_daily_merge),
         ("trade_kcore", trade_kcore),
+        ("trade_pagerank", trade_pagerank),
+        ("lm_score_stored", lm_score_stored),
+        ("pq_search_appended", pq_search_appended),
     ]:
         timed(fn, SF)  # warm codegen/JVM once per operator shape
         t1, n1 = timed(fn, SF)
