@@ -536,3 +536,63 @@ def test_quantile_sketch_no_global_sort(spark, sf_dir):
     # range-partitioned sort (Exchange rangepartitioning) is not
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_merge_map_side_combined_jvm_only(spark, sf_dir):
+    """The daily-grid build must map-side combine (partial_count
+    before the first exchange) and stay whole-JVM: the only stage
+    that sees event ROWS is the grid aggregation — everything after
+    (merge, cumulative window, rank probe) runs on grid-sized frames,
+    and the rank probe joins via broadcast (types x percentiles
+    rows), never a shuffle of events."""
+    from honors_p1_mapreduce_spark.operators.sketch import (
+        quantile_daily_merge,
+    )
+
+    plan = _plan(quantile_daily_merge(spark, sf_dir))
+    assert "partial_count" in plan          # map-side combine
+    assert plan.count("events.parquet") <= 2  # grid + totals branch
+    assert "BroadcastHashJoin" in plan      # rank probe is broadcast
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_graph_loops_never_replay_fact_scans(spark, sf_dir):
+    """The iterative graph queries consume the fact tables exactly
+    once, into the persisted/checkpointed <= 300-row edge frame; the
+    peel loop (k-core) and rank rounds (PageRank) must hang off Scan
+    ExistingRDD with ZERO FileScan in the final plan — an action on
+    the result can never replay the lineitem+orders join, and
+    checkpoint cadence bounds the unrolled plan depth."""
+    from honors_p1_mapreduce_spark.operators.graph import (
+        trade_kcore,
+        trade_pagerank,
+    )
+
+    for fn in (trade_kcore, trade_pagerank):
+        plan = _plan(fn(spark, sf_dir))
+        assert "FileScan" not in plan, fn.__name__
+        assert "Scan ExistingRDD" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    # the k-core result itself is one degree aggregate over the core
+    # edge frame: a single exchange
+    assert _plan(trade_kcore(spark, sf_dir)).count("Exchange") == 1
+
+
+def test_lm_stored_scoring_single_corpus_scan_vocab_broadcast(
+    spark, sf_dir
+):
+    """Serving off the stored LM model: the scoring plan must scan
+    the corpus text exactly ONCE (tokenize pass) and join the
+    parquet score table via broadcast (vocab-sized) — no training
+    aggregations, no corpus re-scan, no shuffle of bigram
+    occurrences except the final per-doc aggregate."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_score_stored,
+    )
+
+    plan = _plan(lm_score_stored(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("FileScan") == 2      # corpus + stored model
+    assert "BroadcastHashJoin" in plan      # vocab-sized model join
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
