@@ -757,16 +757,9 @@ def sample_wav_pcm(media: DataFrame, every_k: int = SAMPLE_EVERY) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "sample_idx": [], "sample_value": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                blob = bytes(content)
-                if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                data = _wav_data_section(bytes(content))
+                if data is None:
                     continue
-                pos, data = 12, b""
-                while pos + 8 <= len(blob):
-                    cid = blob[pos : pos + 4]
-                    sz = struct.unpack_from("<I", blob, pos + 4)[0]
-                    if cid == b"data":
-                        data = blob[pos + 8 : pos + 8 + sz]
-                    pos += 8 + sz + (sz & 1)
                 for i in range(0, len(data) // 2, every_k):
                     v = struct.unpack_from("<h", data, 2 * i)[0]
                     out["doc_id"].append(doc_id)
@@ -777,6 +770,135 @@ def sample_wav_pcm(media: DataFrame, every_k: int = SAMPLE_EVERY) -> DataFrame:
     return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
         _samples, schema=schema
     )
+
+
+def _wav_data_section(blob: bytes) -> bytes | None:
+    """PCM 'data' chunk bytes of a RIFF/WAVE blob via the word-aligned
+    chunk walk (None for non-WAV payloads) — shared by the sampler and
+    the feature extractor so the two decoders can never drift."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, data = 12, b""
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        sz = struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    return data
+
+
+# ----------------------------------- integer audio features (r10)
+#
+# Feature parity with the image side (r9 verdict #5): the image
+# pipeline has real decode AND feature extraction (dHash, resize);
+# audio had real decode (RIFF walk, PCM sampling) but no features.
+# The classic first-pass audio-curation features — energy, peak
+# level, zero-crossing rate (the cheap voiced/unvoiced + silence
+# discriminators of every speech pipeline) — are all exactly
+# representable in INTEGER arithmetic over 16-bit PCM: sum of squares
+# (energy; the RMS without the sqrt, order-isomorphic to it for
+# fixed n), max |sample|, and sign-boundary counts. That makes the
+# whole extraction oracle-checkable from hex(encode(text)) static
+# offsets, like the image fingerprints.
+#
+# 100 TB shape: one Arrow-batched map-only pass, one output row per
+# clip (bytes in, 4 integers out) — embarrassingly parallel,
+# scan-bound, no shuffle anywhere.
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, peak_abs, sum_sq, zero_crossings) per WAV
+    payload — signed 16-bit LE PCM decoded by the shared RIFF walk,
+    features in pure integer arithmetic:
+
+    - ``peak_abs``: max |sample| (clip/level check),
+    - ``sum_sq``: sum of sample^2 (energy; bigint — 2^31 per sample
+      squared times sample count overflows int32 immediately),
+    - ``zero_crossings``: count of adjacent pairs whose signs differ,
+      with sign(v) defined as v >= 0 (deterministic at zero).
+
+    Non-WAV payloads are dropped, matching :func:`sample_wav_pcm`."""
+    schema = (
+        "doc_id long, n_samples int, peak_abs int, sum_sq long, "
+        "zero_crossings int"
+    )
+
+    def _feats(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "peak_abs", "sum_sq", "zero_crossings",
+            )}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = _wav_data_section(bytes(content))
+                if not data:
+                    continue
+                n = len(data) // 2
+                vs = list(struct.unpack_from(f"<{n}h", data))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["peak_abs"].append(max(abs(v) for v in vs))
+                out["sum_sq"].append(sum(v * v for v in vs))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(vs, vs[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _feats, schema=schema
+    )
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: integer audio features over the real WAV
+    payloads of :func:`media_real_table` — RIFF chunk walk, signed
+    16-bit LE samples, all-integer energy/peak/zero-crossing features
+    (section comment above). DuckDB re-derives every sample from
+    hex(encode(text)) static byte offsets (WAV payloads carry the
+    document's leading WAV_DATA_LEN text bytes), so the driver
+    hash-gates decode + features end-to-end; golden tests pin the
+    extractor against hand-built waveforms."""
+    return wav_features(
+        media_real_table(spark, sf_dir).filter(
+            F.col("media_type") == "audio/wav"
+        )
+    )
+
+
+MEDIA_AUDIO_FEATURES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 = 0
+),
+u AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(hx, 4 * i + 1, 2)) AS BIGINT)
+         + 256 * CAST(concat('0x', substr(hx, 4 * i + 3, 2)) AS BIGINT) AS uv
+  FROM d, unnest(generate_series(0, {WAV_DATA_LEN // 2 - 1})) AS t(i)
+),
+s AS (
+  SELECT doc_id, i,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+  FROM u
+),
+x AS (
+  SELECT doc_id, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+  FROM s
+)
+SELECT doc_id,
+       CAST({WAV_DATA_LEN // 2} AS INT) AS n_samples,
+       CAST(max(abs(v)) AS INT) AS peak_abs,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN nv IS NOT NULL AND ((v >= 0) <> (nv >= 0))
+                     THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+FROM x GROUP BY doc_id
+"""
 
 
 # --------------------------------- PNG synth + decode (round 7)
@@ -1228,7 +1350,31 @@ PHASH_GRID = 8  # normalize every image to 8x8 before hashing
 PHASH_BITS = (PHASH_GRID - 1) * PHASH_GRID  # 7 gradients x 8 rows = 56
 IMG_NEARDUP_BANDS = 4
 IMG_NEARDUP_BAND_BITS = PHASH_BITS // IMG_NEARDUP_BANDS  # 14
+# RECALL BOUND (r9 advisor): with 4 bands x 14 bits, the pigeonhole
+# guarantees a shared band only for hamming <= IMG_NEARDUP_BANDS - 1
+# = 3. Pairs at hamming 4..6 are surfaced only when their differing
+# bits happen to leave one band untouched — standard LSH candidate
+# semantics, NOT a lossless enumeration (lossless recall at 6 would
+# need 7 bands). The oracle applies the SAME banding, so parity is
+# exact; tests/test_multimodal.py pins both directions (hamming <= 3
+# always found; a 4-bit difference spread across all 4 bands missed).
 IMG_NEARDUP_HAMMING_MAX = 6
+# Hot-fingerprint guard (r9 verdict #2): a fingerprint carried by
+# more than IMG_NEARDUP_FP_CAP images is boilerplate (flat banners,
+# template graphics — dHash maps every byte-order-preserving variant
+# to one hash, its job) and is EXCLUDED from pair enumeration, the
+# winnow DF_CAP pattern (winnow.py): without it one viral image
+# emits O(copies^2) pair rows — the r9 10x probe measured 81x pair
+# output from exactly these fingerprint cliques. Same-hash cliques
+# still get deduped — the pair-free media_image_dedup clusters them
+# through their min-doc representative without enumeration; the pair
+# query's contract is the INTERESTING pairs, and > cap copies of one
+# perceptual image is a dedup decision, not a pair report. The cap
+# sits above the max multiplicity of the driver corpora (3 at
+# sf0.01, 11 at sf0.1 — measured r10) so driver stamps are
+# unchanged; the planted-clique pytest and the r10 probe exercise
+# the active-cap path.
+IMG_NEARDUP_FP_CAP = 16
 
 
 def image_dhash(content: bytes) -> int:
@@ -1270,25 +1416,28 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
 
 
-def media_image_neardup(
-    spark: SparkSession,
-    sf_dir: str,
+def image_neardup_pairs(
+    fp: DataFrame,
     max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
+    fp_cap: int | None = IMG_NEARDUP_FP_CAP,
 ) -> DataFrame:
-    """Registered query: perceptual near-duplicate image pairs
-    (doc_a, doc_b, hamming) — decode-normalize-hash each real BMP/PPM
-    payload, then the banded hamming join: pairs sharing >= 1 of 4
-    14-bit bands with hamming <= max_hamming. The banded definition
-    is the query contract (same as simhash_neardup; for
-    hamming <= 3 the 4-band pigeonhole makes banding lossless)."""
-    from pyspark.storagelevel import StorageLevel
-
-    imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
-    )
-    # both sides of the band self-join need the fingerprints; persist
-    # or the decode pass runs twice
-    fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
+    """Banded hamming pair enumeration over a (doc_id, fingerprint)
+    frame — the join stage of :func:`media_image_neardup`, factored so
+    the planted-clique / recall-bound tests drive it with synthetic
+    fingerprints. ``fp_cap`` is the hot-fingerprint guard (constant
+    comment above); ``None`` disables it (the uncapped r9 behavior,
+    kept available by parameter per the verdict)."""
+    if fp_cap is not None:
+        # hot set = fingerprints on > fp_cap images: tiny by
+        # construction (bounded by |corpus| / fp_cap entries), so it
+        # broadcasts at any scale — the dedup_incremental hot-set shape
+        hot = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > fp_cap)
+            .select("fingerprint")
+        )
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
     banded = fp.select(
         "doc_id",
@@ -1325,6 +1474,31 @@ def media_image_neardup(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def media_image_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
+    fp_cap: int | None = IMG_NEARDUP_FP_CAP,
+) -> DataFrame:
+    """Registered query: perceptual near-duplicate image pairs
+    (doc_a, doc_b, hamming) — decode-normalize-hash each real BMP/PPM
+    payload, then the banded hamming join: pairs sharing >= 1 of 4
+    14-bit bands with hamming <= max_hamming, fingerprints on more
+    than fp_cap images excluded as boilerplate (constants comment
+    above has both the recall bound and the cap rationale). The
+    banded + capped definition is the query contract (same as
+    simhash_neardup / winnow_neardup)."""
+    from pyspark.storagelevel import StorageLevel
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    )
+    # both sides of the band self-join (and the hot-set count) need
+    # the fingerprints; persist or the decode pass runs three times
+    fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
+    return image_neardup_pairs(fp, max_hamming=max_hamming, fp_cap=fp_cap)
 
 
 def _phash_gray_offsets() -> list[int]:
@@ -1382,10 +1556,18 @@ def _image_neardup_oracle() -> str:
 WITH fp AS (
   SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
 ),
+hot AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING count(*) > {IMG_NEARDUP_FP_CAP}
+),
+fpc AS (
+  SELECT * FROM fp
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+),
 banded AS (
   SELECT doc_id, fingerprint, b.b AS band,
          (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
-  FROM fp,
+  FROM fpc,
        unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -711,3 +711,118 @@ def test_media_image_dedup_invariants_and_oracle(spark, sf_dir):
     compare_query(
         spark, sf_dir, mm.media_image_dedup, mm.MEDIA_IMAGE_DEDUP_ORACLE
     )
+
+
+# ------------------------------- hot-fingerprint cap + recall (r10)
+
+
+def test_image_neardup_fp_cap_planted_clique(spark):
+    """A fingerprint carried by a clique of docs larger than the cap
+    must be excluded from pair enumeration (its quadratic pair set is
+    the r9-probe-measured blowup); a genuine near-dup pair below the
+    cap must survive. Drives the factored join stage with synthetic
+    fingerprints."""
+    # clique fp and planted fps set a bit in EVERY band, so no
+    # clique-vs-planted pair can share a band via all-zero buckets
+    clique_fp = (1 << 1) | (1 << 15) | (1 << 29) | (1 << 43)
+    planted_fp = (1 << 5) | (1 << 18) | (1 << 32) | (1 << 46)
+    clique = [(i, clique_fp) for i in range(1, 9)]  # 8 docs, one hot fp
+    planted = [(100, planted_fp), (101, planted_fp | 1)]  # hamming 1
+    fp = spark.createDataFrame(
+        clique + planted, "doc_id long, fingerprint long"
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.image_neardup_pairs(fp, fp_cap=5).collect()
+    }
+    assert capped == {(100, 101)}
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.image_neardup_pairs(fp, fp_cap=None).collect()
+    }
+    # the uncapped r9 behavior stays available by parameter: the hot
+    # clique contributes all C(8,2) = 28 same-hash pairs
+    assert len(uncapped) == 28 + 1 and (100, 101) in uncapped
+
+
+def test_image_neardup_fp_cap_noop_on_driver_corpus(spark, sf_dir):
+    """The default cap sits above the corpus' max fingerprint
+    multiplicity, so the capped query output is IDENTICAL to the
+    uncapped r9 contract on the driver corpora — the displacement
+    rationale for restamping media_image_neardup in r11."""
+    capped = sorted(
+        tuple(r) for r in mm.media_image_neardup(spark, sf_dir).collect()
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in mm.media_image_neardup(spark, sf_dir, fp_cap=None).collect()
+    )
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_image_neardup_banding_recall_bound(spark):
+    """Pins the documented LSH recall bound: hamming <= BANDS - 1 = 3
+    always shares a band (found); a 4-bit difference spread across
+    all 4 bands shares none (missed, though under HAMMING_MAX = 6)."""
+    spread = (1 << 0) | (1 << 14) | (1 << 28) | (1 << 42)  # one bit/band
+    fp = spark.createDataFrame(
+        [(1, 0), (2, spread), (3, 0b111)],
+        "doc_id long, fingerprint long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.image_neardup_pairs(fp, fp_cap=None).collect()
+    }
+    # (1,3): hamming 3, bands 1-3 untouched -> guaranteed candidate.
+    # (1,2): hamming 4 but every band touched -> no candidate bucket.
+    # (2,3): hamming 5, every band differs -> no candidate bucket.
+    assert got == {(1, 3): 3}
+
+
+# ------------------------------------- integer audio features (r10)
+
+
+def test_wav_features_golden(spark):
+    """Hand-built waveform with known energy/peak/sign structure —
+    pins signedness, the bigint sum of squares, and the v >= 0
+    zero-crossing convention; non-WAV rows are dropped."""
+    import struct
+
+    samples = [0, 1000, -32768, 32767, -1, 5]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    wav = mm._wav_header(len(data)) + data
+    media = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav)), (2, "image/bmp", bytearray(b"BM"))],
+        "doc_id long, media_type string, content binary",
+    )
+    rows = mm.wav_features(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["n_samples"], r["peak_abs"]) == (1, 6, 32768)
+    assert r["sum_sq"] == sum(s * s for s in samples) == 2148418139
+    assert r["zero_crossings"] == 4  # ++ / +- / -+ / +- / -+
+
+
+def test_media_audio_features_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_audio_features,
+        mm.MEDIA_AUDIO_FEATURES_ORACLE,
+    )
+
+
+def test_media_audio_features_covers_every_wav(spark, sf_dir):
+    out = mm.media_audio_features(spark, sf_dir)
+    n_wav = (
+        mm.media_real_table(spark, sf_dir)
+        .filter("media_type = 'audio/wav'")
+        .count()
+    )
+    assert out.count() == n_wav
+    bad = out.filter(
+        "peak_abs < 0 OR peak_abs > 32768 OR sum_sq < 0"
+        f" OR zero_crossings < 0 OR zero_crossings >= n_samples"
+        f" OR n_samples != {mm.WAV_DATA_LEN // 2}"
+    )
+    assert bad.isEmpty()
