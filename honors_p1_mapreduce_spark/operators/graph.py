@@ -210,18 +210,28 @@ def kcore_edges(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     semi-joins — equi-joins only, so the same plan runs on a
     web-scale edge table; convergence costs ONE scalar action per
     round (edge count: peeling strictly shrinks the edge set, so an
-    unchanged count IS the fixpoint), every round frame is
-    ``localCheckpoint``ed to truncate iterative lineage, and the
-    previous round's blocks are released as the next materializes —
-    the ``connected_components`` loop discipline. Rounds are bounded
-    by the peel depth (O(graph degeneracy), not O(n): every
-    non-final round removes at least one node).
+    unchanged count IS the fixpoint; the previous round's count is
+    carried driver-side — r9 verdict #6: the earlier form recomputed
+    it in a 1-row crossJoin, two job launches per round where one
+    suffices), every round frame is ``localCheckpoint``ed to truncate
+    iterative lineage, and the previous round's blocks are released
+    as the next materializes — the ``connected_components`` loop
+    discipline. Rounds are bounded by the peel depth (O(graph
+    degeneracy), not O(n): every non-final round removes at least one
+    node).
+
+    Raises ``RuntimeError`` when ``max_iter`` rounds pass without
+    reaching the fixpoint (r9 advisor: peel depth is O(degeneracy)
+    and can exceed any fixed budget on web-scale graphs; silently
+    returning the non-converged edge set would hand the caller
+    something that is NOT a k-core with no signal).
 
     No broadcast hint on the survivor sets: at scale the survivor
     frame is corpus-proportional in early rounds; AQE picks the
     strategy per round.
     """
     live = edges.select("u", "v").localCheckpoint()
+    prev = live.count()
     for _ in range(max_iter):
         deg = (
             live.select(F.col("u").alias("n"))
@@ -235,16 +245,16 @@ def kcore_edges(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
             .localCheckpoint(eager=False)
         )
-        row = (
-            new_live.agg(F.count("*").alias("c"))
-            .crossJoin(live.agg(F.count("*").alias("p")))  # 1-row frames
-            .collect()[0]
-        )
+        cur = new_live.count()
         live.unpersist()
         live = new_live
-        if row.c == row.p:
-            break
-    return live
+        if cur == prev:
+            return live
+        prev = cur
+    raise RuntimeError(
+        f"k-core peel did not reach fixpoint within max_iter={max_iter} "
+        "rounds; raise max_iter (peel depth is O(graph degeneracy))"
+    )
 
 
 def trade_kcore(
@@ -435,3 +445,116 @@ SELECT n AS nation, CAST(r AS BIGINT) AS rank_ppm FROM r{n_iter}
 
 
 TRADE_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+# ----------------------------- label-propagation communities (r10)
+
+LABELPROP_ROUNDS = 4  # fixed synchronous rounds (oracle-unrollable)
+
+
+def labelprop_nodes(
+    edges: DataFrame, n_rounds: int = LABELPROP_ROUNDS
+) -> DataFrame:
+    """(n, community) — synchronous label propagation (Raghavan,
+    Albert & Kumara 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks") over a canonical
+    undirected edge frame, made DETERMINISTIC and engine-portable:
+
+    - labels start as the node's own name;
+    - each round, every node adopts the most frequent label among its
+      neighbours, ties broken by MIN label (the paper's random
+      tie-break is replaced by a total order both engines agree on);
+    - updates are synchronous (all nodes step on round t's labels),
+      so round t+1 is a pure function of round t and the whole
+      computation unrolls into a fixed MATERIALIZED-CTE oracle —
+      the PageRank portability recipe. Synchronous LPA can oscillate
+      on bipartite structures instead of converging; a FIXED round
+      count makes the output well-defined either way, and community
+      quality at small round counts is the documented LPA behavior
+      (most structure resolves in < 5 rounds).
+
+    Plan shape per round: one equi-join (labels onto directed edges),
+    one (node, label) count aggregate, one per-node max aggregate,
+    one filter+min aggregate — every stage keyed by node or
+    (node, label), so the same plan runs on a web-scale edge table;
+    no window functions over anything larger than a per-node
+    partition, nothing collected to the driver. The round count is
+    fixed and small (like PageRank, unlike the data-dependent
+    CC/k-core loops), so per-round lineage truncation is skipped and
+    plan depth stays bounded by n_rounds.
+    """
+    dirb = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    dirb = dirb.localCheckpoint()
+    nodes = dirb.select(F.col("src").alias("n")).distinct()
+    labels = nodes.select("n", F.col("n").alias("lbl"))
+    for _ in range(n_rounds):
+        nbr = dirb.join(
+            labels.select(F.col("n").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("n"), "lbl")
+        cnt = nbr.groupBy("n", "lbl").agg(F.count("*").alias("c"))
+        mx = cnt.groupBy("n").agg(F.max("c").alias("mx"))
+        labels = (
+            cnt.join(mx, "n")
+            .filter(F.col("c") == F.col("mx"))
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.select("n", F.col("lbl").alias("community"))
+
+
+def trade_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: label-propagation communities of the
+    thresholded nation-trade graph — the modularity-flavored
+    counterpart to connected components (CC merges anything touching;
+    LPA splits a connected blob into densely-knit trade blocs). The
+    fact-side edge derivation is persisted once; every round runs on
+    the <= 300-row reduced frame.
+
+    Output: (nation, community, community_size) — community is the
+    round-LABELPROP_ROUNDS label (min-tie-break), size its member
+    count."""
+    lbl = labelprop_nodes(_trade_edges(spark, sf_dir).persist())
+    sizes = lbl.groupBy("community").agg(
+        F.count("*").alias("community_size")
+    )
+    return lbl.join(sizes, "community").select(
+        F.col("n").alias("nation"), "community", "community_size"
+    )
+
+
+def _labelprop_oracle(n_rounds: int = LABELPROP_ROUNDS) -> str:
+    """Fixed-round synchronous unroll, every CTE MATERIALIZED (the
+    kcore lesson: inlined CTE chains re-expand exponentially)."""
+    rounds = []
+    for t in range(1, n_rounds + 1):
+        rounds.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT e.dst AS n, l.lbl, count(*) AS c
+  FROM dirb e JOIN l{t - 1} l ON e.src = l.n
+  GROUP BY e.dst, l.lbl
+),
+l{t} AS MATERIALIZED (
+  SELECT n, min(lbl) AS lbl
+  FROM (SELECT n, lbl, c, max(c) OVER (PARTITION BY n) AS mx FROM c{t}) w
+  WHERE c = mx GROUP BY n
+)"""
+        )
+    return f"""
+WITH {_TRADE_EDGES_CTES},
+dirb AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM kept UNION ALL SELECT v, u FROM kept
+),
+l0 AS MATERIALIZED (SELECT DISTINCT src AS n, src AS lbl FROM dirb),
+{",".join(rounds)},
+final AS (SELECT n, lbl AS community FROM l{n_rounds}),
+sizes AS (
+  SELECT community, count(*) AS community_size FROM final GROUP BY community
+)
+SELECT n AS nation, community, community_size
+FROM final JOIN sizes USING (community)
+"""
+
+
+TRADE_LABELPROP_ORACLE = _labelprop_oracle()

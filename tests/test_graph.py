@@ -202,3 +202,94 @@ def test_trade_pagerank_matches_oracle(spark, sf_dir):
     )
 
     compare_query(spark, sf_dir, trade_pagerank, TRADE_PAGERANK_ORACLE)
+
+
+# ----------------------------- label propagation (r10)
+
+
+def _lpa_ref(edges, rounds):
+    """Plain-Python synchronous LPA with min-label tie-break — the
+    differential reference for labelprop_nodes."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            cnt = Counter(lbl[m] for m in adj[n])
+            mx = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == mx)
+        lbl = new
+    return lbl
+
+
+def test_labelprop_two_cliques_golden(spark):
+    """Two 4-cliques joined by one bridge edge: LPA must settle each
+    clique on its min member and keep the bridge from merging them."""
+    from honors_p1_mapreduce_spark.operators.graph import labelprop_nodes
+
+    cliques = [
+        (a, b)
+        for grp in (["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"])
+        for i, a in enumerate(grp)
+        for b in grp[i + 1 :]
+    ]
+    edges = cliques + [("a1", "b1")]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["n"]: r["community"] for r in labelprop_nodes(df).collect()}
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1", "b4": "b1",
+    }
+
+
+def test_labelprop_differential_random_graphs(spark):
+    import itertools
+    import random
+
+    from honors_p1_mapreduce_spark.operators.graph import labelprop_nodes
+
+    rng = random.Random(23)
+    for trial in range(5):
+        nodes = [f"n{i:02d}" for i in range(rng.randint(4, 12))]
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.35
+        ]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["u", "v"])
+        got = {
+            r["n"]: r["community"] for r in labelprop_nodes(df).collect()
+        }
+        assert got == _lpa_ref(edges, 4), f"trial {trial}"
+
+
+def test_trade_labelprop_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.graph import (
+        TRADE_LABELPROP_ORACLE,
+        trade_labelprop,
+    )
+
+    compare_query(spark, sf_dir, trade_labelprop, TRADE_LABELPROP_ORACLE)
+
+
+def test_kcore_raises_without_fixpoint(spark):
+    """r9 advisor: exhausting max_iter without convergence must raise,
+    not silently return a non-k-core edge set. A 12-node path with
+    k=2 peels one vertex pair per round — needs ~5 rounds."""
+    import pytest as _pytest
+
+    from honors_p1_mapreduce_spark.operators.graph import kcore_edges
+
+    path = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(11)]
+    df = spark.createDataFrame(path, ["u", "v"])
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_edges(df, 2, max_iter=2)
+    # with budget it converges to the empty 2-core (a path has none)
+    assert kcore_edges(df, 2, max_iter=12).count() == 0
