@@ -145,29 +145,44 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_occurrences(occ, scores)
 
 
-def _interp_occ_scores(spark: SparkSession, sf_dir: str):
-    """(persisted bigram-occurrence frame, interpolated per-bigram
-    score table) — the shared build of :func:`lm_interp_score` and
-    :func:`lm_write_model`."""
+def _lm_count_frames(
+    spark: SparkSession, sf_dir: str, pred: F.Column | None = None
+):
+    """(persisted bigram-occurrence frame, unigram counts, bigram
+    counts) over the documents table (optionally ``pred``-filtered —
+    the retract path counts the REMOVED split alone). The count
+    frames are the trainable/mergeable/RETRACTABLE form of the model:
+    integer counts subtract exactly, derived ratios don't."""
     docs = load_table(spark, sf_dir, "documents")
+    if pred is not None:
+        docs = docs.filter(pred)
     tok_arr = docs.select("doc_id", tokens_col("text").alias("tk")).persist()
     toks = tok_arr.select(F.explode("tk").alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("ucnt"))
-    tot = uni.agg(F.sum("ucnt").alias("t"))
-    p_uni = uni.join(F.broadcast(tot)).select(
-        F.col("w").alias("w2"), F.expr(f"div(ucnt * {PPM}, t)").alias("pu_ppm")
-    )
     occ = tok_arr.select(
         "doc_id",
         F.explode(bigrams_from_tokens(F.col("tk"))).alias("bg"),
     ).persist()
     bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+    return occ, uni, bg_counts
+
+
+def _interp_scores_from_counts(uni: DataFrame, bg_counts: DataFrame) -> DataFrame:
+    """(bg, pi_ppm) interpolated score table from count frames —
+    context totals re-aggregate the bigram counts, the corpus-total
+    scalar rides a 1-row broadcast. Pure integer arithmetic, so
+    scores from SUBTRACTED counts equal scores retrained from the
+    filtered corpus bit-for-bit."""
+    tot = uni.agg(F.sum("ucnt").alias("t"))
+    p_uni = uni.join(F.broadcast(tot)).select(
+        F.col("w").alias("w2"), F.expr(f"div(ucnt * {PPM}, t)").alias("pu_ppm")
+    )
     ctx_counts = (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .groupBy("w1")
         .agg(F.sum("cnt").alias("ctx"))
     )
-    scores = (
+    return (
         bg_counts.withColumn("w1", F.substring_index("bg", " ", 1))
         .withColumn("w2", F.substring_index("bg", " ", -1))
         .join(ctx_counts, "w1")
@@ -180,7 +195,14 @@ def _interp_occ_scores(spark: SparkSession, sf_dir: str):
             ).alias("pi_ppm"),
         )
     )
-    return occ, scores
+
+
+def _interp_occ_scores(spark: SparkSession, sf_dir: str):
+    """(persisted bigram-occurrence frame, interpolated per-bigram
+    score table) — the shared build of :func:`lm_interp_score` and
+    :func:`lm_write_model`."""
+    occ, uni, bg_counts = _lm_count_frames(spark, sf_dir)
+    return occ, _interp_scores_from_counts(uni, bg_counts)
 
 
 def _score_occurrences(occ: DataFrame, scores: DataFrame) -> DataFrame:
@@ -246,15 +268,20 @@ def lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score_with(spark, sf_dir, d)
 
 
-LM_INTERP_SCORE_ORACLE = f"""
-WITH toks AS (SELECT unnest({_T}) AS w FROM documents),
+def _lm_interp_oracle(pred: str = "") -> str:
+    """DuckDB twin of the interpolated-LM pipeline. ``pred`` (e.g.
+    " WHERE doc_id % 13 <> 5") restricts the corpus — the retract
+    oracle RETRAINS on the kept docs, hash-gating that count
+    subtraction equals retraining."""
+    return f"""
+WITH toks AS (SELECT unnest({_T}) AS w FROM documents{pred}),
 uni AS (SELECT w, count(*) AS ucnt FROM toks GROUP BY w),
 tot AS (SELECT sum(ucnt) AS t FROM uni),
 p_uni AS (
   SELECT w AS w2, (ucnt * {PPM}) // t AS pu_ppm FROM uni CROSS JOIN tot
 ),
 occ AS (
-  SELECT doc_id, unnest({_BG_SQL}) AS bg FROM documents
+  SELECT doc_id, unnest({_BG_SQL}) AS bg FROM documents{pred}
 ),
 bg_counts AS (SELECT bg, count(*) AS cnt FROM occ GROUP BY bg),
 ctx_counts AS (
@@ -277,4 +304,104 @@ GROUP BY doc_id
 """
 
 
+LM_INTERP_SCORE_ORACLE = _lm_interp_oracle()
+
+
 LM_SCORE_STORED_ORACLE = LM_INTERP_SCORE_ORACLE
+
+
+# ------------------------------------ model takedown / retract (r10)
+
+# The LM member of the stored-artifact retract cycle (winnow.py has
+# the lifecycle rationale; the removal split is SHARED with
+# winnow_index_retract — one takedown event reconciles every
+# dependent artifact). Unlike the fingerprint index, the LM's shipped
+# score table is a table of RATIOS and cannot be reconciled by row
+# deletion — which is exactly why the trainable artifact a production
+# pipeline stores is the COUNT tables (bigram + unigram): integer
+# counts subtract exactly, so a takedown costs one tokenize pass over
+# the REMOVED split (takedown-sized) plus a vocab-sized join — never
+# a full retrain. KenLM's own .arpa intermediate is count-based for
+# the same mergeability reason.
+
+
+def lm_write_counts(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
+    """Persist the RETRACTABLE model form: raw bigram + unigram count
+    tables (both |vocab|-sized; the corpus-total unigram scalar is
+    their sum, so it needs no separate file). The serving score table
+    of :func:`lm_write_model` derives from these in one vocab-sized
+    pass."""
+    occ, uni, bg_counts = _lm_count_frames(spark, sf_dir)
+    bg_counts.write.mode("overwrite").parquet(f"{model_dir}/bigram_counts")
+    uni.write.mode("overwrite").parquet(f"{model_dir}/unigram_counts")
+    occ.unpersist()
+
+
+def lm_model_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the full LM takedown cycle — train + persist
+    the count artifact (:func:`lm_write_counts`), tokenize ONLY the
+    removed split for its count deltas, SUBTRACT (row filtering +
+    integer count subtraction, zero rows dropped), re-derive the
+    score table from the reconciled counts, and score the kept
+    corpus. The oracle retrains from the kept docs, so the driver
+    hash-gates retract == rebuild — the ``pq_search_appended`` proof
+    pattern in reverse; pytest additionally pins
+    retract(full, removed) == train(kept) at the count-frame level
+    and retract(nothing) == identity.
+
+    Scale shape: the stored counts are vocab-sized; the delta pass
+    scans the removed split only (takedown-sized in production; the
+    demo split is the deterministic ~8% shared with
+    winnow_index_retract); the final scoring is the standard one
+    tokenize pass + vocab-sized join. The full corpus is re-read only
+    to SCORE it, never to retrain."""
+    from .bpe_encode import _artifact_dir
+    from .winnow import RETRACT_MOD, RETRACT_RESIDUE
+
+    d = _artifact_dir(spark, sf_dir, "lm_counts")
+    lm_write_counts(spark, sf_dir, d)
+    removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
+    occ_r, uni_r, bg_r = _lm_count_frames(spark, sf_dir, pred=removed_pred)
+    stored_bg = spark.read.parquet(f"{d}/bigram_counts")
+    stored_uni = spark.read.parquet(f"{d}/unigram_counts")
+    rbg = retract_counts(stored_bg, bg_r, "bg", "cnt")
+    runi = retract_counts(stored_uni, uni_r, "w", "ucnt")
+    scores = _interp_scores_from_counts(runi, rbg)
+    kept = load_table(spark, sf_dir, "documents").filter(~removed_pred)
+    occ_kept = kept.select(
+        "doc_id",
+        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+    )
+    result = _score_occurrences(occ_kept, scores)
+    occ_r.unpersist()
+    return result
+
+
+def retract_counts(
+    stored: DataFrame, delta: DataFrame, key: str, cnt: str
+) -> DataFrame:
+    """stored counts MINUS delta counts on ``key``: left join (keys
+    absent from the delta keep their count), exact integer
+    subtraction, zero rows dropped (a key whose occurrences all came
+    from removed docs leaves the vocabulary). Both frames are
+    vocab-sized, so this is never a corpus-scale operation."""
+    d = delta.select(key, F.col(cnt).alias("__d"))
+    return (
+        stored.join(d, key, "left")
+        .select(
+            key,
+            (
+                F.col(cnt) - F.coalesce(F.col("__d"), F.lit(0).cast("bigint"))
+            ).alias(cnt),
+        )
+        .filter(F.col(cnt) > 0)
+    )
+
+
+def _retract_pred_sql() -> str:
+    from .winnow import RETRACT_MOD, RETRACT_RESIDUE
+
+    return f" WHERE doc_id % {RETRACT_MOD} <> {RETRACT_RESIDUE}"
+
+
+LM_MODEL_RETRACT_ORACLE = _lm_interp_oracle(pred=_retract_pred_sql())

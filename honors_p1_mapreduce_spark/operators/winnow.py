@@ -246,14 +246,16 @@ def _chunked_raw_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chunked_fp_cte(chunk_grams: int = CHUNK_GRAMS) -> str:
-    """DuckDB twin of the chunked pipeline, same geometry."""
+def _chunked_fp_cte(chunk_grams: int = CHUNK_GRAMS, pred: str = "") -> str:
+    """DuckDB twin of the chunked pipeline, same geometry. ``pred``
+    (e.g. " WHERE doc_id % 13 <> 5") restricts the corpus — the
+    retract-cycle oracles re-derive the index from the KEPT docs."""
     s_stride = chunk_grams - W + 1
     chunk_len = chunk_grams + K - 1
     return f"""
 norm_c AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-  FROM documents
+  FROM documents{pred}
 ),
 chunks AS (
   SELECT doc_id, c * {s_stride} AS off,
@@ -522,6 +524,88 @@ def decontaminate_stored(
 
 
 DECONTAMINATE_STORED_ORACLE = DECONTAMINATE_NEARDUP_ORACLE
+
+
+# ------------------------------------ index takedown / retract (r10)
+
+# The missing lifecycle member after write -> read-back (r8) and
+# APPEND (r9 dedup_incremental / pq_search_appended): right-to-erasure
+# reprocessing. A takedown request names doc_ids; every dependent
+# stored artifact must be reconciled WITHOUT retraining from the full
+# corpus. The fingerprint index is row-keyed by doc_id, so its
+# retraction is exact row deletion — an anti-join against the removal
+# set (broadcast: takedown lists are tiny at any corpus size), never
+# a corpus re-extraction. retract(index(corpus), R) == index(corpus
+# minus R) holds by construction and is pinned both by pytest (frame
+# equality) and by the driver oracle (which re-derives from the
+# filtered corpus). The demo removal split is deterministic
+# (doc_id % RETRACT_MOD == RETRACT_RESIDUE, ~8%, disjoint in law from
+# the eval/batch splits); production supplies an explicit id table.
+# The SAME split drives lm_model_retract (lm_quality.py) — one
+# takedown event reconciles every dependent artifact.
+
+RETRACT_MOD = 13
+RETRACT_RESIDUE = 5
+
+
+def winnow_retract_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    removed_docs: DataFrame,
+) -> None:
+    """Reconcile a stored fingerprint index after a takedown: drop the
+    removed doc_ids' rows (broadcast anti-join — the removal list is
+    takedown-sized, not corpus-sized) and write the reconciled index.
+    The corpus text is never touched: deletion is row filtering
+    because the artifact is row-keyed per doc — the reverse of the
+    append cycle's 'encode only the new rows'."""
+    fps = spark.read.parquet(f"{index_dir}/fingerprints")
+    fps.join(
+        F.broadcast(removed_docs.select("doc_id")), "doc_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{out_dir}/fingerprints")
+
+
+def winnow_index_retract(
+    spark: SparkSession, sf_dir: str, min_shared: int = CONTAM_MIN_SHARED
+) -> DataFrame:
+    """Registered query: the full retract cycle — build + persist the
+    corpus fingerprint index, RETRACT the takedown split
+    (:func:`winnow_retract_index`: anti-join row deletion, no
+    re-extraction), read the reconciled index back, and serve
+    decontamination from it. The oracle re-derives the index from the
+    KEPT corpus, so the driver hash-gates retract == rebuild — the
+    ``pq_search_appended`` proof pattern in reverse. Note the removal
+    changes BOTH sides of the decontamination: removed eval docs
+    shrink the eval fingerprint set, removed train docs leave the
+    drop list. Scratch: per-application overwrite-in-place
+    (``bpe_encode._artifact_dir``), rewritten every call."""
+    from .bpe_encode import _artifact_dir
+
+    d_full = _artifact_dir(spark, sf_dir, "winnow_index_rtr_full")
+    d_rtr = _artifact_dir(spark, sf_dir, "winnow_index_rtr")
+    winnow_write_index(spark, sf_dir, d_full)
+    removed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE)
+    )
+    winnow_retract_index(spark, d_full, d_rtr, removed)
+    return decontaminate_from_index(spark, d_rtr, min_shared)
+
+
+WINNOW_INDEX_RETRACT_ORACLE = f"""
+WITH {_chunked_fp_cte(pred=f" WHERE doc_id % {RETRACT_MOD} <> {RETRACT_RESIDUE}")},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp_c),
+eval_fps AS (
+  SELECT DISTINCT fp_hash FROM dfp WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+)
+SELECT d.doc_id, count(*) AS shared_fps
+FROM dfp d JOIN eval_fps e ON d.fp_hash = e.fp_hash
+WHERE d.doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+GROUP BY d.doc_id
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
 
 
 # ------------------------------------ incremental batch dedup (r8)

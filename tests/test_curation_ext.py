@@ -693,3 +693,55 @@ def test_dataset_publish_manifest_roundtrip_preserves_corpus(spark, sf_dir):
     # back exactly once (xor cancels pairs — duplicates would vanish)
     xor_all_direct = docs.agg(F.bit_xor(h).alias("x")).collect()[0]["x"]
     assert xor_all_published == xor_all_direct
+
+
+# ------------------------------------ LM takedown / retract (r10)
+
+
+def test_lm_retract_counts_equal_retrain(spark, sf_dir, tmp_path):
+    """Count subtraction must equal retraining on the kept corpus at
+    the count-frame level (integer-exact), and subtracting an empty
+    delta is the identity."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        _lm_count_frames,
+        lm_write_counts,
+        retract_counts,
+    )
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        RETRACT_MOD,
+        RETRACT_RESIDUE,
+    )
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "lm_counts")
+    lm_write_counts(spark, sf_dir, d)
+    removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
+    occ_r, uni_r, bg_r = _lm_count_frames(spark, sf_dir, pred=removed_pred)
+    occ_k, uni_k, bg_k = _lm_count_frames(spark, sf_dir, pred=~removed_pred)
+    stored_bg = spark.read.parquet(f"{d}/bigram_counts")
+    stored_uni = spark.read.parquet(f"{d}/unigram_counts")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(retract_counts(stored_bg, bg_r, "bg", "cnt")) == rows(bg_k)
+    assert rows(retract_counts(stored_uni, uni_r, "w", "ucnt")) == rows(
+        uni_k
+    )
+    empty = bg_r.filter("cnt < 0")
+    assert rows(retract_counts(stored_bg, empty, "bg", "cnt")) == rows(
+        stored_bg
+    )
+    for f in (occ_r, occ_k):
+        f.unpersist()
+
+
+def test_lm_model_retract_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        LM_MODEL_RETRACT_ORACLE,
+        lm_model_retract,
+    )
+
+    from .oracle import compare_query
+
+    compare_query(spark, sf_dir, lm_model_retract, LM_MODEL_RETRACT_ORACLE)

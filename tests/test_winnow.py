@@ -316,3 +316,96 @@ def test_dedup_incremental_split_invariants(spark, sf_dir):
         assert r["doc_id"] % wn.BATCH_MOD == wn.BATCH_RESIDUE
         assert r["dup_of"] % wn.BATCH_MOD != wn.BATCH_RESIDUE
         assert r["shared_fps"] >= wn.MIN_SHARED
+
+
+# ------------------------------------ takedown / retract cycle (r10)
+
+
+def test_winnow_retract_equals_rebuild(spark, sf_dir, tmp_path):
+    """retract(index(corpus), R) must equal index(corpus minus R)
+    frame-for-frame — the right-to-erasure invariant; and retracting
+    an empty set is the identity."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        RETRACT_MOD,
+        RETRACT_RESIDUE,
+        winnow_fingerprints_chunked_from,
+        winnow_retract_index,
+        winnow_write_index,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    full_d, rtr_d, empty_d = (
+        str(tmp_path / n) for n in ("full", "rtr", "empty")
+    )
+    winnow_write_index(spark, sf_dir, full_d)
+    docs = load_table(spark, sf_dir, "documents")
+    removed = docs.select("doc_id").filter(
+        f"doc_id % {RETRACT_MOD} = {RETRACT_RESIDUE}"
+    )
+    winnow_retract_index(spark, full_d, rtr_d, removed)
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{rtr_d}/fingerprints").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in winnow_fingerprints_chunked_from(
+            docs.filter(
+                f"doc_id % {RETRACT_MOD} <> {RETRACT_RESIDUE}"
+            ).select("doc_id", "text")
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # empty removal set -> identity
+    winnow_retract_index(
+        spark, full_d, empty_d, removed.filter("doc_id < 0")
+    )
+    full_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{full_d}/fingerprints").collect()
+    )
+    empty_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{empty_d}/fingerprints").collect()
+    )
+    assert full_rows == empty_rows
+
+
+def test_winnow_index_retract_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        WINNOW_INDEX_RETRACT_ORACLE,
+        winnow_index_retract,
+    )
+
+    from .oracle import compare_query
+
+    compare_query(
+        spark, sf_dir, winnow_index_retract, WINNOW_INDEX_RETRACT_ORACLE
+    )
+
+
+def test_winnow_retract_drops_docs_from_answer(spark, sf_dir):
+    """Removed doc_ids must vanish from the served drop list, and a
+    kept doc's shared count can only shrink (the eval fingerprint set
+    lost its removed members)."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        RETRACT_MOD,
+        RETRACT_RESIDUE,
+        decontaminate_neardup,
+        winnow_index_retract,
+    )
+
+    before = {
+        r["doc_id"]: r["shared_fps"]
+        for r in decontaminate_neardup(spark, sf_dir).collect()
+    }
+    after = {
+        r["doc_id"]: r["shared_fps"]
+        for r in winnow_index_retract(spark, sf_dir).collect()
+    }
+    for doc_id, shared in after.items():
+        assert doc_id % RETRACT_MOD != RETRACT_RESIDUE
+        if doc_id in before:
+            assert shared <= before[doc_id]
