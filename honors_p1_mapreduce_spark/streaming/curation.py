@@ -30,6 +30,23 @@ from ..operators.winnow import (
 )
 
 
+def _write_batch_partition(
+    df: DataFrame, batch_id: int, store_dir: str
+) -> None:
+    """Idempotent foreachBatch sink (r9 advisor): write the batch's
+    rows to their own ``batch_id=N`` subdirectory in OVERWRITE mode.
+    foreachBatch side-effects are at-least-once — a micro-batch
+    retried after a partial/uncommitted append would double-count its
+    rows in a bare append-mode store; keyed by the (stable-on-replay)
+    batch_id, a retry rewrites exactly its own partition and the
+    store converges to the same content however many times a batch
+    fires. Readers see a standard partitioned parquet layout and drop
+    the batch_id partition column."""
+    df.write.mode("overwrite").parquet(
+        f"{store_dir}/batch_id={int(batch_id)}"
+    )
+
+
 def stream_documents(
     spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
 ) -> DataFrame:
@@ -63,6 +80,14 @@ def streaming_dedup_incremental(
     every micro-batch — exactly how a deployment serves a shipped
     index. The hot set comes from the index side only, matching batch
     ``dedup_incremental``; stream docs never join each other.
+
+    Replay idempotency (r9 advisor): ``foreachBatch`` offers
+    at-least-once side-effect semantics — a micro-batch retried after
+    a partial write would DOUBLE its rows under a bare append. Every
+    batch therefore writes to its own ``batch_id=N`` subdirectory in
+    overwrite mode (:func:`_write_batch_partition`): a replay rewrites
+    exactly its own partition and the store stays correct. Read the
+    store through :func:`read_flagged_from_store`.
     """
     is_batch = F.col("doc_id") % BATCH_MOD == BATCH_RESIDUE
     index = (
@@ -84,7 +109,7 @@ def streaming_dedup_incremental(
     )
     index_capped.count()  # materialize once, before the stream starts
 
-    def _micro_batch(bdf: DataFrame, _batch_id: int) -> None:
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
         fps_b = (
             _chunked_fp_rows(bdf.select("doc_id", "text"))
             .select("doc_id", "fp_hash")
@@ -117,7 +142,7 @@ def streaming_dedup_incremental(
                 F.col("b.shared_fps").alias("shared_fps"),
             )
         )
-        flagged.write.mode("append").parquet(out_dir)
+        _write_batch_partition(flagged, batch_id, out_dir)
 
     q = (
         stream_documents(spark, sf_dir)
@@ -129,6 +154,14 @@ def streaming_dedup_incremental(
     )
     q.awaitTermination()
     index_capped.unpersist()
+
+
+def read_flagged_from_store(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(doc_id, dup_of, shared_fps) from the drained flagged store —
+    drops the batch_id partition column of the idempotent layout."""
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "dup_of", "shared_fps"
+    )
 
 
 def streaming_quantile_merge(
@@ -147,12 +180,17 @@ def streaming_quantile_merge(
     batch answer — pinned by the equivalence test. No cross-batch
     state at all: the stream side holds nothing between triggers, and
     a reader compacts by summing at query time (or a maintenance job
-    rewrites the store, exactly like a production rollup)."""
+    rewrites the store, exactly like a production rollup). Each batch
+    writes its partial grid to its own ``batch_id=N`` partition in
+    overwrite mode (:func:`_write_batch_partition`) so a foreachBatch
+    replay after a partial append cannot double-count (r9 advisor) —
+    additive-merge stores are exactly where silent duplication would
+    corrupt every downstream quantile."""
     from ..operators.sketch import _qsk_bucket
     from .windows import stream_events
 
-    def _micro_batch(bdf: DataFrame, _batch_id: int) -> None:
-        (
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        grid = (
             bdf.select(
                 "event_type",
                 F.to_date("ts").cast("string").alias("day"),
@@ -160,9 +198,8 @@ def streaming_quantile_merge(
             )
             .groupBy("event_type", "day", "bucket")
             .agg(F.count("*").alias("cnt"))
-            .write.mode("append")
-            .parquet(store_dir)
         )
+        _write_batch_partition(grid, batch_id, store_dir)
 
     q = (
         stream_events(spark, sf_dir)
@@ -182,6 +219,7 @@ def read_quantiles_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
     merged = (
         spark.read.parquet(store_dir)
+        .select("event_type", "bucket", "cnt")  # drop batch_id partition
         .groupBy("event_type", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -189,6 +189,7 @@ def test_streaming_dedup_incremental_matches_batch(spark, sf_dir, tmp_path):
         winnow_write_index,
     )
     from honors_p1_mapreduce_spark.streaming.curation import (
+        read_flagged_from_store,
         streaming_dedup_incremental,
     )
 
@@ -197,7 +198,9 @@ def test_streaming_dedup_incremental_matches_batch(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     winnow_write_index(spark, sf_dir, idx)
     streaming_dedup_incremental(spark, sf_dir, idx, out, ckpt)
-    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    streamed = sorted(
+        map(tuple, read_flagged_from_store(spark, out).collect())
+    )
     batch = sorted(map(tuple, dedup_incremental(spark, sf_dir).collect()))
     assert streamed == batch
     assert streamed  # non-vacuous: the sf0.001 corpus has real matches
@@ -225,3 +228,42 @@ def test_streaming_quantile_merge_matches_batch(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, quantile_daily_merge(spark, sf_dir).collect()))
     assert streamed == batch
     assert streamed  # non-vacuous
+
+
+def test_foreachbatch_store_replay_is_idempotent(spark, tmp_path):
+    """r9 advisor: foreachBatch side-effects are at-least-once — a
+    retried micro-batch must not double-count. The batch_id-keyed
+    overwrite sink converges to the same store content when a batch
+    fires twice, including a replay after a PARTIAL first write."""
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        _write_batch_partition,
+    )
+
+    store = str(tmp_path / "store")
+    b0 = spark.createDataFrame(
+        [("click", "2024-01-01", 3, 7)],
+        "event_type string, day string, bucket int, cnt long",
+    )
+    b1 = spark.createDataFrame(
+        [("click", "2024-01-01", 3, 2), ("view", "2024-01-02", 1, 5)],
+        "event_type string, day string, bucket int, cnt long",
+    )
+    _write_batch_partition(b0, 0, store)
+    # partial first attempt of batch 1 (only one of its rows landed)
+    _write_batch_partition(b1.limit(1), 1, store)
+    # replay of batch 1 with the full content — must REPLACE, not add
+    _write_batch_partition(b1, 1, store)
+    _write_batch_partition(b1, 1, store)  # and re-replay is a no-op
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .select("event_type", "day", "bucket", "cnt")
+            .collect(),
+        )
+    )
+    assert got == [
+        ("click", "2024-01-01", 3, 2),
+        ("click", "2024-01-01", 3, 7),
+        ("view", "2024-01-02", 1, 5),
+    ]
