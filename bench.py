@@ -146,6 +146,29 @@ def main() -> None:
         registry.reset_memos()
         return secs
 
+    def timed_stages() -> dict[str, dict[str, float]]:
+        # Stage attribution for the train-included stored cycles (r9
+        # verdict #7): the most expensive bench entries are cold
+        # train+write+serve composites, so a round-over-round
+        # regression needs to know WHICH stage moved. Each family's
+        # stages run cold (memos reset before), sequentially, against
+        # the same artifact dir the registered query uses; the splits
+        # are metadata only — the headline stays the registered
+        # query's cold min-of-two.
+        out: dict[str, dict[str, float]] = {}
+        for qname, build in _stage_splits(spark, sf_dir).items():
+            spark.catalog.clearCache()
+            registry.reset_memos()
+            parts: dict[str, float] = {}
+            for stage_name, fn in build:
+                t0 = time.perf_counter()
+                fn()
+                parts[stage_name] = round(time.perf_counter() - t0, 3)
+            out[qname] = parts
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        return out
+
     calibration()  # throwaway: compile the calibration shape once so
     # both recorded samples measure host speed, not codegen
     cal_start = calibration()
@@ -153,6 +176,7 @@ def main() -> None:
     spark._jvm.System.gc()
     second = {name: timed(name) for name in names}
     warm = {name: timed_warm(name) for name in names}
+    stages = timed_stages()
     cal_end = calibration()
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
@@ -163,6 +187,7 @@ def main() -> None:
         runs=runs,
         calibration=[cal_start, cal_end],
         warm={n: round(w, 3) for n, w in warm.items()},
+        stages=stages,
     )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
@@ -172,12 +197,112 @@ def main() -> None:
 CAL_REF = 0.5  # reference calibration seconds for cross-round norm
 
 
+def _stage_splits(spark, sf_dir: str) -> dict[str, list[tuple[str, object]]]:
+    """Per-stage runners for the train-included stored-cycle queries:
+    query name -> ordered (stage, thunk) list reproducing the
+    registered query's phases against the same artifact dirs. Reaches
+    one module-private helper (_artifact_dir) on purpose — the splits
+    must measure the exact paths the registered queries run."""
+    from honors_p1_mapreduce_spark.operators import bpe_encode as bpx
+    from honors_p1_mapreduce_spark.operators import lm_quality as lm
+    from honors_p1_mapreduce_spark.operators import pq
+    from honors_p1_mapreduce_spark.operators import winnow as wn
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d_pq = _artifact_dir(spark, sf_dir, f"pq_index_{pq.PQ_CELLS}c{pq.PQ_ITER}i")
+    d_incr = _artifact_dir(spark, sf_dir, f"pq_incr_{pq.PQ_CELLS}c{pq.PQ_ITER}i")
+    d_tok = _artifact_dir(spark, sf_dir, "bpe_tokenizer")
+    d_lm = _artifact_dir(spark, sf_dir, "lm_model")
+    d_lmc = _artifact_dir(spark, sf_dir, "lm_counts")
+    d_wix = _artifact_dir(spark, sf_dir, "winnow_index")
+    d_rfull = _artifact_dir(spark, sf_dir, "winnow_index_rtr_full")
+    d_rtr = _artifact_dir(spark, sf_dir, "winnow_index_rtr")
+
+    def _removed():
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % wn.RETRACT_MOD == wn.RETRACT_RESIDUE)
+        )
+
+    return {
+        "pq_search_stored": [
+            ("train_write", lambda: pq.pq_write_index(spark, sf_dir, d_pq)),
+            ("serve", lambda: pq.pq_search_index(spark, sf_dir, d_pq).count()),
+        ],
+        "pq_search_appended": [
+            (
+                "train_write_base",
+                lambda: pq.pq_write_base_index(spark, sf_dir, d_incr),
+            ),
+            ("append", lambda: pq.pq_append_index(spark, sf_dir, d_incr)),
+            (
+                "serve",
+                lambda: pq.pq_search_index(spark, sf_dir, d_incr).count(),
+            ),
+        ],
+        "bpe_encode_ids_stored": [
+            (
+                "train_write",
+                lambda: bpx.bpe_write_tokenizer(spark, sf_dir, d_tok),
+            ),
+            (
+                "serve",
+                lambda: bpx.bpe_encode_ids_with(spark, sf_dir, d_tok).count(),
+            ),
+        ],
+        "lm_score_stored": [
+            ("train_write", lambda: lm.lm_write_model(spark, sf_dir, d_lm)),
+            (
+                "serve",
+                lambda: lm.lm_score_with(spark, sf_dir, d_lm).count(),
+            ),
+        ],
+        "decontaminate_stored": [
+            (
+                "extract_write",
+                lambda: wn.winnow_write_index(spark, sf_dir, d_wix),
+            ),
+            (
+                "serve",
+                lambda: wn.decontaminate_from_index(spark, d_wix).count(),
+            ),
+        ],
+        "winnow_index_retract": [
+            (
+                "extract_write",
+                lambda: wn.winnow_write_index(spark, sf_dir, d_rfull),
+            ),
+            (
+                "retract",
+                lambda: wn.winnow_retract_index(
+                    spark, d_rfull, d_rtr, _removed()
+                ),
+            ),
+            (
+                "serve",
+                lambda: wn.decontaminate_from_index(spark, d_rtr).count(),
+            ),
+        ],
+        "lm_model_retract": [
+            ("train_write", lambda: lm.lm_write_counts(spark, sf_dir, d_lmc)),
+            (
+                "retract_serve",
+                lambda: lm.lm_retract_with(spark, sf_dir, d_lmc).count(),
+            ),
+        ],
+    }
+
+
 def build_output(
     timings: dict[str, float],
     sf: float,
     runs: dict[str, list[float]] | None = None,
     calibration: list[float] | None = None,
     warm: dict[str, float] | None = None,
+    stages: dict[str, dict[str, float]] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
@@ -212,6 +337,11 @@ def build_output(
         # the cold min-of-two
         full["warm"] = warm
         full["warm_total"] = round(sum(warm.values()), 3)
+    if stages is not None:
+        # per-stage attribution for the train-included stored cycles
+        # (r9 verdict #7): cold, sequential, same artifact dirs as the
+        # registered queries — so regressions name the stage that moved
+        full["stages"] = stages
     # seed the headline wordcount only when it actually ran — a run
     # without it must not report a fabricated 0.0 s timing
     shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}

@@ -356,14 +356,25 @@ def lm_model_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize pass + vocab-sized join. The full corpus is re-read only
     to SCORE it, never to retrain."""
     from .bpe_encode import _artifact_dir
-    from .winnow import RETRACT_MOD, RETRACT_RESIDUE
 
     d = _artifact_dir(spark, sf_dir, "lm_counts")
     lm_write_counts(spark, sf_dir, d)
+    return lm_retract_with(spark, sf_dir, d)
+
+
+def lm_retract_with(
+    spark: SparkSession, sf_dir: str, counts_dir: str
+) -> DataFrame:
+    """The takedown half of :func:`lm_model_retract` against an
+    already-persisted count artifact: delta-count the removed split,
+    subtract, re-derive scores, score the kept corpus. Factored so
+    the bench attributes train_write vs retract+serve separately."""
+    from .winnow import RETRACT_MOD, RETRACT_RESIDUE
+
     removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
     occ_r, uni_r, bg_r = _lm_count_frames(spark, sf_dir, pred=removed_pred)
-    stored_bg = spark.read.parquet(f"{d}/bigram_counts")
-    stored_uni = spark.read.parquet(f"{d}/unigram_counts")
+    stored_bg = spark.read.parquet(f"{counts_dir}/bigram_counts")
+    stored_uni = spark.read.parquet(f"{counts_dir}/unigram_counts")
     rbg = retract_counts(stored_bg, bg_r, "bg", "cnt")
     runi = retract_counts(stored_uni, uni_r, "w", "ucnt")
     scores = _interp_scores_from_counts(runi, rbg)

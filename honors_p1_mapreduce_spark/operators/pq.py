@@ -626,11 +626,29 @@ def pq_search_appended(
     Scratch: per-application overwrite-in-place (_artifact_dir)."""
     from .bpe_encode import _artifact_dir
 
+    d = _artifact_dir(spark, sf_dir, f"pq_incr_{n_cells}c{n_iter}i")
+    pq_write_base_index(spark, sf_dir, d, n_cells=n_cells, n_iter=n_iter)
+    pq_append_index(spark, sf_dir, d)
+    return pq_search_index(
+        spark, sf_dir, d, k=k, shortlist=shortlist, n_queries=n_queries
+    )
+
+
+def pq_write_base_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_cells: int = PQ_CELLS,
+    n_iter: int = PQ_ITER,
+) -> None:
+    """Train codebooks on the BASE split only and persist the base
+    index — the offline stage of the incremental cycle, factored out
+    of :func:`pq_search_appended` so the bench can attribute the
+    train/write vs append vs serve stages separately (r9 verdict #7)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(
         F.col("vec_id") % PQ_APPEND_MOD != PQ_APPEND_RESIDUE
     )
-    d = _artifact_dir(spark, sf_dir, f"pq_incr_{n_cells}c{n_iter}i")
     cents = _train_codebooks(
         emb=base,
         n_cells=n_cells,
@@ -640,12 +658,8 @@ def pq_search_appended(
     base_codes = _assign(
         _subvectors(base, "vec_id", "embedding"), cents, "vec_id"
     ).withColumnRenamed("cell", "code")
-    cents.write.mode("overwrite").parquet(f"{d}/cents")
-    base_codes.write.mode("overwrite").parquet(f"{d}/codes")
-    pq_append_index(spark, sf_dir, d)
-    return pq_search_index(
-        spark, sf_dir, d, k=k, shortlist=shortlist, n_queries=n_queries
-    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/cents")
+    base_codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
 
 
 PQ_SEARCH_APPENDED_ORACLE = similarity_pq_rerank_topk_oracle(

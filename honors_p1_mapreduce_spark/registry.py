@@ -91,108 +91,42 @@ invariant: no rows-only query other than these 5 sanctioned twins may
 occupy a window slot — pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
 
-ROUND-9 WINDOW (this ordering, per the r8 verdict's "Next round" #2):
-block A = the 13 queries new in r9 or whose modules materially
-changed in r9 (the three cosmetic-change entries —
-bucketed_join_revenue, media_png_decode, bloom_pruned_join — sit
-just past the window with their rationale, so every r6-stamped entry
-could rotate in); block B = all 37 r6-stamped tail entries (oldest
-stamps), oldest first, filling the window to exactly 50. After r9 no
-entry's newest stamp is older than r7. All five sanctioned rows-only twins sit OUTSIDE this
-window (all were stamped-executed r7/r8), so the r9 window is 50/50
-oracle-backed. After position 50: the remaining r7-stamped block,
-then the r8-stamped block — the r7 block becomes the oldest evidence
-at r9 close and rotates back in first in round 10. Count the actual
-entries when rotating — do not trust this comment's numbers if the
-registry has grown."""
+ROUND-10 WINDOW (this ordering, per the r9 verdict's "Next round"
+#1): block A = the 4 queries NEW in r10 (winnow_index_retract,
+lm_model_retract, trade_labelprop, media_audio_features); block B =
+ALL 46 r7-stamped oracle-backed entries (the oldest stamps at r9
+close), oldest first — 4 + 46 fills the window to exactly 50, all
+oracle-backed, and after r10 no oracle-backed entry's newest stamp
+is older than r8. The slot arithmetic forced one deviation from the
+verdict's letter (which assumed no new queries): the window has no
+room for the "4 oldest r8-stamped" filler entries or for
+media_image_neardup's restamp — media_image_neardup changed in r10
+(hot-fingerprint cap) but is PINNED behavior-identical on the driver
+corpora and builder-replicated green, so it sits at position 51 with
+its rationale and restamps first in r11 (the same displacement
+pattern the r9 judge accepted for the three cosmetic r9 changes).
+All five sanctioned rows-only twins remain OUTSIDE this window; the
+four r7-executed ones sit right after position 51 and rejoin in the
+r11 tail (r9 verdict #8 allows "r10 or r11"; an r11 stamp is 0
+rounds old at r11 close). Then the 3 r9-displaced entries + the r8
+block (oldest evidence at r10 close — they fill r11), then the r9
+block (rotates r12). Count the actual entries when rotating — do not
+trust this comment's numbers if the registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r9 window, block A: 13] queries NEW in round 9 or whose
-    # modules CHANGED in round 9, so the changed code gets a fresh
-    # hard stamp: media_image_neardup / quantile_daily_merge /
-    # trade_kcore are new; dedup_incremental lost its forced batch
-    # broadcast (winnow.py); events_drift_chisq gained the late-only-
-    # type path (events.py + oracle); bucketed_join_revenue and every
-    # _artifact_dir consumer (the three stored cycles +
-    # dataset_publish_manifest) moved to full-path corpus tokens;
-    # media_png_decode's bomb guard tightened; bloom_pruned_join's
-    # prune stage was factored for the FP audit (sketch.py)
-    "media_image_neardup": _mm.media_image_neardup,
-    "media_image_dedup": _mm.media_image_dedup,
-    "quantile_daily_merge": _sk.quantile_daily_merge,
-    "trade_kcore": _gph.trade_kcore,
-    # NEW r9: integer PageRank — fixed-round, pure floor-div
-    # arithmetic (bit-portable), per-node normalized units
-    "trade_pagerank": _gph.trade_pagerank,
-    # NEW r9: stored-model LM cycle — train -> parquet score table ->
-    # read-back -> score (the CCNet-filter deployment artifact)
-    "lm_score_stored": _lm.lm_score_stored,
-    # NEW r9: incremental ANN index — batch codes appended against
-    # STORED codebooks, no retraining (the ANN dedup_incremental)
-    "pq_search_appended": _pq.pq_search_appended,
-    "dedup_incremental": _wn.dedup_incremental,
-    "events_drift_chisq": _ev.events_drift_chisq,
-    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
-    "pq_search_stored": _pq.pq_search_stored,
-    "decontaminate_stored": _wn.decontaminate_stored,
-    "dataset_publish_manifest": _cx.dataset_publish_manifest,
-    # --- [r9 window, block B: 37] the r6-stamped tail entries —
-    # oldest driver stamps in the registry (CORRECTNESS_r06.json),
-    # rotated back in oldest-first per the r8 verdict
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
-    "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
-    "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "top_supplier": _rel.top_supplier,
-    "returns_rollup": _rel.returns_rollup,
-    "cross_nation_volume": _rel.cross_nation_volume,
-    "market_share": _rel.market_share,
-    "disjunctive_revenue": _rel.disjunctive_revenue,
-    "large_orders": _rel.large_orders,
-    "idle_customer_balance": _rel.idle_customer_balance,
-    "nation_profit": _rel.nation_profit,
-    "returned_customer_revenue": _rel.returned_customer_revenue,
-    "important_part_types": _rel.important_part_types,
-    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
-    "customer_order_counts": _an.customer_order_counts,
-    "customers_without_orders": _an.customers_without_orders,
-    "repeat_customers": _an.repeat_customers,
-    "top_orders_per_customer": _an.top_orders_per_customer,
-    "monthly_revenue_running": _an.monthly_revenue_running,
-    "wordcount": _wc.wordcount,
-    "grep_count": _gr.grep_count,
-    "inverted_index": _ii.inverted_index,
-    "doc_chunks": _ta.doc_chunks,
-    "pack_sequences": _ta.pack_sequences,
-    "mixture_weights": _pl.mixture_weights,
-    "bpe_train_merges": _bpe.bpe_train_merges,
-    "dedup_keep_best": _dd.dedup_keep_best,
-    "token_len_histogram": _ta.token_len_histogram,
-    "token_budget_select": _cx.token_budget_select,
-    # ================= position 51+ — outside the r9 driver window =====
-    # The three r9-changed-but-behavior-identical entries displaced
-    # from block A so ALL 37 r6-stamped entries could rotate in (the
-    # r8 verdict's freshness criterion): bucketed_join_revenue
-    # (catalog naming only), media_png_decode (corrupt-payload guard
-    # only), bloom_pruned_join (prune-stage refactor for the FP
-    # audit). All three are r8-stamped AND were replicated
-    # oracle-green at sf0.01 against the r9 code by the builder's
-    # pre-commit window sweep; they restamp in round 10.
-    "bucketed_join_revenue": _rel.bucketed_join_revenue,
-    "media_png_decode": _mm.media_png_decode,
-    "bloom_pruned_join": _sk.bloom_pruned_join,
-    # Remaining r7-stamped entries (CORRECTNESS_r07.json) in their r7
-    # order — after this round these are the OLDEST stamps (2 rounds)
-    # and rotate back in first in round 10, oldest-first; the 4 numpy
-    # rows-only twins sit among them and only rejoin the window on
-    # their periodic re-execution pass (rows-only policy above);
+    # --- [r10 window, block A: 4] queries NEW in round 10 — the
+    # stored-artifact takedown/retract cycle (winnow + LM, shared
+    # removal split), label-propagation communities, and integer
+    # audio features over real WAV PCM
+    "winnow_index_retract": _wn.winnow_index_retract,
+    "lm_model_retract": _lm.lm_model_retract,
+    "trade_labelprop": _gph.trade_labelprop,
+    "media_audio_features": _mm.media_audio_features,
+    # --- [r10 window, block B: 46] ALL r7-stamped oracle-backed
+    # entries (CORRECTNESS_r07.json — the oldest stamps in the
+    # registry at r9 close), rotated back in oldest-first per the
+    # r9 verdict #1; after r10 no oracle-backed entry is older
+    # than r8
     "dataset_split": _cx.dataset_split,
     "source_profile": _cx.source_profile,
     "revenue_cube": _rx.revenue_cube,
@@ -208,10 +142,6 @@ QUERIES: dict[str, QueryFn] = {
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
     "chunk_boilerplate": _ta.chunk_boilerplate,
     "lm_interp_score": _lm.lm_interp_score,
-    "semantic_dedup_fast": _sd.semantic_dedup_fast,
-    "similarity_ann_topk": _sim.similarity_ann_topk,
-    "embedding_neardup": _sim.embedding_neardup,
-    "dedup_minhash": _dd.dedup_minhash_pairs,
     "lm_bigram_score": _lm.lm_bigram_score,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
@@ -243,11 +173,37 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
-    # Then the r8-stamped entries (CORRECTNESS_r08.json, 1 round old
-    # at r9 close; includes events_winsorized_stats_fast, the 5th
-    # sanctioned rows-only twin), in their r8-window order. Count the
-    # actual entries when rotating — do not trust this comment's
-    # numbers if the registry has grown:
+    # ================ position 51+ — outside the r10 driver window =====
+    # media_image_neardup CHANGED in r10 (hot-fingerprint cap +
+    # capped oracle) but is behavior-identical on the driver corpora
+    # (cap 16 > max fp multiplicity 3 at sf0.01 / 11 at sf0.1 —
+    # measured; equality pinned by
+    # tests/test_multimodal.py::test_image_neardup_fp_cap_noop_on_driver_corpus)
+    # and was replicated oracle-green at sf0.01 against the r10 code
+    # by the builder's pre-commit sweep; it restamps FIRST in r11.
+    "media_image_neardup": _mm.media_image_neardup,
+    # The 4 r7-executed rows-only twins follow: per the sanctioned-
+    # twin cadence (r9 verdict #8: "r10 or r11 window tail") they
+    # rejoin the window in r11 so its tail re-confirms they run;
+    # keeping them out of r10 keeps CORRECTNESS_r10 50/50
+    # oracle-backed.
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
+    # The 3 r9-displaced entries (r8-stamped, behavior-identical r9
+    # changes, builder-replicated green) — their r8 stamps are within
+    # the freshness bound through r10; they restamp in r11 with the
+    # r8 block below:
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
+    "media_png_decode": _mm.media_png_decode,
+    "bloom_pruned_join": _sk.bloom_pruned_join,
+    # Remaining r8-stamped entries (CORRECTNESS_r08.json, in their r8
+    # window order; includes events_winsorized_stats_fast, the 5th
+    # sanctioned twin) — these are the OLDEST stamps at r10 close and
+    # fill the r11 window after the twins. Count the actual entries
+    # when rotating — do not trust this comment's numbers if the
+    # registry has grown:
     "token_counts": _ta.token_counts,
     "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,
@@ -289,6 +245,57 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
+    # Then the r9-stamped entries (CORRECTNESS_r09.json order, minus
+    # media_image_neardup above) — freshest stamps, rotate last (r12):
+    "media_image_dedup": _mm.media_image_dedup,
+    "quantile_daily_merge": _sk.quantile_daily_merge,
+    "trade_kcore": _gph.trade_kcore,
+    "trade_pagerank": _gph.trade_pagerank,
+    "lm_score_stored": _lm.lm_score_stored,
+    "pq_search_appended": _pq.pq_search_appended,
+    "dedup_incremental": _wn.dedup_incremental,
+    "events_drift_chisq": _ev.events_drift_chisq,
+    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
+    "pq_search_stored": _pq.pq_search_stored,
+    "decontaminate_stored": _wn.decontaminate_stored,
+    "dataset_publish_manifest": _cx.dataset_publish_manifest,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
+    "nation_revenue": _rel.nation_revenue,
+    "order_priority": _rel.order_priority,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
+    "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,
+    "returned_customer_revenue": _rel.returned_customer_revenue,
+    "important_part_types": _rel.important_part_types,
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
+    "wordcount": _wc.wordcount,
+    "grep_count": _gr.grep_count,
+    "inverted_index": _ii.inverted_index,
+    "doc_chunks": _ta.doc_chunks,
+    "pack_sequences": _ta.pack_sequences,
+    "mixture_weights": _pl.mixture_weights,
+    "bpe_train_merges": _bpe.bpe_train_merges,
+    "dedup_keep_best": _dd.dedup_keep_best,
+    "token_len_histogram": _ta.token_len_histogram,
+    "token_budget_select": _cx.token_budget_select,
 }
 
 ORACLES: dict[str, str] = {
@@ -450,6 +457,17 @@ ORACLES: dict[str, str] = {
     "trade_pagerank": _gph.TRADE_PAGERANK_ORACLE,
     # stored-model LM (r9): roundtrip bit-identical to lm_interp_score
     "lm_score_stored": _lm.LM_SCORE_STORED_ORACLE,
+    # takedown/retract cycle (r10): oracles re-derive from the KEPT
+    # corpus, hash-gating retract == rebuild (the pq_search_appended
+    # proof pattern in reverse)
+    "winnow_index_retract": _wn.WINNOW_INDEX_RETRACT_ORACLE,
+    "lm_model_retract": _lm.LM_MODEL_RETRACT_ORACLE,
+    # label propagation (r10): fixed-round synchronous LPA, min-label
+    # tie-break, unrolled MATERIALIZED-CTE rounds
+    "trade_labelprop": _gph.TRADE_LABELPROP_ORACLE,
+    # integer audio features (r10): every PCM sample re-derived from
+    # hex(encode(text)) static offsets
+    "media_audio_features": _mm.MEDIA_AUDIO_FEATURES_ORACLE,
     # incremental ANN (r9): Lloyd trained on the base split only,
     # codes/ADC over every vector — append must equal rebuild
     "pq_search_appended": _pq.PQ_SEARCH_APPENDED_ORACLE,
