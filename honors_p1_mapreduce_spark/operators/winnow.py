@@ -560,10 +560,21 @@ def winnow_retract_index(
     The corpus text is never touched: deletion is row filtering
     because the artifact is row-keyed per doc — the reverse of the
     append cycle's 'encode only the new rows'."""
+    _retracted_fps(spark, index_dir, removed_docs).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/fingerprints")
+
+
+def _retracted_fps(
+    spark: SparkSession, index_dir: str, removed_docs: DataFrame
+) -> DataFrame:
+    """The reconciled fingerprint frame: stored index rows minus the
+    removal set — broadcast anti-join, corpus never scanned (plan
+    shape pinned by tests/test_plan_shapes.py)."""
     fps = spark.read.parquet(f"{index_dir}/fingerprints")
-    fps.join(
+    return fps.join(
         F.broadcast(removed_docs.select("doc_id")), "doc_id", "left_anti"
-    ).write.mode("overwrite").parquet(f"{out_dir}/fingerprints")
+    )
 
 
 def winnow_index_retract(

@@ -568,7 +568,9 @@ def test_graph_loops_never_replay_fact_scans(spark, sf_dir):
         trade_pagerank,
     )
 
-    for fn in (trade_kcore, trade_pagerank):
+    from honors_p1_mapreduce_spark.operators.graph import trade_labelprop
+
+    for fn in (trade_kcore, trade_pagerank, trade_labelprop):
         plan = _plan(fn(spark, sf_dir))
         assert "FileScan" not in plan, fn.__name__
         assert "Scan ExistingRDD" in plan, fn.__name__
@@ -596,3 +598,96 @@ def test_lm_stored_scoring_single_corpus_scan_vocab_broadcast(
     assert plan.count("FileScan") == 2      # corpus + stored model
     assert "BroadcastHashJoin" in plan      # vocab-sized model join
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_image_neardup_hot_cap_is_broadcast_antijoin(spark, sf_dir):
+    """The r10 hot-fingerprint guard must cost a broadcast anti-join
+    (the hot set is bounded by |corpus|/cap entries), never a shuffle
+    of the fingerprint frame against its own counts."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_image_neardup,
+    )
+
+    plan = _plan(media_image_neardup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_features_single_pandas_pass_no_shuffle(spark, sf_dir):
+    """Audio feature extraction is decode-fused: ONE Arrow-batched
+    map pass, bytes in / 4 integers out, zero Exchange anywhere —
+    features never shuffle PCM rows back together."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_features,
+    )
+
+    plan = _plan(media_audio_features(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_winnow_retract_is_broadcast_antijoin_no_corpus_scan(
+    spark, sf_dir, tmp_path
+):
+    """Index retraction must be row deletion against the STORED
+    artifact: broadcast anti-join on doc_id, no documents scan, no
+    re-extraction (no gram regexp) — and the retract-served
+    decontamination plan reads only index parquet."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        RETRACT_MOD,
+        RETRACT_RESIDUE,
+        _retracted_fps,
+        decontaminate_from_index,
+        winnow_retract_index,
+        winnow_write_index,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    full_d, rtr_d = str(tmp_path / "full"), str(tmp_path / "rtr")
+    winnow_write_index(spark, sf_dir, full_d)
+    removed = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE)
+    )
+    plan = _plan(_retracted_fps(spark, full_d, removed))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "regexp_replace" not in plan  # no re-extraction
+    assert "documents.parquet" in plan  # only the doc_id column scan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+    winnow_retract_index(spark, full_d, rtr_d, removed)
+    serve = _plan(decontaminate_from_index(spark, rtr_d))
+    assert "documents.parquet" not in serve
+    assert "regexp_replace" not in serve  # never re-extracts
+    assert "FileScan parquet" in serve  # reads only the index files
+
+
+def test_lm_retract_serves_from_stored_counts(spark, sf_dir, tmp_path):
+    """The LM takedown must read the persisted count tables (both
+    vocab-sized parquet scans present) and touch document text only
+    for the removed-split delta + the kept-corpus scoring pass —
+    never a third training scan."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_retract_with,
+        lm_write_counts,
+    )
+
+    d = str(tmp_path / "lm_counts")
+    lm_write_counts(spark, sf_dir, d)
+    plan = _plan(lm_retract_with(spark, sf_dir, d))
+    # plan toString elides long paths, so count parquet scans instead
+    # of matching the artifact names: the kept-corpus scoring scan +
+    # the two stored count tables (the removed-split delta pass rides
+    # the persisted tokenize frames -> InMemoryTableScan)
+    assert plan.count("FileScan parquet") >= 3
+    # the removed-split delta pass rides the PERSISTED tokenize frames
+    # (each InMemoryRelation reprints its file lineage in toString, so
+    # counting documents.parquet substrings over-counts — the
+    # single-decode lesson from the image-neardup pin): what must hold
+    # is that every delta-path corpus touch goes through the cache
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
