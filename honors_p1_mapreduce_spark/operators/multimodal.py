@@ -1364,17 +1364,35 @@ IMG_NEARDUP_HAMMING_MAX = 6
 # template graphics — dHash maps every byte-order-preserving variant
 # to one hash, its job) and is EXCLUDED from pair enumeration, the
 # winnow DF_CAP pattern (winnow.py): without it one viral image
-# emits O(copies^2) pair rows — the r9 10x probe measured 81x pair
-# output from exactly these fingerprint cliques. Same-hash cliques
-# still get deduped — the pair-free media_image_dedup clusters them
-# through their min-doc representative without enumeration; the pair
-# query's contract is the INTERESTING pairs, and > cap copies of one
+# emits O(copies^2) pair rows. Same-hash cliques still get deduped —
+# the pair-free media_image_dedup clusters them through their
+# min-doc representative without enumeration; the pair query's
+# contract is the INTERESTING pairs, and > cap copies of one
 # perceptual image is a dedup decision, not a pair report. The cap
 # sits above the max multiplicity of the driver corpora (3 at
 # sf0.01, 11 at sf0.1 — measured r10) so driver stamps are
-# unchanged; the planted-clique pytest and the r10 probe exercise
-# the active-cap path.
+# unchanged; the planted-clique pytest exercises the active path.
 IMG_NEARDUP_FP_CAP = 16
+# Oversized-BUCKET guard: the r10 probe re-run showed the fp cap
+# alone barely helps (78x vs 81x pair output at 10x data) — the real
+# fanout is not same-fp cliques but hot (band, bucket) groups of
+# NEAR-equal fingerprints: at sf0.1 one 14-bit band pattern covers
+# 742 of 2812 images (26% of the corpus in a single candidate
+# bucket, measured), i.e. the band is non-discriminative for that
+# gradient shape. A (band, bucket) group of k members emits O(k^2)
+# candidates, so buckets above IMG_NEARDUP_BUCKET_CAP members stop
+# generating candidates entirely — the standard oversized-bucket
+# skip of production LSH dedup (cf. Manku/Jain/Das Sarma, WWW 2007:
+# non-discriminative tables are rotated away; FAISS IVF probes cap
+# list lengths the same way). A pair whose every shared band is
+# oversized is dropped — by construction those fingerprints are
+# near-global boilerplate, the dedup operator's territory, while
+# pairs with ANY discriminative shared band still surface. Cap 1024
+# is a no-op at driver scales (max bucket 67 at sf0.01 / 742 at
+# sf0.1 — measured) so stamps are unchanged; at the 10x probe the
+# rotation-invariant mega-buckets (~7000 members) are dropped and
+# pair output returns to near-linear.
+IMG_NEARDUP_BUCKET_CAP = 1024
 
 
 def image_dhash(content: bytes) -> int:
@@ -1420,13 +1438,15 @@ def image_neardup_pairs(
     fp: DataFrame,
     max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
     fp_cap: int | None = IMG_NEARDUP_FP_CAP,
+    bucket_cap: int | None = IMG_NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
     """Banded hamming pair enumeration over a (doc_id, fingerprint)
     frame — the join stage of :func:`media_image_neardup`, factored so
     the planted-clique / recall-bound tests drive it with synthetic
-    fingerprints. ``fp_cap`` is the hot-fingerprint guard (constant
-    comment above); ``None`` disables it (the uncapped r9 behavior,
-    kept available by parameter per the verdict)."""
+    fingerprints. ``fp_cap`` is the hot-fingerprint guard and
+    ``bucket_cap`` the oversized-bucket skip (constants comment
+    above); ``None`` disables either (the uncapped r9 behavior, kept
+    available by parameter per the verdict)."""
     if fp_cap is not None:
         # hot set = fingerprints on > fp_cap images: tiny by
         # construction (bounded by |corpus| / fp_cap entries), so it
@@ -1456,6 +1476,20 @@ def image_neardup_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "fingerprint", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        # oversized candidate buckets (> bucket_cap members) are
+        # non-discriminative band patterns and stop generating
+        # candidates; the hot-bucket set is bounded by
+        # BANDS * |rows| / bucket_cap entries, so it broadcasts
+        hot_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(hot_buckets), ["band", "bucket"], "left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -1481,24 +1515,28 @@ def media_image_neardup(
     sf_dir: str,
     max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
     fp_cap: int | None = IMG_NEARDUP_FP_CAP,
+    bucket_cap: int | None = IMG_NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
     """Registered query: perceptual near-duplicate image pairs
     (doc_a, doc_b, hamming) — decode-normalize-hash each real BMP/PPM
     payload, then the banded hamming join: pairs sharing >= 1 of 4
-    14-bit bands with hamming <= max_hamming, fingerprints on more
-    than fp_cap images excluded as boilerplate (constants comment
-    above has both the recall bound and the cap rationale). The
-    banded + capped definition is the query contract (same as
+    14-bit bands with hamming <= max_hamming, with two boilerplate
+    guards — fingerprints on more than fp_cap images and candidate
+    buckets above bucket_cap members are excluded (constants comment
+    above has the recall bound and both cap rationales). The banded +
+    capped definition is the query contract (same family as
     simhash_neardup / winnow_neardup)."""
     from pyspark.storagelevel import StorageLevel
 
     imgs = media_real_table(spark, sf_dir).filter(
         F.col("media_type").isin("image/bmp", "image/ppm")
     )
-    # both sides of the band self-join (and the hot-set count) need
-    # the fingerprints; persist or the decode pass runs three times
+    # both sides of the band self-join (and the hot-set counts) need
+    # the fingerprints; persist or the decode pass runs per consumer
     fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
-    return image_neardup_pairs(fp, max_hamming=max_hamming, fp_cap=fp_cap)
+    return image_neardup_pairs(
+        fp, max_hamming=max_hamming, fp_cap=fp_cap, bucket_cap=bucket_cap
+    )
 
 
 def _phash_gray_offsets() -> list[int]:
@@ -1564,11 +1602,22 @@ fpc AS (
   SELECT * FROM fp
   WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
 ),
-banded AS (
+banded0 AS (
   SELECT doc_id, fingerprint, b.b AS band,
          (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
   FROM fpc,
        unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+),
+hot_buckets AS (
+  SELECT band, bucket FROM banded0
+  GROUP BY band, bucket HAVING count(*) > {IMG_NEARDUP_BUCKET_CAP}
+),
+banded AS (
+  SELECT b0.* FROM banded0 b0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot_buckets h
+    WHERE h.band = b0.band AND h.bucket = b0.bucket
+  )
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming

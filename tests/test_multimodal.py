@@ -826,3 +826,44 @@ def test_media_audio_features_covers_every_wav(spark, sf_dir):
         f" OR n_samples != {mm.WAV_DATA_LEN // 2}"
     )
     assert bad.isEmpty()
+
+
+def test_image_neardup_bucket_cap_skips_oversized_buckets(spark):
+    """r10 probe finding: the pair fanout at scale is hot (band,
+    bucket) groups of NEAR-equal fingerprints, not same-fp cliques.
+    A bucket above the cap must stop generating candidates, while a
+    pair with any DISCRIMINATIVE shared band still surfaces."""
+    # 9 fps sharing band-0 bucket 0b1 but nothing else (bits spread in
+    # bands 1-3 differ pairwise by > HAMMING_MAX anyway except...).
+    # Build: band0 = 1 for everyone (hot bucket); docs 1 and 2 ALSO
+    # share bands 1-3 exactly (hamming 1 apart via band-0's second
+    # bit is impossible — keep them identical outside band 0 and
+    # differing by one bit INSIDE band 0): their bands 1-3 buckets
+    # are discriminative (only those two members), so the pair must
+    # survive the band-0 bucket drop.
+    common_tail = (1 << 22) | (1 << 36) | (1 << 50)
+    rows = [(1, 1 | common_tail), (2, 1 | 2 | common_tail)]
+    # 7 more docs: same band-0 bucket, pairwise-distant elsewhere
+    for i in range(7):
+        rows.append((10 + i, 1 | (1 << (15 + i)) | (1 << (29 + i)) | (1 << (43 + i))))
+    fp = spark.createDataFrame(rows, "doc_id long, fingerprint long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm.image_neardup_pairs(
+            fp, fp_cap=None, bucket_cap=5
+        ).collect()
+    }
+    # band 0 bucket (9 members > cap 5) generates nothing; (1, 2)
+    # still found via their shared discriminative bands 1-3
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert all(a in (1, 2) and b in (1, 2) for a, b in got), got
+    # uncapped twin: the hot band-0 bucket makes every doc pair a
+    # candidate; only hamming <= 6 survive, which adds (1, 1x)/(2, 1x)
+    # pairs at hamming 4 (band0 bit + three spread bits)
+    unc = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.image_neardup_pairs(
+            fp, fp_cap=None, bucket_cap=None
+        ).collect()
+    }
+    assert (1, 2) in unc and len(unc) > len(got)
