@@ -5,14 +5,18 @@ corpus, plus 1x vs 10x timings for the session's new operators.
 Corpus enlargement mirrors probe_r9_scale.py: documents are
 STRING-ROTATED per copy (distinct corpus slices), orders/lineitem get
 shifted keys, dimension tables are reused. The r9 probe measured the
-UNCAPPED image pair query emitting 81x output at 10x data: rotation
-moves every pixel, but DEGENERATE fingerprints (flat / low-contrast
-images whose gradient pattern survives any byte rotation) pile up
-10x deep and their cliques emit O(occupancy^2) pairs. The r10 cap
-(IMG_NEARDUP_FP_CAP = 16) drops exactly those fingerprints at 10x
-(where their occupancy crosses the cap) while being a no-op at 1x
-(max multiplicity 11 at sf0.1) — so the capped pair output must come
-back to ~linear while the uncapped twin still blows up.
+UNCAPPED image pair query emitting 81x output at 10x data. The first
+r10 guard attempt (fp-occurrence cap alone) barely helped — 78x — and
+THAT measurement is what surfaced the real mechanism: the fanout is
+hot (band, bucket) groups of NEAR-equal fingerprints (one 14-bit band
+pattern covers 742 of 2812 sf0.1 images), not same-fp cliques. The
+shipped guards are therefore IMG_NEARDUP_FP_CAP (16, winnow-style
+anti-join on exact fingerprints) plus IMG_NEARDUP_BUCKET_CAP (1024,
+the oversized-bucket skip: non-discriminative band patterns stop
+generating candidates). Both are no-ops at 1x (max multiplicity 11,
+max bucket 742 at sf0.1), so the guarded pair output must come back
+to ~linear at 10x while the fully-uncapped twin still blows up
+(measured: 9.87x rows / 6 s guarded vs 81.16x rows / 66 s uncapped).
 
 New-operator expectations:
 - trade_labelprop: facts reduce to the <= 300-row edge frame before
@@ -109,7 +113,7 @@ def main() -> None:
 
     # ---- the cap under the r9 blowup corpus: capped vs uncapped twin
     def neardup_uncapped(s, d):
-        return media_image_neardup(s, d, fp_cap=None)
+        return media_image_neardup(s, d, fp_cap=None, bucket_cap=None)
 
     for name, fn in [
         ("media_image_neardup_capped", media_image_neardup),
