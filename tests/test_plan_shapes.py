@@ -511,13 +511,14 @@ def test_image_neardup_single_decode_pass(spark, sf_dir):
     )
 
     plan = _plan(media_image_neardup(spark, sf_dir))
-    # the persisted fingerprint frame feeds BOTH join sides: each
-    # InMemoryRelation prints its (shared) lineage, so MapInPandas may
-    # appear once per side in the STRING — what matters is that every
-    # decode path goes through the cache (InMemoryTableScan), so the
-    # decode executes once
+    # the persisted fingerprint frame feeds every consumer (both join
+    # sides + the r10 fp/bucket hot-set counts): each InMemoryRelation
+    # reprints its (shared) lineage, so MapInPandas appears once per
+    # cache consumer in the STRING — what matters is that every decode
+    # print corresponds to an InMemoryTableScan (no consumer bypasses
+    # the cache), so the decode executes once
     assert "InMemoryTableScan" in plan
-    assert plan.count("MapInPandas") <= 2
+    assert plan.count("MapInPandas") == plan.count("InMemoryTableScan")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
