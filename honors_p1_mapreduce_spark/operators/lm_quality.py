@@ -340,10 +340,10 @@ def lm_write_counts(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
 def lm_model_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: the full LM takedown cycle — train + persist
     the count artifact (:func:`lm_write_counts`), tokenize ONLY the
-    removed split for its count deltas, SUBTRACT (row filtering +
-    integer count subtraction, zero rows dropped), re-derive the
-    score table from the reconciled counts, and score the kept
-    corpus. The oracle retrains from the kept docs, so the driver
+    removed split for its count deltas, SUBTRACT (exact integer count
+    subtraction; entries whose count reaches zero leave the
+    vocabulary), re-derive the score table from the reconciled
+    counts, and score the kept corpus. The oracle retrains from the kept docs, so the driver
     hash-gates retract == rebuild — the ``pq_search_appended`` proof
     pattern in reverse; pytest additionally pins
     retract(full, removed) == train(kept) at the count-frame level
@@ -393,7 +393,7 @@ def retract_counts(
 ) -> DataFrame:
     """stored counts MINUS delta counts on ``key``: left join (keys
     absent from the delta keep their count), exact integer
-    subtraction, zero rows dropped (a key whose occurrences all came
+    subtraction, zero-count rows dropped (a key whose occurrences all came
     from removed docs leaves the vocabulary). Both frames are
     vocab-sized, so this is never a corpus-scale operation."""
     d = delta.select(key, F.col(cnt).alias("__d"))
