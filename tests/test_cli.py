@@ -106,3 +106,19 @@ def test_cli_query_describe(capsys):
     out = capsys.readouterr().out
     assert "token_budget_select" in out
     assert "histogram-cutoff" in out
+
+
+def test_bench_stage_splits_cover_registered_stored_cycles(spark):
+    """Every stage-split entry names a registered query (so BENCH_FULL
+    'stages' keys always join against 'queries'), and each family
+    lists at least a build stage and a serve stage."""
+    import bench
+    from honors_p1_mapreduce_spark import registry
+
+    splits = bench._stage_splits(spark, "/root/testdata/sf0.001")
+    assert set(splits) <= set(registry.QUERIES)
+    for name, stages in splits.items():
+        assert len(stages) >= 2, name
+        labels = [s for s, _ in stages]
+        assert len(labels) == len(set(labels)), name
+        assert all(callable(fn) for _, fn in stages), name
