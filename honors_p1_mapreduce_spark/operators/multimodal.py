@@ -1755,3 +1755,164 @@ labeled AS (
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
 SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
 """
+
+
+# ----------------------------- perceptual audio near-dup (r10 library)
+#
+# The audio counterpart of media_image_neardup: duplicate CLIPS whose
+# bytes differ (re-encoded, volume-adjusted) share no byte hash, but
+# their amplitude-ENVELOPE ORDER survives any positive gain change.
+# The hash is the time-axis member of the Haitsma-Kalker family ("A
+# Highly Robust Audio Fingerprint Based on Energy Differences", 2002,
+# public): bit i = [ |v_i| > |v_{i+1}| ] over the first PHASH_BITS+1
+# PCM samples — sign-of-energy-difference along time, all-integer, so
+# DuckDB re-derives every bit from hex(encode(text)) static offsets.
+# Multiplying every sample by any c > 0 preserves every comparison
+# (volume invariance — the perceptual point, pinned by golden);
+# amplitude inversion of the envelope flips the gradient bits.
+# The pair stage IS image_neardup_pairs: the banded hamming join and
+# both boilerplate guards are fingerprint-generic (doc_id +
+# PHASH_BITS-bit integer), so audio reuses them verbatim.
+#
+# LIBRARY SURFACE in round 10 (pytest + pre-verified oracle): the r10
+# driver window had exactly 50 slots (4 new + the 46-entry r7 block);
+# this operator is the planned occupant of round 11's single free
+# slot — see the registry rotation comment.
+
+
+def wav_volume_hash(content: bytes) -> int:
+    """PHASH_BITS-bit volume-invariant audio fingerprint of a WAV
+    payload: bit i set when |sample_i| > |sample_{i+1}| (signed 16-bit
+    LE PCM via the shared RIFF walk). Returns -1 for non-WAV payloads
+    or clips shorter than PHASH_BITS + 1 samples (callers drop
+    those)."""
+    data = _wav_data_section(content)
+    if not data or len(data) // 2 < PHASH_BITS + 1:
+        return -1
+    n = PHASH_BITS + 1
+    vs = struct.unpack_from(f"<{n}h", data)
+    fp = 0
+    for i in range(PHASH_BITS):
+        if abs(vs[i]) > abs(vs[i + 1]):
+            fp |= 1 << i
+    return fp
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — one Arrow-batched map-only pass over
+    WAV payloads, 8-byte hashes out, no shuffle (the audio twin of
+    :func:`image_fingerprints`)."""
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fingerprint": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                fp = wav_volume_hash(bytes(content))
+                if fp < 0:
+                    continue
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _fp, schema="doc_id long, fingerprint long"
+    )
+
+
+def media_audio_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
+    fp_cap: int | None = IMG_NEARDUP_FP_CAP,
+    bucket_cap: int | None = IMG_NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs (doc_a, doc_b, hamming)
+    over the real WAV payloads — envelope-order fingerprints through
+    the SAME banded hamming join + boilerplate guards as the image
+    family (section comment above). Library surface in r10, planned
+    r11 registration."""
+    from pyspark.storagelevel import StorageLevel
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    fp = audio_fingerprints(wavs).persist(StorageLevel.MEMORY_AND_DISK)
+    return image_neardup_pairs(
+        fp, max_hamming=max_hamming, fp_cap=fp_cap, bucket_cap=bucket_cap
+    )
+
+
+def _audio_fp_oracle_core() -> str:
+    """Standalone SELECT producing (doc_id, fingerprint) for every WAV
+    doc — the envelope hash re-derived from hex(encode(text)) static
+    byte offsets (the image fingerprint oracle's audio twin)."""
+
+    def absv(i: int) -> str:
+        lo = f"CAST(concat('0x', substr(hx, {4 * i + 1}, 2)) AS BIGINT)"
+        hi = f"CAST(concat('0x', substr(hx, {4 * i + 3}, 2)) AS BIGINT)"
+        return (
+            f"abs(CASE WHEN {lo} + 256 * {hi} >= 32768 "
+            f"THEN {lo} + 256 * {hi} - 65536 ELSE {lo} + 256 * {hi} END)"
+        )
+
+    a_cols = ",\n         ".join(
+        f"({absv(i)}) AS a{i}" for i in range(PHASH_BITS + 1)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN a{i} > a{i + 1} THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(PHASH_BITS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 = 0
+),
+a AS (
+  SELECT doc_id,
+         {a_cols}
+  FROM d
+)
+SELECT doc_id, {fp_terms} AS fingerprint FROM a"""
+
+
+def _audio_neardup_oracle() -> str:
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    return f"""
+WITH fp AS (
+  SELECT doc_id, fingerprint FROM ({_audio_fp_oracle_core()}) t
+),
+hot AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING count(*) > {IMG_NEARDUP_FP_CAP}
+),
+fpc AS (
+  SELECT * FROM fp
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+),
+banded0 AS (
+  SELECT doc_id, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM fpc,
+       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+),
+hot_buckets AS (
+  SELECT band, bucket FROM banded0
+  GROUP BY band, bucket HAVING count(*) > {IMG_NEARDUP_BUCKET_CAP}
+),
+banded AS (
+  SELECT b0.* FROM banded0 b0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot_buckets h
+    WHERE h.band = b0.band AND h.bucket = b0.bucket
+  )
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
+"""
+
+
+MEDIA_AUDIO_NEARDUP_ORACLE = _audio_neardup_oracle()

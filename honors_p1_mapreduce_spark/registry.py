@@ -110,8 +110,14 @@ four r7-executed ones sit right after position 51 and rejoin in the
 r11 tail (r9 verdict #8 allows "r10 or r11"; an r11 stamp is 0
 rounds old at r11 close). Then the 3 r9-displaced entries + the r8
 block (oldest evidence at r10 close — they fill r11), then the r9
-block (rotates r12). Count the actual entries when rotating — do not
-trust this comment's numbers if the registry has grown."""
+block (rotates r12). r11 slot arithmetic: media_image_neardup (1) +
+4 twins + 3 displaced + the 41-entry r8 block = 49, leaving exactly
+ONE slot for an r11-new query — its planned occupant is
+media_audio_neardup (operators/multimodal.py: library surface built
+and pytest'd in r10, oracle PRE-VERIFIED green at sf0.001/sf0.01 —
+register it first thing in r11). Count the actual entries when
+rotating — do not trust this comment's numbers if the registry has
+grown."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r10 window, block A: 4] queries NEW in round 10 — the

@@ -867,3 +867,101 @@ def test_image_neardup_bucket_cap_skips_oversized_buckets(spark):
         ).collect()
     }
     assert (1, 2) in unc and len(unc) > len(got)
+
+
+# ------------------------- perceptual audio near-dup (r10 library)
+
+
+def test_wav_volume_hash_invariances():
+    """Volume scaling (any positive gain) must preserve the hash —
+    the perceptual contract; envelope inversion must flip gradient
+    bits; short/non-WAV payloads return -1."""
+    import struct
+
+    base = [100 * (i % 9) - 400 + 7 * i for i in range(64)]
+    louder = [3 * v for v in base]
+    inverted = list(reversed(base))
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return mm._wav_header(len(data)) + data
+
+    ha = mm.wav_volume_hash(wav(base))
+    hb = mm.wav_volume_hash(wav(louder))
+    hc = mm.wav_volume_hash(wav(inverted))
+    assert 0 <= ha < (1 << mm.PHASH_BITS)
+    assert ha == hb  # gain change: bytes differ, hash identical
+    assert ha != hc
+    assert mm.wav_volume_hash(b"not a wav") == -1
+    assert mm.wav_volume_hash(wav(base[:10])) == -1  # < PHASH_BITS+1
+
+
+def test_media_audio_neardup_planted_pair(spark, tmp_path):
+    """Planted volume-scaled duplicate: docs 3 and 6 (both WAV —
+    doc_id % 3 == 0) carry the same waveform at different gain in
+    their leading text bytes... except gain scaling changes the BYTES
+    while preserving |sample| ORDER only when we construct the bytes
+    directly — so the planted pair uses two sample streams with
+    identical envelope order but different values; doc 9 carries the
+    reversed envelope. Engine and DuckDB oracle must agree on the
+    same synthetic corpus."""
+    import duckdb
+    import struct
+
+    def text_for(samples):
+        # WAV payloads are the doc's FIRST 128 text bytes; craft texts
+        # whose UTF-8 bytes ARE the little-endian PCM we want. Keep
+        # every byte in 1..127 (ASCII) so UTF-8 encoding is identity.
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        assert len(data) == 128 and all(1 <= b <= 127 for b in data)
+        return data.decode("ascii")
+
+    # samples with bytes in ASCII range: v = lo + 256*hi with
+    # lo, hi in [1, 127] -> positive smallish values, envelope order
+    # driven by our chosen magnitudes
+    base = [(3 + 2 * (i % 7)) + 256 * (1 + (i * 13) % 19) for i in range(64)]
+    scaled = [v + 256 * 64 for v in base]  # +const hi: preserves order?
+    # no — addition does NOT preserve |.| order in general; build the
+    # scaled twin by construction instead: same ORDER, different bytes
+    rank = sorted(range(64), key=lambda i: (base[i], i))
+    scaled = [0] * 64
+    for pos, i in enumerate(rank):
+        scaled[i] = (5 + 2 * ((pos * 3) % 5)) + 256 * (2 + pos)  # strictly
+        # increasing in pos => same pairwise order as base (ties in
+        # base broken by index become strict here only if base had no
+        # adjacent ties — ensured below)
+    # ensure base itself has no adjacent equal |values| so order maps 1:1
+    assert all(base[i] != base[i + 1] for i in range(63))
+    rows = [
+        (3, text_for(base)),
+        (6, text_for(scaled)),
+        (9, text_for(list(reversed(base)))),
+    ]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.media_audio_neardup(spark, dirp).collect()
+    )
+    assert (3, 6, 0) in pairs
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = sorted(map(tuple, con.execute(mm.MEDIA_AUDIO_NEARDUP_ORACLE).fetchall()))
+    finally:
+        con.close()
+    assert ora == pairs
+
+
+def test_media_audio_neardup_matches_oracle(spark, sf_dir):
+    """Pre-verifies the r11-registration oracle at driver scale."""
+    compare_query(
+        spark, sf_dir, mm.media_audio_neardup, mm.MEDIA_AUDIO_NEARDUP_ORACLE
+    )
