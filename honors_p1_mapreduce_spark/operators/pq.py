@@ -665,3 +665,29 @@ def pq_write_base_index(
 PQ_SEARCH_APPENDED_ORACLE = similarity_pq_rerank_topk_oracle(
     train_pred=f"vec_id % {PQ_APPEND_MOD} <> {PQ_APPEND_RESIDUE}"
 )
+
+
+def pq_retract_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    removed_vecs: DataFrame,
+) -> None:
+    """Reconcile a persisted PQ index after a takedown: drop the
+    removed vec_ids' code rows (broadcast anti-join — takedown lists
+    are tiny at any corpus size) and copy the codebooks through
+    untouched. The ANN member of the stored-artifact retract cycle
+    (winnow_index_retract / lm_model_retract, winnow.py has the
+    lifecycle rationale): codes are row-keyed per vector, so deletion
+    is exact row filtering and ``retract(append(X), batch) == X``
+    holds bit-for-bit — pinned by pytest. Codebooks are NOT retrained
+    on takedown: like the append path, retraining cadence is an
+    offline codebook-drift decision, and a codebook is a statistical
+    aggregate, not per-row derived data."""
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    codes.join(
+        F.broadcast(removed_vecs.select("vec_id")), "vec_id", "left_anti"
+    ).write.mode("overwrite").parquet(f"{out_dir}/codes")
+    spark.read.parquet(f"{index_dir}/cents").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/cents")

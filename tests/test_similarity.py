@@ -397,3 +397,53 @@ def test_pq_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert appended == rebuilt
     out = sorted(map(tuple, pq_search_index(spark, sf_dir, d).collect()))
     assert out  # non-vacuous; oracle parity covers values end-to-end
+
+
+def test_pq_retract_of_append_is_identity(spark, sf_dir, tmp_path):
+    """The ANN takedown invariance (r9 verdict #3's literal form):
+    append today's batch to the persisted index, then retract exactly
+    those vec_ids — the code rows must equal the base index
+    bit-for-bit (same codebooks, same codes), and search over the
+    retracted index must equal search over the base index."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators.pq import (
+        PQ_APPEND_MOD,
+        PQ_APPEND_RESIDUE,
+        pq_append_index,
+        pq_retract_index,
+        pq_search_index,
+        pq_write_base_index,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    base_d = str(tmp_path / "base")
+    rtr_d = str(tmp_path / "rtr")
+    pq_write_base_index(spark, sf_dir, base_d)
+    base_codes = sorted(
+        tuple(r) for r in spark.read.parquet(f"{base_d}/codes").collect()
+    )
+    pq_append_index(spark, sf_dir, base_d)
+    appended = spark.read.parquet(f"{base_d}/codes").count()
+    assert appended > len(base_codes)  # the append really landed
+    removed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(F.col("vec_id") % PQ_APPEND_MOD == PQ_APPEND_RESIDUE)
+    )
+    pq_retract_index(spark, base_d, rtr_d, removed)
+    rtr_codes = sorted(
+        tuple(r) for r in spark.read.parquet(f"{rtr_d}/codes").collect()
+    )
+    assert rtr_codes == base_codes
+    got = sorted(
+        tuple(r) for r in pq_search_index(spark, sf_dir, rtr_d).collect()
+    )
+    # rebuild a fresh base index for the search comparison (base_d's
+    # codes now include the appended batch)
+    fresh_d = str(tmp_path / "fresh")
+    pq_write_base_index(spark, sf_dir, fresh_d)
+    want = sorted(
+        tuple(r) for r in pq_search_index(spark, sf_dir, fresh_d).collect()
+    )
+    assert got == want
