@@ -375,3 +375,44 @@ def test_quantile_grid_brackets_exact_for_any_values(spark, values):
         assert r["est_klo"] <= exact_k <= r["est_khi"], (
             values, r["q_pct"], exact_k, r["est_klo"], r["est_khi"],
         )
+
+
+@SLOW
+@given(
+    st.lists(LINES, min_size=2, max_size=8),
+    st.integers(min_value=2, max_value=5),
+)
+def test_count_retraction_equals_retrain(spark, docs, mod):
+    """Takedown invariance over ARBITRARY corpora: training count
+    tables on the full corpus and subtracting the removed split's
+    deltas must equal retraining on the kept split — for any text,
+    any removal modulus, including splits that empty the vocabulary
+    (r10 retract cycle; the sf-corpus pytest pins the registered
+    operator, this pins the algebra on adversarial inputs)."""
+    from honors_p1_mapreduce_spark.functions.text import (
+        bigrams_from_tokens,
+        tokens_col,
+    )
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        retract_counts,
+    )
+
+    rows = [(i, " ".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    removed_pred = F.col("doc_id") % mod == 0
+
+    def counts(frame):
+        occ = frame.select(
+            "doc_id",
+            F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+        )
+        return occ.groupBy("bg").agg(F.count("*").alias("cnt"))
+
+    full = counts(df)
+    delta = counts(df.filter(removed_pred))
+    kept = counts(df.filter(~removed_pred))
+    got = sorted(
+        tuple(r) for r in retract_counts(full, delta, "bg", "cnt").collect()
+    )
+    want = sorted(tuple(r) for r in kept.collect())
+    assert got == want
