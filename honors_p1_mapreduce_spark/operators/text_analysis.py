@@ -275,13 +275,26 @@ SIMHASH_ORACLE = f"WITH {_simhash_oracle_core()} SELECT doc_id, fingerprint FROM
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = 15
 SIMHASH_HAMMING_MAX = 10
+# Oversized-bucket guard (r10, mirroring media_image_neardup): a
+# 15-bit band pattern shared by > SIMHASH_BUCKET_CAP docs is
+# non-discriminative boilerplate and stops generating candidates —
+# a k-member (band, bucket) group emits O(k^2) candidate rows, the
+# exact fanout the image probe measured blowing up 81x at 10x data.
+# No-op at driver scales (max bucket 269 of 5000 docs at sf0.1 —
+# measured r10), so stamped outputs are unchanged; pairs with any
+# discriminative shared band still surface.
+SIMHASH_BUCKET_CAP = 1024
 
 
 def simhash_neardup(
-    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_HAMMING_MAX
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = SIMHASH_HAMMING_MAX,
+    bucket_cap: int | None = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by simhash: banded candidate join + hamming
-    filter, fully SQL-expressible (bit_count/xor in both engines)."""
+    filter with the oversized-bucket guard (constant comment above),
+    fully SQL-expressible (bit_count/xor in both engines)."""
     from pyspark.storagelevel import StorageLevel
 
     # both sides of the band self-join read the fingerprints: persist
@@ -305,6 +318,18 @@ def simhash_neardup(
             )
         ).alias("bb"),
     ).select("doc_id", "fingerprint", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        # the hot-bucket set is bounded by BANDS * |docs| / cap rows,
+        # so it broadcasts at any scale (image_neardup_pairs shape)
+        hot_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(hot_buckets), ["band", "bucket"], "left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -329,10 +354,21 @@ def simhash_neardup_oracle(max_hamming: int = SIMHASH_HAMMING_MAX) -> str:
     mask = (1 << SIMHASH_BAND_BITS) - 1
     return f"""
 WITH {_simhash_oracle_core()},
-banded AS (
+banded0 AS (
   SELECT doc_id, fingerprint, b.b AS band,
          (fingerprint >> (b.b * {SIMHASH_BAND_BITS})) & {mask} AS bucket
   FROM fp, unnest([{', '.join(str(b) for b in range(SIMHASH_BANDS))}]) AS b(b)
+),
+hot_buckets AS (
+  SELECT band, bucket FROM banded0
+  GROUP BY band, bucket HAVING count(*) > {SIMHASH_BUCKET_CAP}
+),
+banded AS (
+  SELECT b0.* FROM banded0 b0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot_buckets h
+    WHERE h.band = b0.band AND h.bucket = b0.bucket
+  )
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming

@@ -965,3 +965,26 @@ def test_media_audio_neardup_matches_oracle(spark, sf_dir):
     compare_query(
         spark, sf_dir, mm.media_audio_neardup, mm.MEDIA_AUDIO_NEARDUP_ORACLE
     )
+
+
+def test_simhash_neardup_bucket_cap_noop_and_active(spark, sf_dir):
+    """The text-simhash twin of the image bucket guard: no-op at
+    driver scale (output identical to uncapped), and a tiny explicit
+    cap visibly prunes candidates — proving the guard is live."""
+    from honors_p1_mapreduce_spark.operators.text_analysis import (
+        simhash_neardup,
+    )
+
+    capped = sorted(
+        tuple(r) for r in simhash_neardup(spark, sf_dir).collect()
+    )
+    unc = sorted(
+        tuple(r)
+        for r in simhash_neardup(spark, sf_dir, bucket_cap=None).collect()
+    )
+    assert capped == unc and capped
+    tiny = sorted(
+        tuple(r)
+        for r in simhash_neardup(spark, sf_dir, bucket_cap=1).collect()
+    )
+    assert len(tiny) < len(capped)
