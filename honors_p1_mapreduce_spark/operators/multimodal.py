@@ -1447,44 +1447,52 @@ def image_neardup_pairs(
     ``bucket_cap`` the oversized-bucket skip (constants comment
     above); ``None`` disables either (the uncapped r9 behavior, kept
     available by parameter per the verdict)."""
-    if fp_cap is not None:
-        # hot set = fingerprints on > fp_cap images: tiny by
-        # construction (bounded by |corpus| / fp_cap entries), so it
-        # broadcasts at any scale — the dedup_incremental hot-set shape
-        hot = (
-            fp.groupBy("fingerprint")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > fp_cap)
-            .select("fingerprint")
-        )
-        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
-    banded = fp.select(
-        "doc_id",
-        "fingerprint",
-        F.explode(
+
+    def band_structs(col: str) -> F.Column:
+        return F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
+                        F.shiftright(col, b * IMG_NEARDUP_BAND_BITS)
                         .bitwiseAND(F.lit(mask))
                         .alias("bucket"),
                     )
                     for b in range(IMG_NEARDUP_BANDS)
                 ]
             )
-        ).alias("bb"),
+        )
+
+    # BOTH guards derive from ONE multiplicity aggregate over the doc
+    # rows (fingerprint -> n): the fp hot set is its > fp_cap slice,
+    # and bucket occupancy is the SUM of surviving multiplicities per
+    # (band, bucket) — computed over the vocab-sized count table, not
+    # by a second aggregation over doc rows (|distinct fps| << |docs|
+    # on dup-heavy corpora, which is exactly when the guards matter)
+    cnts = None
+    if fp_cap is not None or bucket_cap is not None:
+        cnts = fp.groupBy("fingerprint").agg(F.count("*").alias("n"))
+    if fp_cap is not None:
+        # tiny by construction (bounded by |corpus| / fp_cap entries),
+        # broadcasts at any scale — the dedup_incremental hot-set shape
+        hot = cnts.filter(F.col("n") > fp_cap).select("fingerprint")
+        fp = fp.join(F.broadcast(hot), "fingerprint", "left_anti")
+        cnts = cnts.filter(F.col("n") <= fp_cap)
+    banded = fp.select(
+        "doc_id", "fingerprint", band_structs("fingerprint").alias("bb")
     ).select("doc_id", "fingerprint", "bb.band", "bb.bucket")
     if bucket_cap is not None:
-        # oversized candidate buckets (> bucket_cap members) are
+        # oversized candidate buckets (> bucket_cap member rows) are
         # non-discriminative band patterns and stop generating
-        # candidates; the hot-bucket set is bounded by
-        # BANDS * |rows| / bucket_cap entries, so it broadcasts
+        # candidates; bounded by BANDS * |rows| / bucket_cap entries,
+        # so the hot-bucket set broadcasts
         hot_buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > bucket_cap)
+            cnts.select(band_structs("fingerprint").alias("bb"), "n")
+            .select("bb.band", "bb.bucket", "n")
+            .groupBy("band", "bucket")
+            .agg(F.sum("n").alias("occ"))
+            .filter(F.col("occ") > bucket_cap)
             .select("band", "bucket")
         )
         banded = banded.join(
