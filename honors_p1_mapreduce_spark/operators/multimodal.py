@@ -1924,3 +1924,119 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
 
 
 MEDIA_AUDIO_NEARDUP_ORACLE = _audio_neardup_oracle()
+
+
+def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION over perceptual audio near-dups —
+    (doc_id, cluster, cluster_size) for EVERY WAV clip, mirroring
+    :func:`media_image_dedup`'s pair-free construction: connected
+    components over DISTINCT fingerprints (node = min-doc_id rep per
+    fp; edge = two distinct fps sharing a band with hamming <= max —
+    the same candidate condition as :func:`media_audio_neardup`, which
+    depends only on fps, so clusters are identical to CC over the
+    doc-pair graph), with doc membership joined back through the
+    fp -> rep map. Same-fingerprint cliques (the volume-variant copies
+    of one clip) collapse to one node — never enumerated as pairs.
+    Library surface in r10, planned r12 registration (the r12 window's
+    single free slot; see the registry rotation comment)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import connected_components
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    fp = audio_fingerprints(wavs).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    banded = reps.select(
+        "rep",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(IMG_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("rep", "fingerprint", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.fingerprint") < F.col("b.fingerprint")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            )
+            <= IMG_NEARDUP_HAMMING_MAX
+        )
+        .select(F.col("a.rep").alias("u"), F.col("b.rep").alias("v"))
+        .distinct()
+    )
+    rep_labels = connected_components(edges).select(
+        F.col("node").alias("rep"), "label"
+    )
+    fp_rep = fp.join(reps, "fingerprint")
+    labeled = fp_rep.join(rep_labels, "rep", "left").select(
+        "doc_id", F.coalesce("label", F.col("rep")).alias("cluster")
+    )
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
+    )
+
+
+MEDIA_AUDIO_DEDUP_ORACLE = f"""
+WITH RECURSIVE fp_doc AS (
+  SELECT doc_id, fingerprint
+  FROM ({_audio_fp_oracle_core()}) t
+),
+reps AS (
+  SELECT fingerprint, min(doc_id) AS rep FROM fp_doc GROUP BY fingerprint
+),
+banded AS (
+  SELECT rep, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS}))
+           & {(1 << IMG_NEARDUP_BAND_BITS) - 1} AS bucket
+  FROM reps,
+       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+),
+rep_edges AS (
+  SELECT DISTINCT a.rep AS u, b.rep AS v
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.fingerprint < b.fingerprint
+  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
+          <= {IMG_NEARDUP_HAMMING_MAX}
+),
+dir_edges AS (
+  SELECT u AS src, v AS dst FROM rep_edges
+  UNION ALL
+  SELECT v, u FROM rep_edges
+),
+reach(node, r) AS (
+  SELECT rep, rep FROM reps
+  UNION
+  SELECT reach.node, dir_edges.dst
+  FROM reach JOIN dir_edges ON reach.r = dir_edges.src
+),
+rep_labels AS (SELECT node AS rep, min(r) AS label FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, l.label AS cluster
+  FROM fp_doc d
+  JOIN reps rp ON d.fingerprint = rp.fingerprint
+  JOIN rep_labels l ON rp.rep = l.rep
+),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
+SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
+"""

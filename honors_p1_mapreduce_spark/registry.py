@@ -115,9 +115,13 @@ block (rotates r12). r11 slot arithmetic: media_image_neardup (1) +
 ONE slot for an r11-new query — its planned occupant is
 media_audio_neardup (operators/multimodal.py: library surface built
 and pytest'd in r10, oracle PRE-VERIFIED green at sf0.001/sf0.01 —
-register it first thing in r11). Count the actual entries when
-rotating — do not trust this comment's numbers if the registry has
-grown."""
+register it first thing in r11). r12 slot arithmetic: the 49
+r9-stamped entries (the r9 block minus media_image_neardup) leave
+exactly ONE slot — its planned occupant is media_audio_dedup
+(multimodal.py: the pair-free audio clustering decision, library
+surface built and pytest'd in r10, oracle PRE-VERIFIED green at
+sf0.001/sf0.01). Count the actual entries when rotating — do not
+trust this comment's numbers if the registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r10 window, block A: 4] queries NEW in round 10 — the

@@ -988,3 +988,30 @@ def test_simhash_neardup_bucket_cap_noop_and_active(spark, sf_dir):
         for r in simhash_neardup(spark, sf_dir, bucket_cap=1).collect()
     )
     assert len(tiny) < len(capped)
+
+
+def test_media_audio_dedup_invariants_and_oracle(spark, sf_dir):
+    """Audio twin of the image dedup-decision invariants: total
+    partition of the WAV set, min-label clusters, consistent sizes,
+    every near-dup pair co-clustered; recursive-CTE oracle agrees
+    (pre-verifies the r12-registration oracle)."""
+    out = mm.media_audio_dedup(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster"] for r in out}
+    n_wav = (
+        mm.media_real_table(spark, sf_dir)
+        .filter("media_type = 'audio/wav'")
+        .count()
+    )
+    assert len(out) == len(label) == n_wav
+    members: dict = {}
+    for r in out:
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    for c, ms in members.items():
+        assert c == min(ms)
+    for r in out:
+        assert r["cluster_size"] == len(members[r["cluster"]])
+    for p in mm.media_audio_neardup(spark, sf_dir).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]], p
+    compare_query(
+        spark, sf_dir, mm.media_audio_dedup, mm.MEDIA_AUDIO_DEDUP_ORACLE
+    )
