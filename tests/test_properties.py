@@ -416,3 +416,45 @@ def test_count_retraction_equals_retrain(spark, docs, mod):
     )
     want = sorted(tuple(r) for r in kept.collect())
     assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),
+            st.integers(min_value=0, max_value=(1 << 56) - 1),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=8),
+)
+def test_neardup_guards_only_prune(spark, fps, fp_cap, bucket_cap):
+    """The boilerplate guards are PRUNING-only for any fingerprint
+    frame and any cap values: guarded pairs are a subset of the
+    uncapped pairs, and a pair is dropped only if every shared band
+    lands in a capped bucket or an endpoint fingerprint is hot —
+    guards can never invent or mutate a pair."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    fp = spark.createDataFrame(fps, "doc_id long, fingerprint long")
+    unc = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(
+            fp, fp_cap=None, bucket_cap=None
+        ).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(
+            fp, fp_cap=fp_cap, bucket_cap=bucket_cap
+        ).collect()
+    }
+    assert set(guarded) <= set(unc)
+    for k, h in guarded.items():
+        assert unc[k] == h  # same pair -> same hamming, never mutated
