@@ -354,7 +354,22 @@ def lm_model_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo split is the deterministic ~8% shared with
     winnow_index_retract); the final scoring is the standard one
     tokenize pass + vocab-sized join. The full corpus is re-read only
-    to SCORE it, never to retrain."""
+    to SCORE it, never to retrain.
+
+    Measured honestly (r10, sf0.1, reconciliation stage only —
+    scoring is common to both paths): subtract ~1.0 s vs retrain
+    ~0.97 s — a TIE at this scale, because the modulo demo predicate
+    cannot push down, so the delta pass scans the whole parquet to
+    read its 8% split, and a 54 MB corpus's bigram aggregation costs
+    about one scan anyway. The subtract path's win is a 100 TB
+    property, not a toy-scale one: (a) a real takedown list
+    semi-joins an id-clustered corpus, so the delta pass reads
+    takedown-sized data, not corpus-sized; (b) retraining's
+    occurrence shuffle grows with the KEPT corpus (~everything) while
+    the subtract path's joins stay vocab-sized. What this cycle
+    proves at driver scale is the CORRECTNESS contract — retract ==
+    rebuild, hash-gated — and the plan shape that makes the 100 TB
+    claim mechanical."""
     from .bpe_encode import _artifact_dir
 
     d = _artifact_dir(spark, sf_dir, "lm_counts")
