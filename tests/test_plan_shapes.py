@@ -692,3 +692,21 @@ def test_lm_retract_serves_from_stored_counts(spark, sf_dir, tmp_path):
     # is that every delta-path corpus touch goes through the cache
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_takedown_id_list_pushes_down_modulo_does_not(spark, sf_dir):
+    """The retract docstrings claim the production takedown path reads
+    takedown-sized data because an explicit id list pushes down to the
+    parquet scan while the demo's modulo split cannot — pin both
+    halves of that claim at the plan level."""
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_list = _plan(docs.filter(docs.doc_id.isin([3, 17, 404])))
+    pushed = by_list.split("PushedFilters")[1][:120]
+    assert "In(doc_id" in pushed, pushed
+    by_mod = _plan(docs.filter("doc_id % 13 = 5"))
+    pushed_mod = by_mod.split("PushedFilters")[1].split("]")[0]
+    # only the non-selective IsNotNull reaches the scan: the modulo
+    # predicate itself evaluates post-scan, i.e. a full corpus read
+    assert "In(" not in pushed_mod and "EqualTo" not in pushed_mod, pushed_mod
