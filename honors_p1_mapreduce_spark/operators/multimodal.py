@@ -504,7 +504,13 @@ def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape of a real ingest. Docs shorter than the data section are
     dropped rather than padded (keeps every byte of every payload a
     real document byte)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return media_real_table_from(load_table(spark, sf_dir, "documents"))
+
+
+def media_real_table_from(docs: DataFrame) -> DataFrame:
+    """The synth stage of :func:`media_real_table` over an arbitrary
+    (doc_id, text) frame — factored (r10) so the STREAMING ingest
+    twin synthesizes per micro-batch (streaming/curation.py)."""
     docs = docs.filter(F.length(F.col("text").cast("binary")) >= WAV_DATA_LEN)
     fmt1 = (F.col("doc_id") % 3 + 1).cast("int")
     header = F.element_at(

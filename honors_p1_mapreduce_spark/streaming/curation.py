@@ -224,3 +224,50 @@ def read_quantiles_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     return quantiles_from_grid(merged)
+
+
+def streaming_media_features(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain the document stream through per-micro-batch media synth +
+    integer audio-feature extraction
+    (``operators.multimodal.wav_features``) into a feature store — the
+    multimodal member of the streaming-ingest family. Each batch's
+    features write to a ``batch_id=N`` partition in overwrite mode
+    (:func:`_write_batch_partition`, replay-idempotent). Per-document
+    features are independent of micro-batch boundaries (decode +
+    extraction are map-only), so the drained store is EXACTLY the
+    batch ``media_audio_features`` answer — pinned by the equivalence
+    test. State story at 100 TB/day: none — the stream holds nothing
+    between triggers; the store is the product."""
+    from ..operators.multimodal import media_real_table_from, wav_features
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        feats = wav_features(
+            media_real_table_from(bdf.select("doc_id", "text")).filter(
+                F.col("media_type") == "audio/wav"
+            )
+        )
+        _write_batch_partition(feats, batch_id, store_dir)
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_media_features_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(doc_id, n_samples, peak_abs, sum_sq, zero_crossings) from the
+    drained feature store — drops the batch_id partition column."""
+    return spark.read.parquet(store_dir).select(
+        "doc_id", "n_samples", "peak_abs", "sum_sq", "zero_crossings"
+    )

@@ -267,3 +267,29 @@ def test_foreachbatch_store_replay_is_idempotent(spark, tmp_path):
         ("click", "2024-01-01", 3, 7),
         ("view", "2024-01-02", 1, 5),
     ]
+
+
+def test_streaming_media_features_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the document stream through per-micro-batch WAV synth
+    + integer feature extraction must reproduce the batch
+    media_audio_features answer exactly — decode and features are
+    map-only, so micro-batch boundaries cannot matter."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_features,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_features_from_store,
+        streaming_media_features,
+    )
+
+    store = str(tmp_path / "featstore")
+    ckpt = str(tmp_path / "featckpt")
+    streaming_media_features(spark, sf_dir, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_media_features_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(tuple, media_audio_features(spark, sf_dir).collect())
+    )
+    assert streamed == batch
+    assert streamed  # non-vacuous
