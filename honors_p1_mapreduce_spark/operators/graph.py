@@ -449,7 +449,20 @@ TRADE_PAGERANK_ORACLE = _pagerank_oracle()
 
 # ----------------------------- label-propagation communities (r10)
 
-LABELPROP_ROUNDS = 4  # fixed synchronous rounds (oracle-unrollable)
+# Fixed synchronous rounds (oracle-unrollable). CONVERGENCE CAVEAT
+# (r10 verdict #6): a fixed unroll is convergence-BY-CONSTRUCTION —
+# an oracle-portability choice that is correct for the <= 25-node
+# thresholded trade graph, where all structure resolves in < 4 rounds
+# (pinned by the two-clique-plus-bridge golden). A web-scale LPA
+# pointed at a corpus-sized graph should instead loop to a FIXPOINT
+# with one driver-side action per round on the label-change count
+# (`labels_t JOIN labels_{t-1} ON n WHERE lbl <> prev` → count), the
+# k-core discipline in this module — including its per-round
+# localCheckpoint lineage truncation and the RuntimeError raise at
+# max_iter so non-convergence (synchronous LPA can 2-cycle on
+# bipartite structures) fails loudly instead of returning a
+# mid-oscillation labeling.
+LABELPROP_ROUNDS = 4
 
 
 def labelprop_nodes(
@@ -515,7 +528,12 @@ def trade_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (nation, community, community_size) — community is the
     round-LABELPROP_ROUNDS label (min-tie-break), size its member
     count."""
-    lbl = labelprop_nodes(_trade_edges(spark, sf_dir).persist())
+    edges = _trade_edges(spark, sf_dir).persist()
+    # labelprop_nodes EAGERLY localCheckpoints the directed frame, so
+    # the fact-side derivation is released here rather than leaked
+    # (r10 advisor note) — the rounds run on the checkpoint alone.
+    lbl = labelprop_nodes(edges)
+    edges.unpersist()
     sizes = lbl.groupBy("community").agg(
         F.count("*").alias("community_size")
     )

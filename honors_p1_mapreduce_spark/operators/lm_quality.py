@@ -141,7 +141,7 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex tokenize total, where the round-6 plan paid three (module
     docstring has the 100 TB memory/disk rationale).
     """
-    occ, scores = _interp_occ_scores(spark, sf_dir)
+    occ, scores, _tok_arr = _interp_occ_scores(spark, sf_dir)
     return _score_occurrences(occ, scores)
 
 
@@ -149,10 +149,15 @@ def _lm_count_frames(
     spark: SparkSession, sf_dir: str, pred: F.Column | None = None
 ):
     """(persisted bigram-occurrence frame, unigram counts, bigram
-    counts) over the documents table (optionally ``pred``-filtered —
-    the retract path counts the REMOVED split alone). The count
-    frames are the trainable/mergeable/RETRACTABLE form of the model:
-    integer counts subtract exactly, derived ratios don't."""
+    counts, persisted tokenized-array frame) over the documents table
+    (optionally ``pred``-filtered — the retract path counts the
+    REMOVED split alone). The count frames are the
+    trainable/mergeable/RETRACTABLE form of the model: integer counts
+    subtract exactly, derived ratios don't. BOTH persisted frames are
+    returned so terminal callers (the writer/retract paths, which
+    materialize the counts before returning) can unpersist them —
+    r10 advisor note: dropping tok_arr on the floor leaked one cached
+    frame per call (two per retract cycle)."""
     docs = load_table(spark, sf_dir, "documents")
     if pred is not None:
         docs = docs.filter(pred)
@@ -164,7 +169,7 @@ def _lm_count_frames(
         F.explode(bigrams_from_tokens(F.col("tk"))).alias("bg"),
     ).persist()
     bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
-    return occ, uni, bg_counts
+    return occ, uni, bg_counts, tok_arr
 
 
 def _interp_scores_from_counts(uni: DataFrame, bg_counts: DataFrame) -> DataFrame:
@@ -199,10 +204,10 @@ def _interp_scores_from_counts(uni: DataFrame, bg_counts: DataFrame) -> DataFram
 
 def _interp_occ_scores(spark: SparkSession, sf_dir: str):
     """(persisted bigram-occurrence frame, interpolated per-bigram
-    score table) — the shared build of :func:`lm_interp_score` and
-    :func:`lm_write_model`."""
-    occ, uni, bg_counts = _lm_count_frames(spark, sf_dir)
-    return occ, _interp_scores_from_counts(uni, bg_counts)
+    score table, persisted tokenized-array frame) — the shared build
+    of :func:`lm_interp_score` and :func:`lm_write_model`."""
+    occ, uni, bg_counts, tok_arr = _lm_count_frames(spark, sf_dir)
+    return occ, _interp_scores_from_counts(uni, bg_counts), tok_arr
 
 
 def _score_occurrences(occ: DataFrame, scores: DataFrame) -> DataFrame:
@@ -230,9 +235,10 @@ def lm_write_model(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
     train-once / score-everywhere LM the CCNet-style filter deploys:
     consumers never redo the model build (the two corpus-wide
     aggregations), they read |bigram vocab| rows."""
-    occ, scores = _interp_occ_scores(spark, sf_dir)
+    occ, scores, tok_arr = _interp_occ_scores(spark, sf_dir)
     scores.write.mode("overwrite").parquet(f"{model_dir}/bigram_scores")
     occ.unpersist()
+    tok_arr.unpersist()
 
 
 def lm_score_with(
@@ -331,10 +337,11 @@ def lm_write_counts(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
     their sum, so it needs no separate file). The serving score table
     of :func:`lm_write_model` derives from these in one vocab-sized
     pass."""
-    occ, uni, bg_counts = _lm_count_frames(spark, sf_dir)
+    occ, uni, bg_counts, tok_arr = _lm_count_frames(spark, sf_dir)
     bg_counts.write.mode("overwrite").parquet(f"{model_dir}/bigram_counts")
     uni.write.mode("overwrite").parquet(f"{model_dir}/unigram_counts")
     occ.unpersist()
+    tok_arr.unpersist()
 
 
 def lm_model_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +394,9 @@ def lm_retract_with(
     from .winnow import RETRACT_MOD, RETRACT_RESIDUE
 
     removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
-    occ_r, uni_r, bg_r = _lm_count_frames(spark, sf_dir, pred=removed_pred)
+    occ_r, uni_r, bg_r, tok_r = _lm_count_frames(
+        spark, sf_dir, pred=removed_pred
+    )
     stored_bg = spark.read.parquet(f"{counts_dir}/bigram_counts")
     stored_uni = spark.read.parquet(f"{counts_dir}/unigram_counts")
     rbg = retract_counts(stored_bg, bg_r, "bg", "cnt")
@@ -400,6 +409,7 @@ def lm_retract_with(
     )
     result = _score_occurrences(occ_kept, scores)
     occ_r.unpersist()
+    tok_r.unpersist()
     return result
 
 

@@ -1658,11 +1658,15 @@ def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     So the decision operator never enumerates same-fingerprint pairs:
     connected components run over DISTINCT fingerprints (node = the
     min-doc_id representative per fp; edge = two distinct fps sharing
-    a band with hamming <= max — the same candidate condition as
+    a band with hamming <= max — the UNCAPPED candidate condition of
     :func:`media_image_neardup`, which depends only on fps, so the
-    clusters are IDENTICAL to CC over the doc-pair graph), and doc
-    membership broadcasts back through the fp -> rep map. CC node
-    count is bounded by content diversity, not corpus size.
+    clusters are IDENTICAL to CC over the UNGUARDED doc-pair graph;
+    the pair query's hot-fp / oversized-bucket guards backstop pair
+    ENUMERATION and are deliberately not applied here, where same-fp
+    cliques already collapse to one node and the edge join is bounded
+    by DISTINCT-fp diversity), and doc membership broadcasts back
+    through the fp -> rep map. CC node count is bounded by content
+    diversity, not corpus size.
 
     Output: (doc_id, cluster, cluster_size).
     """
@@ -1840,11 +1844,13 @@ def media_audio_neardup(
     fp_cap: int | None = IMG_NEARDUP_FP_CAP,
     bucket_cap: int | None = IMG_NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
-    """Perceptual near-duplicate audio pairs (doc_a, doc_b, hamming)
-    over the real WAV payloads — envelope-order fingerprints through
-    the SAME banded hamming join + boilerplate guards as the image
-    family (section comment above). Library surface in r10, planned
-    r11 registration."""
+    """Registered query (r11): perceptual near-duplicate audio pairs
+    (doc_a, doc_b, hamming) over the real WAV payloads —
+    envelope-order fingerprints through the SAME banded hamming join
+    + dual clique guards (hot-fingerprint cap + oversized-bucket
+    skip) as the image family (section comment above). Library
+    surface since r10; probed near output-linear at 10x data
+    (R10_SCALE_PROBE.json)."""
     from pyspark.storagelevel import StorageLevel
 
     wavs = media_real_table(spark, sf_dir).filter(
@@ -1938,13 +1944,19 @@ def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`media_image_dedup`'s pair-free construction: connected
     components over DISTINCT fingerprints (node = min-doc_id rep per
     fp; edge = two distinct fps sharing a band with hamming <= max —
-    the same candidate condition as :func:`media_audio_neardup`, which
-    depends only on fps, so clusters are identical to CC over the
-    doc-pair graph), with doc membership joined back through the
-    fp -> rep map. Same-fingerprint cliques (the volume-variant copies
-    of one clip) collapse to one node — never enumerated as pairs.
-    Library surface in r10, planned r12 registration (the r12 window's
-    single free slot; see the registry rotation comment)."""
+    the UNCAPPED candidate condition of :func:`media_audio_neardup`,
+    which depends only on fps, so clusters are identical to CC over
+    the UNGUARDED doc-pair graph; the pair query's hot-fp /
+    oversized-bucket guards are pair-ENUMERATION backstops and are
+    deliberately not applied here, where same-fp cliques already
+    collapse to one node and the edge join is bounded by DISTINCT-fp
+    diversity — r10 advisor note: with guards triggering, the capped
+    pair output is a subset of these clusters' edge set), with doc
+    membership joined back through the fp -> rep map.
+    Same-fingerprint cliques (the volume-variant copies of one clip)
+    collapse to one node — never enumerated as pairs. Library surface
+    in r10, planned r12 registration (the r12 window's single free
+    slot; see the registry rotation comment)."""
     from pyspark.storagelevel import StorageLevel
 
     from .dedup import connected_components

@@ -683,7 +683,21 @@ def pq_retract_index(
     holds bit-for-bit — pinned by pytest. Codebooks are NOT retrained
     on takedown: like the append path, retraining cadence is an
     offline codebook-drift decision, and a codebook is a statistical
-    aggregate, not per-row derived data."""
+    aggregate, not per-row derived data.
+
+    ``out_dir`` must differ from ``index_dir`` (asserted): the code
+    filter reads ``{index_dir}/codes`` lazily while the overwrite
+    write runs, and Spark refuses (or worse, truncates) an overwrite
+    of a path it is reading from — the retract cycle writes a NEW
+    index generation, it never edits one in place (r10 advisor
+    note)."""
+    import os
+
+    if os.path.normpath(out_dir) == os.path.normpath(index_dir):
+        raise ValueError(
+            "pq_retract_index writes a new index generation: out_dir "
+            f"must differ from index_dir (both were {index_dir!r})"
+        )
     codes = spark.read.parquet(f"{index_dir}/codes")
     codes.join(
         F.broadcast(removed_vecs.select("vec_id")), "vec_id", "left_anti"

@@ -89,131 +89,86 @@ aren't spent on `no_oracle` rows, but they REJOIN the window
 periodically so the driver keeps confirming they execute. The
 invariant: no rows-only query other than these 5 sanctioned twins may
 occupy a window slot — pinned by
-tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned.
+tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned,
+and the "no twin execution stamp older than 3 rounds" cadence is
+pinned by tests/test_cli.py::test_sanctioned_twin_execution_cadence
+(r10 verdict #7).
 
-ROUND-10 WINDOW (this ordering, per the r9 verdict's "Next round"
-#1): block A = the 4 queries NEW in r10 (winnow_index_retract,
-lm_model_retract, trade_labelprop, media_audio_features); block B =
-ALL 46 r7-stamped oracle-backed entries (the oldest stamps at r9
-close), oldest first — 4 + 46 fills the window to exactly 50, all
-oracle-backed, and after r10 no oracle-backed entry's newest stamp
-is older than r8. The slot arithmetic forced one deviation from the
-verdict's letter (which assumed no new queries): the window has no
-room for the "4 oldest r8-stamped" filler entries or for
-media_image_neardup's restamp — media_image_neardup changed in r10
-(hot-fingerprint cap) but is PINNED behavior-identical on the driver
-corpora and builder-replicated green, so it sits at position 51 with
-its rationale and restamps first in r11 (the same displacement
-pattern the r9 judge accepted for the three cosmetic r9 changes).
-All five sanctioned rows-only twins remain OUTSIDE this window; the
-four r7-executed ones sit right after position 51 and rejoin in the
-r11 tail (r9 verdict #8 allows "r10 or r11"; an r11 stamp is 0
-rounds old at r11 close). Then the 3 r9-displaced entries + the r8
-block (oldest evidence at r10 close — they fill r11), then the r9
-block (rotates r12). r11 slot arithmetic: media_image_neardup (1) +
-4 twins + 3 displaced + the 41-entry r8 block = 49, leaving exactly
-ONE slot for an r11-new query — its planned occupant is
-media_audio_neardup (operators/multimodal.py: library surface built
-and pytest'd in r10, oracle PRE-VERIFIED green at sf0.001/sf0.01 —
-register it first thing in r11). r12 slot arithmetic: the 49
-r9-stamped entries (the r9 block minus media_image_neardup) leave
-exactly ONE slot — its planned occupant is media_audio_dedup
-(multimodal.py: the pair-free audio clustering decision, library
-surface built and pytest'd in r10, oracle PRE-VERIFIED green at
-sf0.001/sf0.01). Count the actual entries when rotating — do not
-trust this comment's numbers if the registry has grown."""
+ROUND-11 WINDOW (this ordering, executing the r10 verdict's "Next
+round" #1 exactly, entries COUNTED not assumed):
+  1       media_image_neardup — r10 guard change (hot-fp cap + bucket
+          skip), pinned behavior-identical on driver corpora, restamps
+          first as planned at r10 position 51.
+  2       media_audio_neardup — NEW registration in the single free
+          slot (library surface + pytest since r10, oracle
+          pre-verified green at sf0.001/sf0.01).
+  3-6     the 4 sanctioned rows-only twins (semantic_dedup_fast,
+          similarity_ann_topk, embedding_neardup, dedup_minhash) —
+          last driver-EXECUTED r7, at their 3-round cadence deadline.
+  7-9     the 3 r9-displaced entries (bucketed_join_revenue,
+          media_png_decode, bloom_pruned_join) — r8 stamps, restamp
+          with the r8 block.
+  10-50   the 41-entry r8-stamped block (oldest oracle evidence at
+          r10 close; includes events_winsorized_stats_fast, the 5th
+          sanctioned twin, whose cadence deadline is also r11).
+Total 50. After r11: no oracle-backed entry's newest stamp is older
+than r9, and every twin's newest execution is 0 rounds old.
+
+THEN (positions 51-99) the 49-entry r9-stamped block — rotates r12,
+leaving exactly ONE r12 slot. Its planned occupant is
+media_audio_dedup (multimodal.py: pair-free audio clustering, library
+surface + pytest since r10, oracle PRE-VERIFIED green at
+sf0.001/sf0.01). THEN (positions 100-149) the 50-entry r10-stamped
+block — rotates r13.
+
+SATURATION NOTE (decide at r12/r13, per the standing plan): after
+media_audio_dedup registers in r12 the registry holds 150 entries =
+exactly three 50-slot windows, so the steady-state restamp cycle is 3
+rounds (max stamp age 2 rounds at any round close — still within the
+"newest stamp >= close-2" bound, with ZERO slack). Any additional
+oracle-backed registration beyond 150 makes that bound infeasible;
+new surfaces from r11 on therefore ship as library surfaces with
+pre-verified oracles + pytest first (media_clean_funnel and
+media_decontaminate, built this round, follow that pattern — see
+their docstrings), and register only if an existing entry is retired
+or the freshness bound is renegotiated in a verdict. Count the actual
+entries when rotating — do not trust this comment's numbers if the
+registry has grown."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r10 window, block A: 4] queries NEW in round 10 — the
-    # stored-artifact takedown/retract cycle (winnow + LM, shared
-    # removal split), label-propagation communities, and integer
-    # audio features over real WAV PCM
-    "winnow_index_retract": _wn.winnow_index_retract,
-    "lm_model_retract": _lm.lm_model_retract,
-    "trade_labelprop": _gph.trade_labelprop,
-    "media_audio_features": _mm.media_audio_features,
-    # --- [r10 window, block B: 46] ALL r7-stamped oracle-backed
-    # entries (CORRECTNESS_r07.json — the oldest stamps in the
-    # registry at r9 close), rotated back in oldest-first per the
-    # r9 verdict #1; after r10 no oracle-backed entry is older
-    # than r8
-    "dataset_split": _cx.dataset_split,
-    "source_profile": _cx.source_profile,
-    "revenue_cube": _rx.revenue_cube,
-    "bpe_encode_stats": _bpx.bpe_encode_stats,
-    "events_moving_stats": _ev.events_moving_stats,
-    "events_daily_pivot": _ev.events_daily_pivot,
-    "hll_daily_users": _sk.hll_daily_users,
-    "user_retention": _ev.user_retention,
-    "events_value_deciles": _ev.events_value_deciles,
-    "word_typo_pairs": _cx.word_typo_pairs,
-    "events_winsorized_stats": _ev.events_winsorized_stats,
-    "dataset_build_audit": _cx.dataset_build_audit,
-    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
-    "chunk_boilerplate": _ta.chunk_boilerplate,
-    "lm_interp_score": _lm.lm_interp_score,
-    "lm_bigram_score": _lm.lm_bigram_score,
-    "similarity_ann_portable": _sim.similarity_ann_portable,
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,
-    "similarity_pq_topk": _pq.similarity_pq_topk,
-    "events_value_outliers": _cx.events_value_outliers,
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
-    "winnow_fingerprints": _wn.winnow_fingerprints,
-    "winnow_neardup": _wn.winnow_neardup,
-    "media_real_decode": _mm.media_real_decode,
-    "corpus_clean_funnel": _pl.corpus_clean_funnel,
-    "semantic_dedup": _sd.semantic_dedup,
-    "wordcount_topk": _wc.wordcount_topk,
-    "grep_total": _gr.grep_total,
-    "log_analyzer": _la.log_analyzer,
-    "bigrams": _ng.bigrams,
-    "bigrams_topk": _ng.bigrams_topk,
-    "trigrams": _ng.trigrams,
-    "events_tumbling": _ev.events_tumbling,
-    "events_sliding": _ev.events_sliding,
-    "user_sessions": _ev.user_sessions,
-    "event_type_hourly_topk": _ev.event_type_hourly_topk,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
-    "error_click_correlation": _asof.error_click_correlation,
-    "cms_estimate": _sk.cms_estimate,
-    "pricing_percentiles": _sk.pricing_percentiles,
-    "doc_token_stats": _ta.doc_token_stats,
-    "corpus_token_stats": _ta.corpus_token_stats,
-    "lang_id": _ta.lang_id,
-    "quality_score": _ta.quality_score,
-    "simhash_fingerprints": _ta.simhash_fingerprints,
-    "simhash_neardup": _ta.simhash_neardup,
-    # ================ position 51+ — outside the r10 driver window =====
-    # media_image_neardup CHANGED in r10 (hot-fingerprint cap +
-    # capped oracle) but is behavior-identical on the driver corpora
+    # --- [r11 window, 1] media_image_neardup restamp: CHANGED in r10
+    # (hot-fingerprint cap + oversized-bucket skip, both oracle-
+    # mirrored) but pinned behavior-identical on the driver corpora
     # (cap 16 > max fp multiplicity 3 at sf0.01 / 11 at sf0.1 —
     # measured; equality pinned by
-    # tests/test_multimodal.py::test_image_neardup_fp_cap_noop_on_driver_corpus)
-    # and was replicated oracle-green at sf0.01 against the r10 code
-    # by the builder's pre-commit sweep; it restamps FIRST in r11.
+    # tests/test_multimodal.py::test_image_neardup_fp_cap_noop_on_driver_corpus);
+    # held at r10 position 51 per the documented displacement,
+    # restamps first here.
     "media_image_neardup": _mm.media_image_neardup,
-    # The 4 r7-executed rows-only twins follow: per the sanctioned-
-    # twin cadence (r9 verdict #8: "r10 or r11 window tail") they
-    # rejoin the window in r11 so its tail re-confirms they run;
-    # keeping them out of r10 keeps CORRECTNESS_r10 50/50
-    # oracle-backed.
+    # --- [r11 window, 2] the single r11-NEW registration (the one
+    # free slot): perceptual audio near-dup pairs — envelope-order
+    # fingerprints through the same banded hamming join + dual
+    # guards as the image family. Library surface + pytest since
+    # r10; oracle pre-verified green at sf0.001/sf0.01.
+    "media_audio_neardup": _mm.media_audio_neardup,
+    # --- [r11 window, 3-6] the 4 sanctioned rows-only twins, last
+    # driver-EXECUTED r7 — their 3-round cadence deadline is r11
+    # (r10 verdict #1/#3); each has an oracle-green exact/portable
+    # sibling and an agreement/recall pytest.
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
     "dedup_minhash": _dd.dedup_minhash_pairs,
-    # The 3 r9-displaced entries (r8-stamped, behavior-identical r9
-    # changes, builder-replicated green) — their r8 stamps are within
-    # the freshness bound through r10; they restamp in r11 with the
-    # r8 block below:
+    # --- [r11 window, 7-9] the 3 r9-displaced entries (r8 stamps,
+    # behavior-identical r9 changes) — restamp with the r8 block.
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
     "media_png_decode": _mm.media_png_decode,
     "bloom_pruned_join": _sk.bloom_pruned_join,
-    # Remaining r8-stamped entries (CORRECTNESS_r08.json, in their r8
-    # window order; includes events_winsorized_stats_fast, the 5th
-    # sanctioned twin) — these are the OLDEST stamps at r10 close and
-    # fill the r11 window after the twins. Count the actual entries
-    # when rotating — do not trust this comment's numbers if the
-    # registry has grown:
+    # --- [r11 window, 10-50] the 41-entry r8-stamped block
+    # (CORRECTNESS_r08.json, in its r8 window order) — the oldest
+    # oracle evidence at r10 close. Includes
+    # events_winsorized_stats_fast, the 5th sanctioned twin, at its
+    # own r11 cadence deadline (r10 verdict #7).
     "token_counts": _ta.token_counts,
     "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,
@@ -255,8 +210,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
-    # Then the r9-stamped entries (CORRECTNESS_r09.json order, minus
-    # media_image_neardup above) — freshest stamps, rotate last (r12):
+    # ================ position 51+ — outside the r11 driver window =====
+    # The 49-entry r9-stamped block (CORRECTNESS_r09.json order, minus
+    # media_image_neardup above) — rotates r12, leaving exactly ONE
+    # free r12 slot for media_audio_dedup (see the ordering note):
     "media_image_dedup": _mm.media_image_dedup,
     "quantile_daily_merge": _sk.quantile_daily_merge,
     "trade_kcore": _gph.trade_kcore,
@@ -306,6 +263,59 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
+    # The 50-entry r10-stamped block (CORRECTNESS_r10.json order:
+    # the 4 r10-new queries + the 46 entries restamped r10) —
+    # freshest stamps, rotates r13:
+    "winnow_index_retract": _wn.winnow_index_retract,
+    "lm_model_retract": _lm.lm_model_retract,
+    "trade_labelprop": _gph.trade_labelprop,
+    "media_audio_features": _mm.media_audio_features,
+    "dataset_split": _cx.dataset_split,
+    "source_profile": _cx.source_profile,
+    "revenue_cube": _rx.revenue_cube,
+    "bpe_encode_stats": _bpx.bpe_encode_stats,
+    "events_moving_stats": _ev.events_moving_stats,
+    "events_daily_pivot": _ev.events_daily_pivot,
+    "hll_daily_users": _sk.hll_daily_users,
+    "user_retention": _ev.user_retention,
+    "events_value_deciles": _ev.events_value_deciles,
+    "word_typo_pairs": _cx.word_typo_pairs,
+    "events_winsorized_stats": _ev.events_winsorized_stats,
+    "dataset_build_audit": _cx.dataset_build_audit,
+    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
+    "chunk_boilerplate": _ta.chunk_boilerplate,
+    "lm_interp_score": _lm.lm_interp_score,
+    "lm_bigram_score": _lm.lm_bigram_score,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_pq_topk": _pq.similarity_pq_topk,
+    "events_value_outliers": _cx.events_value_outliers,
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
+    "winnow_fingerprints": _wn.winnow_fingerprints,
+    "winnow_neardup": _wn.winnow_neardup,
+    "media_real_decode": _mm.media_real_decode,
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,
+    "semantic_dedup": _sd.semantic_dedup,
+    "wordcount_topk": _wc.wordcount_topk,
+    "grep_total": _gr.grep_total,
+    "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
+    "events_tumbling": _ev.events_tumbling,
+    "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
+    "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
+    "doc_token_stats": _ta.doc_token_stats,
+    "corpus_token_stats": _ta.corpus_token_stats,
+    "lang_id": _ta.lang_id,
+    "quality_score": _ta.quality_score,
+    "simhash_fingerprints": _ta.simhash_fingerprints,
+    "simhash_neardup": _ta.simhash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -478,6 +488,11 @@ ORACLES: dict[str, str] = {
     # integer audio features (r10): every PCM sample re-derived from
     # hex(encode(text)) static offsets
     "media_audio_features": _mm.MEDIA_AUDIO_FEATURES_ORACLE,
+    # perceptual audio near-dup (r11): envelope-order fingerprints
+    # re-derived from hex(encode(text)) static PCM offsets, same
+    # banding + dual guards as the image family, guards mirrored via
+    # NOT IN / NOT EXISTS
+    "media_audio_neardup": _mm.MEDIA_AUDIO_NEARDUP_ORACLE,
     # incremental ANN (r9): Lloyd trained on the base split only,
     # codes/ADC over every vector — append must equal rebuild
     "pq_search_appended": _pq.PQ_SEARCH_APPENDED_ORACLE,

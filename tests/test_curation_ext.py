@@ -716,8 +716,12 @@ def test_lm_retract_counts_equal_retrain(spark, sf_dir, tmp_path):
     d = str(tmp_path / "lm_counts")
     lm_write_counts(spark, sf_dir, d)
     removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
-    occ_r, uni_r, bg_r = _lm_count_frames(spark, sf_dir, pred=removed_pred)
-    occ_k, uni_k, bg_k = _lm_count_frames(spark, sf_dir, pred=~removed_pred)
+    occ_r, uni_r, bg_r, tok_r = _lm_count_frames(
+        spark, sf_dir, pred=removed_pred
+    )
+    occ_k, uni_k, bg_k, tok_k = _lm_count_frames(
+        spark, sf_dir, pred=~removed_pred
+    )
     stored_bg = spark.read.parquet(f"{d}/bigram_counts")
     stored_uni = spark.read.parquet(f"{d}/unigram_counts")
 
@@ -732,7 +736,7 @@ def test_lm_retract_counts_equal_retrain(spark, sf_dir, tmp_path):
     assert rows(retract_counts(stored_bg, empty, "bg", "cnt")) == rows(
         stored_bg
     )
-    for f in (occ_r, occ_k):
+    for f in (occ_r, occ_k, tok_r, tok_k):
         f.unpersist()
 
 
