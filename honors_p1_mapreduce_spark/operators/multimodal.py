@@ -1672,12 +1672,30 @@ def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.storagelevel import StorageLevel
 
-    from .dedup import connected_components
-
     imgs = media_real_table(spark, sf_dir).filter(
         F.col("media_type").isin("image/bmp", "image/ppm")
     )
     fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
+    labeled = fp_clusters(fp)
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
+    )
+
+
+def fp_clusters(fp: DataFrame) -> DataFrame:
+    """(doc_id, cluster) — connected components over the banded
+    hamming graph of DISTINCT fingerprints, the shared pair-free
+    cluster machinery of :func:`media_image_dedup`,
+    :func:`media_audio_dedup`, and the media funnel (r11): node = the
+    min-doc_id representative per fp; edge = two distinct fps sharing
+    a band with hamming <= IMG_NEARDUP_HAMMING_MAX; cluster = the min
+    doc_id of the component (connected_components labels by min
+    node). Same-fp cliques collapse to one node, so nothing here is
+    quadratic in copies; the join stage's input is bounded by
+    fingerprint DIVERSITY, not corpus size."""
+    from .dedup import connected_components
+
     # one representative doc per distinct fingerprint: same-fp docs
     # are dups by construction and collapse here — no pair enumeration
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
@@ -1720,12 +1738,8 @@ def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("rep"), "label"
     )
     fp_rep = fp.join(reps, "fingerprint")
-    labeled = fp_rep.join(rep_labels, "rep", "left").select(
+    return fp_rep.join(rep_labels, "rep", "left").select(
         "doc_id", F.coalesce("label", F.col("rep")).alias("cluster")
-    )
-    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
-    return labeled.join(sizes, "cluster").select(
-        "doc_id", "cluster", "cluster_size"
     )
 
 
@@ -1834,6 +1848,39 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
 
     return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
         _fp, schema="doc_id long, fingerprint long"
+    )
+
+
+def wav_fp_peak(media: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, peak_abs) — the FUSED audio pass for the
+    media funnel (r11): one RIFF walk + PCM unpack per clip yields
+    both the envelope-order fingerprint (dedup signal) and the peak
+    level (quality signal). At corpus scale the decode scan dominates
+    audio curation cost, so a funnel must not pay it once per
+    feature — this is the one-decode shape
+    (:func:`wav_features` + :func:`audio_fingerprints` each cost a
+    full pass; the funnel needs one number from each)."""
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fingerprint": [], "peak_abs": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = _wav_data_section(bytes(content))
+                if not data or len(data) // 2 < PHASH_BITS + 1:
+                    continue
+                n = len(data) // 2
+                vs = struct.unpack_from(f"<{n}h", data)
+                fp = 0
+                for i in range(PHASH_BITS):
+                    if abs(vs[i]) > abs(vs[i + 1]):
+                        fp |= 1 << i
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+                out["peak_abs"].append(max(abs(v) for v in vs))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _fp, schema="doc_id long, fingerprint long, peak_abs int"
     )
 
 
@@ -1959,55 +2006,11 @@ def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot; see the registry rotation comment)."""
     from pyspark.storagelevel import StorageLevel
 
-    from .dedup import connected_components
-
     wavs = media_real_table(spark, sf_dir).filter(
         F.col("media_type") == "audio/wav"
     )
     fp = audio_fingerprints(wavs).persist(StorageLevel.MEMORY_AND_DISK)
-    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
-    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
-    banded = reps.select(
-        "rep",
-        "fingerprint",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
-                    )
-                    for b in range(IMG_NEARDUP_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("rep", "fingerprint", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.fingerprint") < F.col("b.fingerprint")),
-        )
-        .filter(
-            F.bit_count(
-                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
-            )
-            <= IMG_NEARDUP_HAMMING_MAX
-        )
-        .select(F.col("a.rep").alias("u"), F.col("b.rep").alias("v"))
-        .distinct()
-    )
-    rep_labels = connected_components(edges).select(
-        F.col("node").alias("rep"), "label"
-    )
-    fp_rep = fp.join(reps, "fingerprint")
-    labeled = fp_rep.join(rep_labels, "rep", "left").select(
-        "doc_id", F.coalesce("label", F.col("rep")).alias("cluster")
-    )
+    labeled = fp_clusters(fp)
     sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
     return labeled.join(sizes, "cluster").select(
         "doc_id", "cluster", "cluster_size"

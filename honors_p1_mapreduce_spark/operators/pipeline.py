@@ -305,3 +305,232 @@ def sample_exact_k(df, k: int, key: str = "doc_id", seed: str = SAMPLE_SEED):
 
     h = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
     return df.orderBy(h).limit(k)
+
+
+# --------------------------------------- multimodal cleaning funnel (r11)
+#
+# The media counterpart of corpus_clean_funnel (r10 verdict #2): the
+# text side has had its capstone composition since r6, while the
+# media operators (real decode, perceptual fingerprints, integer
+# audio features, pair-free dedup clustering) were only exercised
+# solo. This funnel composes them the way a multimodal training-data
+# pipeline would: decode -> per-item quality features -> perceptual
+# dedup, reporting surviving item and byte budgets per stage and
+# media kind.
+#
+# Stage definitions (all-integer, so DuckDB re-derives the WHOLE
+# funnel from hex(encode(text)) byte arithmetic and the driver can
+# hash-gate it end-to-end):
+#   0_all      every decodable media item (the media_real_table rows)
+#   1_quality  audio keeps un-clipped items (peak_abs below
+#              MEDIA_AUDIO_CLIP_PEAK — the classic level check);
+#              images keep items with real gradient structure
+#              (bit_count(dHash) >= MEDIA_IMG_MIN_GRADIENTS — a
+#              near-empty difference hash is a blank/degenerate
+#              image, the dHash-native degeneracy test)
+#   2_dedup    keep the min-doc_id item of each perceptual cluster
+#              among the stage-1 survivors; clusters come from the
+#              CORPUS-level fingerprint graph (fp_clusters — the
+#              arbiter is computed once over everything, so the
+#              decision is independent of upstream filter order,
+#              the corpus_clean_funnel convention)
+#
+# Scale design: ONE decode pass per item total — the fused wav_fp_peak
+# pass yields the audio quality AND dedup signals from a single RIFF
+# walk, and the image dHash already IS both (quality = its popcount).
+# Downstream of the decode maps every item is (doc_id, 8-byte fp), so
+# the cluster/keep joins move ~10^-5 of the pixel bytes; per-stage
+# budgets are filter + per-kind aggregates on the persisted frames.
+# Thresholds are corpus-calibrated (measured at sf0.001/0.01/0.1:
+# the clip filter drops ~half the clips, the gradient filter ~8% of
+# images) so every stage does real work at driver scales.
+
+MEDIA_AUDIO_CLIP_PEAK = 31000  # keep peak_abs <  this (clip/level check)
+MEDIA_IMG_MIN_GRADIENTS = 10  # keep bit_count(dHash) >= this
+
+
+def media_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, media_type, n_items, n_bytes) per funnel stage and
+    media kind — the multimodal curation capstone (section comment
+    above). Library surface in r11 with a pre-verified oracle; the
+    planned occupant of an r12+ registry slot (see the registry
+    rotation comment's saturation note)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .multimodal import (
+        fp_clusters,
+        image_fingerprints,
+        media_real_table,
+        wav_fp_peak,
+    )
+
+    media = media_real_table(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    afp = wav_fp_peak(media).persist(StorageLevel.MEMORY_AND_DISK)
+    ifp = image_fingerprints(
+        media.filter(F.col("media_type") != "audio/wav")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keep1 = (
+        afp.filter(F.col("peak_abs") < MEDIA_AUDIO_CLIP_PEAK)
+        .select("doc_id")
+        .unionByName(
+            ifp.filter(
+                F.bit_count("fingerprint") >= MEDIA_IMG_MIN_GRADIENTS
+            ).select("doc_id")
+        )
+    )
+    s1 = media.join(keep1, "doc_id")
+    # corpus-level cluster arbiter: audio and image label spaces are
+    # doc_ids of disjoint residues (doc_id % 3), so the union is safe
+    clusters = fp_clusters(ifp).unionByName(
+        fp_clusters(afp.select("doc_id", "fingerprint"))
+    )
+    keep2 = (
+        s1.join(clusters, "doc_id")
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep2, "doc_id")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.groupBy("media_type")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum("n_bytes").alias("n_bytes"),
+            )
+            .select(
+                F.lit(name).alias("stage"), "media_type", "n_items", "n_bytes"
+            )
+        )
+
+    return (
+        stage(media, "0_all")
+        .unionByName(stage(s1, "1_quality"))
+        .unionByName(stage(s2, "2_dedup"))
+    )
+
+
+def _fp_cluster_sql(p: str, fp_cte: str) -> str:
+    """Prefixed CTE chain computing (doc_id, cluster) over a
+    (doc_id, fingerprint) CTE — the SQL twin of
+    :func:`multimodal.fp_clusters`, fragment-form so the funnel
+    oracle runs it once per modality under ONE ``WITH RECURSIVE``.
+    Every non-recursive CTE is MATERIALIZED (DuckDB re-expands
+    inlined CTE chains exponentially)."""
+    from .multimodal import (
+        IMG_NEARDUP_BAND_BITS,
+        IMG_NEARDUP_BANDS,
+        IMG_NEARDUP_HAMMING_MAX,
+    )
+
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    bands = ", ".join(str(b) for b in range(IMG_NEARDUP_BANDS))
+    return f"""{p}reps AS MATERIALIZED (
+  SELECT fingerprint, min(doc_id) AS rep FROM {fp_cte} GROUP BY fingerprint
+),
+{p}banded AS MATERIALIZED (
+  SELECT rep, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM {p}reps, unnest([{bands}]) AS b(b)
+),
+{p}edges AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS u, b.rep AS v
+  FROM {p}banded a JOIN {p}banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND a.fingerprint < b.fingerprint
+  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
+          <= {IMG_NEARDUP_HAMMING_MAX}
+),
+{p}dir AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM {p}edges
+  UNION ALL
+  SELECT v, u FROM {p}edges
+),
+{p}reach(node, r) AS (
+  SELECT rep, rep FROM {p}reps
+  UNION
+  SELECT {p}reach.node, {p}dir.dst
+  FROM {p}reach JOIN {p}dir ON {p}reach.r = {p}dir.src
+),
+{p}lbl AS MATERIALIZED (
+  SELECT node AS rep, min(r) AS label FROM {p}reach GROUP BY node
+),
+{p}clusters AS MATERIALIZED (
+  SELECT d.doc_id, l.label AS cluster
+  FROM {fp_cte} d
+  JOIN {p}reps rp ON d.fingerprint = rp.fingerprint
+  JOIN {p}lbl l ON rp.rep = l.rep
+)"""
+
+
+def _media_funnel_oracle() -> str:
+    from .multimodal import (
+        BMP_HEADER,
+        IMG_DATA_LEN,
+        MEDIA_AUDIO_FEATURES_ORACLE,
+        PPM_HEADER,
+        WAV_DATA_LEN,
+        WAV_HEADER,
+        _audio_fp_oracle_core,
+        _image_fp_oracle_core,
+    )
+
+    wav_n = len(WAV_HEADER) + WAV_DATA_LEN
+    bmp_n = len(BMP_HEADER) + IMG_DATA_LEN
+    ppm_n = len(PPM_HEADER) + IMG_DATA_LEN
+    return f"""
+WITH RECURSIVE
+m AS MATERIALIZED (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'audio/wav'
+                         WHEN 1 THEN 'image/bmp'
+                         ELSE 'image/ppm' END AS media_type,
+         CASE doc_id % 3 WHEN 0 THEN {wav_n}
+                         WHEN 1 THEN {bmp_n}
+                         ELSE {ppm_n} END AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN}
+),
+ifp AS MATERIALIZED (
+  SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
+),
+afp AS MATERIALIZED (
+  SELECT doc_id, fingerprint FROM ({_audio_fp_oracle_core()}) t
+),
+apk AS MATERIALIZED (
+  SELECT doc_id, peak_abs FROM ({MEDIA_AUDIO_FEATURES_ORACLE}) t
+),
+k1 AS MATERIALIZED (
+  SELECT doc_id FROM apk WHERE peak_abs < {MEDIA_AUDIO_CLIP_PEAK}
+  UNION ALL
+  SELECT doc_id FROM ifp
+  WHERE bit_count(fingerprint) >= {MEDIA_IMG_MIN_GRADIENTS}
+),
+s1 AS MATERIALIZED (SELECT m.* FROM m JOIN k1 USING (doc_id)),
+{_fp_cluster_sql("i_", "ifp")},
+{_fp_cluster_sql("a_", "afp")},
+clusters AS MATERIALIZED (
+  SELECT * FROM i_clusters UNION ALL SELECT * FROM a_clusters
+),
+k2 AS MATERIALIZED (
+  SELECT min(s1.doc_id) AS doc_id
+  FROM s1 JOIN clusters USING (doc_id)
+  GROUP BY cluster
+),
+s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN k2 USING (doc_id))
+SELECT '0_all' AS stage, media_type, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM m GROUP BY media_type
+UNION ALL
+SELECT '1_quality', media_type, count(*), CAST(sum(n_bytes) AS BIGINT)
+FROM s1 GROUP BY media_type
+UNION ALL
+SELECT '2_dedup', media_type, count(*), CAST(sum(n_bytes) AS BIGINT)
+FROM s2 GROUP BY media_type
+"""
+
+
+MEDIA_CLEAN_FUNNEL_ORACLE = _media_funnel_oracle()

@@ -70,6 +70,32 @@ def test_bench_line_fits_record_window():
         assert set(full["queries"]) == set(registry.QUERIES)
 
 
+def test_bench_calibration_median_and_spread():
+    """r10 verdict #4: the cross-round normalizer must be the MEDIAN
+    of the calibration samples (robust to one GC-noisy sample) and
+    the printed line must carry the sample spread as the normalized
+    headline's error bar, with the documented bound applied."""
+    import json
+
+    import bench
+
+    timings = {"q": 10.0}
+    # one outlier among ten samples: median must ignore it, spread
+    # must report it
+    cal = [0.5] * 9 + [1.0]
+    line, full = bench.build_output(timings, 0.1, calibration=cal)
+    parsed = json.loads(line)
+    assert parsed["calibration_sec"] == 0.5
+    assert parsed["value_normalized"] == 10.0  # CAL_REF/median == 1
+    assert parsed["calibration_spread_pct"] == 100.0
+    assert parsed["calibration_ok"] is False  # 100% > documented bound
+    assert full["calibration_sec"] == cal  # raw samples preserved
+    assert full["calibration_median"] == 0.5
+    tight = [0.5, 0.52, 0.48, 0.5, 0.51, 0.49, 0.5, 0.5, 0.5, 0.5]
+    line2, _ = bench.build_output(timings, 0.1, calibration=tight)
+    assert json.loads(line2)["calibration_ok"] is True
+
+
 def test_driver_window_rows_only_queries_are_sanctioned():
     """The driver checks exactly the FIRST 50 registry entries each
     round. Rows-only queries inside the window produce `no_oracle`
@@ -96,6 +122,56 @@ def test_driver_window_rows_only_queries_are_sanctioned():
         f"{rows_only - sanctioned}"
     )
     assert len(registry.QUERIES) >= 50
+
+
+def test_sanctioned_twin_execution_cadence():
+    """r10 verdict #7: the sanctioned rows-only twins ride on their
+    oracle-green siblings, so the driver must keep CONFIRMING they
+    execute — no twin's newest driver execution (a CORRECTNESS row
+    with spark_rows recorded, hash or no_oracle alike) may be older
+    than 3 rounds. The test reads the committed CORRECTNESS history,
+    so the cadence is pinned by arithmetic over real driver stamps,
+    not by a registry comment: a twin whose newest execution is
+    exactly 3 rounds old at the latest recorded round MUST hold a
+    slot in the CURRENT first-50 window (it executes in the round
+    being built); fresher twins may rotate out."""
+    import glob
+    import json
+    import pathlib
+
+    from honors_p1_mapreduce_spark import registry
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    executed: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("spark_rows") is not None:
+                executed[name] = max(rnd, executed.get(name, 0))
+    assert rounds, "no CORRECTNESS history committed"
+    latest = max(rounds)
+    window = set(list(registry.QUERIES)[:50])
+    twins = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    assert twins, "sanctioned twins disappeared from the registry"
+    stale = []
+    for name in twins:
+        last = executed.get(name)
+        # age as of the round now being built (latest history + 1);
+        # a window slot counts as execution in that round.
+        age = (latest + 1) - last if last else None
+        if name in window:
+            age = 0
+        if age is None or age > 3:
+            stale.append((name, last))
+    assert not stale, (
+        "sanctioned twins past the 3-round execution cadence and not "
+        f"in the current window: {stale} (latest stamped round "
+        f"{latest})"
+    )
 
 
 def test_cli_query_describe(capsys):

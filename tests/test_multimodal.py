@@ -4,6 +4,7 @@ Arrow batch shapes + determinism for the stubbed decode path."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from honors_p1_mapreduce_spark import registry
 from honors_p1_mapreduce_spark.operators import multimodal as mm
@@ -1015,3 +1016,98 @@ def test_media_audio_dedup_invariants_and_oracle(spark, sf_dir):
     compare_query(
         spark, sf_dir, mm.media_audio_dedup, mm.MEDIA_AUDIO_DEDUP_ORACLE
     )
+
+
+def test_wav_fp_peak_matches_separate_passes(spark, sf_dir):
+    """The fused funnel pass must agree exactly with the two
+    single-signal passes it replaces (one RIFF walk instead of two)."""
+    media = mm.media_real_table(spark, sf_dir)
+    fused = {
+        r["doc_id"]: (r["fingerprint"], r["peak_abs"])
+        for r in mm.wav_fp_peak(media).collect()
+    }
+    fps = {r["doc_id"]: r["fingerprint"] for r in mm.audio_fingerprints(media).collect()}
+    peaks = {r["doc_id"]: r["peak_abs"] for r in mm.wav_features(media).collect()}
+    assert set(fused) == set(fps) == set(peaks)
+    for d, (fp, pk) in fused.items():
+        assert fp == fps[d] and pk == peaks[d]
+
+
+def test_media_clean_funnel_monotone_and_oracle(spark, sf_dir):
+    """Funnel invariants (r10 verdict #2): per media kind the item and
+    byte budgets are non-increasing across stages, stage 0 equals the
+    raw media table, stage 1 equals the direct threshold recount, and
+    the whole composition matches its DuckDB oracle."""
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        MEDIA_AUDIO_CLIP_PEAK,
+        MEDIA_CLEAN_FUNNEL_ORACLE,
+        MEDIA_IMG_MIN_GRADIENTS,
+        media_clean_funnel,
+    )
+
+    rows = media_clean_funnel(spark, sf_dir).collect()
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], {})[r["media_type"]] = (
+            r["n_items"],
+            r["n_bytes"],
+        )
+    stages = ["0_all", "1_quality", "2_dedup"]
+    assert list(sorted(by_stage)) == stages
+    kinds = set(by_stage["0_all"])
+    assert kinds == {"audio/wav", "image/bmp", "image/ppm"}
+    for kind in kinds:
+        prev = None
+        for st in stages:
+            cur = by_stage[st].get(kind, (0, 0))
+            if prev is not None:
+                assert cur[0] <= prev[0] and cur[1] <= prev[1], (kind, st)
+            prev = cur
+    # stage 0 == the raw media table, per kind
+    media = mm.media_real_table(spark, sf_dir)
+    raw = {
+        r["media_type"]: (r["n"], r["b"])
+        for r in media.groupBy("media_type")
+        .agg(F.count("*").alias("n"), F.sum("n_bytes").alias("b"))
+        .collect()
+    }
+    assert raw == by_stage["0_all"]
+    # stage 1 == direct threshold recount
+    n_audio_kept = (
+        mm.wav_features(media)
+        .filter(F.col("peak_abs") < MEDIA_AUDIO_CLIP_PEAK)
+        .count()
+    )
+    assert by_stage["1_quality"].get("audio/wav", (0, 0))[0] == n_audio_kept
+    n_img_kept = (
+        mm.image_fingerprints(media.filter("media_type <> 'audio/wav'"))
+        .filter(F.bit_count("fingerprint") >= MEDIA_IMG_MIN_GRADIENTS)
+        .count()
+    )
+    img_stage1 = sum(
+        by_stage["1_quality"].get(k, (0, 0))[0]
+        for k in ("image/bmp", "image/ppm")
+    )
+    assert img_stage1 == n_img_kept
+    # dedup stage keeps exactly one item per surviving cluster
+    n_stage2 = sum(v[0] for v in by_stage["2_dedup"].values())
+    survivors = mm.media_real_table(spark, sf_dir)  # recompute clusters
+    afp = mm.wav_fp_peak(survivors)
+    ifp = mm.image_fingerprints(
+        survivors.filter("media_type <> 'audio/wav'")
+    )
+    clusters = mm.fp_clusters(ifp).unionByName(
+        mm.fp_clusters(afp.select("doc_id", "fingerprint"))
+    )
+    keep1_ids = afp.filter(
+        F.col("peak_abs") < MEDIA_AUDIO_CLIP_PEAK
+    ).select("doc_id").unionByName(
+        ifp.filter(
+            F.bit_count("fingerprint") >= MEDIA_IMG_MIN_GRADIENTS
+        ).select("doc_id")
+    )
+    n_clusters = (
+        keep1_ids.join(clusters, "doc_id").select("cluster").distinct().count()
+    )
+    assert n_stage2 == n_clusters
+    compare_query(spark, sf_dir, media_clean_funnel, MEDIA_CLEAN_FUNNEL_ORACLE)
