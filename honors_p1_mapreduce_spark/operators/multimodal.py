@@ -2061,3 +2061,139 @@ labeled AS (
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
 SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
 """
+
+
+# ------------------------------ image eval decontamination (r11)
+#
+# The MULTIMODAL tier of the contamination family (r10 verdict #3):
+# text decontamination has exact n-gram, fuzzy winnow, and
+# stored-index tiers (curation.py / winnow.py), but benchmark-IMAGE
+# leakage — an eval image, re-encoded or slightly retouched, sitting
+# in the training corpus — had no counterpart. This operator flags
+# every TRAINING image whose perceptual fingerprint lands within
+# DECONTAM_HAMMING_MAX of an EVAL-split fingerprint, exact matches
+# included (hamming 0).
+#
+# Recall is LOSSLESS by construction: with IMG_NEARDUP_BANDS bands
+# the pigeonhole guarantees any pair at hamming <= BANDS - 1 shares
+# at least one untouched band, so the banded candidate join misses
+# nothing at the decontamination threshold (3 = 4 - 1) — unlike the
+# near-dup pair query at hamming 6, where banding is an LSH recall
+# trade documented at IMG_NEARDUP_BAND_BITS. Decontamination is
+# exactly the place where a silently missed match means eval leakage
+# (the same reasoning that keeps decontaminate_neardup on the
+# UNCAPPED fingerprint path, winnow.py).
+#
+# 100 TB shape (decontaminate_neardup's, re-used): the eval set is
+# benchmark-sized, so its banded fingerprints BROADCAST at any
+# corpus size; the training corpus pays one map-only fingerprint
+# pass + a broadcast-hash join + a per-doc aggregate. The corpus
+# never self-joins and never shuffles pixels. No clique guards are
+# needed: the join is train x eval, bounded by the eval set, not a
+# corpus self-join.
+
+DECONTAM_HAMMING_MAX = IMG_NEARDUP_BANDS - 1  # lossless banding bound
+
+
+def media_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """(doc_id, n_eval_matches, min_hamming) — TRAINING images whose
+    dHash sits within ``max_hamming`` of any EVAL-split image's (the
+    deterministic doc_id % EVAL_MOD == EVAL_RESIDUE split shared with
+    the text tiers, winnow.py). Library surface in r11 with a
+    pre-verified oracle (see the registry rotation comment's
+    saturation note); the seeded-leak golden plants a retouched eval
+    twin and pins that it flags at its true hamming."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") != "audio/wav"
+    )
+    fp = image_fingerprints(imgs)
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+
+    def banded(df: DataFrame, fp_name: str) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(
+                                fp_name, b * IMG_NEARDUP_BAND_BITS
+                            )
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(IMG_NEARDUP_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(*df.columns, "bb.band", "bb.bucket")
+
+    eval_fps = (
+        fp.filter(is_eval)
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+    )
+    train = banded(fp.filter(~is_eval), "fingerprint")
+    ev = banded(eval_fps, "eval_fp")
+    hamming = F.bit_count(
+        F.col("fingerprint").bitwiseXOR(F.col("eval_fp"))
+    )
+    pairs = (
+        train.join(F.broadcast(ev), ["band", "bucket"])
+        .filter(hamming <= max_hamming)
+        .select("doc_id", "eval_fp", hamming.alias("hamming"))
+        .distinct()  # a pair can share several bands; count it once
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_eval_matches"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
+def _media_decontaminate_oracle() -> str:
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    bands = ", ".join(str(b) for b in range(IMG_NEARDUP_BANDS))
+    return f"""
+WITH fp AS MATERIALIZED (
+  SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
+),
+ev AS MATERIALIZED (
+  SELECT DISTINCT fingerprint AS eval_fp FROM fp
+  WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+evb AS MATERIALIZED (
+  SELECT eval_fp, b.b AS band,
+         (eval_fp >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM ev, unnest([{bands}]) AS b(b)
+),
+trb AS MATERIALIZED (
+  SELECT doc_id, fingerprint, b.b AS band,
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM fp, unnest([{bands}]) AS b(b)
+  WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, e.eval_fp,
+         bit_count(xor(t.fingerprint, e.eval_fp)) AS hamming
+  FROM trb t JOIN evb e ON t.band = e.band AND t.bucket = e.bucket
+  WHERE bit_count(xor(t.fingerprint, e.eval_fp))
+          <= {DECONTAM_HAMMING_MAX}
+)
+SELECT doc_id, count(*) AS n_eval_matches,
+       CAST(min(hamming) AS INT) AS min_hamming
+FROM pairs GROUP BY doc_id
+"""
+
+
+MEDIA_DECONTAMINATE_ORACLE = _media_decontaminate_oracle()

@@ -1111,3 +1111,89 @@ def test_media_clean_funnel_monotone_and_oracle(spark, sf_dir):
     )
     assert n_stage2 == n_clusters
     compare_query(spark, sf_dir, media_clean_funnel, MEDIA_CLEAN_FUNNEL_ORACLE)
+
+
+def test_media_decontaminate_seeded_leak(spark, tmp_path):
+    """Seeded-leak golden (r10 verdict #3): an eval image (doc 7 —
+    doc_id % 101 == 7, % 3 == 1 -> BMP) leaks into training as an
+    exact perceptual twin (brightness-shifted, every byte differs,
+    hamming 0) and as a retouched copy (one pixel-order swap, small
+    nonzero hamming); an inverted-gradient control stays unflagged.
+    The DuckDB oracle must agree on the same synthetic corpus."""
+    import duckdb
+
+    def grid_text(swap_row=None, bias=0, invert=False) -> str:
+        out = []
+        for ty in range(mm.IMG_H):
+            vals = [32 + bias + x * 20 for x in range(mm.IMG_W)]
+            if invert:
+                vals = vals[::-1]
+            if ty == swap_row:
+                vals[1], vals[2] = vals[2], vals[1]
+            for v in vals:
+                out.append(chr(min(v, 126)) * 3)
+        return "".join(out)
+
+    pad = " " * (mm.WAV_DATA_LEN - mm.IMG_DATA_LEN)
+    base = grid_text()
+    retouch = grid_text(swap_row=1)
+    h_base = mm.image_dhash((mm.BMP_HEADER + base.encode())[: 54 + 120])
+    h_re = mm.image_dhash((mm.BMP_HEADER + retouch.encode())[: 54 + 120])
+    ham = bin(h_base ^ h_re).count("1")
+    assert 1 <= ham <= mm.DECONTAM_HAMMING_MAX  # construction sanity
+    rows = [
+        (7, base + pad, "synthetic"),  # EVAL split member
+        (1, grid_text(bias=2) + pad, "synthetic"),  # exact twin, hamming 0
+        (13, retouch + pad, "synthetic"),  # retouched leak
+        (10, grid_text(invert=True) + pad, "synthetic"),  # control
+    ]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_decontaminate(spark, dirp).collect()
+    )
+    assert got == [(1, 1, 0), (13, 1, ham)]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(mm.MEDIA_DECONTAMINATE_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == got
+
+
+def test_media_decontaminate_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, mm.media_decontaminate, mm.MEDIA_DECONTAMINATE_ORACLE
+    )
+
+
+def test_media_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    """Output rows are TRAINING docs only, and every flagged doc is a
+    real image doc of the corpus."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    rows = mm.media_decontaminate(spark, sf_dir).collect()
+    imgs = {
+        r["doc_id"]
+        for r in mm.media_real_table(spark, sf_dir)
+        .filter("media_type <> 'audio/wav'")
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != EVAL_RESIDUE
+        assert r["doc_id"] in imgs
+        assert 0 <= r["min_hamming"] <= mm.DECONTAM_HAMMING_MAX
+        assert r["n_eval_matches"] >= 1
