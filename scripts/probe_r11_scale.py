@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Round-11 scale probe: the multimodal funnel and image
+decontamination at 1x vs 10x corpus (r10 verdict #2/#3 Done
+criteria: stage costs bounded by each stage's input; decontamination
+~linear because the eval side broadcasts).
+
+Corpus enlargement mirrors probe_r9/r10_scale.py: documents are
+STRING-ROTATED per copy so every copy is a distinct corpus slice
+(rotation changes the pixel/PCM bytes, so fingerprints differ across
+copies — the honest enlargement for perceptual operators).
+
+Expectations:
+- media_clean_funnel: the decode/fingerprint passes are map-only and
+  scale with item count (~10x work, amortized by parallelism); the
+  cluster stage is bounded by DISTINCT-fingerprint diversity (the
+  56-bit text-derived dHash space is small, so rep counts grow far
+  slower than items); per-stage budgets are tiny aggregates.
+- media_decontaminate: one fingerprint pass + a broadcast join
+  against the (fixed-rate) eval split — time ~linear, output rows
+  bounded by train-side matches.
+
+Usage: python scripts/probe_r11_scale.py  (writes JSON to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from honors_p1_mapreduce_spark import registry  # noqa: E402
+from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    fp_clusters,
+    image_fingerprints,
+    media_decontaminate,
+    media_real_table,
+    wav_fp_peak,
+)
+from honors_p1_mapreduce_spark.operators.pipeline import (  # noqa: E402
+    media_clean_funnel,
+)
+from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+COPIES = 10
+
+
+def main() -> None:
+    spark = get_spark(app_name="probe_r11_scale")
+    work = Path(tempfile.mkdtemp(prefix="r11_scale_"))
+    out: dict = {"copies": COPIES}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    big = docs
+    for i in range(1, COPIES):
+        off = 7 * i + 1
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.expr(f"substring(text, {off + 1})"),
+                    F.expr(f"substring(text, 1, {off})"),
+                ),
+            )
+        )
+    big.repartition(32).write.parquet(str(work / "documents.parquet"))
+
+    def timed(fn, sf_dir: str) -> tuple[float, int]:
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 2), n
+
+    # stage-component attribution: each component's cost must be
+    # bounded by ITS input (decode passes ~items; clusters ~distinct
+    # fps), not by the funnel's composition
+    def components(sf_dir: str) -> dict:
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        comp: dict = {}
+        t0 = time.perf_counter()
+        media = media_real_table(spark, sf_dir)
+        comp["n_items"] = media.count()
+        comp["t_media_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        afp = wav_fp_peak(media)
+        ifp = image_fingerprints(
+            media.filter("media_type <> 'audio/wav'")
+        )
+        comp["n_fps"] = afp.count() + ifp.count()
+        comp["t_decode_fp_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        comp["n_distinct_fps"] = (
+            afp.select("fingerprint")
+            .union(ifp.select("fingerprint"))
+            .distinct()
+            .count()
+        )
+        clusters = fp_clusters(ifp).unionByName(
+            fp_clusters(afp.select("doc_id", "fingerprint"))
+        )
+        comp["n_clusters"] = clusters.select("cluster").distinct().count()
+        comp["t_cluster_s"] = round(time.perf_counter() - t0, 2)
+        return comp
+
+    for name, fn in [
+        ("media_clean_funnel", media_clean_funnel),
+        ("media_decontaminate", media_decontaminate),
+    ]:
+        timed(fn, SF)  # warm codegen/JVM once per operator shape
+        t1, n1 = timed(fn, SF)
+        tn, nn = timed(fn, str(work))
+        out[name] = {
+            "t_1x_s": t1,
+            f"t_{COPIES}x_s": tn,
+            "rows_1x": n1,
+            f"rows_{COPIES}x": nn,
+            "time_ratio": round(tn / t1, 2),
+            "rows_ratio": round(nn / max(n1, 1), 2),
+            "data_ratio": COPIES,
+        }
+        print(
+            f"{name}: 1x {t1}s/{n1} rows -> {COPIES}x {tn}s/{nn} rows "
+            f"(time {tn/t1:.1f}x, rows {nn/max(n1,1):.1f}x)",
+            file=sys.stderr,
+        )
+
+    out["notes"] = {
+        "media_clean_funnel": (
+            "stage costs must track their own inputs: decode/fp passes"
+            " ~items (map-only), cluster stage ~distinct fps"
+        ),
+        "media_decontaminate": (
+            "rows grow with the eval split (it scales with the corpus"
+            " here); output is a per-doc aggregate bounded by the"
+            " train-side doc count, never pairwise"
+        ),
+    }
+    out["funnel_components_1x"] = components(SF)
+    out["funnel_components_10x"] = components(str(work))
+    print(json.dumps(out, indent=1))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
