@@ -710,3 +710,32 @@ def test_takedown_id_list_pushes_down_modulo_does_not(spark, sf_dir):
     # only the non-selective IsNotNull reaches the scan: the modulo
     # predicate itself evaluates post-scan, i.e. a full corpus read
     assert "In(" not in pushed_mod and "EqualTo" not in pushed_mod, pushed_mod
+
+
+def test_media_decontaminate_eval_side_broadcast(spark, sf_dir):
+    """The eval fingerprint set must reach the training side as a
+    broadcast (benchmark-sized at any corpus scale) — a shuffle join
+    here would move the whole training fingerprint frame on (band,
+    bucket). The corpus never self-joins in this operator."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_decontaminate,
+    )
+
+    plan = _plan(media_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_clean_funnel_no_cartesian_one_media_scan_family(spark, sf_dir):
+    """The funnel's joins are all keyed (doc_id / cluster / band) —
+    no cartesian anywhere — and its budgets are partial+final hash
+    aggregates, not windows over raw rows."""
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        media_clean_funnel,
+    )
+
+    plan = _plan(media_clean_funnel(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
