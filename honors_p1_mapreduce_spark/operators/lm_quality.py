@@ -390,7 +390,17 @@ def lm_retract_with(
     """The takedown half of :func:`lm_model_retract` against an
     already-persisted count artifact: delta-count the removed split,
     subtract, re-derive scores, score the kept corpus. Factored so
-    the bench attributes train_write vs retract+serve separately."""
+    the bench attributes train_write vs retract+serve separately.
+
+    The reconciled count tables are MATERIALIZED here (eager
+    localCheckpoint — they are vocab-sized, the whole point of the
+    count-artifact design) so the delta pass's persisted tokenize
+    frames can be released before returning (r10 advisor leak note).
+    The checkpoint also subsumes the stored-count scans: the serving
+    plan reads exactly ONE parquet scan — the kept corpus — plus the
+    checkpointed count rows; stored tables and the removed-split
+    tokenize run once at reconciliation, never per serve
+    (plan-pinned)."""
     from .winnow import RETRACT_MOD, RETRACT_RESIDUE
 
     removed_pred = F.col("doc_id") % RETRACT_MOD == RETRACT_RESIDUE
@@ -399,18 +409,19 @@ def lm_retract_with(
     )
     stored_bg = spark.read.parquet(f"{counts_dir}/bigram_counts")
     stored_uni = spark.read.parquet(f"{counts_dir}/unigram_counts")
-    rbg = retract_counts(stored_bg, bg_r, "bg", "cnt")
-    runi = retract_counts(stored_uni, uni_r, "w", "ucnt")
+    # eager: the first checkpoint populates the shared tokenize cache,
+    # the second reuses it — then both cached frames are released
+    runi = retract_counts(stored_uni, uni_r, "w", "ucnt").localCheckpoint()
+    rbg = retract_counts(stored_bg, bg_r, "bg", "cnt").localCheckpoint()
+    occ_r.unpersist()
+    tok_r.unpersist()
     scores = _interp_scores_from_counts(runi, rbg)
     kept = load_table(spark, sf_dir, "documents").filter(~removed_pred)
     occ_kept = kept.select(
         "doc_id",
         F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
     )
-    result = _score_occurrences(occ_kept, scores)
-    occ_r.unpersist()
-    tok_r.unpersist()
-    return result
+    return _score_occurrences(occ_kept, scores)
 
 
 def retract_counts(

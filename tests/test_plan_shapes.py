@@ -680,17 +680,16 @@ def test_lm_retract_serves_from_stored_counts(spark, sf_dir, tmp_path):
     d = str(tmp_path / "lm_counts")
     lm_write_counts(spark, sf_dir, d)
     plan = _plan(lm_retract_with(spark, sf_dir, d))
-    # plan toString elides long paths, so count parquet scans instead
-    # of matching the artifact names: the kept-corpus scoring scan +
-    # the two stored count tables (the removed-split delta pass rides
-    # the persisted tokenize frames -> InMemoryTableScan)
-    assert plan.count("FileScan parquet") >= 3
-    # the removed-split delta pass rides the PERSISTED tokenize frames
-    # (each InMemoryRelation reprints its file lineage in toString, so
-    # counting documents.parquet substrings over-counts — the
-    # single-decode lesson from the image-neardup pin): what must hold
-    # is that every delta-path corpus touch goes through the cache
-    assert "InMemoryTableScan" in plan
+    # r11 (advisor leak fix): the reconciled counts are EAGERLY
+    # localCheckpoint-ed inside lm_retract_with — the checkpoint
+    # subsumes the stored-count scans AND the removed-split delta, so
+    # the SERVING plan reads exactly ONE parquet scan (the kept
+    # corpus) plus materialized checkpoint rows (ExistingRDD); the
+    # stored tables and the delta tokenize run once, at
+    # reconciliation time, never again per serve. (plan toString
+    # elides long paths, so count scans rather than matching names.)
+    assert plan.count("FileScan parquet") == 1
+    assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
 
