@@ -1197,3 +1197,24 @@ def test_media_decontaminate_never_flags_eval_docs(spark, sf_dir):
         assert r["doc_id"] in imgs
         assert 0 <= r["min_hamming"] <= mm.DECONTAM_HAMMING_MAX
         assert r["n_eval_matches"] >= 1
+
+
+def test_media_decontaminate_stored_equals_online(spark, sf_dir):
+    """The stored-index serving path must be bit-identical to the
+    online query (integer fingerprints survive parquet losslessly)
+    and match the same end-to-end oracle — the registered-cycle
+    pattern of decontaminate_stored / pq_search_stored."""
+    online = sorted(
+        tuple(r) for r in mm.media_decontaminate(spark, sf_dir).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in mm.media_decontaminate_stored(spark, sf_dir).collect()
+    )
+    assert stored == online
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_decontaminate_stored,
+        mm.MEDIA_DECONTAMINATE_STORED_ORACLE,
+    )
