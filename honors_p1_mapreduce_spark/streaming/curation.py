@@ -271,3 +271,64 @@ def read_media_features_from_store(
     return spark.read.parquet(store_dir).select(
         "doc_id", "n_samples", "peak_abs", "sum_sq", "zero_crossings"
     )
+
+
+def streaming_media_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous-ingest image decontamination (r11): drain the
+    document stream through per-micro-batch media synth + image
+    fingerprinting and flag each batch's TRAINING images against the
+    STORED eval-fingerprint registry
+    (``operators.multimodal.media_eval_write_index``'s parquet — the
+    static side of a stream-static join, the
+    ``streaming_dedup_incremental`` shape). Flags write to
+    ``batch_id=N`` partitions in overwrite mode (replay-idempotent).
+    Per-document flags depend only on (doc fingerprint) x (static
+    eval registry) — never on other stream docs — so the drained
+    store is EXACTLY the batch ``media_decontaminate`` answer,
+    pinned by the equivalence test. State story at 100 TB/day: the
+    stream holds nothing between triggers; the eval registry is the
+    only long-lived object, refreshed by atomically swapping the
+    parquet dir when the benchmark set changes."""
+    from ..operators.multimodal import (
+        DECONTAM_HAMMING_MAX,
+        _decontam_flags,
+        image_fingerprints,
+        media_real_table_from,
+    )
+    from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        imgs = media_real_table_from(bdf.select("doc_id", "text")).filter(
+            (F.col("media_type") != "audio/wav")
+            & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+        )
+        eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
+        flags = _decontam_flags(
+            image_fingerprints(imgs), eval_fps, DECONTAM_HAMMING_MAX
+        )
+        _write_batch_partition(flags, batch_id, store_dir)
+
+    q = (
+        stream_documents(spark, sf_dir)
+        .writeStream.foreachBatch(_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_media_flags_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(doc_id, n_eval_matches, min_hamming) from the drained
+    decontamination store — drops the batch_id partition column."""
+    return spark.read.parquet(store_dir).select(
+        "doc_id", "n_eval_matches", "min_hamming"
+    )

@@ -738,3 +738,21 @@ def test_media_clean_funnel_no_cartesian_one_media_scan_family(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_media_decontaminate_serve_never_decodes_eval(spark, sf_dir, tmp_path):
+    """The stored-index serving path must pay exactly ONE
+    Arrow-batched decode pass (the training images) — the eval side
+    arrives as a parquet scan of the shipped fingerprint registry,
+    never a second mapInPandas decode."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_decontaminate_from_index,
+        media_eval_write_index,
+    )
+
+    idx = str(tmp_path / "evalidx")
+    media_eval_write_index(spark, sf_dir, idx)
+    plan = _plan(media_decontaminate_from_index(spark, sf_dir, idx))
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

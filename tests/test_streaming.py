@@ -293,3 +293,31 @@ def test_streaming_media_features_matches_batch(spark, sf_dir, tmp_path):
     )
     assert streamed == batch
     assert streamed  # non-vacuous
+
+
+def test_streaming_media_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the document stream against the stored eval registry
+    must reproduce the batch media_decontaminate answer exactly —
+    each doc is flagged against the static index alone, so
+    micro-batch boundaries cannot matter. Store replay-idempotency
+    rides the shared batch_id-overwrite sink."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_decontaminate,
+        media_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_flags_from_store,
+        streaming_media_decontaminate,
+    )
+
+    idx = str(tmp_path / "evalidx")
+    store = str(tmp_path / "flagstore")
+    ckpt = str(tmp_path / "flagckpt")
+    media_eval_write_index(spark, sf_dir, idx)
+    streaming_media_decontaminate(spark, sf_dir, idx, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_media_flags_from_store(spark, store).collect())
+    )
+    batch = sorted(map(tuple, media_decontaminate(spark, sf_dir).collect()))
+    assert streamed == batch
+    assert streamed  # non-vacuous
