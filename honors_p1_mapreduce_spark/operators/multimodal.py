@@ -1743,50 +1743,71 @@ def fp_clusters(fp: DataFrame) -> DataFrame:
     )
 
 
-MEDIA_IMAGE_DEDUP_ORACLE = f"""
-WITH RECURSIVE fp_doc AS (
-  SELECT doc_id, fingerprint
-  FROM ({_image_fp_oracle_core()}) t
+def _fp_cluster_sql(p: str, fp_cte: str) -> str:
+    """Prefixed CTE chain computing (doc_id, cluster) over a
+    (doc_id, fingerprint) CTE — the SQL twin of :func:`fp_clusters`,
+    fragment-form so one definition serves BOTH standalone dedup
+    oracles and the media funnel's two-modality composition (which
+    runs it twice under one ``WITH RECURSIVE``). Every non-recursive
+    CTE is MATERIALIZED (DuckDB re-expands inlined CTE chains
+    exponentially — the kcore lesson)."""
+    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+    bands = ", ".join(str(b) for b in range(IMG_NEARDUP_BANDS))
+    return f"""{p}reps AS MATERIALIZED (
+  SELECT fingerprint, min(doc_id) AS rep FROM {fp_cte} GROUP BY fingerprint
 ),
-reps AS (
-  SELECT fingerprint, min(doc_id) AS rep FROM fp_doc GROUP BY fingerprint
-),
-banded AS (
+{p}banded AS MATERIALIZED (
   SELECT rep, fingerprint, b.b AS band,
-         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS}))
-           & {(1 << IMG_NEARDUP_BAND_BITS) - 1} AS bucket
-  FROM reps,
-       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
+         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
+  FROM {p}reps, unnest([{bands}]) AS b(b)
 ),
-rep_edges AS (
+{p}edges AS MATERIALIZED (
   SELECT DISTINCT a.rep AS u, b.rep AS v
-  FROM banded a JOIN banded b
+  FROM {p}banded a JOIN {p}banded b
     ON a.band = b.band AND a.bucket = b.bucket
    AND a.fingerprint < b.fingerprint
   WHERE bit_count(xor(a.fingerprint, b.fingerprint))
           <= {IMG_NEARDUP_HAMMING_MAX}
 ),
-dir_edges AS (
-  SELECT u AS src, v AS dst FROM rep_edges
+{p}dir AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM {p}edges
   UNION ALL
-  SELECT v, u FROM rep_edges
+  SELECT v, u FROM {p}edges
 ),
-reach(node, r) AS (
-  SELECT rep, rep FROM reps
+{p}reach(node, r) AS (
+  SELECT rep, rep FROM {p}reps
   UNION
-  SELECT reach.node, dir_edges.dst
-  FROM reach JOIN dir_edges ON reach.r = dir_edges.src
+  SELECT {p}reach.node, {p}dir.dst
+  FROM {p}reach JOIN {p}dir ON {p}reach.r = {p}dir.src
 ),
-rep_labels AS (SELECT node AS rep, min(r) AS label FROM reach GROUP BY node),
-labeled AS (
+{p}lbl AS MATERIALIZED (
+  SELECT node AS rep, min(r) AS label FROM {p}reach GROUP BY node
+),
+{p}clusters AS MATERIALIZED (
   SELECT d.doc_id, l.label AS cluster
-  FROM fp_doc d
-  JOIN reps rp ON d.fingerprint = rp.fingerprint
-  JOIN rep_labels l ON rp.rep = l.rep
+  FROM {fp_cte} d
+  JOIN {p}reps rp ON d.fingerprint = rp.fingerprint
+  JOIN {p}lbl l ON rp.rep = l.rep
+)"""
+
+
+def _fp_dedup_oracle(fp_core_sql: str) -> str:
+    """Standalone (doc_id, cluster, cluster_size) dedup oracle over a
+    fingerprint-core SELECT — shared by the image and audio dedup
+    oracles (one cluster-SQL definition, three consumers)."""
+    return f"""
+WITH RECURSIVE fp AS MATERIALIZED (
+  SELECT doc_id, fingerprint FROM ({fp_core_sql}) t
 ),
-sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
-SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
+{_fp_cluster_sql("", "fp")},
+sizes AS (
+  SELECT cluster, count(*) AS cluster_size FROM clusters GROUP BY cluster
+)
+SELECT doc_id, cluster, cluster_size FROM clusters JOIN sizes USING (cluster)
 """
+
+
+MEDIA_IMAGE_DEDUP_ORACLE = _fp_dedup_oracle(_image_fp_oracle_core())
 
 
 # ----------------------------- perceptual audio near-dup (r10 library)
@@ -2017,50 +2038,7 @@ def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MEDIA_AUDIO_DEDUP_ORACLE = f"""
-WITH RECURSIVE fp_doc AS (
-  SELECT doc_id, fingerprint
-  FROM ({_audio_fp_oracle_core()}) t
-),
-reps AS (
-  SELECT fingerprint, min(doc_id) AS rep FROM fp_doc GROUP BY fingerprint
-),
-banded AS (
-  SELECT rep, fingerprint, b.b AS band,
-         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS}))
-           & {(1 << IMG_NEARDUP_BAND_BITS) - 1} AS bucket
-  FROM reps,
-       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
-),
-rep_edges AS (
-  SELECT DISTINCT a.rep AS u, b.rep AS v
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.bucket = b.bucket
-   AND a.fingerprint < b.fingerprint
-  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
-          <= {IMG_NEARDUP_HAMMING_MAX}
-),
-dir_edges AS (
-  SELECT u AS src, v AS dst FROM rep_edges
-  UNION ALL
-  SELECT v, u FROM rep_edges
-),
-reach(node, r) AS (
-  SELECT rep, rep FROM reps
-  UNION
-  SELECT reach.node, dir_edges.dst
-  FROM reach JOIN dir_edges ON reach.r = dir_edges.src
-),
-rep_labels AS (SELECT node AS rep, min(r) AS label FROM reach GROUP BY node),
-labeled AS (
-  SELECT d.doc_id, l.label AS cluster
-  FROM fp_doc d
-  JOIN reps rp ON d.fingerprint = rp.fingerprint
-  JOIN rep_labels l ON rp.rep = l.rep
-),
-sizes AS (SELECT cluster, count(*) AS cluster_size FROM labeled GROUP BY cluster)
-SELECT doc_id, cluster, cluster_size FROM labeled JOIN sizes USING (cluster)
-"""
+MEDIA_AUDIO_DEDUP_ORACLE = _fp_dedup_oracle(_audio_fp_oracle_core())
 
 
 # ------------------------------ image eval decontamination (r11)

@@ -413,59 +413,6 @@ def media_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fp_cluster_sql(p: str, fp_cte: str) -> str:
-    """Prefixed CTE chain computing (doc_id, cluster) over a
-    (doc_id, fingerprint) CTE — the SQL twin of
-    :func:`multimodal.fp_clusters`, fragment-form so the funnel
-    oracle runs it once per modality under ONE ``WITH RECURSIVE``.
-    Every non-recursive CTE is MATERIALIZED (DuckDB re-expands
-    inlined CTE chains exponentially)."""
-    from .multimodal import (
-        IMG_NEARDUP_BAND_BITS,
-        IMG_NEARDUP_BANDS,
-        IMG_NEARDUP_HAMMING_MAX,
-    )
-
-    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
-    bands = ", ".join(str(b) for b in range(IMG_NEARDUP_BANDS))
-    return f"""{p}reps AS MATERIALIZED (
-  SELECT fingerprint, min(doc_id) AS rep FROM {fp_cte} GROUP BY fingerprint
-),
-{p}banded AS MATERIALIZED (
-  SELECT rep, fingerprint, b.b AS band,
-         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
-  FROM {p}reps, unnest([{bands}]) AS b(b)
-),
-{p}edges AS MATERIALIZED (
-  SELECT DISTINCT a.rep AS u, b.rep AS v
-  FROM {p}banded a JOIN {p}banded b
-    ON a.band = b.band AND a.bucket = b.bucket
-   AND a.fingerprint < b.fingerprint
-  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
-          <= {IMG_NEARDUP_HAMMING_MAX}
-),
-{p}dir AS MATERIALIZED (
-  SELECT u AS src, v AS dst FROM {p}edges
-  UNION ALL
-  SELECT v, u FROM {p}edges
-),
-{p}reach(node, r) AS (
-  SELECT rep, rep FROM {p}reps
-  UNION
-  SELECT {p}reach.node, {p}dir.dst
-  FROM {p}reach JOIN {p}dir ON {p}reach.r = {p}dir.src
-),
-{p}lbl AS MATERIALIZED (
-  SELECT node AS rep, min(r) AS label FROM {p}reach GROUP BY node
-),
-{p}clusters AS MATERIALIZED (
-  SELECT d.doc_id, l.label AS cluster
-  FROM {fp_cte} d
-  JOIN {p}reps rp ON d.fingerprint = rp.fingerprint
-  JOIN {p}lbl l ON rp.rep = l.rep
-)"""
-
-
 def _media_funnel_oracle() -> str:
     from .multimodal import (
         BMP_HEADER,
@@ -475,6 +422,7 @@ def _media_funnel_oracle() -> str:
         WAV_DATA_LEN,
         WAV_HEADER,
         _audio_fp_oracle_core,
+        _fp_cluster_sql,
         _image_fp_oracle_core,
     )
 
