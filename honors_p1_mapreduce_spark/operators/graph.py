@@ -160,6 +160,11 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass over lineitem⋈orders⋈customer⋈supplier) is
     persisted because the enumeration reads it three times (degrees +
     both wedge sides); the graph frame it caches is <= 300 rows.
+    Unlike the checkpoint-at-entry loops (k-core / PageRank / LPA,
+    which release their edge cache before returning), the
+    enumeration is LAZY — the cache must live until the caller
+    materializes the result, so it is released by the session's
+    clearCache, not here (<= 300 rows resident, by design).
 
     Output: (n1, n2, n3).
     """
@@ -272,7 +277,12 @@ def trade_kcore(
     derivation is persisted once; every peel round runs on the
     <= 300-row reduced frame.
     """
-    core = kcore_edges(_trade_edges(spark, sf_dir).persist(), k)
+    edges = _trade_edges(spark, sf_dir).persist()
+    # kcore_edges EAGERLY checkpoints its input before peeling, so the
+    # fact-side derivation is released here rather than leaked (the
+    # r10 advisor's labelprop pattern, applied family-wide in r11)
+    core = kcore_edges(edges, k)
+    edges.unpersist()
     return (
         core.select(F.col("u").alias("nation"))
         .unionAll(core.select(F.col("v").alias("nation")))
@@ -402,9 +412,12 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-trade graph — which nations sit at the center of the
     heavy-trade topology (the influence primitive after components /
     triangles / k-core). Output: (nation, rank_ppm)."""
-    return pagerank_nodes(_trade_edges(spark, sf_dir).persist()).select(
-        F.col("n").alias("nation"), "rank_ppm"
-    )
+    edges = _trade_edges(spark, sf_dir).persist()
+    # pagerank_nodes EAGERLY checkpoints the directed frame at entry,
+    # so the fact-side derivation is released here rather than leaked
+    ranks = pagerank_nodes(edges)
+    edges.unpersist()
+    return ranks.select(F.col("n").alias("nation"), "rank_ppm")
 
 
 def _pagerank_oracle(
