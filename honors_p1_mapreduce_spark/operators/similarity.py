@@ -988,3 +988,90 @@ SELECT query_id, rank, vec_id, label, sim FROM ranked WHERE rank <= {k}
 
 
 SIMILARITY_FILTERED_TOPK_ORACLE = similarity_filtered_topk_oracle()
+
+
+# ---------------------------- semantic eval decontamination (r11)
+#
+# The EMBEDDING tier of the contamination family, completing modality
+# parity: text has exact n-gram / fuzzy winnow / stored tiers, images
+# have the dHash tier (multimodal.media_decontaminate) — this adds
+# SEMANTIC contamination, the failure mode the other tiers cannot
+# see: an eval item paraphrased or re-rendered into training data
+# shares no n-grams and no perceptual hash, but its embedding stays
+# close (the rationale of embedding-based decontamination in public
+# LLM data-curation pipelines, e.g. the SemDeDup-style cosine
+# threshold applied train-vs-eval instead of train-vs-train).
+#
+# 100 TB shape (the similarity_topk precedent): the eval set is
+# benchmark-sized, so its vectors BROADCAST with precomputed norms;
+# the training corpus pays one scan with a per-row fold against the
+# broadcast side (linear in train size for a fixed eval set — the
+# scored "join" is a broadcast nested loop by construction, exactly
+# like query-broadcast exact scoring). The corpus never self-joins.
+# At extreme eval sizes the IVF/PQ machinery in this module is the
+# shortlist path; the exact tier is the recall-lossless arbiter.
+
+SEM_CONTAM_MIN_COS = 0.35  # corpus-calibrated: flags 4/6/74 train
+# vectors at sf0.001/0.01/0.1 (measured) — non-vacuous at every
+# driver scale, far above the ~0.14 median background cosine
+
+
+def embedding_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    min_cos: float = SEM_CONTAM_MIN_COS,
+) -> DataFrame:
+    """(vec_id, n_eval_matches, max_sim) — TRAINING vectors whose
+    cosine against any EVAL-split vector reaches ``min_cos`` (the
+    deterministic vec_id % EVAL_MOD == EVAL_RESIDUE split, the same
+    modulus convention as the text/image tiers). Library surface in
+    r11 with a pre-verified oracle (registry saturation note);
+    seeded-leak golden plants an exact eval twin and a paraphrase
+    (scaled + small perturbation) and pins both flaggings."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % EVAL_MOD == EVAL_RESIDUE
+    ev = F.broadcast(
+        emb.filter(is_eval)
+        .select(F.col("embedding").alias("e_emb"))
+        .withColumn("_en", l2_norm(F.col("e_emb")))
+    )
+    tr = emb.filter(~is_eval).withColumn("_tn", l2_norm(F.col("embedding")))
+    sim = cosine_from_norms(
+        F.col("embedding"), F.col("e_emb"), F.col("_tn"), F.col("_en")
+    )
+    return (
+        tr.join(ev)
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= min_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("sim").alias("max_sim"),
+        )
+    )
+
+
+def embedding_decontaminate_oracle(
+    min_cos: float = SEM_CONTAM_MIN_COS,
+) -> str:
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    return f"""
+WITH ev AS (
+  SELECT embedding AS e_emb FROM embeddings
+  WHERE vec_id % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+scored AS (
+  SELECT t.vec_id, {_cos_sql('t.embedding', 'e.e_emb')} AS sim
+  FROM embeddings t, ev e
+  WHERE t.vec_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+)
+SELECT vec_id, count(*) AS n_eval_matches, max(sim) AS max_sim
+FROM scored WHERE sim >= {min_cos}
+GROUP BY vec_id
+"""
+
+
+EMBEDDING_DECONTAMINATE_ORACLE = embedding_decontaminate_oracle()

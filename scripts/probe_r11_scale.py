@@ -46,6 +46,9 @@ from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
 from honors_p1_mapreduce_spark.operators.pipeline import (  # noqa: E402
     media_clean_funnel,
 )
+from honors_p1_mapreduce_spark.operators.similarity import (  # noqa: E402
+    embedding_decontaminate,
+)
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.1"
@@ -73,6 +76,23 @@ def main() -> None:
             )
         )
     big.repartition(32).write.parquet(str(work / "documents.parquet"))
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_emb = emb.count()
+    bige = emb
+    for i in range(1, COPIES):
+        # rotate each copy's vector (distinct directions, same norms)
+        bige = bige.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, size(embedding)),"
+                    f" slice(embedding, 1, {i}))"
+                ),
+            )
+        )
+    bige.repartition(8).write.parquet(str(work / "embeddings.parquet"))
 
     def timed(fn, sf_dir: str) -> tuple[float, int]:
         spark.catalog.clearCache()
@@ -116,6 +136,7 @@ def main() -> None:
     for name, fn in [
         ("media_clean_funnel", media_clean_funnel),
         ("media_decontaminate", media_decontaminate),
+        ("embedding_decontaminate", embedding_decontaminate),
     ]:
         timed(fn, SF)  # warm codegen/JVM once per operator shape
         t1, n1 = timed(fn, SF)
@@ -144,6 +165,12 @@ def main() -> None:
             "rows grow with the eval split (it scales with the corpus"
             " here); output is a per-doc aggregate bounded by the"
             " train-side doc count, never pairwise"
+        ),
+        "embedding_decontaminate": (
+            "broadcast eval scoring: time ~linear in train x eval;"
+            " both sides grow 10x here so ~100x fold work is the"
+            " honest expectation, amortized by parallelism — a fixed"
+            " benchmark eval set makes it linear in train"
         ),
     }
     out["funnel_components_1x"] = components(SF)

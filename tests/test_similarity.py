@@ -447,3 +447,62 @@ def test_pq_retract_of_append_is_identity(spark, sf_dir, tmp_path):
         tuple(r) for r in pq_search_index(spark, sf_dir, fresh_d).collect()
     )
     assert got == want
+
+
+def test_embedding_decontaminate_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.similarity import (
+        EMBEDDING_DECONTAMINATE_ORACLE,
+        embedding_decontaminate,
+    )
+
+    compare_query(
+        spark, sf_dir, embedding_decontaminate, EMBEDDING_DECONTAMINATE_ORACLE
+    )
+
+
+def test_embedding_decontaminate_seeded_leak(spark, tmp_path):
+    """Seeded semantic leak: an eval vector (vec_id 7) appears in
+    training as an exact copy (vec 1: cos 1.0) and as a 'paraphrase'
+    (vec 13: scaled by 3 with one coordinate nudged — cosine
+    invariant to scale, still ~1), while an orthogonal vector
+    (vec 10) stays unflagged. DuckDB agrees on the same corpus."""
+    import duckdb
+
+    from honors_p1_mapreduce_spark.operators.similarity import (
+        EMBEDDING_DECONTAMINATE_ORACLE,
+        embedding_decontaminate,
+    )
+
+    base = [1.0, 2.0, 0.5, -1.0] + [0.0] * 4
+    para = [3.0 * v for v in base]
+    para[7] = 0.3  # small nudge off the ray
+    orth = [0.0] * 4 + [1.0, -2.0, 0.5, 1.0]
+    rows = [(7, base), (1, list(base)), (13, para), (10, orth)]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/embeddings.parquet")
+
+    got = sorted(
+        (r["vec_id"], r["n_eval_matches"], round(r["max_sim"], 6))
+        for r in embedding_decontaminate(spark, dirp).collect()
+    )
+    assert [(v, n) for v, n, _ in got] == [(1, 1), (13, 1)]
+    assert got[0][2] == 1.0  # exact copy
+    assert got[1][2] > 0.95  # paraphrase stays near the ray
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM"
+            f" read_parquet('{dirp}/embeddings.parquet/*.parquet')"
+        )
+        ora = sorted(
+            (int(v), int(n), round(s, 6))
+            for v, n, s in con.execute(
+                EMBEDDING_DECONTAMINATE_ORACLE
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert ora == got
