@@ -482,3 +482,82 @@ FROM s2 GROUP BY media_type
 
 
 MEDIA_CLEAN_FUNNEL_ORACLE = _media_funnel_oracle()
+
+
+# ------------------------------- cross-modal decontamination audit (r11)
+
+
+def decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tier, n_flagged) — ONE audit frame over every decontamination
+    tier the engine ships: exact text n-gram overlap
+    (``contamination_check``), fuzzy winnowed fingerprints
+    (``decontaminate_neardup``), perceptual image hashes
+    (``media_decontaminate``), and semantic embedding cosine
+    (``embedding_decontaminate``). The report a dataset release
+    actually wants is not four separate queries but one "how
+    compromised is this corpus, by which detection mechanism" table —
+    the decontamination counterpart of ``dataset_build_audit``.
+
+    Counts are DISTINCT flagged training items per tier (documents
+    for the text/image tiers, vectors for the semantic tier — id
+    spaces differ by design, which is why the audit reports per tier
+    and never unions the id sets). Each tier keeps its own
+    broadcast-eval plan shape; this composition adds only four tiny
+    aggregates and a union. Library surface in r11 with a
+    pre-verified oracle (registry saturation note)."""
+    from .curation import contamination_check
+    from .multimodal import media_decontaminate
+    from .similarity import embedding_decontaminate
+    from .winnow import decontaminate_neardup
+
+    def tier(name: str, df: DataFrame, id_col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tier"),
+            F.count_distinct(F.col(id_col)).alias("n_flagged"),
+        )
+
+    return (
+        tier("1_text_exact", contamination_check(spark, sf_dir), "train_doc")
+        .unionByName(
+            tier(
+                "2_text_fuzzy",
+                decontaminate_neardup(spark, sf_dir),
+                "doc_id",
+            )
+        )
+        .unionByName(
+            tier("3_image", media_decontaminate(spark, sf_dir), "doc_id")
+        )
+        .unionByName(
+            tier(
+                "4_semantic",
+                embedding_decontaminate(spark, sf_dir),
+                "vec_id",
+            )
+        )
+    )
+
+
+def _decontaminate_audit_oracle() -> str:
+    from .curation import CONTAMINATION_ORACLE
+    from .multimodal import MEDIA_DECONTAMINATE_ORACLE
+    from .similarity import EMBEDDING_DECONTAMINATE_ORACLE
+    from .winnow import DECONTAMINATE_NEARDUP_ORACLE
+
+    return f"""
+SELECT '1_text_exact' AS tier,
+       count(DISTINCT train_doc) AS n_flagged
+FROM ({CONTAMINATION_ORACLE}) t1
+UNION ALL
+SELECT '2_text_fuzzy', count(DISTINCT doc_id)
+FROM ({DECONTAMINATE_NEARDUP_ORACLE}) t2
+UNION ALL
+SELECT '3_image', count(DISTINCT doc_id)
+FROM ({MEDIA_DECONTAMINATE_ORACLE}) t3
+UNION ALL
+SELECT '4_semantic', count(DISTINCT vec_id)
+FROM ({EMBEDDING_DECONTAMINATE_ORACLE}) t4
+"""
+
+
+DECONTAMINATE_AUDIT_ORACLE = _decontaminate_audit_oracle()

@@ -1218,3 +1218,37 @@ def test_media_decontaminate_stored_equals_online(spark, sf_dir):
         mm.media_decontaminate_stored,
         mm.MEDIA_DECONTAMINATE_STORED_ORACLE,
     )
+
+
+def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
+    """The cross-modal audit must report every tier exactly once with
+    counts equal to the per-tier queries' distinct flagged items, and
+    match its composed DuckDB oracle."""
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        DECONTAMINATE_AUDIT_ORACLE,
+        decontaminate_audit,
+    )
+    from honors_p1_mapreduce_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        decontaminate_neardup,
+    )
+
+    rows = {r["tier"]: r["n_flagged"] for r in
+            decontaminate_audit(spark, sf_dir).collect()}
+    assert sorted(rows) == [
+        "1_text_exact", "2_text_fuzzy", "3_image", "4_semantic",
+    ]
+    assert rows["2_text_fuzzy"] == (
+        decontaminate_neardup(spark, sf_dir).select("doc_id").distinct().count()
+    )
+    assert rows["3_image"] == (
+        mm.media_decontaminate(spark, sf_dir).select("doc_id").distinct().count()
+    )
+    assert rows["4_semantic"] == (
+        embedding_decontaminate(spark, sf_dir).select("vec_id").distinct().count()
+    )
+    compare_query(
+        spark, sf_dir, decontaminate_audit, DECONTAMINATE_AUDIT_ORACLE
+    )
