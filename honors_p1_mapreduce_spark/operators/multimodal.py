@@ -1842,8 +1842,15 @@ def wav_volume_hash(content: bytes) -> int:
     data = _wav_data_section(content)
     if not data or len(data) // 2 < PHASH_BITS + 1:
         return -1
-    n = PHASH_BITS + 1
-    vs = struct.unpack_from(f"<{n}h", data)
+    vs = struct.unpack_from(f"<{PHASH_BITS + 1}h", data)
+    return _fp_from_samples(vs)
+
+
+def _fp_from_samples(vs) -> int:
+    """Envelope-order bits from a decoded PCM sample sequence — the
+    one definition shared by :func:`wav_volume_hash` and the fused
+    :func:`wav_fp_peak` pass (which also needs the full sample list
+    for the peak, so it unpacks once and calls this)."""
     fp = 0
     for i in range(PHASH_BITS):
         if abs(vs[i]) > abs(vs[i + 1]):
@@ -1891,12 +1898,8 @@ def wav_fp_peak(media: DataFrame) -> DataFrame:
                     continue
                 n = len(data) // 2
                 vs = struct.unpack_from(f"<{n}h", data)
-                fp = 0
-                for i in range(PHASH_BITS):
-                    if abs(vs[i]) > abs(vs[i + 1]):
-                        fp |= 1 << i
                 out["doc_id"].append(doc_id)
-                out["fingerprint"].append(fp)
+                out["fingerprint"].append(_fp_from_samples(vs))
                 out["peak_abs"].append(max(abs(v) for v in vs))
             yield pd.DataFrame(out)
 
