@@ -128,10 +128,16 @@ rounds (max stamp age 2 rounds at any round close — still within the
 "newest stamp >= close-2" bound, with ZERO slack). Any additional
 oracle-backed registration beyond 150 makes that bound infeasible;
 new surfaces from r11 on therefore ship as library surfaces with
-pre-verified oracles + pytest first (media_clean_funnel and
-media_decontaminate, built this round, follow that pattern — see
-their docstrings), and register only if an existing entry is retired
-or the freshness bound is renegotiated in a verdict. Count the actual
+pre-verified oracles + pytest first, and register only if an
+existing entry is retired or the freshness bound is renegotiated in
+a verdict. The r11 library-surface backlog, in registration-priority
+order once slots exist: media_clean_funnel (pipeline.py — the
+multimodal curation capstone), decontaminate_audit (pipeline.py —
+the cross-modal release report), media_decontaminate +
+media_decontaminate_stored (multimodal.py — image contamination
+tiers), embedding_decontaminate (similarity.py — the semantic tier).
+All five have oracle constants verified green at sf0.001/sf0.01 and
+scale probes/plan pins; see their docstrings. Count the actual
 entries when rotating — do not trust this comment's numbers if the
 registry has grown."""
 
