@@ -506,3 +506,20 @@ def test_embedding_decontaminate_seeded_leak(spark, tmp_path):
     finally:
         con.close()
     assert ora == got
+
+
+def test_pq_retract_index_rejects_in_place_overwrite(spark, tmp_path):
+    """r10 advisor: an in-place retract (out_dir == index_dir) would
+    overwrite the codes parquet while lazily reading it — the guard
+    must refuse before any Spark job runs, including on a
+    differently-spelled path to the same dir."""
+    import pytest as _pytest
+
+    from honors_p1_mapreduce_spark.operators.pq import pq_retract_index
+
+    d = str(tmp_path / "idx")
+    removed = spark.range(0).selectExpr("id AS vec_id")
+    with _pytest.raises(ValueError, match="must differ"):
+        pq_retract_index(spark, d, d, removed)
+    with _pytest.raises(ValueError, match="must differ"):
+        pq_retract_index(spark, d, d + "/./", removed)
