@@ -756,3 +756,35 @@ def test_media_decontaminate_serve_never_decodes_eval(spark, sf_dir, tmp_path):
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r11_library_surface_backlog_plans_are_clean(spark, sf_dir):
+    """The five r11 library surfaces are the planned occupants of
+    future registry slots (registry saturation note) — pin their plan
+    hygiene NOW so registration can't surprise: no cartesian product
+    anywhere; the one intentional BroadcastNestedLoopJoin is the
+    eval-broadcast scoring of the semantic tier (the similarity_topk
+    precedent: broadcast side is benchmark-sized by design)."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_decontaminate,
+        media_decontaminate_stored,
+    )
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        decontaminate_audit,
+        media_clean_funnel,
+    )
+    from honors_p1_mapreduce_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    for fn in (
+        media_clean_funnel,
+        media_decontaminate,
+        media_decontaminate_stored,
+        decontaminate_audit,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+    sem = _plan(embedding_decontaminate(spark, sf_dir))
+    assert "CartesianProduct" not in sem
+    assert "BroadcastNestedLoopJoin" in sem  # eval-broadcast scoring
