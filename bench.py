@@ -40,8 +40,11 @@ comparable across rounds without archaeology. Round 11 (r10 verdict
 #4): the normalizer is the MEDIAN of 2*CAL_SAMPLES samples (5 before
 + 5 after the suite; was mean-of-2, which let one noisy 0.6 s shuffle
 move the normalized headline ~10%), and the line records
-"calibration_spread_pct" ((max-min)/median) as the headline's error
-bar with the documented bound CAL_SPREAD_BOUND_PCT — normalized
+"calibration_spread_pct" ((q3-q1)/median, the relative INTERQUARTILE
+spread — see the rationale at CAL_SPREAD_BOUND_PCT; the r11 advisor
+caught this docstring saying (max-min)/median, which reads 2-3x the
+printed value on the same samples) as the headline's error bar with
+the documented bound CAL_SPREAD_BOUND_PCT — normalized
 deltas inside the spread are host noise, not regressions. Read "warm" per-query against the raw
 "runs" samples, not against the min-of-two headline: warm is a single
 sample, so for non-memo queries it carries single-run noise and only
@@ -66,9 +69,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
-# Every registered query is benched (registry order), so BENCH_r{N}
-# is automatically a superset of prior rounds as the surface grows.
-HEADLINE: tuple[str, ...] = tuple(registry.QUERIES)
+# Every registered query is benched, so BENCH_r{N} is automatically a
+# superset of prior rounds as the surface grows. Protocol change
+# (round 12, r11 verdict #5): queries are timed in a FIXED CANONICAL
+# order — name-sorted — independent of the registry's window rotation.
+# Through r11 the bench ran in registry order, so rotation moved every
+# query's position each round and the measured position effect (see
+# the note at CAL_SPREAD_BOUND_PCT: winnow_index_retract 2.92 s at
+# position 1 vs 5.46 s at position ~100, zero code change) leaked into
+# cross-round per-query deltas. Name-sorted order pins each query's
+# JVM/page-cache context across rounds; a query's position now only
+# shifts when a NEIGHBOR (by name) registers, which the round notes
+# can call out. r11-vs-r12 per-query deltas are the LAST rotation-
+# contaminated comparison; from r12 on, compare like-for-like.
+HEADLINE: tuple[str, ...] = tuple(sorted(registry.QUERIES))
 
 
 def main() -> None:
@@ -229,6 +243,9 @@ CAL_SPREAD_BOUND_PCT = 30.0
 # flattered by first position). Cross-round per-query comparisons are
 # only meaningful between similar window positions; rotation-induced
 # moves of this size are protocol artifacts, not regressions.
+# Killed at the root in r12 (r11 verdict #5): HEADLINE is name-sorted,
+# so a query's bench position no longer depends on where the registry
+# rotation put it — see the protocol note at HEADLINE.
 
 
 def _stage_splits(spark, sf_dir: str) -> dict[str, list[tuple[str, object]]]:

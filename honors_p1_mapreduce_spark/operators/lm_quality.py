@@ -48,6 +48,21 @@ from ..sources.tables import load_table
 
 PPM = 1_000_000  # probability fixed-point scale (parts per million)
 
+# Read-path persisted frames. lm_bigram_score / lm_interp_score return
+# LAZY plans whose persisted intermediates (occurrence + tokenized-array
+# frames) the CALLER materializes, so the functions themselves cannot
+# unpersist — the writer/retract paths materialize internally and were
+# fixed in r10/r11, but the r11 advisor flagged that the read path
+# still leaked one cached frame per invocation until a session-level
+# clearCache. Each read-path call enrolls its frames here and
+# ``registry.reset_memos()`` — which bench.py, the CLI, and the test
+# session teardown already invoke after materializing a query —
+# unpersists and clears them, exactly like the BPE/PQ/winnow memo
+# caches. (The alternative — eagerly localCheckpoint-ing the result —
+# would store a corpus-doc-count-sized frame and break the pinned
+# lazy single-scan plan shape, tests/test_plan_shapes.py.)
+_READ_FRAMES_CACHE: dict[int, DataFrame] = {}
+
 
 def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean bigram conditional probability (ppm).
@@ -61,6 +76,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
     ).persist()
+    _READ_FRAMES_CACHE[id(occ)] = occ  # released by registry.reset_memos
     # model: corpus bigram counts, then context totals by re-aggregating
     # the counts frame (not the corpus — one corpus scan total)
     bg_counts = occ.groupBy("bg").agg(F.count("*").alias("cnt"))
@@ -141,7 +157,11 @@ def lm_interp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex tokenize total, where the round-6 plan paid three (module
     docstring has the 100 TB memory/disk rationale).
     """
-    occ, scores, _tok_arr = _interp_occ_scores(spark, sf_dir)
+    occ, scores, tok_arr = _interp_occ_scores(spark, sf_dir)
+    # r11 advisor: the read path used to drop tok_arr on the floor —
+    # both persisted frames now enroll for reset_memos release
+    _READ_FRAMES_CACHE[id(occ)] = occ
+    _READ_FRAMES_CACHE[id(tok_arr)] = tok_arr
     return _score_occurrences(occ, scores)
 
 

@@ -2134,20 +2134,32 @@ def media_decontaminate(
     the text tiers, winnow.py). Library surface in r11 with a
     pre-verified oracle (see the registry rotation comment's
     saturation note); the seeded-leak golden plants a retouched eval
-    twin and pins that it flags at its true hamming."""
+    twin and pins that it flags at its true hamming.
+
+    The eval/train split filters the RAW image rows, not the
+    fingerprint frame: ``image_fingerprints`` is a ``mapInPandas``
+    barrier Catalyst cannot push a doc_id predicate through, so
+    splitting AFTER fingerprinting made each branch decode the whole
+    corpus — two full decode passes for one query (r11 advisor).
+    Filtering ``imgs`` first restores the docstring's one-decode-pass
+    claim (per side, each side decoding only its own rows), matching
+    :func:`media_eval_write_index` / the stored path, and is
+    result-identical because the split predicate is per-doc and
+    fingerprinting is row-local."""
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     imgs = media_real_table(spark, sf_dir).filter(
         F.col("media_type") != "audio/wav"
     )
-    fp = image_fingerprints(imgs)
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
     eval_fps = (
-        fp.filter(is_eval)
+        image_fingerprints(imgs.filter(is_eval))
         .select(F.col("fingerprint").alias("eval_fp"))
         .distinct()
     )
-    return _decontam_flags(fp.filter(~is_eval), eval_fps, max_hamming)
+    return _decontam_flags(
+        image_fingerprints(imgs.filter(~is_eval)), eval_fps, max_hamming
+    )
 
 
 def media_eval_write_index(

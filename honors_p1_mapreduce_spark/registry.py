@@ -58,6 +58,7 @@ def reset_memos() -> None:
     released, not just unreferenced."""
     from .operators import bpe as _bpe_m
     from .operators import bpe_encode as _bpx_m
+    from .operators import lm_quality as _lm_m
     from .operators import pq as _pq_m
     from .operators import winnow as _wn_m
 
@@ -66,6 +67,10 @@ def reset_memos() -> None:
         _bpx_m._WORD_IDS_CACHE,
         _pq_m._CODEBOOK_CACHE,
         _wn_m._FP_CACHE,
+        # r12 (r11 advisor): the LM read path returns lazy plans over
+        # persisted frames it cannot unpersist itself — the frames
+        # enroll per call and release here with the other memos
+        _lm_m._READ_FRAMES_CACHE,
     ):
         for value in cache.values():
             if isinstance(value, DataFrame):

@@ -749,3 +749,35 @@ def test_lm_model_retract_matches_oracle(spark, sf_dir):
     from .oracle import compare_query
 
     compare_query(spark, sf_dir, lm_model_retract, LM_MODEL_RETRACT_ORACLE)
+
+
+def test_lm_read_path_frames_released_by_reset_memos(spark, sf_dir):
+    """r11 advisor: lm_interp_score / lm_bigram_score return lazy
+    plans over persisted frames they cannot unpersist themselves, so
+    the read path leaked one cached frame per invocation (the writer
+    and retract paths were fixed in r10/r11). The frames now enroll
+    in lm_quality._READ_FRAMES_CACHE and registry.reset_memos — which
+    bench.py and the CLI already call after materializing — must
+    actually release the executor blocks, not just drop references."""
+    import honors_p1_mapreduce_spark.operators.lm_quality as lm
+    from honors_p1_mapreduce_spark import registry
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        lm_bigram_score,
+        lm_interp_score,
+    )
+
+    registry.reset_memos()
+    assert not lm._READ_FRAMES_CACHE
+    lm_interp_score(spark, sf_dir).count()
+    lm_bigram_score(spark, sf_dir).count()
+    # interp enrolls occ + tok_arr, bigram enrolls occ: 3 frames, all
+    # actually cached after materialization
+    frames = list(lm._READ_FRAMES_CACHE.values())
+    assert len(frames) == 3
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames)
+    registry.reset_memos()
+    assert not lm._READ_FRAMES_CACHE
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in frames
+    )
