@@ -2026,8 +2026,8 @@ def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership joined back through the fp -> rep map.
     Same-fingerprint cliques (the volume-variant copies of one clip)
     collapse to one node — never enumerated as pairs. Library surface
-    in r10, planned r12 registration (the r12 window's single free
-    slot; see the registry rotation comment)."""
+    in r10, REGISTERED r12 in the reserved window slot (r11 verdict
+    #3; see the registry rotation comment)."""
     from pyspark.storagelevel import StorageLevel
 
     wavs = media_real_table(spark, sf_dir).filter(

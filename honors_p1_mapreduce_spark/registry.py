@@ -81,150 +81,100 @@ def reset_memos() -> None:
         cache.clear()
 
 """Ordering note: the driver checks exactly the FIRST 50 entries each
-round, so the window must ROTATE so no query's latest evidence is more
-than one round old.
+round, so the window must ROTATE so no query's newest driver stamp
+ever ages past the freshness bound.
 
-Rows-only policy (UPDATED round 8): the 5 rows-only queries
-(similarity_ann_topk, embedding_neardup, dedup_minhash,
+FRESHNESS BOUND (r11 verdict #2 RULING): relaxed from 2 rounds to 3 —
+at any round close, every entry's newest stamp must satisfy
+stamp >= close - 3, which raises the registry's saturation cap from
+150 to 200 entries (four 50-slot windows; steady-state restamp cycle
+<= 4 rounds). Retained condition: any entry whose IMPLEMENTING CODE
+PATH changed since its newest stamp must enter the NEXT window
+regardless of age (the media_image_neardup r10->r11 precedent — even
+pinned-behavior-identical changes restamp). Pinned by
+tests/test_cli.py::test_registry_freshness_bound.
+
+Rows-only policy (round 8, unchanged by the relax): the 5 rows-only
+queries (similarity_ann_topk, embedding_neardup, dedup_minhash,
 semantic_dedup_fast — numpy hash families / numpy twin — plus
 events_winsorized_stats_fast, the approx_percentile twin added r7;
 each has an oracle-green exact/portable sibling and an
 agreement/recall pytest) normally sit at the tail so oracle slots
 aren't spent on `no_oracle` rows, but they REJOIN the window
-periodically so the driver keeps confirming they execute. The
-invariant: no rows-only query other than these 5 sanctioned twins may
-occupy a window slot — pinned by
-tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned,
-and the "no twin execution stamp older than 3 rounds" cadence is
-pinned by tests/test_cli.py::test_sanctioned_twin_execution_cadence
-(r10 verdict #7).
+periodically so the driver keeps confirming they execute — their
+execution cadence shares the 3-round bound. Invariant: no rows-only
+query other than these 5 sanctioned twins may occupy a window slot —
+pinned by
+tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned
+and tests/test_cli.py::test_sanctioned_twin_execution_cadence.
 
-ROUND-11 WINDOW (this ordering, executing the r10 verdict's "Next
-round" #1 exactly, entries COUNTED not assumed):
-  1       media_image_neardup — r10 guard change (hot-fp cap + bucket
-          skip), pinned behavior-identical on driver corpora, restamps
-          first as planned at r10 position 51.
-  2       media_audio_neardup — NEW registration in the single free
-          slot (library surface + pytest since r10, oracle
-          pre-verified green at sf0.001/sf0.01).
-  3-6     the 4 sanctioned rows-only twins (semantic_dedup_fast,
-          similarity_ann_topk, embedding_neardup, dedup_minhash) —
-          last driver-EXECUTED r7, at their 3-round cadence deadline.
-  7-9     the 3 r9-displaced entries (bucketed_join_revenue,
-          media_png_decode, bloom_pruned_join) — r8 stamps, restamp
-          with the r8 block.
-  10-50   the 41-entry r8-stamped block (oldest oracle evidence at
-          r10 close; includes events_winsorized_stats_fast, the 5th
-          sanctioned twin, whose cadence deadline is also r11).
-Total 50. After r11: no oracle-backed entry's newest stamp is older
-than r9, and every twin's newest execution is 0 rounds old.
+ROUND-12 WINDOW (this ordering, executing the r11 verdict's "Next
+round" #3 with the #2 ruling applied, entries COUNTED not assumed):
+  1       media_audio_dedup — NEW registration in the reserved slot
+          (library surface + pytest since r10, oracle pre-verified
+          green at sf0.001/sf0.01 and re-verified post r12 fixes).
+          Registry 149 -> 150.
+  2-3     lm_interp_score, lm_bigram_score — r10 stamps, pulled
+          FORWARD out of the r10 block: their read paths changed in
+          r12 (the advisor leak fix enrolls the persisted frames for
+          reset_memos release — plans pinned identical, but changed
+          code paths must enter the next window per the retained
+          condition above).
+  4-50    the first 47 of the 49-entry r9-stamped block
+          (CORRECTNESS_r09 order), at the 3-round deadline.
+Total 50.
 
-THEN (positions 51-99) the 49-entry r9-stamped block — rotates r12,
-leaving exactly ONE r12 slot. Its planned occupant is
-media_audio_dedup (multimodal.py: pair-free audio clustering, library
-surface + pytest since r10, oracle PRE-VERIFIED green at
-sf0.001/sf0.01). THEN (positions 100-149) the 50-entry r10-stamped
-block — rotates r13.
+DISPLACED to positions 51-52 (lead the r13 window, the r9->r11
+displacement precedent): token_len_histogram, token_budget_select —
+their r9 stamps are age 3 at r12 close, exactly legal under the NEW
+bound (this displacement is what the relaxed ruling enables; under
+the old 2-round bound it would be a violation).
 
-SATURATION NOTE (decide at r12/r13, per the standing plan): after
-media_audio_dedup registers in r12 the registry holds 150 entries =
-exactly three 50-slot windows, so the steady-state restamp cycle is 3
-rounds (max stamp age 2 rounds at any round close — still within the
-"newest stamp >= close-2" bound, with ZERO slack). Any additional
-oracle-backed registration beyond 150 makes that bound infeasible;
-new surfaces from r11 on therefore ship as library surfaces with
-pre-verified oracles + pytest first, and register only if an
-existing entry is retired or the freshness bound is renegotiated in
-a verdict. The r11 library-surface backlog, in registration-priority
-order once slots exist: media_clean_funnel (pipeline.py — the
-multimodal curation capstone), decontaminate_audit (pipeline.py —
-the cross-modal release report), media_decontaminate +
-media_decontaminate_stored (multimodal.py — image contamination
-tiers), embedding_decontaminate (similarity.py — the semantic tier).
-All five have oracle constants verified green at sf0.001/sf0.01 and
-scale probes/plan pins; see their docstrings. Count the actual
-entries when rotating — do not trust this comment's numbers if the
-registry has grown."""
+THEN the r13 plan (count the actual entries when building it):
+  - positions 51-52: the 2 displaced r9 entries (MUST restamp r13 —
+    age 4 otherwise);
+  - the 5-entry r11 library-surface backlog REGISTERS r13, in the
+    documented priority order: media_clean_funnel (pipeline.py — the
+    multimodal curation capstone), decontaminate_audit (pipeline.py —
+    the cross-modal release report), media_decontaminate +
+    media_decontaminate_stored (multimodal.py — image contamination
+    tiers), embedding_decontaminate (similarity.py — the semantic
+    tier). All five have oracle constants verified green at
+    sf0.001/sf0.01, scale probes, and plan pins; when
+    media_decontaminate registers, add the streaming drained-store
+    equivalence pytest reference to its docstring (r11 verdict #7).
+    Registry 150 -> 155, within the 200 cap.
+  - the remaining 43 slots: the oldest 43 of the 48-entry r10 block
+    (it now excludes the two lm entries restamping r12). The 5 r10
+    leftovers are age 3 at r13 close (legal) and lead r14's window
+    with 45 of the r11 block; the rolling 45/5 split is steady-state
+    for 155 entries (average cycle 3.1 rounds <= the 4-round cap).
+
+THEN (after the displaced pair) the 48-entry r10-stamped block
+(CORRECTNESS_r10 order minus the two lm entries), then the 50-entry
+r11-stamped block — freshest stamps, rotates last."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r11 window, 1] media_image_neardup restamp: CHANGED in r10
-    # (hot-fingerprint cap + oversized-bucket skip, both oracle-
-    # mirrored) but pinned behavior-identical on the driver corpora
-    # (cap 16 > max fp multiplicity 3 at sf0.01 / 11 at sf0.1 —
-    # measured; equality pinned by
-    # tests/test_multimodal.py::test_image_neardup_fp_cap_noop_on_driver_corpus);
-    # held at r10 position 51 per the documented displacement,
-    # restamps first here.
-    "media_image_neardup": _mm.media_image_neardup,
-    # --- [r11 window, 2] the single r11-NEW registration (the one
-    # free slot): perceptual audio near-dup pairs — envelope-order
-    # fingerprints through the same banded hamming join + dual
-    # guards as the image family. Library surface + pytest since
-    # r10; oracle pre-verified green at sf0.001/sf0.01.
-    "media_audio_neardup": _mm.media_audio_neardup,
-    # --- [r11 window, 3-6] the 4 sanctioned rows-only twins, last
-    # driver-EXECUTED r7 — their 3-round cadence deadline is r11
-    # (r10 verdict #1/#3); each has an oracle-green exact/portable
-    # sibling and an agreement/recall pytest.
-    "semantic_dedup_fast": _sd.semantic_dedup_fast,
-    "similarity_ann_topk": _sim.similarity_ann_topk,
-    "embedding_neardup": _sim.embedding_neardup,
-    "dedup_minhash": _dd.dedup_minhash_pairs,
-    # --- [r11 window, 7-9] the 3 r9-displaced entries (r8 stamps,
-    # behavior-identical r9 changes) — restamp with the r8 block.
-    "bucketed_join_revenue": _rel.bucketed_join_revenue,
-    "media_png_decode": _mm.media_png_decode,
-    "bloom_pruned_join": _sk.bloom_pruned_join,
-    # --- [r11 window, 10-50] the 41-entry r8-stamped block
-    # (CORRECTNESS_r08.json, in its r8 window order) — the oldest
-    # oracle evidence at r10 close. Includes
-    # events_winsorized_stats_fast, the 5th sanctioned twin, at its
-    # own r11 cadence deadline (r10 verdict #7).
-    "token_counts": _ta.token_counts,
-    "stratified_sample": _pl.stratified_sample,
-    "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
-    "repetition_signals": _cu.repetition_signals,
-    "pii_scrub": _cu.pii_scrub,
-    "media_stats": _mm.media_stats,
-    "hll_registers": _sk.hll_registers,
-    "events_above_type_avg": _ev.events_above_type_avg,
-    "bloom_membership": _sk.bloom_membership,
-    "media_decode_features": _mm.media_decode_features,
-    "media_frame_sample": _mm.media_frame_sample,
-    "forecast_revenue": _rx.forecast_revenue,
-    "min_cost_supplier": _rx.min_cost_supplier,
-    "priority_lines": _rx.priority_lines,
-    "excess_shipments": _rx.excess_shipments,
-    "waiting_suppliers": _rx.waiting_suppliers,
-    "dedup_substring_spans": _ss.dedup_substring_spans,
-    "importance_sample": _imp.importance_sample,
-    "events_multi_rollup": _ev.events_multi_rollup,
-    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    "media_resize": _mm.media_resize,
-    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
-    "decontaminate_neardup": _wn.decontaminate_neardup,
-    "events_value_mad_outliers": _cx.events_value_mad_outliers,
-    "bpe_encode_ids": _bpx.bpe_encode_ids,
-    "pack_token_ids": _bpx.pack_token_ids,
-    "events_burst_runs": _ev.events_burst_runs,
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    "dedup_clusters": _dd.dedup_clusters,
-    "media_avi_decode": _mm.media_avi_decode,
-    "hll_type_overlap": _sk.hll_type_overlap,
-    "cms_daily_merge": _sk.cms_daily_merge,
-    "trade_triangles": _gph.trade_triangles,
-    "cms_sketch": _sk.cms_sketch,
-    "hll_estimate": _sk.hll_estimate,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "events_gapfill": _ev.events_gapfill,
-    "events_props_stats": _ev.events_props_stats,
-    "funnel_conversion": _ev.funnel_conversion,
-    "similarity_topk": _sim.similarity_topk,
-    # ================ position 51+ — outside the r11 driver window =====
-    # The 49-entry r9-stamped block (CORRECTNESS_r09.json order, minus
-    # media_image_neardup above) — rotates r12, leaving exactly ONE
-    # free r12 slot for media_audio_dedup (see the ordering note):
+    # --- [r12 window, 1] the r12-NEW registration (the reserved
+    # slot, r11 verdict #3): the dedup DECISION over perceptual
+    # audio near-dups — pair-free CC over distinct envelope-order
+    # fingerprints, the media_image_dedup construction. Library
+    # surface + pytest since r10; oracle pre-verified green at
+    # sf0.001/sf0.01 (re-verified this round), probed 9.9x rows @
+    # 10x, cluster-checked (R11_CLUSTER_CHECK).
+    "media_audio_dedup": _mm.media_audio_dedup,
+    # --- [r12 window, 2-3] changed-code-path restamps (r10 stamps,
+    # pulled out of the r10 block): the r11-advisor leak fix makes
+    # the lm read paths enroll their persisted frames for
+    # reset_memos release. Plans pinned identical
+    # (tests/test_plan_shapes.py::test_lm_scoring_single_corpus_scan),
+    # but changed paths must enter the next window (the
+    # media_image_neardup precedent).
+    "lm_interp_score": _lm.lm_interp_score,
+    "lm_bigram_score": _lm.lm_bigram_score,
+    # --- [r12 window, 4-50] the first 47 of the 49-entry r9-stamped
+    # block (CORRECTNESS_r09 order) — the oldest oracle evidence at
+    # r11 close, at its 3-round deadline.
     "media_image_dedup": _mm.media_image_dedup,
     "quantile_daily_merge": _sk.quantile_daily_merge,
     "trade_kcore": _gph.trade_kcore,
@@ -272,11 +222,14 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
     "dedup_keep_best": _dd.dedup_keep_best,
+    # ================ position 51+ — outside the r12 driver window =====
+    # The 2 r9-DISPLACED entries (age 3 at r12 close — legal under
+    # the relaxed bound, MUST lead the r13 window):
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
-    # The 50-entry r10-stamped block (CORRECTNESS_r10.json order:
-    # the 4 r10-new queries + the 46 entries restamped r10) —
-    # freshest stamps, rotates r13:
+    # The 48-entry r10-stamped block (CORRECTNESS_r10 order minus
+    # the two lm entries restamping above) — its oldest 43 rotate
+    # r13 after the displaced pair + the 5 backlog registrations:
     "winnow_index_retract": _wn.winnow_index_retract,
     "lm_model_retract": _lm.lm_model_retract,
     "trade_labelprop": _gph.trade_labelprop,
@@ -295,8 +248,6 @@ QUERIES: dict[str, QueryFn] = {
     "dataset_build_audit": _cx.dataset_build_audit,
     "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
     "chunk_boilerplate": _ta.chunk_boilerplate,
-    "lm_interp_score": _lm.lm_interp_score,
-    "lm_bigram_score": _lm.lm_bigram_score,
     "similarity_ann_portable": _sim.similarity_ann_portable,
     "similarity_ivf_topk": _sim.similarity_ivf_topk,
     "similarity_pq_topk": _pq.similarity_pq_topk,
@@ -327,7 +278,60 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
+    # The 50-entry r11-stamped block (CORRECTNESS_r11 order) —
+    # freshest stamps, rotates last (r14/r15 under the 45/5 split):
+    "media_image_neardup": _mm.media_image_neardup,
+    "media_audio_neardup": _mm.media_audio_neardup,
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
+    "media_png_decode": _mm.media_png_decode,
+    "bloom_pruned_join": _sk.bloom_pruned_join,
+    "token_counts": _ta.token_counts,
+    "stratified_sample": _pl.stratified_sample,
+    "tfidf_topk": _ta.tfidf_topk,
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
+    "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
+    "events_above_type_avg": _ev.events_above_type_avg,
+    "bloom_membership": _sk.bloom_membership,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
+    "forecast_revenue": _rx.forecast_revenue,
+    "min_cost_supplier": _rx.min_cost_supplier,
+    "priority_lines": _rx.priority_lines,
+    "excess_shipments": _rx.excess_shipments,
+    "waiting_suppliers": _rx.waiting_suppliers,
+    "dedup_substring_spans": _ss.dedup_substring_spans,
+    "importance_sample": _imp.importance_sample,
+    "events_multi_rollup": _ev.events_multi_rollup,
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    "media_resize": _mm.media_resize,
+    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
+    "decontaminate_neardup": _wn.decontaminate_neardup,
+    "events_value_mad_outliers": _cx.events_value_mad_outliers,
+    "bpe_encode_ids": _bpx.bpe_encode_ids,
+    "pack_token_ids": _bpx.pack_token_ids,
+    "events_burst_runs": _ev.events_burst_runs,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    "dedup_clusters": _dd.dedup_clusters,
+    "media_avi_decode": _mm.media_avi_decode,
+    "hll_type_overlap": _sk.hll_type_overlap,
+    "cms_daily_merge": _sk.cms_daily_merge,
+    "trade_triangles": _gph.trade_triangles,
+    "cms_sketch": _sk.cms_sketch,
+    "hll_estimate": _sk.hll_estimate,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "events_gapfill": _ev.events_gapfill,
+    "events_props_stats": _ev.events_props_stats,
+    "funnel_conversion": _ev.funnel_conversion,
+    "similarity_topk": _sim.similarity_topk,
 }
+
 
 ORACLES: dict[str, str] = {
     "wordcount": _wc.WORDCOUNT_ORACLE,
@@ -504,6 +508,10 @@ ORACLES: dict[str, str] = {
     # banding + dual guards as the image family, guards mirrored via
     # NOT IN / NOT EXISTS
     "media_audio_neardup": _mm.MEDIA_AUDIO_NEARDUP_ORACLE,
+    # audio dedup clusters (r12): pair-free CC over distinct audio
+    # fingerprints — oracle re-derives the fps from hex PCM and walks
+    # the same large-star/small-star rounds via recursive CTE
+    "media_audio_dedup": _mm.MEDIA_AUDIO_DEDUP_ORACLE,
     # incremental ANN (r9): Lloyd trained on the base split only,
     # codes/ADC over every vector — append must equal rebuild
     "pq_search_appended": _pq.PQ_SEARCH_APPENDED_ORACLE,
