@@ -2229,14 +2229,19 @@ def media_decontaminate_stored(
 
 
 
-def _media_decontaminate_oracle() -> str:
+def _decontam_oracle(fp_core_sql: str) -> str:
+    """DuckDB twin of the perceptual decontamination tier, generic
+    over the fingerprint derivation (the :func:`_fp_dedup_oracle`
+    pattern) — the image and audio tiers share the banding, the
+    lossless hamming bound, and the per-doc aggregate, so one builder
+    gates both and the tiers can never drift."""
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
     bands = ", ".join(str(b) for b in range(IMG_NEARDUP_BANDS))
     return f"""
 WITH fp AS MATERIALIZED (
-  SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
+  SELECT doc_id, fingerprint FROM ({fp_core_sql}) t
 ),
 ev AS MATERIALIZED (
   SELECT DISTINCT fingerprint AS eval_fp FROM fp
@@ -2266,6 +2271,53 @@ FROM pairs GROUP BY doc_id
 """
 
 
-MEDIA_DECONTAMINATE_ORACLE = _media_decontaminate_oracle()
+MEDIA_DECONTAMINATE_ORACLE = _decontam_oracle(_image_fp_oracle_core())
+
+
+def media_audio_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """The AUDIO tier of the contamination family (r12): TRAINING
+    clips whose envelope-order fingerprint sits within ``max_hamming``
+    of any EVAL-split clip's — the contamination mode where a
+    benchmark's reference audio (or a volume-adjusted re-encode of
+    it; the fingerprint is gain-invariant by construction) leaks into
+    the training corpus. Output (doc_id, n_eval_matches, min_hamming),
+    the image tier's exact shape.
+
+    Completes decontamination modality parity with the NEAR-DUP
+    family (which has had image + audio members since r11): exact +
+    fuzzy text (winnow.py), perceptual image + audio (this module),
+    semantic embedding (similarity.py). Everything below
+    ``audio_fingerprints`` is SHARED with the image tier —
+    :func:`_decontam_flags` is fingerprint-generic, so the lossless
+    banding argument (hamming <= BANDS-1 pigeonhole), the broadcast
+    eval side, and the never-self-joining corpus all carry over
+    verbatim; the oracle shares :func:`_decontam_oracle` with the
+    image tier over the audio fp core. The eval/train split filters
+    the RAW wav rows before the mapInPandas barrier (the r11-advisor
+    one-decode rule applied from birth). Library surface; registers
+    after the r13 backlog under the relaxed 3-round bound (registry
+    rotation comment), at which point ``decontaminate_audit`` can
+    fold it in as the fifth tier."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = (
+        audio_fingerprints(wavs.filter(is_eval))
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+    )
+    return _decontam_flags(
+        audio_fingerprints(wavs.filter(~is_eval)), eval_fps, max_hamming
+    )
+
+
+MEDIA_AUDIO_DECONTAMINATE_ORACLE = _decontam_oracle(_audio_fp_oracle_core())
 # the stored roundtrip is bit-identical, so one oracle gates both paths
 MEDIA_DECONTAMINATE_STORED_ORACLE = MEDIA_DECONTAMINATE_ORACLE

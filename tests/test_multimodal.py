@@ -1252,3 +1252,113 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
     compare_query(
         spark, sf_dir, decontaminate_audit, DECONTAMINATE_AUDIT_ORACLE
     )
+
+
+# --------------------- audio decontamination tier (r12 library)
+
+
+def test_media_audio_decontaminate_seeded_leak(spark, tmp_path):
+    """Audio seeded-leak golden (the image tier's r10-verdict pattern
+    applied to the r12 audio tier): eval clip doc 108 (% 101 == 7,
+    % 3 == 0 -> WAV) leaks into training as a GAIN twin (same
+    envelope order, every byte different — hamming 0 by the
+    fingerprint's volume invariance) and as a retouched copy (one
+    adjacent sample swap — small nonzero hamming, computed, not
+    assumed); the reversed-envelope control stays unflagged. Engine
+    and DuckDB oracle must agree on the same synthetic corpus."""
+    import struct
+
+    import duckdb
+
+    def text_for(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        assert len(data) == 128 and all(1 <= b <= 127 for b in data)
+        return data.decode("ascii")
+
+    base = [(3 + 2 * (i % 7)) + 256 * (1 + (i * 13) % 19) for i in range(64)]
+    assert all(base[i] != base[i + 1] for i in range(63))
+    # gain twin: strictly increasing reconstruction along base's rank
+    # order — same pairwise |.| order, entirely different bytes
+    rank = sorted(range(64), key=lambda i: (base[i], i))
+    twin = [0] * 64
+    for pos, i in enumerate(rank):
+        twin[i] = (5 + 2 * ((pos * 3) % 5)) + 256 * (2 + pos)
+    # retouched copy: swap adjacent samples 10/11 — flips at most
+    # envelope bits 9..11
+    retouch = list(base)
+    retouch[10], retouch[11] = retouch[11], retouch[10]
+
+    def wav_bytes(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return mm._wav_header(len(data)) + data
+
+    h_base = mm.wav_volume_hash(wav_bytes(base))
+    assert mm.wav_volume_hash(wav_bytes(twin)) == h_base
+    ham = bin(h_base ^ mm.wav_volume_hash(wav_bytes(retouch))).count("1")
+    assert 1 <= ham <= mm.DECONTAM_HAMMING_MAX  # construction sanity
+    ham_ctl = bin(
+        h_base ^ mm.wav_volume_hash(wav_bytes(list(reversed(base))))
+    ).count("1")
+    assert ham_ctl > mm.DECONTAM_HAMMING_MAX  # control really is far
+
+    rows = [
+        (108, text_for(base)),  # EVAL split member (108 % 101 == 7)
+        (3, text_for(twin)),  # gain twin, hamming 0
+        (6, text_for(retouch)),  # retouched leak
+        (9, text_for(list(reversed(base)))),  # control
+    ]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_audio_decontaminate(spark, dirp).collect()
+    )
+    assert got == [(3, 1, 0), (6, 1, ham)]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(mm.MEDIA_AUDIO_DECONTAMINATE_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == got
+
+
+def test_media_audio_decontaminate_matches_oracle(spark, sf_dir):
+    from .oracle import compare_query
+
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_audio_decontaminate,
+        mm.MEDIA_AUDIO_DECONTAMINATE_ORACLE,
+    )
+
+
+def test_media_audio_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    """Output rows are TRAINING clips only, every flagged doc is a
+    real WAV doc, and hammings respect the lossless bound."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    rows = mm.media_audio_decontaminate(spark, sf_dir).collect()
+    wavs = {
+        r["doc_id"]
+        for r in mm.media_real_table(spark, sf_dir)
+        .filter("media_type = 'audio/wav'")
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != EVAL_RESIDUE
+        assert r["doc_id"] in wavs
+        assert 0 <= r["min_hamming"] <= mm.DECONTAM_HAMMING_MAX
+        assert r["n_eval_matches"] >= 1

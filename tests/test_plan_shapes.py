@@ -788,3 +788,20 @@ def test_r11_library_surface_backlog_plans_are_clean(spark, sf_dir):
     sem = _plan(embedding_decontaminate(spark, sf_dir))
     assert "CartesianProduct" not in sem
     assert "BroadcastNestedLoopJoin" in sem  # eval-broadcast scoring
+
+
+def test_media_audio_decontaminate_plan_hygiene(spark, sf_dir):
+    """The r12 audio decontamination tier inherits the image tier's
+    pinned shape through the shared _decontam_flags: eval fingerprints
+    broadcast, the corpus never self-joins, and the online path pays
+    exactly one mapInPandas decode per split (eval + train — each
+    filtered BEFORE the barrier, the r11-advisor one-decode rule)."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_decontaminate,
+    )
+
+    plan = _plan(media_audio_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 2
