@@ -2145,7 +2145,13 @@ def media_decontaminate(
     claim (per side, each side decoding only its own rows), matching
     :func:`media_eval_write_index` / the stored path, and is
     result-identical because the split predicate is per-doc and
-    fingerprinting is row-local."""
+    fingerprinting is row-local.
+
+    The STREAMING twin (streaming/curation.py:
+    ``streaming_media_decontaminate``) inherits this query's driver
+    stamp transitively through the drained-store equivalence pytest
+    tests/test_streaming.py::test_streaming_media_decontaminate_matches_batch
+    (the ``streaming_dedup_incremental`` pattern, r11 verdict #7)."""
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     imgs = media_real_table(spark, sf_dir).filter(
@@ -2301,7 +2307,19 @@ def media_audio_decontaminate(
     one-decode rule applied from birth). Library surface; registers
     after the r13 backlog under the relaxed 3-round bound (registry
     rotation comment), at which point ``decontaminate_audit`` can
-    fold it in as the fifth tier."""
+    fold it in as the fifth tier.
+
+    Evidence note (measured r12): the driver corpora contain NO audio
+    contamination — 0 rows at sf0.01 AND sf0.1 (the ~1%-of-wavs eval
+    split's 56-bit envelope fingerprints are too diverse for a chance
+    training clip within hamming 3; the image tier reads 325 rows at
+    sf0.1 only because text-gradient dHashes collide far more). An
+    oracle stamp here is therefore an empty-vs-empty match; the
+    NON-TRIVIAL gate is the seeded-leak golden
+    (tests/test_multimodal.py::test_media_audio_decontaminate_seeded_leak:
+    planted gain twin at hamming 0 + one-swap retouch at its computed
+    hamming, engine and DuckDB agreeing on both), plus the 4-worker
+    determinism check (R12_CLUSTER_CHECK.json)."""
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     wavs = media_real_table(spark, sf_dir).filter(
@@ -2319,5 +2337,68 @@ def media_audio_decontaminate(
 
 
 MEDIA_AUDIO_DECONTAMINATE_ORACLE = _decontam_oracle(_audio_fp_oracle_core())
+
+
+def media_audio_eval_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the EVAL split's distinct AUDIO fingerprints to
+    parquet — the audio member of the benchmark-registry artifact
+    family (:func:`media_eval_write_index` has the ship-once /
+    serve-every-batch rationale; both registries live under the same
+    ``eval_fps`` layout so serving code is tier-agnostic)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio/wav")
+        & (F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    )
+    (
+        audio_fingerprints(wavs)
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/eval_fps")
+    )
+
+
+def media_audio_decontaminate_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """Serve audio decontamination from a STORED eval-fingerprint
+    registry: one map-only decode pass over the training clips + the
+    broadcast join — the eval corpus is never decoded again (the
+    image tier's :func:`media_decontaminate_from_index` shape)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio/wav")
+        & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+    )
+    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
+    return _decontam_flags(audio_fingerprints(wavs), eval_fps, max_hamming)
+
+
+def media_audio_decontaminate_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """The full stored-index audio-decontamination cycle as ONE
+    query: eval fingerprints -> parquet -> read back -> flag the
+    training clips. Integer fingerprints survive parquet losslessly,
+    so the roundtrip is bit-identical to
+    :func:`media_audio_decontaminate` and the same
+    ``MEDIA_AUDIO_DECONTAMINATE_ORACLE`` gates both paths (the
+    image tier's registered-cycle pattern). Scratch: per-application
+    overwrite-in-place (``bpe_encode._artifact_dir``)."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "media_audio_eval_fps")
+    media_audio_eval_write_index(spark, sf_dir, d)
+    return media_audio_decontaminate_from_index(spark, sf_dir, d, max_hamming)
 # the stored roundtrip is bit-identical, so one oracle gates both paths
 MEDIA_DECONTAMINATE_STORED_ORACLE = MEDIA_DECONTAMINATE_ORACLE

@@ -332,3 +332,59 @@ def read_media_flags_from_store(
     return spark.read.parquet(store_dir).select(
         "doc_id", "n_eval_matches", "min_hamming"
     )
+
+
+def streaming_media_audio_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest AUDIO decontamination (r12) — the audio twin
+    of :func:`streaming_media_decontaminate`, completing streaming
+    modality parity with the r12 batch tier
+    (``operators.multimodal.media_audio_decontaminate``): each
+    micro-batch's TRAINING clips are fingerprinted (gain-invariant
+    envelope order) and flagged against the STORED audio
+    eval-fingerprint registry
+    (``media_audio_eval_write_index``'s parquet). Same stream-static
+    join shape, same replay-idempotent ``batch_id=N`` overwrite sink,
+    same no-state-between-triggers story; per-document flags depend
+    only on (doc fingerprint) x (static registry), so the drained
+    store is EXACTLY the batch answer — pinned by the seeded
+    equivalence test (the driver corpora carry no natural audio
+    contamination, so the test plants the leaks). ``glob`` is the
+    file-layout hook: driver corpora are single ``documents.parquet``
+    FILES (the default matches exactly one file = one micro-batch,
+    like the image twin's test at sf0.001); the seeded test points
+    ``sf_dir`` inside a 2-part-file directory with ``glob="part-*"``
+    so the equivalence covers REAL multi-batch draining."""
+    from ..operators.multimodal import (
+        DECONTAM_HAMMING_MAX,
+        _decontam_flags,
+        audio_fingerprints,
+        media_real_table_from,
+    )
+    from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        wavs = media_real_table_from(bdf.select("doc_id", "text")).filter(
+            (F.col("media_type") == "audio/wav")
+            & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+        )
+        eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
+        flags = _decontam_flags(
+            audio_fingerprints(wavs), eval_fps, DECONTAM_HAMMING_MAX
+        )
+        _write_batch_partition(flags, batch_id, store_dir)
+
+    q = (
+        stream_documents(spark, sf_dir, glob=glob)
+        .writeStream.foreachBatch(_micro_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1257,18 +1257,19 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
 # --------------------- audio decontamination tier (r12 library)
 
 
-def test_media_audio_decontaminate_seeded_leak(spark, tmp_path):
-    """Audio seeded-leak golden (the image tier's r10-verdict pattern
-    applied to the r12 audio tier): eval clip doc 108 (% 101 == 7,
-    % 3 == 0 -> WAV) leaks into training as a GAIN twin (same
-    envelope order, every byte different — hamming 0 by the
+def seeded_audio_leak_corpus(spark, dirp: str, n_files: int = 1):
+    """Write a synthetic documents.parquet with planted audio leaks
+    and return the expected media_audio_decontaminate rows. Shared by
+    the seeded golden, the stored-cycle test, and the streaming
+    equivalence test (the driver corpora carry no natural audio
+    contamination — measured 0 rows at sf0.01 and sf0.1 — so every
+    non-trivial audio-tier check plants its own): eval clip doc 108
+    (% 101 == 7, % 3 == 0 -> WAV) leaks into training as a GAIN twin
+    (same envelope order, every byte different — hamming 0 by the
     fingerprint's volume invariance) and as a retouched copy (one
     adjacent sample swap — small nonzero hamming, computed, not
-    assumed); the reversed-envelope control stays unflagged. Engine
-    and DuckDB oracle must agree on the same synthetic corpus."""
+    assumed); the reversed-envelope control stays unflagged."""
     import struct
-
-    import duckdb
 
     def text_for(samples):
         data = b"".join(struct.pack("<h", s) for s in samples)
@@ -1307,16 +1308,28 @@ def test_media_audio_decontaminate_seeded_leak(spark, tmp_path):
         (6, text_for(retouch)),  # retouched leak
         (9, text_for(list(reversed(base)))),  # control
     ]
-    dirp = str(tmp_path / "sf")
     spark.createDataFrame(
         rows, "doc_id bigint, text string"
-    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        dirp + "/documents.parquet"
+    )
+    return [(3, 1, 0), (6, 1, ham)]
+
+
+def test_media_audio_decontaminate_seeded_leak(spark, tmp_path):
+    """Audio seeded-leak golden (the image tier's r10-verdict pattern
+    applied to the r12 audio tier). Engine and DuckDB oracle must
+    agree on the same synthetic corpus."""
+    import duckdb
+
+    dirp = str(tmp_path / "sf")
+    want = seeded_audio_leak_corpus(spark, dirp)
 
     got = sorted(
         (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
         for r in mm.media_audio_decontaminate(spark, dirp).collect()
     )
-    assert got == [(3, 1, 0), (6, 1, ham)]
+    assert got == want
 
     con = duckdb.connect()
     try:
@@ -1362,3 +1375,34 @@ def test_media_audio_decontaminate_never_flags_eval_docs(spark, sf_dir):
         assert r["doc_id"] in wavs
         assert 0 <= r["min_hamming"] <= mm.DECONTAM_HAMMING_MAX
         assert r["n_eval_matches"] >= 1
+
+
+def test_media_audio_decontaminate_stored_equals_online(spark, tmp_path):
+    """The stored-index audio serving path must be bit-identical to
+    the online query (integer fingerprints survive parquet
+    losslessly) — checked on the SEEDED corpus so the equality is
+    non-vacuous (the driver corpora carry no audio contamination),
+    plus a from_index roundtrip against a separately written
+    registry."""
+    dirp = str(tmp_path / "sf")
+    want = seeded_audio_leak_corpus(spark, dirp)
+
+    online = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_audio_decontaminate(spark, dirp).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_audio_decontaminate_stored(spark, dirp).collect()
+    )
+    assert online == stored == want
+
+    idx = str(tmp_path / "audioidx")
+    mm.media_audio_eval_write_index(spark, dirp, idx)
+    via_index = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_audio_decontaminate_from_index(
+            spark, dirp, idx
+        ).collect()
+    )
+    assert via_index == want

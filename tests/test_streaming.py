@@ -321,3 +321,51 @@ def test_streaming_media_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     batch = sorted(map(tuple, media_decontaminate(spark, sf_dir).collect()))
     assert streamed == batch
     assert streamed  # non-vacuous
+
+
+def test_streaming_media_audio_decontaminate_matches_batch(spark, tmp_path):
+    """Draining the document stream against the stored AUDIO eval
+    registry must reproduce the batch media_audio_decontaminate
+    answer exactly (the image twin's equivalence, r12). The corpus is
+    the SEEDED audio-leak corpus split across 2 parquet files — 2
+    real micro-batches — because the driver corpora carry no natural
+    audio contamination (measured 0 rows at sf0.01/sf0.1), which
+    would make the equivalence vacuous."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_decontaminate,
+        media_audio_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_flags_from_store,
+        streaming_media_audio_decontaminate,
+    )
+
+    from .test_multimodal import seeded_audio_leak_corpus
+
+    dirp = str(tmp_path / "sf")
+    seeded_audio_leak_corpus(spark, dirp, n_files=2)
+
+    idx = str(tmp_path / "audioidx")
+    store = str(tmp_path / "audiostore")
+    ckpt = str(tmp_path / "audiockpt")
+    media_audio_eval_write_index(spark, dirp, idx)
+    # stream the 2 part files inside the documents.parquet directory
+    # (driver corpora are single files; maxFilesPerTrigger=1 makes
+    # these 2 REAL micro-batches)
+    streaming_media_audio_decontaminate(
+        spark, dirp + "/documents.parquet", idx, store, ckpt,
+        glob="part-*",
+    )
+    streamed = sorted(
+        map(tuple, read_media_flags_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(tuple, media_audio_decontaminate(spark, dirp).collect())
+    )
+    assert streamed == batch
+    assert streamed  # non-vacuous (the planted leaks)
+    # the multi-batch claim is real: 2 part files drained as 2
+    # micro-batches, each with its own idempotent store partition
+    import glob as globmod
+
+    assert len(globmod.glob(store + "/batch_id=*")) == 2
