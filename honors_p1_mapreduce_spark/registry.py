@@ -142,8 +142,15 @@ THEN the r13 plan (count the actual entries when building it):
     tier). All five have oracle constants verified green at
     sf0.001/sf0.01, scale probes, and plan pins; when
     media_decontaminate registers, add the streaming drained-store
-    equivalence pytest reference to its docstring (r11 verdict #7).
-    Registry 150 -> 155, within the 200 cap.
+    equivalence pytest reference to its docstring (r11 verdict #7 —
+    the reference is already in place as of r12).
+    Registry 150 -> 155, within the 200 cap. The r12-new audio
+    decontamination tier (media_audio_decontaminate + _stored,
+    multimodal.py — seeded-golden oracle, stored/streaming
+    equivalences, cluster-checked) queues BEHIND this backlog for
+    r14+ slots; note its driver-scale result is legitimately empty
+    (0 rows at sf0.01/sf0.1, docstring), so its oracle stamp is
+    empty-vs-empty and the seeded golden remains the real gate.
   - the remaining 43 slots: the oldest 43 of the 48-entry r10 block
     (it now excludes the two lm entries restamping r12). The 5 r10
     leftovers are age 3 at r13 close (legal) and lead r14's window
