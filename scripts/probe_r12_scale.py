@@ -15,6 +15,12 @@ registered in r12:
   fingerprint barrier, so each branch decodes only its own rows; the
   r11 plan decoded the full corpus twice). Time at both scales should
   be <= the r11 probe's (2.10 s / 2.82 s), with identical output.
+- media_audio_decontaminate — the r12-NEW audio tier: map-only decode
+  per split + broadcast eval join, so time should track the training
+  clip count (~linear); rows are legitimately 0 at BOTH scales (the
+  corpora carry no natural audio contamination — the operator
+  docstring documents this; the seeded golden is the semantic gate,
+  this probe pins the SHAPE's cost).
 
 Corpus enlargement mirrors probe_r9/r10/r11_scale.py: documents are
 STRING-ROTATED per copy so every copy is a distinct corpus slice
@@ -41,6 +47,7 @@ from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
     fp_clusters,
     image_fingerprints,
+    media_audio_decontaminate,
     media_audio_dedup,
     media_decontaminate,
     media_real_table,
@@ -122,6 +129,7 @@ def main() -> None:
         ("media_clean_funnel", media_clean_funnel),
         ("media_audio_dedup", media_audio_dedup),
         ("media_decontaminate", media_decontaminate),
+        ("media_audio_decontaminate", media_audio_decontaminate),
     ]:
         timed(fn, SF)  # warm codegen/JVM once per operator shape
         t1, n1 = timed(fn, SF)
@@ -160,6 +168,13 @@ def main() -> None:
         "media_decontaminate": (
             "post one-decode fix: each split decodes only its own rows;"
             " compare t_1x/t_10x against R11_SCALE_PROBE (2.10/2.82 s)"
+        ),
+        "media_audio_decontaminate": (
+            "r12 audio tier: the REAL corpora carry 0 rows (sf0.01 and"
+            " sf0.1 — docstring); the 10x STRING-ROTATED enlargement can"
+            " plant chance envelope collisions (2 here), which only"
+            " confirms the join fires; the probe pins the map-only +"
+            " broadcast shape's cost"
         ),
     }
     print(json.dumps(out, indent=1))
