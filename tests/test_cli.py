@@ -264,3 +264,40 @@ def test_bench_stage_splits_cover_registered_stored_cycles(spark):
         labels = [s for s, _ in stages]
         assert len(labels) == len(set(labels)), name
         assert all(callable(fn) for _, fn in stages), name
+
+
+def test_window_covers_planner_mandatory():
+    """The rotation arithmetic is executable (scripts/
+    plan_next_window.py, r12): every entry the planner derives as
+    MANDATORY from the committed CORRECTNESS history — deadline
+    entries whose newest stamp would age past the 3-round bound at
+    the close of the round being built, and registered entries with
+    no stamp at all — must hold a slot in the CURRENT first-50
+    window. (New registrations and changed-code-path forcings are
+    builder inputs the history cannot derive; they are covered by
+    test_registry_freshness_bound once their stamps land.)"""
+    import importlib.util
+    import pathlib
+
+    from honors_p1_mapreduce_spark import registry
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "plan_next_window", repo / "scripts" / "plan_next_window.py"
+    )
+    planner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(planner)
+
+    newest, latest = planner.newest_stamps(repo)
+    building = latest + 1
+    names = list(registry.QUERIES)
+    mandatory = {
+        n
+        for n in names
+        if newest.get(n) is None or building - newest[n] > planner.BOUND
+    }
+    window = set(names[:50])
+    assert mandatory <= window, (
+        f"history-mandatory entries missing from the window: "
+        f"{sorted(mandatory - window)}"
+    )
