@@ -130,7 +130,12 @@ their r9 stamps are age 3 at r12 close, exactly legal under the NEW
 bound (this displacement is what the relaxed ruling enables; under
 the old 2-round bound it would be a violation).
 
-THEN the r13 plan (count the actual entries when building it):
+THEN the r13 plan (count the actual entries when building it — or
+just run ``python scripts/plan_next_window.py --register
+media_clean_funnel decontaminate_audit media_decontaminate
+media_decontaminate_stored embedding_decontaminate`` once
+CORRECTNESS_r12.json lands: the rotation arithmetic is executable
+as of r12 and reproduces this plan from history):
   - positions 51-52: the 2 displaced r9 entries (MUST restamp r13 —
     age 4 otherwise);
   - the 5-entry r11 library-surface backlog REGISTERS r13, in the
