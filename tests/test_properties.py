@@ -458,3 +458,33 @@ def test_neardup_guards_only_prune(spark, fps, fp_cap, bucket_cap):
     assert set(guarded) <= set(unc)
     for k, h in guarded.items():
         assert unc[k] == h  # same pair -> same hamming, never mutated
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=57, max_size=64
+    ),
+    gain=st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_volume_hash_gain_invariance_property(samples, gain):
+    """The perceptual audio contract as a PROPERTY (r12; the golden in
+    test_multimodal pins three hand-built cases): for ANY sample
+    stream and ANY positive integer gain that stays in int16 range,
+    the envelope-order hash is identical — multiplication by a
+    positive constant preserves every |.| comparison, ties included.
+    This is the exact reason a volume-adjusted re-encode of a
+    benchmark clip lands at hamming 0 in media_audio_decontaminate.
+    Pure Python (no Spark job): the hash is the row-local kernel the
+    Arrow pass applies."""
+    import struct
+
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    def wav(vals):
+        data = b"".join(struct.pack("<h", v) for v in vals)
+        return mm._wav_header(len(data)) + data
+
+    h = mm.wav_volume_hash(wav(samples))
+    assert 0 <= h < (1 << mm.PHASH_BITS)
+    assert mm.wav_volume_hash(wav([gain * v for v in samples])) == h
