@@ -303,12 +303,19 @@ def streaming_media_decontaminate(
     )
     from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
+    # static side built ONCE before the stream starts (the
+    # streaming_dedup_incremental pattern; r12 reviewer — the first
+    # cut re-read the registry parquet inside every micro-batch,
+    # paying listing + footer reads + a fresh broadcast build per
+    # trigger for a registry that never changes between them)
+    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
+    eval_fps.count()  # materialize once
+
     def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
         imgs = media_real_table_from(bdf.select("doc_id", "text")).filter(
             (F.col("media_type") != "audio/wav")
             & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
         )
-        eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
         flags = _decontam_flags(
             image_fingerprints(imgs), eval_fps, DECONTAM_HAMMING_MAX
         )
@@ -322,6 +329,7 @@ def streaming_media_decontaminate(
         .start()
     )
     q.awaitTermination()
+    eval_fps.unpersist()
 
 
 def read_media_flags_from_store(
@@ -369,12 +377,16 @@ def streaming_media_audio_decontaminate(
     )
     from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
+    # static side built ONCE before the stream starts (same fix as
+    # the image twin — see the comment there)
+    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
+    eval_fps.count()  # materialize once
+
     def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
         wavs = media_real_table_from(bdf.select("doc_id", "text")).filter(
             (F.col("media_type") == "audio/wav")
             & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
         )
-        eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
         flags = _decontam_flags(
             audio_fingerprints(wavs), eval_fps, DECONTAM_HAMMING_MAX
         )
@@ -388,3 +400,4 @@ def streaming_media_audio_decontaminate(
         .start()
     )
     q.awaitTermination()
+    eval_fps.unpersist()

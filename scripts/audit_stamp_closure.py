@@ -35,9 +35,14 @@ WINDOW = 50
 
 
 def main() -> int:
+    import re
+
     stamped: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(path.split("_r")[1].split(".")[0])
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", Path(path).name)
+        if not m:  # skip suffixed artifacts (e.g. *_r12_builder.json)
+            continue
+        rnd = int(m.group(1))
         with open(path) as f:
             data = json.load(f)
         queries = data.get("queries", data)

@@ -19,9 +19,12 @@ Rule implemented (the registry ordering note's invariants):
 
 Prints the planned 50 names with their reasons, plus the resulting
 stamp-age distribution at the built round's close. The r13 builder
-reorders QUERIES to match and registers the --register names; the
-pytest pins that the CURRENT registry's first 50 equal this plan for
-the CURRENT round (tests/test_cli.py::test_window_matches_planner).
+reorders QUERIES to match and registers the --register names. The
+pytest pin is tests/test_cli.py::test_window_covers_planner_mandatory:
+every HISTORY-DERIVED mandatory entry (deadline / never-stamped) must
+hold a window slot — a SUBSET guarantee, deliberately not equality,
+because --register/--force are builder inputs the history cannot
+reconstruct.
 
 Usage:
     python scripts/plan_next_window.py            # plan from history
@@ -45,10 +48,19 @@ BOUND = 3  # newest stamp >= close - BOUND (r11 verdict #2 ruling)
 
 
 def newest_stamps(repo: Path) -> tuple[dict[str, int], int]:
+    """Newest driver-stamp round per query name, plus the latest
+    round on record. Only strict driver files ``CORRECTNESS_r<N>.json``
+    count — suffixed artifacts (the ``*_r12_builder.json`` naming
+    convention) are skipped, not crashed on (r12 reviewer)."""
+    import re
+
     newest: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", Path(path).name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         latest = max(latest, rnd)
         with open(path) as f:
             for name in json.load(f):

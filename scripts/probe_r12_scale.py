@@ -94,19 +94,31 @@ def main() -> None:
     def funnel_stages(sf_dir: str) -> dict:
         """The funnel's own stage decomposition, cold, in funnel
         order — decode+fingerprint (map-only, ~items), then the
-        cluster stage (bounded by DISTINCT-fp diversity). Shares are
-        of the summed stage time, so the cluster stage's fraction is
-        comparable across rounds even when host speed moves."""
+        cluster stage (bounded by DISTINCT-fp diversity). The media
+        and fingerprint frames are PERSISTED exactly as the real
+        media_clean_funnel persists them (r12 reviewer: without the
+        persists, every cluster-stage job re-paid full decode passes
+        and cluster_share_pct attributed decode cost to the cluster
+        stage — the r11 probe's components() had the same flaw, so
+        compare shares only from r12 on). Shares are of the summed
+        stage time, so the fraction is comparable across rounds even
+        when host speed moves."""
+        from pyspark.storagelevel import StorageLevel
+
         spark.catalog.clearCache()
         registry.reset_memos()
         st: dict = {}
         t0 = time.perf_counter()
-        media = media_real_table(spark, sf_dir)
+        media = media_real_table(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         st["n_items"] = media.count()
         st["t_scan_s"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
-        afp = wav_fp_peak(media)
-        ifp = image_fingerprints(media.filter("media_type <> 'audio/wav'"))
+        afp = wav_fp_peak(media).persist(StorageLevel.MEMORY_AND_DISK)
+        ifp = image_fingerprints(
+            media.filter("media_type <> 'audio/wav'")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         st["n_fps"] = afp.count() + ifp.count()
         st["t_decode_fp_s"] = round(time.perf_counter() - t0, 2)
         t0 = time.perf_counter()
@@ -123,6 +135,8 @@ def main() -> None:
         st["t_cluster_s"] = round(time.perf_counter() - t0, 2)
         total = st["t_scan_s"] + st["t_decode_fp_s"] + st["t_cluster_s"]
         st["cluster_share_pct"] = round(100.0 * st["t_cluster_s"] / total, 1)
+        for f in (afp, ifp, media):
+            f.unpersist()
         return st
 
     for name, fn in [

@@ -19,6 +19,15 @@ def spark():
 
     s = get_spark(app_name="tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     yield s
+    # release the build-once session memos and the enrolled LM
+    # read-path frames (lm_quality._READ_FRAMES_CACHE) at session end
+    # — the same contract bench.py and the CLI honor per query (r12
+    # reviewer: the lm module's release comment named the test
+    # session as a caller; make that true)
+    from honors_p1_mapreduce_spark import registry
+
+    registry.reset_memos()
+    s.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")

@@ -159,6 +159,7 @@ def test_sanctioned_twin_execution_cadence():
     import glob
     import json
     import pathlib
+    import re
 
     from honors_p1_mapreduce_spark import registry
 
@@ -166,7 +167,12 @@ def test_sanctioned_twin_execution_cadence():
     executed: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        m = re.fullmatch(
+            r"CORRECTNESS_r(\d+)\.json", pathlib.Path(path).name
+        )
+        if not m:  # suffixed artifacts (e.g. *_r12_builder.json) skip
+            continue
+        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as f:
             data = json.load(f)
@@ -195,6 +201,23 @@ def test_sanctioned_twin_execution_cadence():
     )
 
 
+def _planner():
+    """Load scripts/plan_next_window.py as a module — the single
+    implementation of the CORRECTNESS-history scan (r12 reviewer:
+    three near-copies of the glob/parse/newest-stamp loop had crept
+    in; the rotation tests now share the planner's)."""
+    import importlib.util
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "plan_next_window", repo / "scripts" / "plan_next_window.py"
+    )
+    planner = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(planner)
+    return planner, repo
+
+
 def test_registry_freshness_bound():
     """r11 verdict #2 RULING: the freshness bound is relaxed from 2
     rounds to 3 — at any round close, every registry entry's newest
@@ -207,25 +230,14 @@ def test_registry_freshness_bound():
     a slot in the CURRENT first-50 window, and a NEW entry with no
     stamp at all must be in the window of the round that registers
     it (the media_audio_neardup r11 precedent)."""
-    import glob
-    import json
-    import pathlib
-
     from honors_p1_mapreduce_spark import registry
 
     assert len(registry.QUERIES) <= 200, "registry past the 200 cap"
 
-    repo = pathlib.Path(__file__).resolve().parent.parent
-    newest: dict[str, int] = {}
-    rounds = []
-    for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-        rounds.append(rnd)
-        with open(path) as f:
-            for name in json.load(f):
-                newest[name] = max(rnd, newest.get(name, 0))
-    assert rounds, "no CORRECTNESS history committed"
-    building = max(rounds) + 1
+    planner, repo = _planner()
+    newest, latest = planner.newest_stamps(repo)
+    assert latest, "no CORRECTNESS history committed"
+    building = latest + 1
     window = set(list(registry.QUERIES)[:50])
     stale = []
     for name in registry.QUERIES:
@@ -276,18 +288,9 @@ def test_window_covers_planner_mandatory():
     window. (New registrations and changed-code-path forcings are
     builder inputs the history cannot derive; they are covered by
     test_registry_freshness_bound once their stamps land.)"""
-    import importlib.util
-    import pathlib
-
     from honors_p1_mapreduce_spark import registry
 
-    repo = pathlib.Path(__file__).resolve().parent.parent
-    spec = importlib.util.spec_from_file_location(
-        "plan_next_window", repo / "scripts" / "plan_next_window.py"
-    )
-    planner = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(planner)
-
+    planner, repo = _planner()
     newest, latest = planner.newest_stamps(repo)
     building = latest + 1
     names = list(registry.QUERIES)
