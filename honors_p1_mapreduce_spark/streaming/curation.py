@@ -144,16 +144,20 @@ def streaming_dedup_incremental(
         )
         _write_batch_partition(flagged, batch_id, out_dir)
 
-    q = (
-        stream_documents(spark, sf_dir)
-        .filter(is_batch)
-        .writeStream.foreachBatch(_micro_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    index_capped.unpersist()
+    try:
+        q = (
+            stream_documents(spark, sf_dir)
+            .filter(is_batch)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # release even when a micro-batch throws — a failed drain must
+        # not leak the persisted index for the session (r12 review)
+        index_capped.unpersist()
 
 
 def read_flagged_from_store(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -293,8 +297,12 @@ def streaming_media_decontaminate(
     store is EXACTLY the batch ``media_decontaminate`` answer,
     pinned by the equivalence test. State story at 100 TB/day: the
     stream holds nothing between triggers; the eval registry is the
-    only long-lived object, refreshed by atomically swapping the
-    parquet dir when the benchmark set changes."""
+    only long-lived object, SNAPSHOTTED once per stream start (read +
+    persist below) — swap the parquet dir atomically when the
+    benchmark set changes and restart the drain to pick it up (the
+    per-batch re-read the first cut did would observe a mid-stream
+    swap, but paid listing + footer + broadcast build every trigger
+    for a registry that changes ~never; r12 review)."""
     from ..operators.multimodal import (
         DECONTAM_HAMMING_MAX,
         _decontam_flags,
@@ -321,15 +329,19 @@ def streaming_media_decontaminate(
         )
         _write_batch_partition(flags, batch_id, store_dir)
 
-    q = (
-        stream_documents(spark, sf_dir)
-        .writeStream.foreachBatch(_micro_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    eval_fps.unpersist()
+    try:
+        q = (
+            stream_documents(spark, sf_dir)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # release even when a micro-batch throws — a failed drain must
+        # not leak the persisted registry for the session (r12 review)
+        eval_fps.unpersist()
 
 
 def read_media_flags_from_store(
@@ -377,8 +389,9 @@ def streaming_media_audio_decontaminate(
     )
     from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
-    # static side built ONCE before the stream starts (same fix as
-    # the image twin — see the comment there)
+    # static side SNAPSHOTTED once per stream start (same rationale
+    # and release discipline as the image twin — see the comments
+    # there; a mid-stream registry swap needs a drain restart)
     eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
     eval_fps.count()  # materialize once
 
@@ -392,12 +405,14 @@ def streaming_media_audio_decontaminate(
         )
         _write_batch_partition(flags, batch_id, store_dir)
 
-    q = (
-        stream_documents(spark, sf_dir, glob=glob)
-        .writeStream.foreachBatch(_micro_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    eval_fps.unpersist()
+    try:
+        q = (
+            stream_documents(spark, sf_dir, glob=glob)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        eval_fps.unpersist()

@@ -28,6 +28,7 @@ from collections import Counter
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 
@@ -35,14 +36,13 @@ WINDOW = 50
 
 
 def main() -> int:
-    import re
+    from plan_next_window import round_of  # the one shared parse
 
     stamped: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", Path(path).name)
-        if not m:  # skip suffixed artifacts (e.g. *_r12_builder.json)
+        rnd = round_of(path)
+        if rnd is None:  # suffixed artifacts (e.g. *_r12_builder.json)
             continue
-        rnd = int(m.group(1))
         with open(path) as f:
             data = json.load(f)
         queries = data.get("queries", data)
@@ -50,7 +50,10 @@ def main() -> int:
             if isinstance(rec, dict) and (
                 rec.get("hash_match") or rec.get("match")
             ):
-                stamped[name] = rnd
+                # numeric max, not last-glob-wins: CORRECTNESS_r100
+                # sorts lexicographically BETWEEN r10 and r11 (r12
+                # reviewer — latent >=r100 ordering bug)
+                stamped[name] = max(rnd, stamped.get(name, 0))
 
     names = list(registry.QUERIES)
     oracles = set(registry.ORACLES)

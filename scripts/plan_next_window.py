@@ -47,20 +47,29 @@ WINDOW = 50
 BOUND = 3  # newest stamp >= close - BOUND (r11 verdict #2 ruling)
 
 
-def newest_stamps(repo: Path) -> tuple[dict[str, int], int]:
-    """Newest driver-stamp round per query name, plus the latest
-    round on record. Only strict driver files ``CORRECTNESS_r<N>.json``
-    count — suffixed artifacts (the ``*_r12_builder.json`` naming
-    convention) are skipped, not crashed on (r12 reviewer)."""
+def round_of(path: str) -> int | None:
+    """Round number of a strict driver file ``CORRECTNESS_r<N>.json``,
+    or None for suffixed artifacts (the ``*_r12_builder.json`` naming
+    convention) — the ONE parse every consumer of the history shares
+    (this module, the rotation tests, the closure audit; r12 reviewer:
+    three near-copies of the parse had crept in and a suffixed file
+    would have crashed int("12_builder"))."""
     import re
 
+    m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", Path(path).name)
+    return int(m.group(1)) if m else None
+
+
+def newest_stamps(repo: Path) -> tuple[dict[str, int], int]:
+    """Newest driver-stamp round per query name, plus the latest
+    round on record (numeric max, NOT lexicographic glob order — file
+    r100 sorts between r10 and r11)."""
     newest: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", Path(path).name)
-        if not m:
+        rnd = round_of(path)
+        if rnd is None:
             continue
-        rnd = int(m.group(1))
         latest = max(latest, rnd)
         with open(path) as f:
             for name in json.load(f):

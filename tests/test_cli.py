@@ -158,21 +158,16 @@ def test_sanctioned_twin_execution_cadence():
     is the execution stamp itself)."""
     import glob
     import json
-    import pathlib
-    import re
 
     from honors_p1_mapreduce_spark import registry
 
-    repo = pathlib.Path(__file__).resolve().parent.parent
+    planner, repo = _planner()
     executed: dict[str, int] = {}
     rounds = []
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
-        m = re.fullmatch(
-            r"CORRECTNESS_r(\d+)\.json", pathlib.Path(path).name
-        )
-        if not m:  # suffixed artifacts (e.g. *_r12_builder.json) skip
+        rnd = planner.round_of(path)  # the one shared parse
+        if rnd is None:  # suffixed artifacts (e.g. *_r12_builder.json)
             continue
-        rnd = int(m.group(1))
         rounds.append(rnd)
         with open(path) as f:
             data = json.load(f)
