@@ -107,7 +107,6 @@ def streaming_dedup_incremental(
         .select(F.col("doc_id").alias("dup_of"), "fp_hash")
         .persist()
     )
-    index_capped.count()  # materialize once, before the stream starts
 
     def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
         fps_b = (
@@ -145,6 +144,10 @@ def streaming_dedup_incremental(
         _write_batch_partition(flagged, batch_id, out_dir)
 
     try:
+        # materialize INSIDE the try: a failure mid-materialization has
+        # already cached some partitions, and those must release too
+        # (r12 review, second pass)
+        index_capped.count()
         q = (
             stream_documents(spark, sf_dir)
             .filter(is_batch)
@@ -155,8 +158,8 @@ def streaming_dedup_incremental(
         )
         q.awaitTermination()
     finally:
-        # release even when a micro-batch throws — a failed drain must
-        # not leak the persisted index for the session (r12 review)
+        # release even when the snapshot or a micro-batch throws — a
+        # failed drain must not leak the persisted index (r12 review)
         index_capped.unpersist()
 
 
@@ -277,61 +280,53 @@ def read_media_features_from_store(
     )
 
 
-def streaming_media_decontaminate(
+def _drain_decontam(
     spark: SparkSession,
     sf_dir: str,
     index_dir: str,
     store_dir: str,
     checkpoint_dir: str,
+    media_pred,
+    fingerprint_fn,
+    glob: str,
 ) -> None:
-    """Continuous-ingest image decontamination (r11): drain the
-    document stream through per-micro-batch media synth + image
-    fingerprinting and flag each batch's TRAINING images against the
-    STORED eval-fingerprint registry
-    (``operators.multimodal.media_eval_write_index``'s parquet — the
-    static side of a stream-static join, the
-    ``streaming_dedup_incremental`` shape). Flags write to
-    ``batch_id=N`` partitions in overwrite mode (replay-idempotent).
-    Per-document flags depend only on (doc fingerprint) x (static
-    eval registry) — never on other stream docs — so the drained
-    store is EXACTLY the batch ``media_decontaminate`` answer,
-    pinned by the equivalence test. State story at 100 TB/day: the
-    stream holds nothing between triggers; the eval registry is the
-    only long-lived object, SNAPSHOTTED once per stream start (read +
-    persist below) — swap the parquet dir atomically when the
-    benchmark set changes and restart the drain to pick it up (the
-    per-batch re-read the first cut did would observe a mid-stream
-    swap, but paid listing + footer + broadcast build every trigger
-    for a registry that changes ~never; r12 review)."""
+    """The ONE decontamination drain both modality twins share (r12
+    review: the audio twin had duplicated the image twin's ~45-line
+    scaffold verbatim, and the image twin silently lacked the glob
+    hook — the batch side's fingerprint-generic _decontam_flags /
+    _decontam_oracle pattern applied to the stream side). Static
+    registry SNAPSHOTTED once per stream start: read + persist +
+    materialize INSIDE the try so a failure during materialization
+    still releases any already-cached blocks; a mid-stream registry
+    dir swap needs a drain restart to be observed (the per-batch
+    re-read of the first cut would see it, but paid listing + footer
+    + broadcast build every trigger for a registry that changes
+    ~never). Flags write to ``batch_id=N`` partitions in overwrite
+    mode (replay-idempotent, :func:`_write_batch_partition`)."""
     from ..operators.multimodal import (
         DECONTAM_HAMMING_MAX,
         _decontam_flags,
-        image_fingerprints,
         media_real_table_from,
     )
     from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
-    # static side built ONCE before the stream starts (the
-    # streaming_dedup_incremental pattern; r12 reviewer — the first
-    # cut re-read the registry parquet inside every micro-batch,
-    # paying listing + footer reads + a fresh broadcast build per
-    # trigger for a registry that never changes between them)
     eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
-    eval_fps.count()  # materialize once
-
-    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
-        imgs = media_real_table_from(bdf.select("doc_id", "text")).filter(
-            (F.col("media_type") != "audio/wav")
-            & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
-        )
-        flags = _decontam_flags(
-            image_fingerprints(imgs), eval_fps, DECONTAM_HAMMING_MAX
-        )
-        _write_batch_partition(flags, batch_id, store_dir)
-
     try:
+        eval_fps.count()  # materialize once, before the stream starts
+
+        def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+            rows = media_real_table_from(
+                bdf.select("doc_id", "text")
+            ).filter(
+                media_pred & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+            )
+            flags = _decontam_flags(
+                fingerprint_fn(rows), eval_fps, DECONTAM_HAMMING_MAX
+            )
+            _write_batch_partition(flags, batch_id, store_dir)
+
         q = (
-            stream_documents(spark, sf_dir)
+            stream_documents(spark, sf_dir, glob=glob)
             .writeStream.foreachBatch(_micro_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -339,9 +334,41 @@ def streaming_media_decontaminate(
         )
         q.awaitTermination()
     finally:
-        # release even when a micro-batch throws — a failed drain must
-        # not leak the persisted registry for the session (r12 review)
+        # release even when the drain (or the snapshot itself) throws —
+        # a failed drain must not leak the persisted registry (r12
+        # review, twice: the first fix put the materialize OUTSIDE the
+        # try)
         eval_fps.unpersist()
+
+
+def streaming_media_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest IMAGE decontamination (r11): drain the
+    document stream through per-micro-batch media synth + image
+    fingerprinting and flag each batch's TRAINING images against the
+    STORED eval-fingerprint registry
+    (``operators.multimodal.media_eval_write_index``'s parquet — the
+    static side of a stream-static join, the
+    ``streaming_dedup_incremental`` shape). Per-document flags depend
+    only on (doc fingerprint) x (static eval registry) — never on
+    other stream docs — so the drained store is EXACTLY the batch
+    ``media_decontaminate`` answer, pinned by the equivalence test.
+    State story at 100 TB/day: the stream holds nothing between
+    triggers; the eval registry is the only long-lived object,
+    snapshotted per stream start (see :func:`_drain_decontam` for the
+    snapshot/release discipline and the ``glob`` file-layout hook)."""
+    from ..operators.multimodal import image_fingerprints
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") != "audio/wav", image_fingerprints, glob,
+    )
 
 
 def read_media_flags_from_store(
@@ -368,51 +395,22 @@ def streaming_media_audio_decontaminate(
     (``operators.multimodal.media_audio_decontaminate``): each
     micro-batch's TRAINING clips are fingerprinted (gain-invariant
     envelope order) and flagged against the STORED audio
-    eval-fingerprint registry
-    (``media_audio_eval_write_index``'s parquet). Same stream-static
-    join shape, same replay-idempotent ``batch_id=N`` overwrite sink,
-    same no-state-between-triggers story; per-document flags depend
-    only on (doc fingerprint) x (static registry), so the drained
-    store is EXACTLY the batch answer — pinned by the seeded
-    equivalence test (the driver corpora carry no natural audio
-    contamination, so the test plants the leaks). ``glob`` is the
-    file-layout hook: driver corpora are single ``documents.parquet``
-    FILES (the default matches exactly one file = one micro-batch,
-    like the image twin's test at sf0.001); the seeded test points
-    ``sf_dir`` inside a 2-part-file directory with ``glob="part-*"``
-    so the equivalence covers REAL multi-batch draining."""
-    from ..operators.multimodal import (
-        DECONTAM_HAMMING_MAX,
-        _decontam_flags,
-        audio_fingerprints,
-        media_real_table_from,
+    eval-fingerprint registry (``media_audio_eval_write_index``'s
+    parquet). Same stream-static join, same replay-idempotent sink,
+    same snapshot/release discipline — literally the same drain
+    (:func:`_drain_decontam`), differing only in the media predicate
+    and fingerprint function. The drained store is EXACTLY the batch
+    answer — pinned by the seeded equivalence test (the driver
+    corpora carry no natural audio contamination, so the test plants
+    the leaks). ``glob`` is the file-layout hook: driver corpora are
+    single ``documents.parquet`` FILES (one file = one micro-batch);
+    the seeded test points ``sf_dir`` inside a 2-part-file directory
+    with ``glob="part-*"`` so the equivalence covers REAL multi-batch
+    draining."""
+    from ..operators.multimodal import audio_fingerprints
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") == "audio/wav", audio_fingerprints, glob,
     )
-    from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
-    # static side SNAPSHOTTED once per stream start (same rationale
-    # and release discipline as the image twin — see the comments
-    # there; a mid-stream registry swap needs a drain restart)
-    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
-    eval_fps.count()  # materialize once
-
-    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
-        wavs = media_real_table_from(bdf.select("doc_id", "text")).filter(
-            (F.col("media_type") == "audio/wav")
-            & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
-        )
-        flags = _decontam_flags(
-            audio_fingerprints(wavs), eval_fps, DECONTAM_HAMMING_MAX
-        )
-        _write_batch_partition(flags, batch_id, store_dir)
-
-    try:
-        q = (
-            stream_documents(spark, sf_dir, glob=glob)
-            .writeStream.foreachBatch(_micro_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        eval_fps.unpersist()

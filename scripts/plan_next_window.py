@@ -60,10 +60,26 @@ def round_of(path: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def is_valid_stamp(rec) -> bool:
+    """True iff a CORRECTNESS record is usable freshness EVIDENCE: an
+    oracle full-pass (hash_match/match true) or a sanctioned rows-only
+    twin execution (err == "no_oracle" with spark_rows recorded).
+    Failed compares and errored runs do NOT count (r12 reviewer: the
+    first cut counted every key's presence, so a committed MISMATCH —
+    the r03 media_decode_features shape — would have satisfied the
+    3-round bound for 3 more rounds)."""
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("hash_match") or rec.get("match"):
+        return True
+    return rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+
+
 def newest_stamps(repo: Path) -> tuple[dict[str, int], int]:
-    """Newest driver-stamp round per query name, plus the latest
-    round on record (numeric max, NOT lexicographic glob order — file
-    r100 sorts between r10 and r11)."""
+    """Newest VALID driver-stamp round per query name (see
+    :func:`is_valid_stamp`), plus the latest round on record (numeric
+    max, NOT lexicographic glob order — file r100 sorts between r10
+    and r11)."""
     newest: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
@@ -72,8 +88,9 @@ def newest_stamps(repo: Path) -> tuple[dict[str, int], int]:
             continue
         latest = max(latest, rnd)
         with open(path) as f:
-            for name in json.load(f):
-                newest[name] = max(rnd, newest.get(name, 0))
+            for name, rec in json.load(f).items():
+                if is_valid_stamp(rec):
+                    newest[name] = max(rnd, newest.get(name, 0))
     return newest, latest
 
 
@@ -124,6 +141,22 @@ def main() -> None:
     args = ap.parse_args()
 
     from honors_p1_mapreduce_spark import registry
+
+    # validate builder inputs — a typo'd name must fail loudly, not
+    # silently occupy a window slot and displace a real restamp
+    known = set(registry.QUERIES)
+    bad_force = [n for n in args.force if n not in known]
+    if bad_force:
+        raise SystemExit(f"--force names not in the registry: {bad_force}")
+    already = [n for n in args.register if n in known]
+    if already:
+        raise SystemExit(
+            f"--register names already registered (use --force for "
+            f"changed-path restamps): {already}"
+        )
+    overlap = set(args.register) & set(args.force)
+    if overlap:
+        raise SystemExit(f"names in both --register and --force: {sorted(overlap)}")
 
     repo = Path(__file__).resolve().parent.parent
     newest, latest = newest_stamps(repo)
