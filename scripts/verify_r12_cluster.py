@@ -14,6 +14,13 @@ mode at sf0.01:
 - lm_interp_score / lm_bigram_score — read paths now enroll their
   persisted frames for reset_memos release (plan-identical; this
   check rules out any cross-executor effect of the enrollment)
+- streaming_media_audio_decontaminate — a FULL STREAMING DRAIN on the
+  cluster (first round to cluster-check the streaming path at all):
+  the seeded audio-leak corpus drained as 2 real micro-batches
+  through foreachBatch + the persisted registry snapshot, compared
+  against the known planted answer — covers the checkpoint dir, the
+  stream-static broadcast, and the idempotent batch_id sink across
+  distinct executor processes
 
 Determinism across schedulers is the property under test: shuffle
 partition placement, broadcast joins, and the mapInPandas seam must
@@ -98,7 +105,43 @@ def _run_all(spark: SparkSession) -> dict[str, list[tuple]]:
         out[name] = sorted(tuple(r) for r in fn(spark, SF).collect())
         spark.catalog.clearCache()
         registry.reset_memos()
+    out["streaming_media_audio_decontaminate"] = _streaming_drain(spark)
     return out
+
+
+def _streaming_drain(spark: SparkSession) -> list[tuple]:
+    """Drain the seeded audio-leak corpus (tests/test_multimodal's
+    planted gain-twin/retouch/control, split into 2 part files = 2
+    real micro-batches) through the streaming audio decontamination
+    twin and return the drained store rows — exercises foreachBatch,
+    the persisted registry snapshot, the checkpoint dir, and the
+    idempotent batch_id sink on whatever scheduler ``spark`` runs."""
+    import tempfile
+
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_flags_from_store,
+        streaming_media_audio_decontaminate,
+    )
+    from tests.test_multimodal import seeded_audio_leak_corpus
+
+    d = tempfile.mkdtemp(prefix="r12_streamchk_")
+    seeded_audio_leak_corpus(spark, f"{d}/sf", n_files=2)
+    media_audio_eval_write_index(spark, f"{d}/sf", f"{d}/idx")
+    streaming_media_audio_decontaminate(
+        spark,
+        f"{d}/sf/documents.parquet",
+        f"{d}/idx",
+        f"{d}/store",
+        f"{d}/ckpt",
+        glob="part-*",
+    )
+    return sorted(
+        tuple(r)
+        for r in read_media_flags_from_store(spark, f"{d}/store").collect()
+    )
 
 
 def main() -> None:
