@@ -1424,18 +1424,32 @@ def image_dhash(content: bytes) -> int:
 
 def image_fingerprints(media: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) via one Arrow-batched map-only pass —
-    bytes in, 8-byte hashes out, no shuffle."""
+    bytes in, 8-byte hashes out, no shuffle.
+
+    Undecodable payloads are SKIPPED per item, never fatal (r12
+    fuzzing: a ``BM``-magic payload with a truncated header raises
+    struct.error inside ``_pixel_grid``, and a foreign container
+    raises UnsupportedMediaError — either would have killed the whole
+    mapInPandas task, i.e. one corrupt file fails the query; at 100 TB
+    corrupt files are routine. The audio twin has skipped undecodable
+    clips since r10 via ``wav_volume_hash() == -1``; this makes the
+    modalities symmetric). Behavior-identical on the synthesized
+    corpora (payloads are well-formed by construction — pinned by the
+    corrupt-payload test asserting the valid rows are bit-identical
+    with garbage rows present), and invisible to the DuckDB oracles,
+    whose fp derivations only ever see well-formed rows."""
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "fingerprint": [
-                        image_dhash(bytes(c)) for c in pdf["content"]
-                    ],
-                }
-            )
+            out = {"doc_id": [], "fingerprint": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    fp = image_dhash(bytes(content))
+                except Exception:
+                    continue  # corrupt/truncated/foreign container
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
 

@@ -120,15 +120,21 @@ round" #3 with the #2 ruling applied, entries COUNTED not assumed):
           reset_memos release — plans pinned identical, but changed
           code paths must enter the next window per the retained
           condition above).
-  4-50    the first 47 of the 49-entry r9-stamped block
+  4       media_image_neardup — r11 stamp, pulled forward: its
+          image_fingerprints path gained per-item corrupt-payload
+          tolerance in r12 (fuzzing; see the entry comment below) —
+          behavior-identical on driver corpora, but changed paths
+          restamp next window.
+  5-50    the first 46 of the 49-entry r9-stamped block
           (CORRECTNESS_r09 order), at the 3-round deadline.
 Total 50.
 
-DISPLACED to positions 51-52 (lead the r13 window, the r9->r11
-displacement precedent): token_len_histogram, token_budget_select —
-their r9 stamps are age 3 at r12 close, exactly legal under the NEW
-bound (this displacement is what the relaxed ruling enables; under
-the old 2-round bound it would be a violation).
+DISPLACED to positions 51-53 (lead the r13 window, the r9->r11
+displacement precedent): dedup_keep_best, token_len_histogram,
+token_budget_select — their r9 stamps are age 3 at r12 close,
+exactly legal under the NEW bound (this displacement is what the
+relaxed ruling enables; under the old 2-round bound it would be a
+violation).
 
 THEN the r13 plan (count the actual entries when building it — or
 just run ``python scripts/plan_next_window.py --register
@@ -136,7 +142,7 @@ media_clean_funnel decontaminate_audit media_decontaminate
 media_decontaminate_stored embedding_decontaminate`` once
 CORRECTNESS_r12.json lands: the rotation arithmetic is executable
 as of r12 and reproduces this plan from history):
-  - positions 51-52: the 2 displaced r9 entries (MUST restamp r13 —
+  - positions 51-53: the 3 displaced r9 entries (MUST restamp r13 —
     age 4 otherwise);
   - the 5-entry r11 library-surface backlog REGISTERS r13, in the
     documented priority order: media_clean_funnel (pipeline.py — the
@@ -156,10 +162,11 @@ as of r12 and reproduces this plan from history):
     r14+ slots; note its driver-scale result is legitimately empty
     (0 rows at sf0.01/sf0.1, docstring), so its oracle stamp is
     empty-vs-empty and the seeded golden remains the real gate.
-  - the remaining 43 slots: the oldest 43 of the 48-entry r10 block
-    (it now excludes the two lm entries restamping r12). The 5 r10
+  - the remaining 42 slots: the oldest 42 of the 48-entry r10 block
+    (it now excludes the two lm entries restamping r12). The 6 r10
     leftovers are age 3 at r13 close (legal) and lead r14's window
-    with 45 of the r11 block; the rolling 45/5 split is steady-state
+    with 44 of the 49-entry r11 block (media_image_neardup restamps
+    r12); the rolling leftover split is steady-state
     for 155 entries (average cycle 3.1 rounds <= the 4-round cap).
 
 THEN (after the displaced pair) the 48-entry r10-stamped block
@@ -184,7 +191,17 @@ QUERIES: dict[str, QueryFn] = {
     # media_image_neardup precedent).
     "lm_interp_score": _lm.lm_interp_score,
     "lm_bigram_score": _lm.lm_bigram_score,
-    # --- [r12 window, 4-50] the first 47 of the 49-entry r9-stamped
+    # --- [r12 window, 4] media_image_neardup — r11 stamp, pulled
+    # forward: image_fingerprints gained per-item corrupt-payload
+    # tolerance in r12 (fuzzing found a truncated BM header kills the
+    # whole mapInPandas task via struct.error; undecodable rows now
+    # SKIP, the audio twin's contract). Behavior-identical on the
+    # synthesized corpora (well-formed payloads by construction,
+    # pinned by test_image_fingerprints_skip_corrupt_payloads), but a
+    # changed code path restamps next window regardless (the same
+    # function's r10 precedent).
+    "media_image_neardup": _mm.media_image_neardup,
+    # --- [r12 window, 5-50] the first 46 of the 49-entry r9-stamped
     # block (CORRECTNESS_r09 order) — the oldest oracle evidence at
     # r11 close, at its 3-round deadline.
     "media_image_dedup": _mm.media_image_dedup,
@@ -233,10 +250,12 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    "dedup_keep_best": _dd.dedup_keep_best,
     # ================ position 51+ — outside the r12 driver window =====
-    # The 2 r9-DISPLACED entries (age 3 at r12 close — legal under
-    # the relaxed bound, MUST lead the r13 window):
+    # The 3 r9-DISPLACED entries (age 3 at r12 close — legal under
+    # the relaxed bound, MUST lead the r13 window; dedup_keep_best
+    # was displaced when media_image_neardup's corrupt-payload
+    # restamp took its slot):
+    "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
     # The 48-entry r10-stamped block (CORRECTNESS_r10 order minus
@@ -290,9 +309,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
-    # The 50-entry r11-stamped block (CORRECTNESS_r11 order) —
-    # freshest stamps, rotates last (r14/r15 under the 45/5 split):
-    "media_image_neardup": _mm.media_image_neardup,
+    # The 49 remaining entries of the r11-stamped block (CORRECTNESS_r11
+    # order; media_image_neardup restamps in the window above) —
+    # freshest stamps, rotates last:
     "media_audio_neardup": _mm.media_audio_neardup,
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,

@@ -1452,3 +1452,38 @@ def test_decontam_banding_is_lossless_at_bound():
     for b in range(mm.IMG_NEARDUP_BANDS):
         other ^= 1 << (b * mm.IMG_NEARDUP_BAND_BITS)
     assert all(x != y for x, y in zip(bands(base), bands(other)))
+
+
+def test_image_fingerprints_skip_corrupt_payloads(spark):
+    """One corrupt file must never kill an ingest query (r12 fuzzing):
+    a BM-magic payload with a truncated header (struct.error inside
+    _pixel_grid) and a foreign container (UnsupportedMediaError) are
+    SKIPPED per item by image_fingerprints, and the well-formed rows'
+    fingerprints are bit-identical to a run without the garbage —
+    matching the audio twin's skip-on-undecodable contract."""
+    from pyspark.sql import functions as F
+
+    def grid_text():
+        out = []
+        for ty in range(mm.IMG_H):
+            for x in range(mm.IMG_W):
+                out.append(chr(min(32 + x * 20, 126)) * 3)
+        return "".join(out)
+
+    good = mm.BMP_HEADER + grid_text().encode()
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"BM\x01\x02")),  # truncated header -> struct.error
+        (3, bytearray(b"not a container at all")),  # UnsupportedMediaError
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("image/bmp"))
+
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in mm.image_fingerprints(media).collect()
+    }
+    assert set(got) == {1}
+    clean = mm.image_fingerprints(media.filter("doc_id = 1")).collect()
+    assert got[1] == clean[0]["fingerprint"]  # valid rows unperturbed
