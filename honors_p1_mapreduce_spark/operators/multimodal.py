@@ -25,6 +25,30 @@ The demo media table derives its payloads from ``documents.text``
 (UTF-8 bytes) so ``media_stats`` stays fully oracle-checkable: DuckDB
 has no binary md5, but for UTF-8-derived payloads ``md5(text)`` is
 byte-identical to Spark's ``md5(binary)``.
+
+CORRUPT-PAYLOAD CONTRACTS (r12 verdict #7 — the boundary is
+deliberate; land any future fuzz finding on the right side of it):
+
+- **Fingerprint/ingest paths SKIP per item**: ``image_fingerprints``
+  (narrowed except + skip accumulator, see its docstring) and the
+  audio chain (``wav_volume_hash() == -1`` sentinel, filtered before
+  banding) drop undecodable payloads and keep going — at 100 TB
+  corrupt files are routine, and one bad blob must not fail a
+  corpus-wide dedup/decontamination query. Pinned by
+  ``test_image_fingerprints_skip_corrupt_payloads`` and the ``-1``
+  sentinel assertions in ``test_wav_volume_hash_invariances``.
+- **Decode/transform queries RAISE per item**: ``media_resize``,
+  ``media_png_decode``, ``media_avi_decode`` let ``struct.error`` /
+  :class:`UnsupportedMediaError` propagate — a decode query's JOB is
+  to surface corruption, and silently dropping rows would misreport
+  the corpus. Pinned by ``test_png_decode_rejects_unsupported``,
+  ``test_png_slightly_oversized_idat_is_rejected``,
+  ``test_avi_parser_rejects_corrupt``. (One deliberate nuance:
+  ``media_real_decode``'s codec seam falls back to the FAKE decoder
+  for payloads whose magic no stdlib parser claims — that models the
+  PIL/ffmpeg plug-in seam, pinned by
+  ``test_png_magic_with_garbage_falls_back_to_fake`` — but a claimed
+  magic with a corrupt body still raises.)
 """
 
 from __future__ import annotations
@@ -1437,21 +1461,64 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
     corpora (payloads are well-formed by construction — pinned by the
     corrupt-payload test asserting the valid rows are bit-identical
     with garbage rows present), and invisible to the DuckDB oracles,
-    whose fp derivations only ever see well-formed rows."""
+    whose fp derivations only ever see well-formed rows.
+
+    r13 (r12 advisor): the skip is no longer a bare ``except
+    Exception`` — that swallowed genuine regressions in
+    :func:`image_dhash` / :func:`_pixel_grid` (a NameError or
+    TypeError from a bad edit would silently drop EVERY row, and
+    downstream decontamination would report "clean" instead of
+    failing). The caught set is exactly the corrupt-payload modes a
+    malformed byte string can produce in the decode chain — NULL
+    payload, struct.error (truncated BMP header), UnsupportedMediaError
+    (foreign magic), ValueError (truncated P6 header: the tokenizer's
+    ``int(b"")``), IndexError (pixel data shorter than the declared
+    geometry) — anything else propagates and fails the query. Skips
+    are COUNTED via a Spark accumulator
+    (:func:`image_fingerprint_skip_count`), so mass skipping is
+    distinguishable from a clean corpus; the count is a monitoring
+    signal (task retries / re-executed actions can inflate it), not a
+    query result."""
+    acc = media.sparkSession.sparkContext.accumulator(0)
+    global _FP_SKIP_ACC
+    _FP_SKIP_ACC = acc
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "fingerprint": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    acc.add(1)
+                    continue
                 try:
                     fp = image_dhash(bytes(content))
-                except Exception:
-                    continue  # corrupt/truncated/foreign container
+                except (
+                    struct.error,
+                    UnsupportedMediaError,
+                    ValueError,
+                    IndexError,
+                ):
+                    acc.add(1)  # corrupt/truncated/foreign container
+                    continue
                 out["doc_id"].append(doc_id)
                 out["fingerprint"].append(fp)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
+
+
+# Most-recent image_fingerprints skip accumulator (set per call,
+# read after an action has run the plan; None before any call).
+_FP_SKIP_ACC = None
+
+
+def image_fingerprint_skip_count() -> int:
+    """Corrupt-payload skips recorded by the most recent
+    :func:`image_fingerprints` plan that has executed — the
+    monitoring hook the r12 advisor asked for: a corpus where every
+    row "deduplicates cleanly" because every row was dropped now
+    shows up as skips == corpus size instead of silence."""
+    return 0 if _FP_SKIP_ACC is None else int(_FP_SKIP_ACC.value)
 
 
 def image_neardup_pairs(

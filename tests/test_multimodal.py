@@ -1475,6 +1475,11 @@ def test_image_fingerprints_skip_corrupt_payloads(spark):
         (1, bytearray(good)),
         (2, bytearray(b"BM\x01\x02")),  # truncated header -> struct.error
         (3, bytearray(b"not a container at all")),  # UnsupportedMediaError
+        # r13 (advisor): the except is narrowed from bare Exception to
+        # the enumerated corrupt-payload modes — cover the other two:
+        (4, bytearray(b"P6")),  # truncated P6 header -> ValueError
+        (5, bytearray(good[: len(mm.BMP_HEADER) + 5])),  # short pixels -> IndexError
+        (6, None),  # NULL payload
     ]
     media = spark.createDataFrame(
         rows, "doc_id bigint, content binary"
@@ -1485,5 +1490,9 @@ def test_image_fingerprints_skip_corrupt_payloads(spark):
         for r in mm.image_fingerprints(media).collect()
     }
     assert set(got) == {1}
+    # r13: skips are COUNTED (mass skipping must be distinguishable
+    # from a clean corpus) — 5 corrupt rows -> 5 skips
+    assert mm.image_fingerprint_skip_count() == 5
     clean = mm.image_fingerprints(media.filter("doc_id = 1")).collect()
     assert got[1] == clean[0]["fingerprint"]  # valid rows unperturbed
+    assert mm.image_fingerprint_skip_count() == 0  # clean run, clean counter
