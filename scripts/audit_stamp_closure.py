@@ -47,6 +47,16 @@ def main() -> int:
             data = json.load(f)
         queries = data.get("queries", data)
         for name, rec in queries.items():
+            # DELIBERATELY stricter than plan_next_window.is_valid_stamp
+            # (r12 advisor asked which consumer is right: both are).
+            # The planner's predicate also accepts sanctioned
+            # `no_oracle` twin EXECUTIONS, because rotation cadence
+            # tracks "did the driver run it recently". This audit
+            # tracks ORACLE CLOSURE — "has every oracle-backed query
+            # ever been hash-verified" — so a rows-only execution
+            # must not count as a stamp here; twins are out of scope
+            # (they ride on their oracle-green exact sibling + the
+            # agreement pytest, see the registry rows-only policy).
             if isinstance(rec, dict) and (
                 rec.get("hash_match") or rec.get("match")
             ):

@@ -26,6 +26,16 @@ hold a window slot — a SUBSET guarantee, deliberately not equality,
 because --register/--force are builder inputs the history cannot
 reconstruct.
 
+STAMP/REORDER PAIRING (r12 advisor): the rotation tests compute the
+building round from the NEWEST committed CORRECTNESS_r*.json, so the
+moment a driver stamp file lands, THIS planner's output becomes the
+mandatory window and the tests fail until registry.QUERIES is
+reordered to match. That one-commit gap is deliberate — the failing
+test IS the next round's work order — but it means every round's
+FIRST commit must be the rotation commit, and a new stamp file must
+never sit in a tree whose registry still carries the previous window
+for longer than that. (Same note in the registry ordering comment.)
+
 Usage:
     python scripts/plan_next_window.py            # plan from history
     python scripts/plan_next_window.py --register media_clean_funnel ... \
