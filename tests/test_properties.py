@@ -488,3 +488,53 @@ def test_wav_volume_hash_gain_invariance_property(samples, gain):
     h = mm.wav_volume_hash(wav(samples))
     assert 0 <= h < (1 << mm.PHASH_BITS)
     assert mm.wav_volume_hash(wav([gain * v for v in samples])) == h
+
+
+# arbitrary bytes, biased toward the magic prefixes so the fuzzer
+# spends its budget INSIDE the BMP/P6 parsers instead of bouncing off
+# the magic check (r13; the r12 fuzz finding was exactly a BM-magic
+# truncated header)
+_PAYLOADS = st.lists(
+    st.one_of(
+        st.binary(max_size=40),
+        st.binary(max_size=40).map(lambda b: b"BM" + b),
+        st.binary(max_size=40).map(lambda b: b"P6" + b),
+        st.binary(max_size=40).map(lambda b: b"P6 4 10 255\n" + b),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_PAYLOADS)
+@SLOW
+def test_image_fingerprints_total_over_arbitrary_bytes(spark, payloads):
+    """The ingest skip contract as a PROPERTY (r13, backing the
+    narrowed except): for ANY byte payloads, image_fingerprints never
+    fails the job, every row either fingerprints or is counted as a
+    skip (rows_out + skips == rows_in), and the rows that DO
+    fingerprint agree exactly with the driver-side image_dhash
+    kernel. If a new corrupt mode ever raises something outside the
+    enumerated set, this test finds it as a job failure — the
+    deliberate outcome, so the mode is classified consciously
+    (module docstring: CORRUPT-PAYLOAD CONTRACTS) instead of
+    swallowed."""
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("image/bmp"))
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in mm.image_fingerprints(media).collect()
+    }
+    skips = mm.image_fingerprint_skip_count()
+    assert len(got) + skips == len(payloads)
+    want = {}
+    for i, p in enumerate(payloads):
+        try:
+            want[i] = mm.image_dhash(bytes(p))
+        except Exception:
+            pass
+    assert got == want
