@@ -29,26 +29,35 @@ byte-identical to Spark's ``md5(binary)``.
 CORRUPT-PAYLOAD CONTRACTS (r12 verdict #7 — the boundary is
 deliberate; land any future fuzz finding on the right side of it):
 
-- **Fingerprint/ingest paths SKIP per item**: ``image_fingerprints``
-  (narrowed except + skip accumulator, see its docstring) and the
-  audio chain (``wav_volume_hash() == -1`` sentinel, filtered before
-  banding) drop undecodable payloads and keep going — at 100 TB
-  corrupt files are routine, and one bad blob must not fail a
-  corpus-wide dedup/decontamination query. Pinned by
-  ``test_image_fingerprints_skip_corrupt_payloads`` and the ``-1``
-  sentinel assertions in ``test_wav_volume_hash_invariances``.
+- **Fingerprint/ingest paths SKIP per item, and COUNT the skips**:
+  ``image_fingerprints`` (narrowed except, see its docstring) and the
+  audio chain (``audio_fingerprints`` / ``wav_fp_peak`` via the
+  ``wav_volume_hash() == -1`` sentinel, which is total over arbitrary
+  bytes by construction) drop undecodable payloads and keep going —
+  at 100 TB corrupt files are routine, and one bad blob must not fail
+  a corpus-wide dedup/decontamination query. Every skip increments
+  the per-context accumulator read by ``media_skip_count(modality)``,
+  so a mass skip is distinguishable from a clean corpus in BOTH
+  modalities. Pinned by
+  ``test_image_fingerprints_skip_corrupt_payloads``,
+  ``test_audio_fingerprints_count_skips``, and the ``-1`` sentinel
+  assertions in ``test_wav_volume_hash_invariances``.
 - **Decode/transform queries RAISE per item**: ``media_resize``,
   ``media_png_decode``, ``media_avi_decode`` let ``struct.error`` /
   :class:`UnsupportedMediaError` propagate — a decode query's JOB is
   to surface corruption, and silently dropping rows would misreport
   the corpus. Pinned by ``test_png_decode_rejects_unsupported``,
   ``test_png_slightly_oversized_idat_is_rejected``,
-  ``test_avi_parser_rejects_corrupt``. (One deliberate nuance:
-  ``media_real_decode``'s codec seam falls back to the FAKE decoder
-  for payloads whose magic no stdlib parser claims — that models the
-  PIL/ffmpeg plug-in seam, pinned by
-  ``test_png_magic_with_garbage_falls_back_to_fake`` — but a claimed
-  magic with a corrupt body still raises.)
+  ``test_avi_parser_rejects_corrupt``,
+  ``test_pixel_grid_rejects_memory_bomb_geometry``. (One deliberate
+  nuance: ``media_real_decode``'s codec seam treats
+  UnsupportedMediaError — foreign magic OR a claimed magic whose body
+  is corrupt, e.g. a bad PNG zlib stream or BMP geometry that
+  exceeds the payload — as "not decodable by the stdlib tier" and
+  falls back to the FAKE decoder, modeling the PIL/ffmpeg plug-in
+  seam; pinned by ``test_png_magic_with_garbage_falls_back_to_fake``.
+  Only a truncated BMP *header* (struct.error) propagates out of the
+  seam.)
 """
 
 from __future__ import annotations
@@ -177,22 +186,45 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, list[float]]:
     return rate, channels, len(data) // block_align, _hist8(data)
 
 
-def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
-    """BMP parse: pixel-array offset from BITMAPFILEHEADER, geometry /
-    bpp from the DIB header; rows are read at the 4-byte-aligned
-    stride with padding bytes EXCLUDED from the histogram."""
-    if content[:2] != b"BM":
-        raise UnsupportedMediaError("not a BMP")
+def _bmp_geometry(content: bytes) -> tuple[int, int, int, int, int]:
+    """(offset, width, abs_height, row_bytes, stride) of a BM-magic
+    payload, VALIDATED against the actual byte length — the one
+    geometry parse shared by :func:`_decode_bmp` and
+    :func:`_pixel_grid` (r13 review: both built
+    ``range(abs(height))`` row lists from the corruption-controlled
+    DECLARED height, so a 36-byte blob claiming height 2^31 allocated
+    a ~17 GB list — a memory bomb that no per-item except can catch).
+    Raises struct.error for a truncated header (the documented mode)
+    and UnsupportedMediaError when the declared geometry does not fit
+    inside the payload."""
     offset = struct.unpack_from("<I", content, 10)[0]
     width, height = struct.unpack_from("<ii", content, 18)
     bpp = struct.unpack_from("<H", content, 28)[0]
+    h = abs(height)
     row_bytes = (bpp * width) // 8
     stride = (bpp * width + 31) // 32 * 4
+    if width <= 0 or h == 0 or row_bytes <= 0:
+        raise UnsupportedMediaError("degenerate BMP geometry")
+    # python ints are unbounded, so this comparison is itself safe
+    # against huge declared dimensions
+    if offset + (h - 1) * stride + row_bytes > len(content):
+        raise UnsupportedMediaError("BMP pixel data exceeds payload")
+    return offset, width, h, row_bytes, stride
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
+    """BMP parse: pixel-array offset from BITMAPFILEHEADER, geometry /
+    bpp from the DIB header (validated against the payload length —
+    see :func:`_bmp_geometry`); rows are read at the 4-byte-aligned
+    stride with padding bytes EXCLUDED from the histogram."""
+    if content[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    offset, width, h, row_bytes, stride = _bmp_geometry(content)
     rows = [
         content[offset + r * stride : offset + r * stride + row_bytes]
-        for r in range(abs(height))
+        for r in range(h)
     ]
-    return width, abs(height), 1, _hist8(b"".join(rows))
+    return width, h, 1, _hist8(b"".join(rows))
 
 
 def _decode_ppm(content: bytes) -> tuple[int, int, int, list[float]]:
@@ -633,18 +665,20 @@ def _pixel_grid(content: bytes) -> tuple[int, int, bytes]:
     orientation-agnostic and keeps the BMP/PPM math identical, which
     the oracle relies on). BMP row padding is excluded."""
     if content[:2] == b"BM":
-        offset = struct.unpack_from("<I", content, 10)[0]
-        width, height = struct.unpack_from("<ii", content, 18)
-        bpp = struct.unpack_from("<H", content, 28)[0]
-        row_bytes = (bpp * width) // 8
-        stride = (bpp * width + 31) // 32 * 4
+        offset, width, h, row_bytes, stride = _bmp_geometry(content)
         rows = [
             content[offset + r * stride : offset + r * stride + row_bytes]
-            for r in range(abs(height))
+            for r in range(h)
         ]
-        return width, abs(height), b"".join(rows)
+        return width, h, b"".join(rows)
     if content[:2] == b"P6":
         w, h, _, data = _ppm_fields(content)
+        # declared-geometry bound, the BMP branch's twin: a short data
+        # section must surface as a typed decode error here, not as a
+        # downstream IndexError (fingerprints) or a silent partial
+        # resize (media_resize's RAISE-per-item contract)
+        if w <= 0 or h <= 0 or len(data) != w * h * 3:
+            raise UnsupportedMediaError("PPM pixel data exceeds payload")
         return w, h, data
     raise UnsupportedMediaError("no pixel grid for this format")
 
@@ -1471,17 +1505,19 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
     failing). The caught set is exactly the corrupt-payload modes a
     malformed byte string can produce in the decode chain — NULL
     payload, struct.error (truncated BMP header), UnsupportedMediaError
-    (foreign magic), ValueError (truncated P6 header: the tokenizer's
-    ``int(b"")``), IndexError (pixel data shorter than the declared
-    geometry) — anything else propagates and fails the query. Skips
-    are COUNTED via a Spark accumulator
-    (:func:`image_fingerprint_skip_count`), so mass skipping is
-    distinguishable from a clean corpus; the count is a monitoring
-    signal (task retries / re-executed actions can inflate it), not a
-    query result."""
-    acc = media.sparkSession.sparkContext.accumulator(0)
-    global _FP_SKIP_ACC
-    _FP_SKIP_ACC = acc
+    (foreign magic, or declared geometry that does not fit the
+    payload — the :func:`_bmp_geometry` bound that also defuses the
+    huge-declared-height memory bomb a review found in the first
+    cut), ValueError (truncated P6 header: the tokenizer's
+    ``int(b"")``), IndexError (retained belt-and-braces for short
+    pixel data, now normally pre-empted by the geometry bounds) —
+    anything else propagates and fails the query. Skips are COUNTED
+    via the per-context Spark accumulator
+    (:func:`media_skip_count`), so mass skipping is distinguishable
+    from a clean corpus; the count is a monitoring signal (task
+    retries / re-executed actions can inflate it), not a query
+    result."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "image")
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -1507,18 +1543,54 @@ def image_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
 
 
-# Most-recent image_fingerprints skip accumulator (set per call,
-# read after an action has run the plan; None before any call).
-_FP_SKIP_ACC = None
+# One skip accumulator per (SparkContext, modality), created lazily
+# and CUMULATIVE for the context's lifetime (r13 review: the first
+# cut created a fresh accumulator per plan build, which both leaked a
+# registry entry per call and made a streaming drain report only its
+# LAST micro-batch's skips).
+_SKIP_ACCS: dict[tuple[str, str], object] = {}
+
+
+def _skip_acc(sc, modality: str):
+    key = (sc.applicationId, modality)
+    acc = _SKIP_ACCS.get(key)
+    if acc is None:
+        acc = sc.accumulator(0)
+        _SKIP_ACCS[key] = acc
+    return acc
+
+
+def media_skip_count(modality: str = "image") -> int:
+    """Undecodable payloads skipped by the ``modality`` fingerprint
+    passes on the ACTIVE SparkContext since its start (or the last
+    :func:`reset_media_skip_counts`) — the monitoring hook the r12
+    advisor asked for: a corpus where every row "deduplicates
+    cleanly" because every row was dropped now shows up as skips ==
+    corpus size instead of silence. Cumulative across plans and
+    micro-batches by design (a streaming drain's skips sum over
+    batches)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return 0
+    acc = _SKIP_ACCS.get((spark.sparkContext.applicationId, modality))
+    return 0 if acc is None else int(acc.value)
 
 
 def image_fingerprint_skip_count() -> int:
-    """Corrupt-payload skips recorded by the most recent
-    :func:`image_fingerprints` plan that has executed — the
-    monitoring hook the r12 advisor asked for: a corpus where every
-    row "deduplicates cleanly" because every row was dropped now
-    shows up as skips == corpus size instead of silence."""
-    return 0 if _FP_SKIP_ACC is None else int(_FP_SKIP_ACC.value)
+    """:func:`media_skip_count` for the image modality (the r13
+    advisor-fix name, kept as the stable alias)."""
+    return media_skip_count("image")
+
+
+def reset_media_skip_counts() -> None:
+    """Zero every modality's skip counter on the active context —
+    driver-side only (Spark permits .value assignment only there);
+    timing/test harnesses call this between runs the way
+    ``registry.reset_memos`` resets the session memos."""
+    for acc in _SKIP_ACCS.values():
+        acc.value = 0
 
 
 def image_neardup_pairs(
@@ -1942,14 +2014,21 @@ def _fp_from_samples(vs) -> int:
 def audio_fingerprints(media: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — one Arrow-batched map-only pass over
     WAV payloads, 8-byte hashes out, no shuffle (the audio twin of
-    :func:`image_fingerprints`)."""
+    :func:`image_fingerprints`). Undecodable clips (non-RIFF bytes,
+    truncated PCM — the ``wav_volume_hash() == -1`` sentinel, total
+    over arbitrary bytes by construction) skip per item AND count
+    toward ``media_skip_count("audio")`` — the r13 review closed the
+    asymmetry where image skips were counted but a mass audio skip
+    still read as a clean corpus."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "audio")
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "fingerprint": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                fp = wav_volume_hash(bytes(content))
+                fp = -1 if content is None else wav_volume_hash(bytes(content))
                 if fp < 0:
+                    acc.add(1)
                     continue
                 out["doc_id"].append(doc_id)
                 out["fingerprint"].append(fp)
@@ -1968,14 +2047,21 @@ def wav_fp_peak(media: DataFrame) -> DataFrame:
     audio curation cost, so a funnel must not pay it once per
     feature — this is the one-decode shape
     (:func:`wav_features` + :func:`audio_fingerprints` each cost a
-    full pass; the funnel needs one number from each)."""
+    full pass; the funnel needs one number from each). Undecodable
+    clips skip per item and count toward
+    ``media_skip_count("audio")``, like :func:`audio_fingerprints`."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "audio")
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "fingerprint": [], "peak_abs": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                data = _wav_data_section(bytes(content))
+                data = (
+                    None if content is None
+                    else _wav_data_section(bytes(content))
+                )
                 if not data or len(data) // 2 < PHASH_BITS + 1:
+                    acc.add(1)
                     continue
                 n = len(data) // 2
                 vs = struct.unpack_from(f"<{n}h", data)

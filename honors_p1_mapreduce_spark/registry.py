@@ -124,11 +124,13 @@ the rotation.
 ROUND-13 WINDOW (this ordering — reproduced exactly by
 ``python scripts/plan_next_window.py --register media_clean_funnel
 decontaminate_audit media_decontaminate media_decontaminate_stored
-embedding_decontaminate --force media_image_neardup
-media_image_dedup`` on the committed CORRECTNESS_r01..r12 history;
-the r12 judge re-ran the planner and verified the un-forced plan —
-the two forced slots were added mid-r13 when the advisor fix changed
-image_fingerprints):
+embedding_decontaminate --force media_image_neardup media_image_dedup
+media_resize media_audio_neardup media_audio_dedup`` on the committed
+CORRECTNESS_r01..r12 history; the r12 judge re-ran the planner and
+verified the un-forced plan — the five forced slots were added
+mid-r13 as the advisor fix and its review pass changed
+image_fingerprints, _pixel_grid/_bmp_geometry, and the audio
+fingerprint passes):
   1-3     dedup_keep_best, token_len_histogram, token_budget_select —
           the r9-stamped trio displaced from the r12 window (age 4 at
           r13 close otherwise — the hard deadline; they MUST lead).
@@ -143,25 +145,33 @@ image_fingerprints):
           sf0.01 by the r12 judge on the post-fuzz-fix tree — any
           driver red is regression, not design.
           Registry 150 -> 155, within the 200 cap.
-  9-10    media_image_neardup, media_image_dedup — r12 stamps, pulled
-          forward out of the r12 block: image_fingerprints changed in
-          r13 (advisor fix — narrowed corrupt-payload except + skip
-          accumulator), and changed code paths restamp next window
+  9-13    media_image_neardup, media_image_dedup (r12 stamps),
+          media_resize, media_audio_neardup (r11 stamps),
+          media_audio_dedup (r12 stamp) — pulled forward: r13 changed
+          image_fingerprints (advisor fix — narrowed corrupt-payload
+          except + skip accumulator), then the review pass hardened
+          _bmp_geometry/_pixel_grid (memory-bomb bound — pulls in
+          media_resize) and added audio skip counting to
+          audio_fingerprints/wav_fp_peak (pulls in the two audio
+          consumers). Changed code paths restamp next window
           regardless of behavior identity.
-  11-50   the oldest 40 of the 48-entry r10-stamped block
+  14-50   the oldest 37 of the 48-entry r10-stamped block
           (CORRECTNESS_r10 order minus the two lm entries that
-          restamped r12), at age 3 — the deadline. cms_estimate and
-          pricing_percentiles were displaced off the tail by the two
-          forced slots (age 3 at r13 close — legal; they lead r14).
+          restamped r12), at age 3 — the deadline. The last 5 of that
+          block (event_type_hourly_topk through pricing_percentiles)
+          were displaced off the tail by the five forced slots (age 3
+          at r13 close — legal; they lead r14).
 Total 50.
 
 ROUND-14 WINDOW (planned NOW per r12 verdict #6 so the planner's
 mandatory set stays empty; re-run plan_next_window.py against
 CORRECTNESS_r13.json to confirm before applying):
-  - the 8 r10 leftovers (cms_estimate, pricing_percentiles — the two
-    displaced by the r13 forced slots — plus doc_token_stats,
-    corpus_token_stats, lang_id, quality_score, simhash_fingerprints,
-    simhash_neardup) — age 4 at r14 close otherwise; they lead.
+  - the 11 r10 leftovers (event_type_hourly_topk,
+    purchase_click_attribution, error_click_correlation,
+    cms_estimate, pricing_percentiles — the five displaced by the r13
+    forced slots — plus doc_token_stats, corpus_token_stats, lang_id,
+    quality_score, simhash_fingerprints, simhash_neardup) — age 4 at
+    r14 close otherwise; they lead.
   - the r12-built audio decontamination tier REGISTERS
     (media_audio_decontaminate + media_audio_decontaminate_stored,
     multimodal.py — judge-verified green r12; driver-scale result is
@@ -173,12 +183,16 @@ CORRECTNESS_r13.json to confirm before applying):
     embedding_neardup, dedup_minhash, semantic_dedup_fast,
     events_winsorized_stats_fast — last executed r11, age 3 at r14
     close, the execution-cadence bound).
-  - remaining slots: the oldest of the 49-entry r11 block.
-    Registry 155 -> 157.
+  - remaining slots: the oldest of the 47-entry r11 block
+    (media_image_neardup, media_audio_neardup and media_resize
+    restamp r13). Registry 155 -> 157.
 
-THEN (after the r13 window, rotating later): the 6 r10 leftovers,
-the 49-entry r11-stamped block (CORRECTNESS_r11 order), and the
-50-entry r12-stamped block — freshest stamps, rotates last."""
+THEN (after the r13 window, rotating later): the 11 r10 leftovers,
+the 47-entry r11-stamped block (CORRECTNESS_r11 order), and the
+47-entry r12-stamped block (minus the three r13 forced restamps) —
+freshest stamps, rotates last. COUNT the entries against
+plan_next_window.py when building r14; this tail prose is the
+narrative, the planner is the arithmetic."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r13 window, 1-3] the r9-stamped trio displaced from the
@@ -210,18 +224,24 @@ QUERIES: dict[str, QueryFn] = {
     # 8: the semantic tier — broadcast eval + exact-fold cosine,
     # linear in train for fixed eval.
     "embedding_decontaminate": _sim.embedding_decontaminate,
-    # --- [r13 window, 9-10] changed-code-path restamps (r12 stamps,
-    # pulled out of the r12 block): the r12-advisor fix narrows
-    # image_fingerprints' corrupt-payload except from bare Exception
-    # to the enumerated modes and adds the skip accumulator —
-    # behavior-identical on the well-formed driver corpora (pinned by
-    # test_image_fingerprints_skip_corrupt_payloads), but changed
-    # paths restamp next window (this same function's r10 and r12
-    # precedents). Reproduced by ``plan_next_window.py --force
-    # media_image_neardup media_image_dedup``.
+    # --- [r13 window, 9-13] changed-code-path restamps, reproduced
+    # by ``plan_next_window.py --force media_image_neardup
+    # media_image_dedup media_resize media_audio_neardup
+    # media_audio_dedup``. Two r13 changes, both behavior-identical
+    # on the well-formed driver corpora but restamping by rule:
+    # (a) the r12-advisor fix — image_fingerprints' corrupt-payload
+    # except narrowed + per-context skip accumulator — whose review
+    # pass then hardened _bmp_geometry/_pixel_grid against the
+    # declared-geometry memory bomb (pulls in media_resize, the other
+    # _pixel_grid consumer); (b) the same review's audio symmetry —
+    # audio_fingerprints/wav_fp_peak now COUNT their skips (pulls in
+    # the two audio fingerprint consumers with out-of-window stamps).
     "media_image_neardup": _mm.media_image_neardup,
     "media_image_dedup": _mm.media_image_dedup,
-    # --- [r13 window, 11-50] the oldest 40 of the 48-entry
+    "media_resize": _mm.media_resize,
+    "media_audio_neardup": _mm.media_audio_neardup,
+    "media_audio_dedup": _mm.media_audio_dedup,
+    # --- [r13 window, 14-50] the oldest 37 of the 48-entry
     # r10-stamped block (CORRECTNESS_r10 order minus the two lm
     # entries that restamped r12), at the 3-round deadline.
     "winnow_index_retract": _wn.winnow_index_retract,
@@ -261,15 +281,14 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
+    # ================ position 51+ — outside the r13 driver window =====
+    # The 11 r10-block leftovers (the last 5 displaced off the window
+    # tail by the five forced restamps above) — age 3 at r13 close
+    # (legal), they LEAD the r14 window (see the ROUND-14 plan in the
+    # module docstring):
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
-    # ================ position 51+ — outside the r13 driver window =====
-    # The 8 r10-block leftovers (cms_estimate + pricing_percentiles
-    # were displaced off the window tail by the forced
-    # media_image_neardup/media_image_dedup restamps) — age 3 at r13
-    # close (legal), they LEAD the r14 window (see the ROUND-14 plan
-    # in the module docstring):
     "cms_estimate": _sk.cms_estimate,
     "pricing_percentiles": _sk.pricing_percentiles,
     "doc_token_stats": _ta.doc_token_stats,
@@ -278,10 +297,9 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
-    # The 49 remaining entries of the r11-stamped block (CORRECTNESS_r11
-    # order; media_image_neardup restamps in the window above) —
-    # freshest stamps, rotates last:
-    "media_audio_neardup": _mm.media_audio_neardup,
+    # The 47 remaining entries of the r11-stamped block
+    # (CORRECTNESS_r11 order; media_image_neardup, media_audio_neardup
+    # and media_resize restamp in the window above):
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
@@ -310,7 +328,6 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,
     "events_multi_rollup": _ev.events_multi_rollup,
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    "media_resize": _mm.media_resize,
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
@@ -330,14 +347,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
-    # The 50-entry r12-stamped block (CORRECTNESS_r12 order) —
-    # freshest stamps, rotates last:
+    # The 47 remaining entries of the r12-stamped block
+    # (CORRECTNESS_r12 order; media_image_neardup, media_image_dedup
+    # and media_audio_dedup restamp in the window above) — freshest
+    # stamps, rotates last:
     #
-    # media_audio_dedup: the r12 registration — dedup DECISION over
-    # perceptual audio near-dups, pair-free CC over distinct
-    # envelope-order fingerprints (the media_image_dedup
-    # construction); probed 9.9x rows @ 10x, cluster-checked.
-    "media_audio_dedup": _mm.media_audio_dedup,
     # lm_interp_score / lm_bigram_score: r12 changed-code-path
     # restamps (read paths enroll persisted frames for reset_memos
     # release; plans pinned identical by

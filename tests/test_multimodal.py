@@ -1476,23 +1476,110 @@ def test_image_fingerprints_skip_corrupt_payloads(spark):
         (2, bytearray(b"BM\x01\x02")),  # truncated header -> struct.error
         (3, bytearray(b"not a container at all")),  # UnsupportedMediaError
         # r13 (advisor): the except is narrowed from bare Exception to
-        # the enumerated corrupt-payload modes — cover the other two:
+        # the enumerated corrupt-payload modes — cover the others:
         (4, bytearray(b"P6")),  # truncated P6 header -> ValueError
-        (5, bytearray(good[: len(mm.BMP_HEADER) + 5])),  # short pixels -> IndexError
+        (5, bytearray(good[: len(mm.BMP_HEADER) + 5])),  # short pixel data
         (6, None),  # NULL payload
+        # r13 review: declared height 2^31-1 in a 36-byte blob — must
+        # be rejected by the geometry bound BEFORE any row-list
+        # allocation (the memory bomb), then skipped like any corrupt
+        (7, bytearray(_bomb_bmp())),
     ]
     media = spark.createDataFrame(
         rows, "doc_id bigint, content binary"
     ).withColumn("media_type", F.lit("image/bmp"))
 
+    mm.reset_media_skip_counts()
     got = {
         r["doc_id"]: r["fingerprint"]
         for r in mm.image_fingerprints(media).collect()
     }
     assert set(got) == {1}
     # r13: skips are COUNTED (mass skipping must be distinguishable
-    # from a clean corpus) — 5 corrupt rows -> 5 skips
-    assert mm.image_fingerprint_skip_count() == 5
+    # from a clean corpus) — 6 corrupt rows -> 6 skips, cumulative on
+    # the context until reset
+    assert mm.image_fingerprint_skip_count() == 6
+    mm.reset_media_skip_counts()
     clean = mm.image_fingerprints(media.filter("doc_id = 1")).collect()
     assert got[1] == clean[0]["fingerprint"]  # valid rows unperturbed
     assert mm.image_fingerprint_skip_count() == 0  # clean run, clean counter
+
+
+def _bomb_bmp() -> bytes:
+    """36-byte BM-magic blob whose DIB header declares a 2^31-1 row
+    image — small enough to ship anywhere, large enough to allocate
+    ~17 GB of row slices if the declared geometry is trusted."""
+    import struct as _s
+
+    blob = bytearray(36)
+    blob[0:2] = b"BM"
+    _s.pack_into("<I", blob, 10, 36)  # pixel-array offset
+    _s.pack_into("<ii", blob, 18, 4, 0x7FFFFFFF)  # width, height
+    _s.pack_into("<H", blob, 28, 24)  # bpp
+    return bytes(blob)
+
+
+def test_pixel_grid_rejects_memory_bomb_geometry():
+    """The r13 review finding, pinned at the decode layer: a declared
+    geometry that does not fit the payload raises
+    UnsupportedMediaError from the shared _bmp_geometry bound — fast,
+    before any row-list allocation — in BOTH consumers (_pixel_grid
+    for fingerprints/resize, _decode_bmp for the codec seam), and the
+    seam's fallback contract turns it into a fake decode rather than
+    a job failure. Same bound for a truncated P6 data section."""
+    bomb = _bomb_bmp()
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._pixel_grid(bomb)
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._decode_bmp(bomb)
+    # the codec seam treats it like any undecodable payload
+    w, h, nf, feat = mm._stdlib_or_fake(bomb, "image/bmp")
+    assert (w, h, nf, feat) == mm._fake_decode(bomb, "image/bmp")
+    # P6 twin: declared 100x100 grid, 3 bytes of data
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._pixel_grid(b"P6 100 100 255\n\x01\x02\x03")
+    # and the genuine article still decodes through the same bounds
+    good = mm.BMP_HEADER + bytes(mm.IMG_DATA_LEN)
+    w, h, data = mm._pixel_grid(good)
+    assert (w, h, len(data)) == (mm.IMG_W, mm.IMG_H, mm.IMG_DATA_LEN)
+
+
+def test_audio_fingerprints_count_skips(spark):
+    """Audio twin of the image skip-count contract (r13 review: image
+    skips were counted but a mass audio skip still read as a clean
+    corpus): undecodable clips skip per item in audio_fingerprints
+    AND wav_fp_peak, each incrementing media_skip_count('audio'),
+    while valid clips fingerprint identically with garbage present."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    def wav(vals):
+        data = b"".join(_s.pack("<h", v) for v in vals)
+        return mm._wav_header(len(data)) + data
+
+    valid = wav(list(range(mm.PHASH_BITS + 1)))
+    rows = [
+        (1, bytearray(valid)),
+        (2, bytearray(b"not riff")),  # -1 sentinel
+        (3, bytearray(valid[:10])),  # truncated -> -1 sentinel
+        (4, None),  # NULL payload
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("audio/wav"))
+
+    mm.reset_media_skip_counts()
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in mm.audio_fingerprints(media).collect()
+    }
+    assert set(got) == {1}
+    assert mm.media_skip_count("audio") == 3
+    assert mm.media_skip_count("image") == 0  # modalities separate
+
+    mm.reset_media_skip_counts()
+    fused = mm.wav_fp_peak(media).collect()
+    assert [r["doc_id"] for r in fused] == [1]
+    assert fused[0]["fingerprint"] == got[1]
+    assert mm.media_skip_count("audio") == 3

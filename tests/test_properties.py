@@ -525,6 +525,7 @@ def test_image_fingerprints_total_over_arbitrary_bytes(spark, payloads):
     media = spark.createDataFrame(
         rows, "doc_id bigint, content binary"
     ).withColumn("media_type", F.lit("image/bmp"))
+    mm.reset_media_skip_counts()  # the counter is cumulative per context
     got = {
         r["doc_id"]: r["fingerprint"]
         for r in mm.image_fingerprints(media).collect()
