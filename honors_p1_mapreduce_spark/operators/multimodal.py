@@ -1275,7 +1275,15 @@ def media_avi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = the document's leading UTF-8 bytes in AVI_FRAME_DATA
     slices. Pure Catalyst — constant header/chunk literals concat'd
     with binary substrings (section comment)."""
-    docs = load_table(spark, sf_dir, "documents").filter(
+    return media_avi_table_from(load_table(spark, sf_dir, "documents"))
+
+
+def media_avi_table_from(docs: DataFrame) -> DataFrame:
+    """The synth stage of :func:`media_avi_table` over an arbitrary
+    (doc_id, text) frame — factored (r13) so the STREAMING video
+    decontamination twin synthesizes per micro-batch, exactly the
+    :func:`media_real_table_from` convention."""
+    docs = docs.filter(
         F.length(F.col("text").cast("binary")) >= AVI_DATA_LEN
     )
     parts = [F.lit(AVI_PREFIX)]
@@ -1755,11 +1763,18 @@ g AS (
 SELECT doc_id, {fp_terms} AS fingerprint FROM g"""
 
 
-def _image_neardup_oracle() -> str:
+def _fp_neardup_oracle(fp_core_sql: str) -> str:
+    """DuckDB twin of the banded hamming pair enumeration, generic
+    over the fingerprint derivation (the :func:`_fp_dedup_oracle` /
+    :func:`_decontam_oracle` pattern, applied r13 to the third
+    duplicated consumer): the image, audio, and video near-dup
+    oracles share the banding, both clique guards, and the hamming
+    filter, so one builder gates all three and the tiers can never
+    drift."""
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
     return f"""
 WITH fp AS (
-  SELECT doc_id, fingerprint FROM ({_image_fp_oracle_core()}) t
+  SELECT doc_id, fingerprint FROM ({fp_core_sql}) t
 ),
 hot AS (
   SELECT fingerprint FROM fp
@@ -1794,7 +1809,7 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
 """
 
 
-MEDIA_IMAGE_NEARDUP_ORACLE = _image_neardup_oracle()
+MEDIA_IMAGE_NEARDUP_ORACLE = _fp_neardup_oracle(_image_fp_oracle_core())
 
 
 def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2134,46 +2149,7 @@ a AS (
 SELECT doc_id, {fp_terms} AS fingerprint FROM a"""
 
 
-def _audio_neardup_oracle() -> str:
-    mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
-    return f"""
-WITH fp AS (
-  SELECT doc_id, fingerprint FROM ({_audio_fp_oracle_core()}) t
-),
-hot AS (
-  SELECT fingerprint FROM fp
-  GROUP BY fingerprint HAVING count(*) > {IMG_NEARDUP_FP_CAP}
-),
-fpc AS (
-  SELECT * FROM fp
-  WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
-),
-banded0 AS (
-  SELECT doc_id, fingerprint, b.b AS band,
-         (fingerprint >> (b.b * {IMG_NEARDUP_BAND_BITS})) & {mask} AS bucket
-  FROM fpc,
-       unnest([{', '.join(str(b) for b in range(IMG_NEARDUP_BANDS))}]) AS b(b)
-),
-hot_buckets AS (
-  SELECT band, bucket FROM banded0
-  GROUP BY band, bucket HAVING count(*) > {IMG_NEARDUP_BUCKET_CAP}
-),
-banded AS (
-  SELECT b0.* FROM banded0 b0
-  WHERE NOT EXISTS (
-    SELECT 1 FROM hot_buckets h
-    WHERE h.band = b0.band AND h.bucket = b0.bucket
-  )
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {IMG_NEARDUP_HAMMING_MAX}
-"""
-
-
-MEDIA_AUDIO_NEARDUP_ORACLE = _audio_neardup_oracle()
+MEDIA_AUDIO_NEARDUP_ORACLE = _fp_neardup_oracle(_audio_fp_oracle_core())
 
 
 def media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,3 +2545,286 @@ def media_audio_decontaminate_stored(
     return media_audio_decontaminate_from_index(spark, sf_dir, d, max_hamming)
 # the stored roundtrip is bit-identical, so one oracle gates both paths
 MEDIA_DECONTAMINATE_STORED_ORACLE = MEDIA_DECONTAMINATE_ORACLE
+
+
+# ------------------------------ perceptual video tier (r13 library)
+#
+# The VIDEO member of the perceptual dedup/decontamination family,
+# completing modality parity across all three media container
+# families this engine synthesizes and genuinely decodes: image
+# (BMP/PPM -> dHash, r9), audio (WAV -> envelope-order hash, r10),
+# and now video (AVI -> spatio-temporal gradient hash). A duplicate
+# CLIP whose bytes differ — re-encoded at a different brightness /
+# gain, container re-muxed — shares no byte hash, but the ORDER of
+# its frame-luminance sequence survives any positive per-channel
+# scaling or uniform brightness shift.
+#
+# Fingerprint: decode the real AVI container (_avi_frames_parse —
+# RIFF walk, LIST descent, per-frame DIB rows), concatenate the
+# decoded frames in temporal order, take the integer luminance
+# g_k = r+g+b of the first PHASH_BITS+1 pixels of that stream, and
+# set bit i when g_i > g_{i+1} — the time-axis member of the
+# gradient-fingerprint family (Haitsma & Kalker 2002's
+# sign-of-energy-difference along time, the same public construction
+# behind the audio hash; image dHash is its space-axis sibling). At
+# the synth geometry (4x4 24bpp, 4 frames) the 57-gray window spans
+# ALL FOUR frames (16 grays per frame), so the hash is genuinely
+# TEMPORAL: reordering frames changes cross-boundary and
+# within-segment comparisons (pinned by test), while any positive
+# gain change preserves every comparison (pinned by test). All
+# arithmetic is integer over static byte offsets, so DuckDB
+# re-derives every bit from hex(encode(text)) and the driver
+# hash-gates the whole synthesize->container-walk->hash pipeline.
+#
+# Everything downstream of video_fingerprints is the SHARED
+# fingerprint-generic machinery — image_neardup_pairs (banded
+# hamming join + dual clique guards), fp_clusters (pair-free CC over
+# distinct fps), _decontam_flags (broadcast eval, lossless
+# hamming <= BANDS-1 banding) and their oracle builders
+# (_fp_neardup_oracle / _fp_dedup_oracle / _decontam_oracle) — so
+# the 100 TB arguments carry over verbatim: one map-only Arrow
+# decode pass, 8-byte rows afterward, no corpus self-join in the
+# decontamination tier, clique guards oracle-mirrored.
+#
+# LIBRARY SURFACE in r13 (pytest + oracle parity at sf0.001/sf0.01):
+# the r13 driver window was planned and committed before this tier
+# landed, and the r14 window is already allocated (registry rotation
+# note) — the four registrable queries (media_video_neardup,
+# media_video_dedup, media_video_decontaminate,
+# media_video_decontaminate_stored) queue for r15 slots, at which
+# point decontaminate_audit folds video in as the SIXTH tier (after
+# the audio tier's r14 fold-in).
+
+VIDEO_FP_GRAYS = PHASH_BITS + 1  # 57 luminances -> 56 gradient bits
+VIDEO_FP_BYTES = 3 * VIDEO_FP_GRAYS  # decoded bytes consumed (<= AVI_DATA_LEN)
+
+
+def avi_video_hash(content: bytes) -> int:
+    """PHASH_BITS-bit gain-invariant spatio-temporal fingerprint of an
+    AVI payload: decode every frame (genuine container walk), bit i
+    set when luminance(pixel_i) > luminance(pixel_{i+1}) over the
+    temporally-concatenated decoded pixel stream. Raises
+    :class:`UnsupportedMediaError` (or ``struct.error`` for a
+    truncated header) on undecodable payloads — callers on the ingest
+    path skip-and-count those per the corrupt-payload contract
+    (module docstring)."""
+    _w, _h, frames = _avi_frames_parse(content)
+    data = b"".join(frames)
+    if len(data) < VIDEO_FP_BYTES:
+        raise UnsupportedMediaError("too few decoded pixels for video hash")
+    grays = [
+        data[3 * k] + data[3 * k + 1] + data[3 * k + 2]
+        for k in range(VIDEO_FP_GRAYS)
+    ]
+    fp = 0
+    for i in range(PHASH_BITS):
+        if grays[i] > grays[i + 1]:
+            fp |= 1 << i
+    return fp
+
+
+def video_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — one Arrow-batched map-only pass over
+    AVI payloads, 8-byte hashes out, no shuffle (the video member of
+    the :func:`image_fingerprints` / :func:`audio_fingerprints`
+    family). Ingest contract: undecodable payloads (NULL, foreign
+    magic, truncated header, compressed frames, too-short streams)
+    SKIP per item and COUNT toward ``media_skip_count("video")`` —
+    the caught set is exactly what a malformed byte string can raise
+    out of :func:`_avi_frames_parse` / :func:`avi_video_hash`;
+    anything else propagates and fails the query (the narrowed-except
+    rule, r12 advisor)."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "video")
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fingerprint": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    acc.add(1)
+                    continue
+                try:
+                    fp = avi_video_hash(bytes(content))
+                except (struct.error, UnsupportedMediaError, IndexError):
+                    acc.add(1)  # corrupt/truncated/foreign container
+                    continue
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_fp, schema="doc_id long, fingerprint long")
+
+
+def media_video_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = IMG_NEARDUP_HAMMING_MAX,
+    fp_cap: int | None = IMG_NEARDUP_FP_CAP,
+    bucket_cap: int | None = IMG_NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Perceptual near-duplicate video pairs (doc_a, doc_b, hamming)
+    over the real AVI payloads — spatio-temporal fingerprints through
+    the SAME banded hamming join + dual clique guards as the
+    image/audio families (:func:`image_neardup_pairs`; section
+    comment above). Library surface r13; queues for r15
+    registration."""
+    from pyspark.storagelevel import StorageLevel
+
+    vids = media_avi_table(spark, sf_dir)
+    fp = video_fingerprints(vids).persist(StorageLevel.MEMORY_AND_DISK)
+    return image_neardup_pairs(
+        fp, max_hamming=max_hamming, fp_cap=fp_cap, bucket_cap=bucket_cap
+    )
+
+
+def media_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION over perceptual video near-dups —
+    (doc_id, cluster, cluster_size) for EVERY clip, through the
+    shared pair-free construction (:func:`fp_clusters`: CC over
+    DISTINCT fingerprints, same-fp cliques collapse to one node, the
+    edge join bounded by fingerprint diversity — see
+    :func:`media_image_dedup` for the full scale argument, which
+    carries over verbatim)."""
+    from pyspark.storagelevel import StorageLevel
+
+    vids = media_avi_table(spark, sf_dir)
+    fp = video_fingerprints(vids).persist(StorageLevel.MEMORY_AND_DISK)
+    labeled = fp_clusters(fp)
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster").select(
+        "doc_id", "cluster", "cluster_size"
+    )
+
+
+def _video_fp_oracle_core() -> str:
+    """Standalone SELECT producing (doc_id, fingerprint) for every AVI
+    doc — the spatio-temporal hash re-derived from hex(encode(text))
+    static byte offsets. The synth AVI's frame payloads are the
+    document's leading AVI_DATA_LEN text bytes in temporal order and
+    the DIB rows carry zero padding at this geometry, so decoded
+    pixel k's channels are text bytes 3k..3k+2 exactly."""
+
+    def gray(k: int) -> str:
+        return " + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * (3 * k + c) + 1}, 2)) AS BIGINT)"
+            for c in range(3)
+        )
+
+    g_cols = ",\n         ".join(
+        f"({gray(k)}) AS g{k}" for k in range(VIDEO_FP_GRAYS)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN g{i} > g{i + 1} THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(PHASH_BITS)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {AVI_DATA_LEN}
+),
+g AS (
+  SELECT doc_id,
+         {g_cols}
+  FROM d
+)
+SELECT doc_id, {fp_terms} AS fingerprint FROM g"""
+
+
+MEDIA_VIDEO_NEARDUP_ORACLE = _fp_neardup_oracle(_video_fp_oracle_core())
+MEDIA_VIDEO_DEDUP_ORACLE = _fp_dedup_oracle(_video_fp_oracle_core())
+
+
+def media_video_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """The VIDEO tier of the contamination family: TRAINING clips
+    whose spatio-temporal fingerprint sits within ``max_hamming`` of
+    any EVAL-split clip's — the leakage mode where a benchmark's
+    reference video (or a brightness/gain-adjusted re-encode; the
+    fingerprint is invariant to both by construction) sits in the
+    training corpus. Output (doc_id, n_eval_matches, min_hamming),
+    the image/audio tiers' exact shape, through the SAME shared
+    machinery (:func:`_decontam_flags`: lossless hamming <= BANDS-1
+    banding, broadcast eval side, corpus never self-joins). The
+    eval/train split filters the RAW synth rows before the
+    mapInPandas barrier (the one-decode rule, applied from birth like
+    the audio tier)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = (
+        video_fingerprints(vids.filter(is_eval))
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+    )
+    return _decontam_flags(
+        video_fingerprints(vids.filter(~is_eval)), eval_fps, max_hamming
+    )
+
+
+MEDIA_VIDEO_DECONTAMINATE_ORACLE = _decontam_oracle(_video_fp_oracle_core())
+
+
+def media_video_eval_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the EVAL split's distinct VIDEO fingerprints to
+    parquet — the video member of the benchmark-registry artifact
+    family (same ``eval_fps`` layout as the image/audio registries,
+    so serving code stays tier-agnostic)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir).filter(
+        F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    )
+    (
+        video_fingerprints(vids)
+        .select(F.col("fingerprint").alias("eval_fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/eval_fps")
+    )
+
+
+def media_video_decontaminate_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """Serve video decontamination from a STORED eval-fingerprint
+    registry: one map-only decode pass over the training clips + the
+    broadcast join — the eval corpus is never decoded again."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir).filter(
+        F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE
+    )
+    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps")
+    return _decontam_flags(video_fingerprints(vids), eval_fps, max_hamming)
+
+
+def media_video_decontaminate_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = DECONTAM_HAMMING_MAX,
+) -> DataFrame:
+    """The full stored-index video-decontamination cycle as ONE
+    query: eval fingerprints -> parquet -> read back -> flag the
+    training clips. Integer fingerprints survive parquet losslessly,
+    so the roundtrip is bit-identical to
+    :func:`media_video_decontaminate` and the same oracle gates both
+    paths (the image/audio registered-cycle pattern). Scratch:
+    per-application overwrite-in-place (``bpe_encode._artifact_dir``)."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "media_video_eval_fps")
+    media_video_eval_write_index(spark, sf_dir, d)
+    return media_video_decontaminate_from_index(spark, sf_dir, d, max_hamming)
+
+
+MEDIA_VIDEO_DECONTAMINATE_STORED_ORACLE = MEDIA_VIDEO_DECONTAMINATE_ORACLE

@@ -192,7 +192,17 @@ the 47-entry r11-stamped block (CORRECTNESS_r11 order), and the
 47-entry r12-stamped block (minus the three r13 forced restamps) —
 freshest stamps, rotates last. COUNT the entries against
 plan_next_window.py when building r14; this tail prose is the
-narrative, the planner is the arithmetic."""
+narrative, the planner is the arithmetic.
+
+ROUND-15 BACKLOG (library surfaces built r13, queuing behind the
+allocated r14 window): the VIDEO perceptual tier
+(multimodal.py — media_video_neardup, media_video_dedup,
+media_video_decontaminate, media_video_decontaminate_stored; four
+registrable queries, oracles verified green at sf0.001 AND sf0.01 at
+build time, seeded-leak golden + stored-cycle + streaming-twin
+equivalence in pytest). Registry 157 -> 161 at their registration,
+at which point decontaminate_audit folds video in as the SIXTH tier
+(after the audio tier's r14 fold-in makes it five)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r13 window, 1-3] the r9-stamped trio displaced from the

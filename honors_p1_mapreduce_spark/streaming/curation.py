@@ -289,8 +289,9 @@ def _drain_decontam(
     media_pred,
     fingerprint_fn,
     glob: str,
+    media_fn=None,
 ) -> None:
-    """The ONE decontamination drain both modality twins share (r12
+    """The ONE decontamination drain all modality twins share (r12
     review: the audio twin had duplicated the image twin's ~45-line
     scaffold verbatim, and the image twin silently lacked the glob
     hook — the batch side's fingerprint-generic _decontam_flags /
@@ -302,7 +303,11 @@ def _drain_decontam(
     re-read of the first cut would see it, but paid listing + footer
     + broadcast build every trigger for a registry that changes
     ~never). Flags write to ``batch_id=N`` partitions in overwrite
-    mode (replay-idempotent, :func:`_write_batch_partition`)."""
+    mode (replay-idempotent, :func:`_write_batch_partition`).
+    ``media_fn`` is the per-batch synth hook (defaults to
+    :func:`media_real_table_from` — the WAV/BMP/PPM table the image
+    and audio twins share; the r13 video twin passes
+    :func:`media_avi_table_from`)."""
     from ..operators.multimodal import (
         DECONTAM_HAMMING_MAX,
         _decontam_flags,
@@ -310,12 +315,14 @@ def _drain_decontam(
     )
     from ..operators.winnow import EVAL_MOD, EVAL_RESIDUE
 
+    if media_fn is None:
+        media_fn = media_real_table_from
     eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
     try:
         eval_fps.count()  # materialize once, before the stream starts
 
         def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
-            rows = media_real_table_from(
+            rows = media_fn(
                 bdf.select("doc_id", "text")
             ).filter(
                 media_pred & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
@@ -412,5 +419,39 @@ def streaming_media_audio_decontaminate(
     _drain_decontam(
         spark, sf_dir, index_dir, store_dir, checkpoint_dir,
         F.col("media_type") == "audio/wav", audio_fingerprints, glob,
+    )
+
+
+def streaming_media_video_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest VIDEO decontamination (r13) — the third
+    modality twin over the one shared drain
+    (:func:`_drain_decontam`), completing streaming parity with the
+    r13 batch tier (``operators.multimodal.media_video_decontaminate``):
+    each micro-batch's TRAINING clips are synthesized
+    (``media_avi_table_from`` via the ``media_fn`` hook — the AVI
+    table, not the WAV/BMP/PPM one), fingerprinted (gain-invariant
+    spatio-temporal gradient) and flagged against the STORED video
+    eval-fingerprint registry (``media_video_eval_write_index``'s
+    parquet). Same stream-static join, same replay-idempotent sink,
+    same snapshot/release discipline. The drained store is EXACTLY
+    the batch answer — pinned by the seeded multi-batch equivalence
+    test (the audio twin's pattern: planted leaks, 2-part-file
+    directory, ``glob="part-*"``)."""
+    from ..operators.multimodal import (
+        media_avi_table_from,
+        video_fingerprints,
+    )
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") == "video/avi", video_fingerprints, glob,
+        media_fn=media_avi_table_from,
     )
 

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Video-tier scale probe (r13): the three registrable video surfaces
+(media_video_neardup / media_video_dedup / media_video_decontaminate)
+at 1x vs 10x corpus, the same evidence the image/audio tiers carried
+into their registrations (R10/R12_SCALE_PROBE):
+
+- near-dup pair output and wall time should scale near the OUTPUT
+  ratio, not quadratically (the dual clique guards' claim);
+- dedup wall time is bounded by distinct-fp diversity (the pair-free
+  CC claim — rows scale ~linearly because every clip gets a label);
+- decontamination is a broadcast join against the benchmark-sized
+  eval side (never a corpus self-join), so its time should track the
+  one fingerprint scan;
+- media_skip_count('video') must read 0 on the well-formed synth
+  corpora at both scales (the accumulator is a corruption monitor,
+  not a row counter).
+
+Corpus enlargement mirrors probe_r9..r13_scale.py: documents are
+STRING-ROTATED per copy so every copy is a distinct corpus slice
+(rotation changes leading bytes -> distinct AVI frames -> distinct
+fingerprints; a plain union of identical copies would only test the
+same-fp collapse path).
+
+Usage: python scripts/probe_video_scale.py  (writes JSON to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from honors_p1_mapreduce_spark import registry  # noqa: E402
+from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    media_skip_count,
+    media_video_dedup,
+    media_video_decontaminate,
+    media_video_neardup,
+    reset_media_skip_counts,
+)
+from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("PROBE_SF", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+
+
+def main() -> None:
+    spark = get_spark(app_name="probe_video_scale")
+    work = Path(tempfile.mkdtemp(prefix="video_scale_"))
+    out: dict = {"copies": COPIES}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    big = docs
+    for i in range(1, COPIES):
+        off = 7 * i + 1
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.expr(f"substring(text, {off + 1})"),
+                    F.expr(f"substring(text, 1, {off})"),
+                ),
+            )
+        )
+    big.repartition(32).write.parquet(str(work / "documents.parquet"))
+
+    def timed(fn, sf_dir: str) -> tuple[float, int]:
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 2), n
+
+    reset_media_skip_counts()
+    for name, fn in (
+        ("media_video_neardup", media_video_neardup),
+        ("media_video_dedup", media_video_dedup),
+        ("media_video_decontaminate", media_video_decontaminate),
+    ):
+        t1, n1 = timed(fn, SF)
+        t10, n10 = timed(fn, str(work))
+        out[name] = {
+            "t_1x_s": t1,
+            "t_10x_s": t10,
+            "rows_1x": n1,
+            "rows_10x": n10,
+            "time_ratio": round(t10 / t1, 2) if t1 else None,
+            "rows_ratio": round(n10 / n1, 2) if n1 else None,
+            "data_ratio": COPIES,
+        }
+    out["video_fingerprint_skips_10x"] = media_skip_count("video")
+
+    print(json.dumps(out, indent=1))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1583,3 +1583,261 @@ def test_audio_fingerprints_count_skips(spark):
     assert [r["doc_id"] for r in fused] == [1]
     assert fused[0]["fingerprint"] == got[1]
     assert mm.media_skip_count("audio") == 3
+
+
+# --------------------- video perceptual tier (r13 library)
+
+
+def _avi_from_payload(payload: bytes) -> bytes:
+    """Assemble a valid synth-geometry AVI around a raw
+    AVI_DATA_LEN-byte pixel stream — the test-side mirror of
+    media_avi_table's Catalyst concat (mm.BMP_HEADER pattern)."""
+    assert len(payload) == mm.AVI_DATA_LEN
+    parts = [mm.AVI_PREFIX]
+    for i in range(mm.AVI_FRAMES):
+        if i:
+            parts.append(mm._AVI_FRAME_HDR)
+        parts.append(payload[i * mm.AVI_FRAME_DATA : (i + 1) * mm.AVI_FRAME_DATA])
+    return b"".join(parts)
+
+
+def _video_payload(vals) -> bytes:
+    """Pixel stream where pixel k is the gray triple (v_k, v_k, v_k)
+    — luminance g_k = 3 * v_k, so envelope ORDER is exactly the
+    order of ``vals``. ASCII-safe bytes (documents.text is a UTF-8
+    string column)."""
+    assert len(vals) == mm.AVI_DATA_LEN // 3
+    assert all(1 <= v <= 126 for v in vals)
+    return bytes(v for v in vals for _ in range(3))
+
+
+def test_avi_video_hash_invariances():
+    """The spatio-temporal fingerprint's contract: invariant to any
+    positive gain (doubling every channel) and to uniform brightness
+    shifts, SENSITIVE to frame reordering (the temporal claim — the
+    57-gray window spans all 4 frames), and raising the contracted
+    corrupt-payload types on undecodable bytes."""
+    vals = [10 + ((k * 37) % 53) for k in range(mm.AVI_DATA_LEN // 3)]
+    assert all(
+        vals[i] != vals[i + 1] for i in range(mm.VIDEO_FP_GRAYS - 1)
+    )  # no ties in the hashed window -> strict comparisons throughout
+    base = _video_payload(vals)
+    h0 = mm.avi_video_hash(_avi_from_payload(base))
+    # gain: every byte doubles, every comparison (and tie) survives
+    h_gain = mm.avi_video_hash(_avi_from_payload(bytes(2 * b for b in base)))
+    assert h_gain == h0
+    # brightness: +3 on every channel shifts every gray by +9
+    h_bright = mm.avi_video_hash(
+        _avi_from_payload(bytes(b + 3 for b in base))
+    )
+    assert h_bright == h0
+    # temporal: swapping frames 0 and 1 must change the hash
+    f = mm.AVI_FRAME_DATA
+    swapped = base[f : 2 * f] + base[:f] + base[2 * f :]
+    assert mm.avi_video_hash(_avi_from_payload(swapped)) != h0
+    # corrupt payloads raise the enumerated ingest-skip types only
+    import struct as _s
+
+    for bad in (
+        b"",
+        b"not a riff container",
+        b"RIFF\x10\x00\x00\x00AVI ",  # valid magic, no strf/frames
+        _avi_from_payload(base)[:40],  # truncated mid-header
+    ):
+        with pytest.raises((mm.UnsupportedMediaError, _s.error, IndexError)):
+            mm.avi_video_hash(bad)
+
+
+def test_video_fingerprints_skip_corrupt_payloads(spark):
+    """Video member of the ingest skip-and-count contract: corrupt
+    AVI payloads skip per item in video_fingerprints and count toward
+    media_skip_count('video'), while valid clips fingerprint
+    identically with garbage present (the image/audio twins'
+    contract, module docstring)."""
+    from pyspark.sql import functions as F
+
+    vals = [10 + ((k * 37) % 53) for k in range(mm.AVI_DATA_LEN // 3)]
+    good = _avi_from_payload(_video_payload(vals))
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"not a riff container")),  # foreign magic
+        (3, bytearray(good[:40])),  # truncated header
+        (4, None),  # NULL payload
+        (5, bytearray(good[: len(mm.AVI_PREFIX) + 8])),  # too few pixels
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("video/avi"))
+
+    mm.reset_media_skip_counts()
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in mm.video_fingerprints(media).collect()
+    }
+    assert set(got) == {1}
+    assert mm.media_skip_count("video") == 4
+    assert mm.media_skip_count("image") == 0  # modalities separate
+
+    mm.reset_media_skip_counts()
+    clean = mm.video_fingerprints(media.filter("doc_id = 1")).collect()
+    assert got[1] == clean[0]["fingerprint"]  # valid rows unperturbed
+    assert mm.media_skip_count("video") == 0
+
+
+def test_media_video_neardup_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark, sf_dir, mm.media_video_neardup, mm.MEDIA_VIDEO_NEARDUP_ORACLE
+    )
+
+
+def test_media_video_dedup_invariants_and_oracle(spark, sf_dir):
+    """Video twin of the image/audio dedup-decision invariants: total
+    partition of the AVI set, min-label clusters, consistent sizes,
+    every near-dup pair co-clustered; recursive-CTE oracle agrees
+    (pre-verifies the future registration oracle)."""
+    out = mm.media_video_dedup(spark, sf_dir).collect()
+    label = {r["doc_id"]: r["cluster"] for r in out}
+    n_avi = mm.media_avi_table(spark, sf_dir).count()
+    assert len(out) == len(label) == n_avi
+    members: dict = {}
+    for r in out:
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    for c, ms in members.items():
+        assert c == min(ms)
+    for r in out:
+        assert r["cluster_size"] == len(members[r["cluster"]])
+    for p in mm.media_video_neardup(spark, sf_dir).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]], p
+    compare_query(
+        spark, sf_dir, mm.media_video_dedup, mm.MEDIA_VIDEO_DEDUP_ORACLE
+    )
+
+
+def seeded_video_leak_corpus(spark, dirp: str, n_files: int = 1):
+    """Write a synthetic documents.parquet with planted video leaks
+    and return the expected media_video_decontaminate rows (the
+    seeded_audio_leak_corpus pattern; the video tier DOES flag real
+    rows in the sf0.001 driver corpus, but the planted corpus pins
+    the semantics — gain twin at hamming 0, retouch at a computed
+    small hamming, far control unflagged): eval clip doc 7
+    (% 101 == 7) leaks into training as a DOUBLED-gain twin (every
+    byte different, hamming 0 by construction) and as a retouched
+    copy (one adjacent pixel swap — flips at most 2 envelope bits)."""
+    vals = [10 + ((k * 37) % 53) for k in range(mm.AVI_DATA_LEN // 3)]
+    assert all(vals[i] != vals[i + 1] for i in range(mm.VIDEO_FP_GRAYS - 1))
+    twin = [2 * v for v in vals]  # gain x2: same order, new bytes
+    retouch = list(vals)
+    retouch[10], retouch[11] = retouch[11], retouch[10]
+    control = list(reversed(vals))
+
+    def hash_of(vs):
+        return mm.avi_video_hash(_avi_from_payload(_video_payload(vs)))
+
+    h_base = hash_of(vals)
+    assert hash_of(twin) == h_base
+    ham = bin(h_base ^ hash_of(retouch)).count("1")
+    assert 1 <= ham <= mm.DECONTAM_HAMMING_MAX  # construction sanity
+    ham_ctl = bin(h_base ^ hash_of(control)).count("1")
+    assert ham_ctl > mm.DECONTAM_HAMMING_MAX  # control really is far
+
+    def text_for(vs):
+        return _video_payload(vs).decode("ascii")
+
+    rows = [
+        (7, text_for(vals)),  # EVAL split member (7 % 101 == 7)
+        (3, text_for(twin)),  # gain twin, hamming 0
+        (6, text_for(retouch)),  # retouched leak
+        (9, text_for(control)),  # control
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        dirp + "/documents.parquet"
+    )
+    return [(3, 1, 0), (6, 1, ham)]
+
+
+def test_media_video_decontaminate_seeded_leak(spark, tmp_path):
+    """Video seeded-leak golden (the image tier's r10-verdict pattern
+    applied to the r13 video tier). Engine and DuckDB oracle must
+    agree on the same synthetic corpus."""
+    import duckdb
+
+    dirp = str(tmp_path / "sf")
+    want = seeded_video_leak_corpus(spark, dirp)
+
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_video_decontaminate(spark, dirp).collect()
+    )
+    assert got == want
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(mm.MEDIA_VIDEO_DECONTAMINATE_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == got
+
+
+def test_media_video_decontaminate_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_video_decontaminate,
+        mm.MEDIA_VIDEO_DECONTAMINATE_ORACLE,
+    )
+
+
+def test_media_video_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    """Output rows are TRAINING clips only, every flagged doc is a
+    real AVI doc, and hammings respect the lossless bound."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    rows = mm.media_video_decontaminate(spark, sf_dir).collect()
+    avis = {
+        r["doc_id"]
+        for r in mm.media_avi_table(spark, sf_dir).select("doc_id").collect()
+    }
+    for r in rows:
+        assert r["doc_id"] % EVAL_MOD != EVAL_RESIDUE
+        assert r["doc_id"] in avis
+        assert 0 <= r["min_hamming"] <= mm.DECONTAM_HAMMING_MAX
+        assert r["n_eval_matches"] >= 1
+
+
+def test_media_video_decontaminate_stored_equals_online(spark, tmp_path):
+    """The stored-index video serving path must be bit-identical to
+    the online query (integer fingerprints survive parquet
+    losslessly) — checked on the SEEDED corpus so the equality is
+    pinned on known flags, plus a from_index roundtrip against a
+    separately written registry."""
+    dirp = str(tmp_path / "sf")
+    want = seeded_video_leak_corpus(spark, dirp)
+
+    online = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_video_decontaminate(spark, dirp).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_video_decontaminate_stored(spark, dirp).collect()
+    )
+    assert online == stored == want
+
+    idx = str(tmp_path / "videoidx")
+    mm.media_video_eval_write_index(spark, dirp, idx)
+    via_index = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["min_hamming"])
+        for r in mm.media_video_decontaminate_from_index(
+            spark, dirp, idx
+        ).collect()
+    )
+    assert via_index == want

@@ -369,3 +369,45 @@ def test_streaming_media_audio_decontaminate_matches_batch(spark, tmp_path):
     import glob as globmod
 
     assert len(globmod.glob(store + "/batch_id=*")) == 2
+
+
+def test_streaming_media_video_decontaminate_matches_batch(spark, tmp_path):
+    """Draining the document stream against the stored VIDEO eval
+    registry must reproduce the batch media_video_decontaminate
+    answer exactly (the image/audio twins' equivalence, r13, through
+    the same shared drain — only the synth hook and fingerprint
+    differ). Seeded corpus split across 2 parquet files = 2 real
+    micro-batches, so the multi-batch claim is non-vacuous."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_decontaminate,
+        media_video_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_flags_from_store,
+        streaming_media_video_decontaminate,
+    )
+
+    from .test_multimodal import seeded_video_leak_corpus
+
+    dirp = str(tmp_path / "sf")
+    seeded_video_leak_corpus(spark, dirp, n_files=2)
+
+    idx = str(tmp_path / "videoidx")
+    store = str(tmp_path / "videostore")
+    ckpt = str(tmp_path / "videockpt")
+    media_video_eval_write_index(spark, dirp, idx)
+    streaming_media_video_decontaminate(
+        spark, dirp + "/documents.parquet", idx, store, ckpt,
+        glob="part-*",
+    )
+    streamed = sorted(
+        map(tuple, read_media_flags_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(tuple, media_video_decontaminate(spark, dirp).collect())
+    )
+    assert streamed == batch
+    assert streamed  # non-vacuous (the planted leaks)
+    import glob as globmod
+
+    assert len(globmod.glob(store + "/batch_id=*")) == 2
