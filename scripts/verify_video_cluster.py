@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Multi-executor validation of the r13 VIDEO tier on a REAL
+standalone cluster (the r10..r13 harness: master on 127.0.0.1, 4
+workers each bound to its own loopback address => distinct hosts to
+the scheduler). Pins that every video surface produces EXACTLY the
+same rows on the 4-worker cluster as in local mode at sf0.01:
+
+- media_video_neardup / media_video_dedup /
+  media_video_decontaminate_stored — the three registrable batch
+  surfaces (the stored cycle covers the online path transitively:
+  the roundtrip is bit-identical by construction and pinned in
+  pytest);
+- video corrupt-payload skip — the media_skip_count('video')
+  accumulator under a real multi-process scheduler (planted
+  undecodable AVIs across 8 partitions; worker->driver accumulator
+  protocol, not the in-process path local mode exercises);
+- streaming_media_video_decontaminate — a full streaming drain of
+  the seeded video-leak corpus (2 part files = 2 real micro-batches)
+  through the shared _drain_decontam with the media_fn synth hook,
+  on the cluster scheduler.
+
+Usage (PYTHONPATH required — python UDF workers are separate
+processes that do not inherit the driver's sys.path):
+
+    PYTHONPATH=/root/repo \
+        python scripts/verify_video_cluster.py > R13_VIDEO_CLUSTER_CHECK.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from perf_straggler_cluster import (  # noqa: E402
+    MASTER_URL,
+    start_cluster,
+)
+
+SF = "/root/testdata/sf0.01"
+N_CORRUPT = 24
+
+
+def stop_cluster(procs) -> None:
+    for p in procs:
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except Exception:
+            p.kill()
+
+
+def _package_zip() -> str:
+    import shutil
+
+    repo = Path(__file__).resolve().parent.parent
+    base = tempfile.mkdtemp(prefix="video_pkg_")
+    return shutil.make_archive(
+        f"{base}/honors_p1_mapreduce_spark",
+        "zip",
+        root_dir=str(repo),
+        base_dir="honors_p1_mapreduce_spark",
+    )
+
+
+def _ops():
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_dedup,
+        media_video_decontaminate_stored,
+        media_video_neardup,
+    )
+
+    return [
+        ("media_video_neardup", media_video_neardup),
+        ("media_video_dedup", media_video_dedup),
+        ("media_video_decontaminate_stored", media_video_decontaminate_stored),
+    ]
+
+
+def _corrupt_skip_check(spark: SparkSession) -> dict:
+    """Planted-corruption run: N_CORRUPT undecodable payloads mixed
+    into a valid AVI corpus across 8 partitions."""
+    from pyspark.sql import functions as F
+
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+    from tests.test_multimodal import _avi_from_payload, _video_payload
+
+    rows = [
+        (
+            i,
+            bytearray(
+                _avi_from_payload(
+                    _video_payload(
+                        [10 + ((k * 37 + i) % 53) for k in range(64)]
+                    )
+                )
+            ),
+        )
+        for i in range(64)
+    ]
+    corrupt = [
+        (1000 + j, bytearray(b"not a riff container"))  # foreign magic
+        if j % 3 == 0
+        else (1000 + j, bytearray(rows[0][1][:40]))  # truncated header
+        if j % 3 == 1
+        else (1000 + j, None)  # NULL payload
+        for j in range(N_CORRUPT)
+    ]
+    media = (
+        spark.createDataFrame(rows + corrupt, "doc_id bigint, content binary")
+        .withColumn("media_type", F.lit("video/avi"))
+        .repartition(8)
+    )
+    mm.reset_media_skip_counts()
+    got = sorted(
+        (r["doc_id"], r["fingerprint"])
+        for r in mm.video_fingerprints(media).collect()
+    )
+    return {"fps": got, "skips": mm.media_skip_count("video")}
+
+
+def _streaming_drain(spark: SparkSession) -> list[tuple]:
+    """Drain the seeded video-leak corpus (planted gain-twin /
+    retouch / control, 2 part files = 2 real micro-batches) through
+    the streaming video decontamination twin and return the drained
+    store rows."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_media_flags_from_store,
+        streaming_media_video_decontaminate,
+    )
+    from tests.test_multimodal import seeded_video_leak_corpus
+
+    d = tempfile.mkdtemp(prefix="video_streamchk_")
+    seeded_video_leak_corpus(spark, f"{d}/sf", n_files=2)
+    media_video_eval_write_index(spark, f"{d}/sf", f"{d}/idx")
+    streaming_media_video_decontaminate(
+        spark,
+        f"{d}/sf/documents.parquet",
+        f"{d}/idx",
+        f"{d}/store",
+        f"{d}/ckpt",
+        glob="part-*",
+    )
+    return sorted(
+        tuple(r)
+        for r in read_media_flags_from_store(spark, f"{d}/store").collect()
+    )
+
+
+def _run_all(spark: SparkSession) -> dict:
+    from honors_p1_mapreduce_spark import registry
+
+    out: dict = {}
+    for name, fn in _ops():
+        out[name] = sorted(tuple(r) for r in fn(spark, SF).collect())
+        spark.catalog.clearCache()
+        registry.reset_memos()
+    out["corrupt_payload_skip"] = _corrupt_skip_check(spark)
+    out["streaming_media_video_decontaminate"] = _streaming_drain(spark)
+    return out
+
+
+def main() -> None:
+    local = (
+        SparkSession.builder.master("local[8]")
+        .appName("video-cluster-check-local")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    want = _run_all(local)
+    local.stop()
+
+    log_dir = tempfile.mkdtemp(prefix="video_cluster_")
+    procs = start_cluster(log_dir)
+    try:
+        spark = (
+            SparkSession.builder.master(MASTER_URL)
+            .appName("video-cluster-check")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.executor.memory", "1400m")
+            .getOrCreate()
+        )
+        spark.sparkContext.addPyFile(_package_zip())
+        got = _run_all(spark)
+        spark.stop()
+    finally:
+        stop_cluster(procs)
+
+    names = [n for n, _ in _ops()] + ["streaming_media_video_decontaminate"]
+    ops = {
+        name: {
+            "rows_local": len(want[name]),
+            "rows_cluster": len(got[name]),
+            "match": want[name] == got[name],
+        }
+        for name in names
+    }
+    ops["corrupt_payload_skip"] = {
+        "valid_fps_match": want["corrupt_payload_skip"]["fps"]
+        == got["corrupt_payload_skip"]["fps"],
+        "skips_local": want["corrupt_payload_skip"]["skips"],
+        "skips_cluster": got["corrupt_payload_skip"]["skips"],
+        "match": (
+            want["corrupt_payload_skip"]["fps"]
+            == got["corrupt_payload_skip"]["fps"]
+            and want["corrupt_payload_skip"]["skips"] == N_CORRUPT
+            and got["corrupt_payload_skip"]["skips"] == N_CORRUPT
+        ),
+    }
+    report = {
+        "sf": SF,
+        "workers": 4,
+        "n_corrupt_planted": N_CORRUPT,
+        "ops": ops,
+        "all_match": all(o["match"] for o in ops.values()),
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
