@@ -2604,10 +2604,14 @@ def avi_video_hash(content: bytes) -> int:
     AVI payload: decode every frame (genuine container walk), bit i
     set when luminance(pixel_i) > luminance(pixel_{i+1}) over the
     temporally-concatenated decoded pixel stream. Raises
-    :class:`UnsupportedMediaError` (or ``struct.error`` for a
-    truncated header) on undecodable payloads — callers on the ingest
-    path skip-and-count those per the corrupt-payload contract
-    (module docstring)."""
+    :class:`UnsupportedMediaError` on ANY undecodable payload —
+    unlike the BMP path (where a truncated header's ``struct.error``
+    genuinely escapes ``_pixel_grid``), :func:`_avi_frames_parse`
+    wraps every ``struct.error``/``IndexError`` into
+    UnsupportedMediaError by construction, so that one type is the
+    whole raise contract here; callers on the ingest path
+    skip-and-count it per the corrupt-payload contract (module
+    docstring)."""
     _w, _h, frames = _avi_frames_parse(content)
     data = b"".join(frames)
     if len(data) < VIDEO_FP_BYTES:
@@ -2630,10 +2634,12 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
     family). Ingest contract: undecodable payloads (NULL, foreign
     magic, truncated header, compressed frames, too-short streams)
     SKIP per item and COUNT toward ``media_skip_count("video")`` —
-    the caught set is exactly what a malformed byte string can raise
-    out of :func:`_avi_frames_parse` / :func:`avi_video_hash`;
-    anything else propagates and fails the query (the narrowed-except
-    rule, r12 advisor)."""
+    the caught set is :class:`UnsupportedMediaError` ALONE, because
+    :func:`_avi_frames_parse` wraps every ``struct.error`` /
+    ``IndexError`` a malformed byte string can produce and
+    :func:`avi_video_hash` bounds-checks before indexing (see its
+    raise contract); anything else propagates and fails the query
+    (the narrowed-except rule, r12 advisor)."""
     acc = _skip_acc(media.sparkSession.sparkContext, "video")
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
@@ -2645,7 +2651,7 @@ def video_fingerprints(media: DataFrame) -> DataFrame:
                     continue
                 try:
                     fp = avi_video_hash(bytes(content))
-                except (struct.error, UnsupportedMediaError, IndexError):
+                except UnsupportedMediaError:
                     acc.add(1)  # corrupt/truncated/foreign container
                     continue
                 out["doc_id"].append(doc_id)
@@ -2828,3 +2834,209 @@ def media_video_decontaminate_stored(
 
 
 MEDIA_VIDEO_DECONTAMINATE_STORED_ORACLE = MEDIA_VIDEO_DECONTAMINATE_ORACLE
+
+
+# --------------------- frame-level video overlap (r13 library)
+#
+# The whole-clip hash (avi_video_hash) sees a video as ONE gradient
+# sequence, so a clip EMBEDDED in a longer/reordered video — the
+# classic partial-content duplication mode (intros, stock footage,
+# reaction clips) — lands far away in hamming space even though
+# whole frames are shared verbatim (perceptually). This operator
+# works at FRAME granularity: fingerprint every decoded frame
+# independently, then report document pairs sharing at least one
+# distinct frame fingerprint, with the shared count. The same
+# public construction as winnowing's shared-fingerprint join
+# (Schleimer et al.) and the shot-level matching of video-copy
+# detection literature, over exact fp equality (candidate semantics:
+# equal 42-bit gain-invariant frame signature), never pairwise
+# frames.
+#
+# Frame fingerprint: gradient comparisons of the 16 frame luminances
+# at lags 1, 2, 3 -> 15+14+13 = 42 bits. Gain/brightness-invariant
+# like the rest of the family (order comparisons only); 42 bits make
+# chance cross-content collisions negligible at probe scales
+# (~2^-42 per frame pair) while staying pure-integer, so DuckDB
+# re-derives every bit from hex(encode(text)) static offsets.
+#
+# 100 TB shape: frame fp extraction is the SAME map-only Arrow pass
+# as every fingerprint here (frames never shuffle — 8-byte rows do);
+# per-doc fps are DISTINCT'd (a doc repeating its own frame counts
+# once); the hot-fp guard (> VIDEO_FRAME_FP_CAP docs sharing one
+# frame signature = boilerplate — black frames, title cards — the
+# winnow DF_CAP / IMG_NEARDUP_FP_CAP pattern) bounds the equi-join
+# fanout to cap^2 per fp, broadcast as an anti-join; the pair
+# aggregate is one shuffle of 8-byte rows.
+
+VIDEO_FRAME_FP_LAGS = (1, 2, 3)
+VIDEO_FRAME_FP_BITS = sum(
+    AVI_W * AVI_H - lag for lag in VIDEO_FRAME_FP_LAGS
+)  # 42
+VIDEO_FRAME_FP_CAP = 16  # hot-frame-fp guard (distinct docs per fp)
+
+
+def frame_gradient_hash(grays: list[int]) -> int:
+    """42-bit gain-invariant signature of ONE frame's 16 luminances:
+    bit positions pack the lag-1 (15 bits), lag-2 (14), lag-3 (13)
+    order comparisons in sequence."""
+    fp = 0
+    pos = 0
+    for lag in VIDEO_FRAME_FP_LAGS:
+        for j in range(len(grays) - lag):
+            if grays[j] > grays[j + lag]:
+                fp |= 1 << pos
+            pos += 1
+    return fp
+
+
+def video_frame_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, frame_fp) — one Arrow-batched map-only
+    pass decoding each AVI once and hashing every frame
+    independently (:func:`frame_gradient_hash`). Same ingest
+    skip-and-count contract as :func:`video_fingerprints`
+    (UnsupportedMediaError alone — the parse wraps everything else;
+    skips count toward ``media_skip_count("video")``)."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "video")
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_fp": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    acc.add(1)
+                    continue
+                try:
+                    _w, _h, frames = _avi_frames_parse(bytes(content))
+                except UnsupportedMediaError:
+                    acc.add(1)
+                    continue
+                for i, fr in enumerate(frames):
+                    grays = [
+                        fr[3 * j] + fr[3 * j + 1] + fr[3 * j + 2]
+                        for j in range(len(fr) // 3)
+                    ]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_fp"].append(frame_gradient_hash(grays))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _fp, schema="doc_id long, frame_idx int, frame_fp long"
+    )
+
+
+def media_video_frame_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_cap: int | None = VIDEO_FRAME_FP_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps) — video pairs sharing >= 1
+    DISTINCT frame fingerprint, the partial-content overlap the
+    whole-clip hash cannot see (section comment). ``fp_cap`` is the
+    hot-frame guard; ``None`` disables it (kept available by
+    parameter, the image_neardup_pairs convention)."""
+    from pyspark.storagelevel import StorageLevel
+
+    vids = media_avi_table(spark, sf_dir)
+    dfp = (
+        video_frame_fingerprints(vids)
+        .select("doc_id", "frame_fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if fp_cap is not None:
+        # bounded by |distinct (doc, fp)| / fp_cap entries: broadcasts
+        hot = (
+            dfp.groupBy("frame_fp")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > fp_cap)
+            .select("frame_fp")
+        )
+        dfp = dfp.join(F.broadcast(hot), "frame_fp", "left_anti")
+    a, b = dfp.alias("a"), dfp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.frame_fp") == F.col("b.frame_fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
+def _video_frame_fp_oracle_core() -> str:
+    """Standalone SELECT producing (doc_id, frame_fp) DISTINCT rows
+    for every AVI doc — per-frame lag-gradient signatures re-derived
+    from hex(encode(text)) static byte offsets (frame i pixel j's
+    channels are text bytes 3*(16i+j)..+2 at the synth geometry)."""
+    px = AVI_W * AVI_H
+
+    def gray(k: int) -> str:
+        return " + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * (3 * k + c) + 1}, 2)) AS BIGINT)"
+            for c in range(3)
+        )
+
+    n_grays = px * AVI_FRAMES
+    g_cols = ",\n         ".join(
+        f"({gray(k)}) AS g{k}" for k in range(n_grays)
+    )
+
+    def frame_fp(i: int) -> str:
+        terms = []
+        pos = 0
+        for lag in VIDEO_FRAME_FP_LAGS:
+            for j in range(px - lag):
+                terms.append(
+                    f"CASE WHEN g{px * i + j} > g{px * i + j + lag} "
+                    f"THEN CAST({1 << pos} AS BIGINT) ELSE 0 END"
+                )
+                pos += 1
+        return " + ".join(terms)
+
+    frame_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {frame_fp(i)} AS frame_fp FROM g"
+        for i in range(AVI_FRAMES)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {AVI_DATA_LEN}
+),
+g AS (
+  SELECT doc_id,
+         {g_cols}
+  FROM d
+)
+SELECT DISTINCT doc_id, frame_fp FROM (
+{frame_rows}
+) t"""
+
+
+def _video_frame_overlap_oracle() -> str:
+    return f"""
+WITH dfp AS MATERIALIZED (
+  SELECT doc_id, frame_fp FROM ({_video_frame_fp_oracle_core()}) t
+),
+hot AS MATERIALIZED (
+  SELECT frame_fp FROM dfp
+  GROUP BY frame_fp HAVING count(*) > {VIDEO_FRAME_FP_CAP}
+),
+kept AS MATERIALIZED (
+  SELECT * FROM dfp
+  WHERE frame_fp NOT IN (SELECT frame_fp FROM hot)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_fps
+FROM kept a JOIN kept b
+  ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+MEDIA_VIDEO_FRAME_OVERLAP_ORACLE = _video_frame_overlap_oracle()

@@ -197,12 +197,16 @@ narrative, the planner is the arithmetic.
 ROUND-15 BACKLOG (library surfaces built r13, queuing behind the
 allocated r14 window): the VIDEO perceptual tier
 (multimodal.py — media_video_neardup, media_video_dedup,
-media_video_decontaminate, media_video_decontaminate_stored; four
-registrable queries, oracles verified green at sf0.001 AND sf0.01 at
-build time, seeded-leak golden + stored-cycle + streaming-twin
-equivalence in pytest). Registry 157 -> 161 at their registration,
-at which point decontaminate_audit folds video in as the SIXTH tier
-(after the audio tier's r14 fold-in makes it five)."""
+media_video_decontaminate, media_video_decontaminate_stored, plus
+media_video_frame_overlap, the frame-granular clip-in-clip operator
+the whole-clip hash cannot express; five registrable queries,
+oracles verified green at sf0.001 AND sf0.01 at build time,
+seeded-leak + clip-in-clip + hot-fp-guard goldens, stored-cycle and
+streaming-twin equivalences in pytest, 10x probe
+R13_VIDEO_PROBE.json, 4-worker check R13_VIDEO_CLUSTER_CHECK.json).
+Registry 157 -> 162 at their registration, at which point
+decontaminate_audit folds video in as the SIXTH tier (after the
+audio tier's r14 fold-in makes it five)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r13 window, 1-3] the r9-stamped trio displaced from the

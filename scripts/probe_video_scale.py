@@ -81,24 +81,39 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 2), n
 
-    reset_media_skip_counts()
-    for name, fn in (
-        ("media_video_neardup", media_video_neardup),
-        ("media_video_dedup", media_video_dedup),
-        ("media_video_decontaminate", media_video_decontaminate),
+    # skip counts are reset and read PER SCALE (review finding: one
+    # reset before all six runs aggregated both scales into a single
+    # number, so a nonzero reading could not be attributed and the
+    # "0 at both scales" claim was only checkable because 0 has no
+    # parts) — the accumulator is cumulative per context by design,
+    # so per-scale attribution must bracket the runs explicitly
+    skips = {}
+    for sf_label, sf_dir in (("1x", SF), ("10x", str(work))):
+        reset_media_skip_counts()
+        for name, fn in (
+            ("media_video_neardup", media_video_neardup),
+            ("media_video_dedup", media_video_dedup),
+            ("media_video_decontaminate", media_video_decontaminate),
+        ):
+            t, n = timed(fn, sf_dir)
+            out.setdefault(name, {})[f"t_{sf_label}_s"] = t
+            out[name][f"rows_{sf_label}"] = n
+        skips[sf_label] = media_skip_count("video")
+    for name in (
+        "media_video_neardup",
+        "media_video_dedup",
+        "media_video_decontaminate",
     ):
-        t1, n1 = timed(fn, SF)
-        t10, n10 = timed(fn, str(work))
-        out[name] = {
-            "t_1x_s": t1,
-            "t_10x_s": t10,
-            "rows_1x": n1,
-            "rows_10x": n10,
-            "time_ratio": round(t10 / t1, 2) if t1 else None,
-            "rows_ratio": round(n10 / n1, 2) if n1 else None,
-            "data_ratio": COPIES,
-        }
-    out["video_fingerprint_skips_10x"] = media_skip_count("video")
+        d = out[name]
+        d["time_ratio"] = (
+            round(d["t_10x_s"] / d["t_1x_s"], 2) if d["t_1x_s"] else None
+        )
+        d["rows_ratio"] = (
+            round(d["rows_10x"] / d["rows_1x"], 2) if d["rows_1x"] else None
+        )
+        d["data_ratio"] = COPIES
+    out["video_fingerprint_skips_1x"] = skips["1x"]
+    out["video_fingerprint_skips_10x"] = skips["10x"]
 
     print(json.dumps(out, indent=1))
     shutil.rmtree(work, ignore_errors=True)

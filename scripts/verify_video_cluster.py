@@ -38,6 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+from cluster_harness import package_zip, stop_cluster  # noqa: E402
 from perf_straggler_cluster import (  # noqa: E402
     MASTER_URL,
     start_cluster,
@@ -45,29 +46,6 @@ from perf_straggler_cluster import (  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 N_CORRUPT = 24
-
-
-def stop_cluster(procs) -> None:
-    for p in procs:
-        p.terminate()
-    for p in procs:
-        try:
-            p.wait(timeout=10)
-        except Exception:
-            p.kill()
-
-
-def _package_zip() -> str:
-    import shutil
-
-    repo = Path(__file__).resolve().parent.parent
-    base = tempfile.mkdtemp(prefix="video_pkg_")
-    return shutil.make_archive(
-        f"{base}/honors_p1_mapreduce_spark",
-        "zip",
-        root_dir=str(repo),
-        base_dir="honors_p1_mapreduce_spark",
-    )
 
 
 def _ops():
@@ -190,7 +168,7 @@ def main() -> None:
             .config("spark.executor.memory", "1400m")
             .getOrCreate()
         )
-        spark.sparkContext.addPyFile(_package_zip())
+        spark.sparkContext.addPyFile(package_zip("video_pkg_"))
         got = _run_all(spark)
         spark.stop()
     finally:

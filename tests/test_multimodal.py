@@ -1635,16 +1635,17 @@ def test_avi_video_hash_invariances():
     f = mm.AVI_FRAME_DATA
     swapped = base[f : 2 * f] + base[:f] + base[2 * f :]
     assert mm.avi_video_hash(_avi_from_payload(swapped)) != h0
-    # corrupt payloads raise the enumerated ingest-skip types only
-    import struct as _s
-
+    # corrupt payloads raise UnsupportedMediaError and NOTHING else —
+    # _avi_frames_parse wraps struct.error/IndexError by construction
+    # (avi_video_hash's raise contract), which is what lets
+    # video_fingerprints' ingest skip catch that single type
     for bad in (
         b"",
         b"not a riff container",
         b"RIFF\x10\x00\x00\x00AVI ",  # valid magic, no strf/frames
         _avi_from_payload(base)[:40],  # truncated mid-header
     ):
-        with pytest.raises((mm.UnsupportedMediaError, _s.error, IndexError)):
+        with pytest.raises(mm.UnsupportedMediaError):
             mm.avi_video_hash(bad)
 
 
@@ -1722,7 +1723,10 @@ def seeded_video_leak_corpus(spark, dirp: str, n_files: int = 1):
     small hamming, far control unflagged): eval clip doc 7
     (% 101 == 7) leaks into training as a DOUBLED-gain twin (every
     byte different, hamming 0 by construction) and as a retouched
-    copy (one adjacent pixel swap — flips at most 2 envelope bits)."""
+    copy (one adjacent pixel swap of g10/g11 — touches the
+    comparisons at bits 9, 10 and 11, i.e. at most 3 flipped bits,
+    which meets DECONTAM_HAMMING_MAX = 3 exactly; the assert below
+    computes the true hamming rather than trusting the bound)."""
     vals = [10 + ((k * 37) % 53) for k in range(mm.AVI_DATA_LEN // 3)]
     assert all(vals[i] != vals[i + 1] for i in range(mm.VIDEO_FP_GRAYS - 1))
     twin = [2 * v for v in vals]  # gain x2: same order, new bytes
@@ -1841,3 +1845,132 @@ def test_media_video_decontaminate_stored_equals_online(spark, tmp_path):
         ).collect()
     )
     assert via_index == want
+
+
+def _frame_vals(seed: int) -> list:
+    """16 luminance VALUES for one synthetic frame: a seeded-random
+    sample of distinct values in 10..62 (every lag comparison strict;
+    doubling stays printable), so distinct seeds give independent
+    order patterns — a linear-congruential family here would cap out
+    at its modulus and alias across seeds (the hot-fp test needs 50+
+    genuinely distinct frames)."""
+    import random
+
+    return random.Random(seed).sample(range(10, 63), 16)
+
+
+def test_media_video_frame_overlap_golden(spark, tmp_path):
+    """Clip-in-clip golden: doc 2 embeds two of doc 1's frames —
+    GAIN-DOUBLED and at different temporal positions — so the
+    whole-clip hashes sit far apart (asserted), yet the frame-level
+    operator reports the pair with exactly 2 shared fingerprints; a
+    control doc sharing nothing is absent. Engine and DuckDB agree."""
+    import duckdb
+
+    a_frames = [_frame_vals(s) for s in (1, 2, 3, 4)]
+    # doc 2: frames 3 and 1 of doc 1, gain x2, at positions 0 and 2
+    b_frames = [
+        [2 * v for v in a_frames[3]],
+        _frame_vals(9),
+        [2 * v for v in a_frames[1]],
+        _frame_vals(11),
+    ]
+    c_frames = [_frame_vals(s) for s in (21, 22, 23, 24)]
+
+    def payload(frames) -> bytes:
+        return _video_payload([v for fr in frames for v in fr])
+
+    fps = {
+        name: {
+            mm.frame_gradient_hash(
+                [3 * v for v in fr]  # grays = 3x the per-channel value
+            )
+            for fr in frames
+        }
+        for name, frames in (
+            ("a", a_frames), ("b", b_frames), ("c", c_frames),
+        )
+    }
+    assert len(fps["a"] & fps["b"]) == 2  # construction sanity
+    assert not (fps["a"] & fps["c"]) and not (fps["b"] & fps["c"])
+    # the whole-clip hash cannot see the overlap: reordered + mixed
+    # frames land beyond the near-dup threshold
+    h = {
+        n: mm.avi_video_hash(_avi_from_payload(payload(f)))
+        for n, f in (("a", a_frames), ("b", b_frames))
+    }
+    assert bin(h["a"] ^ h["b"]).count("1") > mm.IMG_NEARDUP_HAMMING_MAX
+
+    rows = [
+        (1, payload(a_frames).decode("ascii")),
+        (2, payload(b_frames).decode("ascii")),
+        (3, payload(c_frames).decode("ascii")),
+    ]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_shared_fps"])
+        for r in mm.media_video_frame_overlap(spark, dirp).collect()
+    )
+    assert got == [(1, 2, 2)]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(mm.MEDIA_VIDEO_FRAME_OVERLAP_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == got
+
+
+def test_media_video_frame_overlap_hot_fp_guard(spark, tmp_path):
+    """A boilerplate frame carried by more than VIDEO_FRAME_FP_CAP
+    docs (black frames, title cards) must stop generating pairs —
+    docs sharing ONLY the hot frame drop out, while a pair that also
+    shares a discriminative frame still surfaces with the hot frame
+    excluded from its count. Uncapped (fp_cap=None) the clique
+    reappears — the guard is the only thing bounding the fanout."""
+    boiler = _frame_vals(0)
+    n_docs = mm.VIDEO_FRAME_FP_CAP + 4  # 20 > cap
+    rows = []
+    for d in range(n_docs):
+        frames = [boiler] + [_frame_vals(100 + 10 * d + s) for s in (1, 2, 3)]
+        rows.append((d + 1, _video_payload(
+            [v for fr in frames for v in fr]
+        ).decode("ascii")))
+    # docs 1 and 2 additionally share a discriminative frame
+    shared = _frame_vals(77)
+    frames1 = [boiler, shared] + [_frame_vals(500 + s) for s in (1, 2)]
+    frames2 = [boiler, shared] + [_frame_vals(600 + s) for s in (1, 2)]
+    rows[0] = (1, _video_payload([v for fr in frames1 for v in fr]).decode("ascii"))
+    rows[1] = (2, _video_payload([v for fr in frames2 for v in fr]).decode("ascii"))
+
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_shared_fps"])
+        for r in mm.media_video_frame_overlap(spark, dirp).collect()
+    )
+    assert got == [(1, 2, 1)]  # hot boiler excluded, shared frame kept
+
+    uncapped = mm.media_video_frame_overlap(spark, dirp, fp_cap=None)
+    n_pairs = uncapped.count()
+    assert n_pairs == n_docs * (n_docs - 1) // 2  # the clique is real
+
+
+def test_media_video_frame_overlap_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_video_frame_overlap,
+        mm.MEDIA_VIDEO_FRAME_OVERLAP_ORACLE,
+    )
