@@ -2968,11 +2968,14 @@ def media_video_frame_overlap(
     )
 
 
-def _video_frame_fp_oracle_core() -> str:
-    """Standalone SELECT producing (doc_id, frame_fp) DISTINCT rows
-    for every AVI doc — per-frame lag-gradient signatures re-derived
-    from hex(encode(text)) static byte offsets (frame i pixel j's
-    channels are text bytes 3*(16i+j)..+2 at the synth geometry)."""
+def _video_frame_rows_oracle() -> str:
+    """Standalone SELECT producing (doc_id, frame_idx, frame_fp) for
+    every frame of every AVI doc — per-frame lag-gradient signatures
+    re-derived from hex(encode(text)) static byte offsets (frame i
+    pixel j's channels are text bytes 3*(16i+j)..+2 at the synth
+    geometry). The overlap oracle DISTINCTs it; the frame-level
+    decontamination oracle keeps frame_idx for its matched-frame
+    count."""
     px = AVI_W * AVI_H
 
     def gray(k: int) -> str:
@@ -2999,7 +3002,7 @@ def _video_frame_fp_oracle_core() -> str:
         return " + ".join(terms)
 
     frame_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {frame_fp(i)} AS frame_fp FROM g"
+        f"  SELECT doc_id, {i} AS frame_idx, {frame_fp(i)} AS frame_fp FROM g"
         for i in range(AVI_FRAMES)
     )
     return f"""
@@ -3013,9 +3016,16 @@ g AS (
          {g_cols}
   FROM d
 )
-SELECT DISTINCT doc_id, frame_fp FROM (
+SELECT doc_id, frame_idx, frame_fp FROM (
 {frame_rows}
 ) t"""
+
+
+def _video_frame_fp_oracle_core() -> str:
+    """(doc_id, frame_fp) DISTINCT rows — the overlap oracle's input,
+    a DISTINCT over :func:`_video_frame_rows_oracle`."""
+    return f"""
+SELECT DISTINCT doc_id, frame_fp FROM ({_video_frame_rows_oracle()}) r"""
 
 
 def _video_frame_overlap_oracle() -> str:
@@ -3040,3 +3050,137 @@ GROUP BY a.doc_id, b.doc_id
 
 
 MEDIA_VIDEO_FRAME_OVERLAP_ORACLE = _video_frame_overlap_oracle()
+
+
+def media_video_frame_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-granular video decontamination: TRAINING videos
+    containing ANY frame whose signature appears in any EVAL-split
+    video — the SUB-CLIP leakage mode the whole-clip tier
+    (:func:`media_video_decontaminate`) cannot see (an eval clip's
+    frames spliced into a longer training video move the whole-clip
+    hash arbitrarily far, but each lifted frame still matches
+    exactly). Output (doc_id, n_eval_matches, n_frames_matched):
+    distinct eval frame signatures present in the doc, and how many
+    of the doc's frame POSITIONS carry one (a doc repeating one eval
+    frame twice reads 1 matched signature / 2 matched frames).
+
+    Match semantics are EXACT 42-bit signature equality, the
+    frame-overlap convention — perceptual tolerance lives in the
+    gain/brightness invariance of :func:`frame_gradient_hash` itself,
+    not in a hamming band (the clip tiers band because their 56-bit
+    hash degrades gradually under retouching; a 16-pixel frame
+    signature either survives an order-preserving edit bit-exactly or
+    the frame genuinely differs).
+
+    100 TB shape: the eval side is benchmark-sized — its distinct
+    frame signatures BROADCAST at any corpus size; the training
+    corpus pays one map-only decode+hash pass and a broadcast-hash
+    join. The corpus never self-joins (the decontamination-tier
+    invariant). Split filters the raw synth rows before the
+    mapInPandas barrier, the one-decode rule."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = (
+        video_frame_fingerprints(vids.filter(is_eval))
+        .select(F.col("frame_fp").alias("eval_fp"))
+        .distinct()
+    )
+    train = video_frame_fingerprints(vids.filter(~is_eval))
+    hits = train.join(
+        F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("frame_fp").alias("n_eval_matches"),
+        F.countDistinct("frame_idx").alias("n_frames_matched"),
+    )
+
+
+def media_video_frame_eval_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the EVAL split's distinct FRAME signatures to
+    parquet — the frame-granular member of the benchmark-registry
+    artifact family (``frame_fps`` layout, distinct from the clip
+    tiers' ``eval_fps`` so one directory can serve both
+    granularities)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir).filter(
+        F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    )
+    (
+        video_frame_fingerprints(vids)
+        .select(F.col("frame_fp").alias("eval_fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/frame_fps")
+    )
+
+
+def media_video_frame_decontaminate_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve frame-granular decontamination from a STORED eval frame
+    registry: one map-only decode pass over the training clips + the
+    broadcast join — the eval corpus is never decoded again."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    vids = media_avi_table(spark, sf_dir).filter(
+        F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE
+    )
+    eval_fps = spark.read.parquet(f"{index_dir}/frame_fps")
+    train = video_frame_fingerprints(vids)
+    hits = train.join(
+        F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("frame_fp").alias("n_eval_matches"),
+        F.countDistinct("frame_idx").alias("n_frames_matched"),
+    )
+
+
+def media_video_frame_decontaminate_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full stored-index frame-decontamination cycle as ONE
+    query (write -> read back -> flag); integer signatures survive
+    parquet losslessly, so the roundtrip is bit-identical to
+    :func:`media_video_frame_decontaminate` and one oracle gates both
+    paths. Scratch: per-application overwrite-in-place."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "media_video_frame_fps")
+    media_video_frame_eval_write_index(spark, sf_dir, d)
+    return media_video_frame_decontaminate_from_index(spark, sf_dir, d)
+
+
+def _video_frame_decontam_oracle() -> str:
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    return f"""
+WITH rows_ AS MATERIALIZED (
+  SELECT doc_id, frame_idx, frame_fp
+  FROM ({_video_frame_rows_oracle()}) t
+),
+ev AS MATERIALIZED (
+  SELECT DISTINCT frame_fp AS eval_fp FROM rows_
+  WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+)
+SELECT doc_id,
+       count(DISTINCT frame_fp) AS n_eval_matches,
+       count(DISTINCT frame_idx) AS n_frames_matched
+FROM rows_ JOIN ev ON rows_.frame_fp = ev.eval_fp
+WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+GROUP BY doc_id
+"""
+
+
+MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE = _video_frame_decontam_oracle()
+# the stored roundtrip is bit-identical, so one oracle gates both paths
+MEDIA_VIDEO_FRAME_DECONTAMINATE_STORED_ORACLE = (
+    MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE
+)

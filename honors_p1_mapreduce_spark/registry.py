@@ -198,13 +198,17 @@ ROUND-15 BACKLOG (library surfaces built r13, queuing behind the
 allocated r14 window): the VIDEO perceptual tier
 (multimodal.py — media_video_neardup, media_video_dedup,
 media_video_decontaminate, media_video_decontaminate_stored, plus
-media_video_frame_overlap, the frame-granular clip-in-clip operator
-the whole-clip hash cannot express; five registrable queries,
-oracles verified green at sf0.001 AND sf0.01 at build time,
-seeded-leak + clip-in-clip + hot-fp-guard goldens, stored-cycle and
-streaming-twin equivalences in pytest, 10x probe
+the FRAME-granular pair: media_video_frame_overlap (clip-in-clip
+pair detection) and media_video_frame_decontaminate (+_stored) —
+sub-clip eval leakage the whole-clip hash provably cannot see (the
+seeded golden asserts the whole-clip tier returns 0 rows on frames
+spliced among foreign frames while the frame tier flags both
+plants); seven registrable queries, oracles verified green at
+sf0.001 AND sf0.01 at build time, seeded-leak + clip-in-clip +
+hot-fp-guard goldens, stored-cycle and streaming-twin equivalences
+in pytest, affine-invariance property tests, 10x probe
 R13_VIDEO_PROBE.json, 4-worker check R13_VIDEO_CLUSTER_CHECK.json).
-Registry 157 -> 162 at their registration, at which point
+Registry 157 -> 164 at their registration, at which point
 decontaminate_audit folds video in as the SIXTH tier (after the
 audio tier's r14 fold-in makes it five)."""
 

@@ -1974,3 +1974,116 @@ def test_media_video_frame_overlap_matches_oracle(spark, sf_dir):
         mm.media_video_frame_overlap,
         mm.MEDIA_VIDEO_FRAME_OVERLAP_ORACLE,
     )
+
+
+def seeded_frame_leak_corpus(spark, dirp: str, n_files: int = 1):
+    """Planted sub-clip leakage corpus: eval doc 7's frames leak into
+    training at FRAME granularity — doc 3 carries a gain-doubled copy
+    of eval frame 0 and an exact copy of eval frame 2 (2 signatures /
+    2 positions), doc 6 carries ONE eval frame at two positions
+    (1 signature / 2 positions — the n_eval_matches vs
+    n_frames_matched distinction), doc 9 shares nothing. Returns the
+    expected media_video_frame_decontaminate rows."""
+    ev = [_frame_vals(s) for s in (31, 32, 33, 34)]
+    d3 = [[2 * v for v in ev[0]], _frame_vals(41), ev[2], _frame_vals(42)]
+    d6 = [_frame_vals(51), ev[1], _frame_vals(52), ev[1]]
+    d9 = [_frame_vals(s) for s in (61, 62, 63, 64)]
+
+    ev_fps = {mm.frame_gradient_hash([3 * v for v in fr]) for fr in ev}
+    assert len(ev_fps) == 4  # eval frames pairwise distinct
+    for frames, want_shared in ((d3, 2), (d6, 1), (d9, 0)):
+        fps = {mm.frame_gradient_hash([3 * v for v in fr]) for fr in frames}
+        assert len(ev_fps & fps) == want_shared
+
+    def text_for(frames):
+        return _video_payload([v for fr in frames for v in fr]).decode("ascii")
+
+    rows = [
+        (7, text_for(ev)),  # EVAL split member (7 % 101 == 7)
+        (3, text_for(d3)),
+        (6, text_for(d6)),
+        (9, text_for(d9)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        dirp + "/documents.parquet"
+    )
+    return [(3, 2, 2), (6, 1, 2)]
+
+
+def test_media_video_frame_decontaminate_seeded_leak(spark, tmp_path):
+    """Sub-clip leakage golden: the whole-clip tier must MISS these
+    planted leaks (the frames are spliced among foreign frames, so
+    the clip hashes sit beyond the decontamination bound) while the
+    frame-level tier flags both, with the signature-vs-position
+    counts distinguished. Engine and DuckDB agree."""
+    import duckdb
+
+    dirp = str(tmp_path / "sf")
+    want = seeded_frame_leak_corpus(spark, dirp)
+
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_frames_matched"])
+        for r in mm.media_video_frame_decontaminate(spark, dirp).collect()
+    )
+    assert got == want
+
+    # the whole-clip tier cannot see this leakage mode
+    whole = mm.media_video_decontaminate(spark, dirp).collect()
+    assert whole == []
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora = con.execute(
+            mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE
+        ).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora) == got
+
+
+def test_media_video_frame_decontaminate_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_video_frame_decontaminate,
+        mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE,
+    )
+
+
+def test_media_video_frame_decontaminate_stored_equals_online(
+    spark, tmp_path
+):
+    """The stored-index frame-registry serving path must be
+    bit-identical to the online query, plus a from_index roundtrip
+    against a separately written registry (the clip tiers'
+    convention)."""
+    dirp = str(tmp_path / "sf")
+    want = seeded_frame_leak_corpus(spark, dirp)
+
+    online = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_frames_matched"])
+        for r in mm.media_video_frame_decontaminate(spark, dirp).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_frames_matched"])
+        for r in mm.media_video_frame_decontaminate_stored(
+            spark, dirp
+        ).collect()
+    )
+    assert online == stored == want
+
+    idx = str(tmp_path / "frameidx")
+    mm.media_video_frame_eval_write_index(spark, dirp, idx)
+    via_index = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_frames_matched"])
+        for r in mm.media_video_frame_decontaminate_from_index(
+            spark, dirp, idx
+        ).collect()
+    )
+    assert via_index == want

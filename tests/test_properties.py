@@ -539,3 +539,55 @@ def test_image_fingerprints_total_over_arbitrary_bytes(spark, payloads):
         except Exception:
             pass
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=85), min_size=64, max_size=64
+    ),
+    gain=st.integers(min_value=1, max_value=3),
+    bias=st.integers(min_value=0, max_value=170),
+)
+@settings(max_examples=60, deadline=None)
+def test_video_hashes_affine_invariance_property(vals, gain, bias):
+    """The perceptual video contract as a PROPERTY (the r12 audio
+    pattern applied to the r13 tier): for ANY frame payload and ANY
+    affine per-channel brightness map v -> gain*v + bias that stays
+    in byte range, BOTH the whole-clip hash (avi_video_hash) and the
+    per-frame signature (frame_gradient_hash) are identical — the
+    map multiplies each luminance by gain and shifts it by 3*bias,
+    preserving every order comparison, ties included. This is why a
+    re-encode at different brightness/contrast lands at hamming 0 in
+    media_video_decontaminate and why frame overlap survives gain
+    changes. Pure Python: the hashes are the row-local kernels the
+    Arrow passes apply."""
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    def payload(vs):
+        return bytes(v for v in vs for _ in range(3))
+
+    def avi(vs):
+        parts = [mm.AVI_PREFIX]
+        p = payload(vs)
+        for i in range(mm.AVI_FRAMES):
+            if i:
+                parts.append(mm._AVI_FRAME_HDR)
+            parts.append(p[i * mm.AVI_FRAME_DATA : (i + 1) * mm.AVI_FRAME_DATA])
+        return b"".join(parts)
+
+    # keep the affine map inside byte range for ANY drawn pair:
+    # gain*85 + bias_eff <= 255 (85 is the strategy's value ceiling)
+    bias_eff = bias % (256 - gain * 85)
+    mapped = [gain * v + bias_eff for v in vals]
+    assert all(0 <= v <= 255 for v in mapped)
+
+    h = mm.avi_video_hash(avi(vals))
+    assert 0 <= h < (1 << mm.PHASH_BITS)
+    assert mm.avi_video_hash(avi(mapped)) == h
+
+    for f in range(mm.AVI_FRAMES):
+        grays = [3 * v for v in vals[16 * f : 16 * (f + 1)]]
+        mapped_grays = [3 * v for v in mapped[16 * f : 16 * (f + 1)]]
+        fp = mm.frame_gradient_hash(grays)
+        assert 0 <= fp < (1 << mm.VIDEO_FRAME_FP_BITS)
+        assert mm.frame_gradient_hash(mapped_grays) == fp
