@@ -290,6 +290,8 @@ def _drain_decontam(
     fingerprint_fn,
     glob: str,
     media_fn=None,
+    flags_fn=None,
+    layout: str = "eval_fps",
 ) -> None:
     """The ONE decontamination drain all modality twins share (r12
     review: the audio twin had duplicated the image twin's ~45-line
@@ -306,8 +308,13 @@ def _drain_decontam(
     mode (replay-idempotent, :func:`_write_batch_partition`).
     ``media_fn`` is the per-batch synth hook (defaults to
     :func:`media_real_table_from` — the WAV/BMP/PPM table the image
-    and audio twins share; the r13 video twin passes
-    :func:`media_avi_table_from`)."""
+    and audio twins share; the r13 video twins pass
+    :func:`media_avi_table_from`). ``flags_fn(fps, eval_fps)`` is the
+    flagging hook (defaults to the banded ``_decontam_flags`` the
+    clip tiers share; the frame-granular twin passes its exact-match
+    aggregate). ``layout`` names the registry subdirectory
+    (``eval_fps`` for the clip tiers, ``frame_fps`` for the
+    frame-granular one — the batch write_index functions' layouts)."""
     from ..operators.multimodal import (
         DECONTAM_HAMMING_MAX,
         _decontam_flags,
@@ -317,7 +324,10 @@ def _drain_decontam(
 
     if media_fn is None:
         media_fn = media_real_table_from
-    eval_fps = spark.read.parquet(f"{index_dir}/eval_fps").persist()
+    if flags_fn is None:
+        def flags_fn(fps, ev):
+            return _decontam_flags(fps, ev, DECONTAM_HAMMING_MAX)
+    eval_fps = spark.read.parquet(f"{index_dir}/{layout}").persist()
     try:
         eval_fps.count()  # materialize once, before the stream starts
 
@@ -327,9 +337,7 @@ def _drain_decontam(
             ).filter(
                 media_pred & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
             )
-            flags = _decontam_flags(
-                fingerprint_fn(rows), eval_fps, DECONTAM_HAMMING_MAX
-            )
+            flags = flags_fn(fingerprint_fn(rows), eval_fps)
             _write_batch_partition(flags, batch_id, store_dir)
 
         q = (
@@ -455,3 +463,55 @@ def streaming_media_video_decontaminate(
         media_fn=media_avi_table_from,
     )
 
+
+
+def streaming_media_video_frame_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest FRAME-granular video decontamination (r13) —
+    the fourth twin over the one shared drain, exercising BOTH of its
+    hooks: ``media_fn`` (the AVI synth) and ``flags_fn`` (the
+    exact-match frame aggregate instead of the banded clip flags),
+    with the registry read from the ``frame_fps`` layout
+    (``media_video_frame_eval_write_index``'s parquet). Per-document
+    flags depend only on (doc frames) x (static eval frame registry),
+    so the drained store is EXACTLY the batch
+    ``media_video_frame_decontaminate`` answer — pinned by the seeded
+    2-micro-batch equivalence test."""
+    from ..operators.multimodal import (
+        media_avi_table_from,
+        video_frame_fingerprints,
+    )
+
+    def _frame_flags(fps: DataFrame, eval_fps: DataFrame) -> DataFrame:
+        hits = fps.join(
+            F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
+        )
+        return hits.groupBy("doc_id").agg(
+            F.countDistinct("frame_fp").alias("n_eval_matches"),
+            F.countDistinct("frame_idx").alias("n_frames_matched"),
+        )
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") == "video/avi", video_frame_fingerprints, glob,
+        media_fn=media_avi_table_from,
+        flags_fn=_frame_flags,
+        layout="frame_fps",
+    )
+
+
+def read_frame_flags_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(doc_id, n_eval_matches, n_frames_matched) from the drained
+    frame-decontamination store — drops the batch_id partition
+    column."""
+    return spark.read.parquet(store_dir).select(
+        "doc_id", "n_eval_matches", "n_frames_matched"
+    )

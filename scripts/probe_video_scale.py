@@ -1,6 +1,7 @@
 #!/usr/bin/env python
-"""Video-tier scale probe (r13): the three registrable video surfaces
-(media_video_neardup / media_video_dedup / media_video_decontaminate)
+"""Video-tier scale probe (r13): the registrable video surfaces
+(clip-level neardup/dedup/decontaminate + the frame-granular
+overlap/decontaminate pair)
 at 1x vs 10x corpus, the same evidence the image/audio tiers carried
 into their registrations (R10/R12_SCALE_PROBE):
 
@@ -43,6 +44,8 @@ from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
     media_skip_count,
     media_video_dedup,
     media_video_decontaminate,
+    media_video_frame_decontaminate,
+    media_video_frame_overlap,
     media_video_neardup,
     reset_media_skip_counts,
 )
@@ -94,6 +97,11 @@ def main() -> None:
             ("media_video_neardup", media_video_neardup),
             ("media_video_dedup", media_video_dedup),
             ("media_video_decontaminate", media_video_decontaminate),
+            ("media_video_frame_overlap", media_video_frame_overlap),
+            (
+                "media_video_frame_decontaminate",
+                media_video_frame_decontaminate,
+            ),
         ):
             t, n = timed(fn, sf_dir)
             out.setdefault(name, {})[f"t_{sf_label}_s"] = t
@@ -103,6 +111,8 @@ def main() -> None:
         "media_video_neardup",
         "media_video_dedup",
         "media_video_decontaminate",
+        "media_video_frame_overlap",
+        "media_video_frame_decontaminate",
     ):
         d = out[name]
         d["time_ratio"] = (

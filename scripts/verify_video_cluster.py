@@ -6,18 +6,22 @@ the scheduler). Pins that every video surface produces EXACTLY the
 same rows on the 4-worker cluster as in local mode at sf0.01:
 
 - media_video_neardup / media_video_dedup /
-  media_video_decontaminate_stored — the three registrable batch
-  surfaces (the stored cycle covers the online path transitively:
-  the roundtrip is bit-identical by construction and pinned in
-  pytest);
+  media_video_decontaminate_stored plus the frame-granular pair
+  media_video_frame_overlap / media_video_frame_decontaminate_stored
+  — the registrable batch surfaces (each stored cycle covers its
+  online path transitively: the roundtrip is bit-identical by
+  construction and pinned in pytest);
 - video corrupt-payload skip — the media_skip_count('video')
   accumulator under a real multi-process scheduler (planted
   undecodable AVIs across 8 partitions; worker->driver accumulator
   protocol, not the in-process path local mode exercises);
-- streaming_media_video_decontaminate — a full streaming drain of
-  the seeded video-leak corpus (2 part files = 2 real micro-batches)
-  through the shared _drain_decontam with the media_fn synth hook,
-  on the cluster scheduler.
+- streaming_media_video_decontaminate AND
+  streaming_media_video_frame_decontaminate — full streaming drains
+  of the seeded clip-leak and sub-clip-leak corpora (2 part files =
+  2 real micro-batches each) through the shared _drain_decontam;
+  between them the two twins exercise every hook of the drain
+  (media_fn AVI synth, banded vs exact-match flags_fn, eval_fps vs
+  frame_fps registry layout) on the cluster scheduler.
 
 Usage (PYTHONPATH required — python UDF workers are separate
 processes that do not inherit the driver's sys.path):
@@ -52,6 +56,8 @@ def _ops():
     from honors_p1_mapreduce_spark.operators.multimodal import (
         media_video_dedup,
         media_video_decontaminate_stored,
+        media_video_frame_decontaminate_stored,
+        media_video_frame_overlap,
         media_video_neardup,
     )
 
@@ -59,6 +65,11 @@ def _ops():
         ("media_video_neardup", media_video_neardup),
         ("media_video_dedup", media_video_dedup),
         ("media_video_decontaminate_stored", media_video_decontaminate_stored),
+        ("media_video_frame_overlap", media_video_frame_overlap),
+        (
+            "media_video_frame_decontaminate_stored",
+            media_video_frame_decontaminate_stored,
+        ),
     ]
 
 
@@ -135,6 +146,38 @@ def _streaming_drain(spark: SparkSession) -> list[tuple]:
     )
 
 
+def _streaming_frame_drain(spark: SparkSession) -> list[tuple]:
+    """Drain the seeded SUB-CLIP leak corpus through the
+    frame-granular streaming twin — this path exercises BOTH hooks of
+    the shared drain (AVI synth media_fn + exact-match flags_fn +
+    the frame_fps registry layout) on whatever scheduler ``spark``
+    runs."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_frame_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_frame_flags_from_store,
+        streaming_media_video_frame_decontaminate,
+    )
+    from tests.test_multimodal import seeded_frame_leak_corpus
+
+    d = tempfile.mkdtemp(prefix="video_framechk_")
+    seeded_frame_leak_corpus(spark, f"{d}/sf", n_files=2)
+    media_video_frame_eval_write_index(spark, f"{d}/sf", f"{d}/idx")
+    streaming_media_video_frame_decontaminate(
+        spark,
+        f"{d}/sf/documents.parquet",
+        f"{d}/idx",
+        f"{d}/store",
+        f"{d}/ckpt",
+        glob="part-*",
+    )
+    return sorted(
+        tuple(r)
+        for r in read_frame_flags_from_store(spark, f"{d}/store").collect()
+    )
+
+
 def _run_all(spark: SparkSession) -> dict:
     from honors_p1_mapreduce_spark import registry
 
@@ -145,6 +188,9 @@ def _run_all(spark: SparkSession) -> dict:
         registry.reset_memos()
     out["corrupt_payload_skip"] = _corrupt_skip_check(spark)
     out["streaming_media_video_decontaminate"] = _streaming_drain(spark)
+    out["streaming_media_video_frame_decontaminate"] = (
+        _streaming_frame_drain(spark)
+    )
     return out
 
 
@@ -174,7 +220,10 @@ def main() -> None:
     finally:
         stop_cluster(procs)
 
-    names = [n for n, _ in _ops()] + ["streaming_media_video_decontaminate"]
+    names = [n for n, _ in _ops()] + [
+        "streaming_media_video_decontaminate",
+        "streaming_media_video_frame_decontaminate",
+    ]
     ops = {
         name: {
             "rows_local": len(want[name]),

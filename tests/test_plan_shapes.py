@@ -825,3 +825,58 @@ def test_media_audio_decontaminate_serve_never_decodes_eval(
     assert plan.count("MapInPandas") == 1
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_media_video_decontaminate_eval_side_broadcast(spark, sf_dir):
+    """Video clip tier (r13): the eval fingerprint set reaches the
+    training side as a broadcast, the corpus never self-joins — the
+    image/audio tiers' pinned shape, inherited through the shared
+    _decontam_flags."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_decontaminate,
+    )
+
+    plan = _plan(media_video_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_video_frame_decontaminate_serve_single_decode(
+    spark, sf_dir, tmp_path
+):
+    """Frame-granular serving path: exactly ONE Arrow decode pass
+    (the training clips) — the eval side arrives as a parquet scan of
+    the shipped frame registry and joins as a broadcast."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_frame_decontaminate_from_index,
+        media_video_frame_eval_write_index,
+    )
+
+    idx = str(tmp_path / "frameidx")
+    media_video_frame_eval_write_index(spark, sf_dir, idx)
+    plan = _plan(
+        media_video_frame_decontaminate_from_index(spark, sf_dir, idx)
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_video_frame_overlap_guard_broadcast_no_cartesian(
+    spark, sf_dir
+):
+    """The frame-overlap self-join is keyed on frame_fp (never a
+    cartesian / nested loop), and the hot-frame guard excludes
+    boilerplate via a BROADCAST anti-join — the fp frame is persisted
+    so the decode pass is not re-paid per consumer."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_frame_overlap,
+    )
+
+    plan = _plan(media_video_frame_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # the persisted distinct fp frame
+    spark.catalog.clearCache()

@@ -411,3 +411,49 @@ def test_streaming_media_video_decontaminate_matches_batch(spark, tmp_path):
     import glob as globmod
 
     assert len(globmod.glob(store + "/batch_id=*")) == 2
+
+
+def test_streaming_media_video_frame_decontaminate_matches_batch(
+    spark, tmp_path
+):
+    """The frame-granular streaming twin (r13) must reproduce the
+    batch media_video_frame_decontaminate answer exactly — it drives
+    BOTH hooks of the shared drain (the AVI synth media_fn AND the
+    exact-match flags_fn with the frame_fps registry layout), so this
+    equivalence also pins the hook plumbing itself. Seeded sub-clip
+    corpus split across 2 parquet files = 2 real micro-batches."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_video_frame_decontaminate,
+        media_video_frame_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_frame_flags_from_store,
+        streaming_media_video_frame_decontaminate,
+    )
+
+    from .test_multimodal import seeded_frame_leak_corpus
+
+    dirp = str(tmp_path / "sf")
+    want = seeded_frame_leak_corpus(spark, dirp, n_files=2)
+
+    idx = str(tmp_path / "frameidx")
+    store = str(tmp_path / "framestore")
+    ckpt = str(tmp_path / "frameckpt")
+    media_video_frame_eval_write_index(spark, dirp, idx)
+    streaming_media_video_frame_decontaminate(
+        spark, dirp + "/documents.parquet", idx, store, ckpt,
+        glob="part-*",
+    )
+    streamed = sorted(
+        map(tuple, read_frame_flags_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            media_video_frame_decontaminate(spark, dirp).collect(),
+        )
+    )
+    assert streamed == batch == want
+    import glob as globmod
+
+    assert len(globmod.glob(store + "/batch_id=*")) == 2
