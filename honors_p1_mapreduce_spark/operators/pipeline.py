@@ -484,6 +484,109 @@ FROM s2 GROUP BY media_type
 MEDIA_CLEAN_FUNNEL_ORACLE = _media_funnel_oracle()
 
 
+# ------------------------------- video cleaning funnel (r13 library)
+
+# The video member of the funnel family: decode once, quality-gate,
+# then the perceptual dedup KEEP decision — over the genuine AVI
+# corpus. The quality signal is FREE given the fingerprint, exactly
+# the image funnel's trick: bit_count(avi_video_hash) counts how many
+# of the 56 spatio-temporal gradients are non-flat, so a near-zero
+# popcount is a degenerate clip (black frames, a static test card, a
+# flat-luminance render) — no second decode pass, no second signal
+# extraction. Threshold corpus-calibrated like MEDIA_IMG_MIN_GRADIENTS:
+# 26 drops 12.1 % / 9.2 % / 10.8 % of clips at sf0.001/0.01/0.1
+# (measured at build time — the gate does real work at every driver
+# scale; the popcount median is 27 with minimum 22).
+MEDIA_VIDEO_MIN_GRADIENTS = 26
+
+
+def media_video_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_items, n_bytes) per funnel stage over the AVI corpus
+    — decode once (one ``video_fingerprints`` pass yields BOTH the
+    quality signal and the dedup signal), drop low-gradient clips
+    (bit_count < MEDIA_VIDEO_MIN_GRADIENTS), then keep the min-doc_id
+    clip per perceptual cluster among quality survivors. Clusters
+    come from the CORPUS-level fingerprint graph (the
+    media_clean_funnel / corpus_clean_funnel order-independent
+    arbiter convention), through the shared pair-free
+    :func:`~..operators.multimodal.fp_clusters`. Library surface r13;
+    queues with the video block for r15 registration."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .multimodal import fp_clusters, media_avi_table, video_fingerprints
+
+    media = media_avi_table(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vfp = video_fingerprints(media).persist(StorageLevel.MEMORY_AND_DISK)
+    keep1 = vfp.filter(
+        F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
+    ).select("doc_id")
+    s1 = media.join(keep1, "doc_id")
+    keep2 = (
+        s1.join(fp_clusters(vfp), "doc_id")
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep2, "doc_id")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("n_bytes"),
+        ).select(F.lit(name).alias("stage"), "n_items", "n_bytes")
+
+    return (
+        stage(media, "0_all")
+        .unionByName(stage(s1, "1_quality"))
+        .unionByName(stage(s2, "2_dedup"))
+    )
+
+
+def _video_funnel_oracle() -> str:
+    from .multimodal import (
+        AVI_DATA_LEN,
+        AVI_FILE_LEN,
+        _fp_cluster_sql,
+        _video_fp_oracle_core,
+    )
+
+    return f"""
+WITH RECURSIVE
+m AS MATERIALIZED (
+  SELECT doc_id, {AVI_FILE_LEN} AS n_bytes
+  FROM documents
+  WHERE octet_length(encode(text)) >= {AVI_DATA_LEN}
+),
+vfp AS MATERIALIZED (
+  SELECT doc_id, fingerprint FROM ({_video_fp_oracle_core()}) t
+),
+k1 AS MATERIALIZED (
+  SELECT doc_id FROM vfp
+  WHERE bit_count(fingerprint) >= {MEDIA_VIDEO_MIN_GRADIENTS}
+),
+s1 AS MATERIALIZED (SELECT m.* FROM m JOIN k1 USING (doc_id)),
+{_fp_cluster_sql("v_", "vfp")},
+k2 AS MATERIALIZED (
+  SELECT min(s1.doc_id) AS doc_id
+  FROM s1 JOIN v_clusters USING (doc_id)
+  GROUP BY cluster
+),
+s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN k2 USING (doc_id))
+SELECT '0_all' AS stage, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+FROM m
+UNION ALL
+SELECT '1_quality', count(*), CAST(sum(n_bytes) AS BIGINT) FROM s1
+UNION ALL
+SELECT '2_dedup', count(*), CAST(sum(n_bytes) AS BIGINT) FROM s2
+"""
+
+
+MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE = _video_funnel_oracle()
+
+
 # ------------------------------- cross-modal decontamination audit (r11)
 
 

@@ -211,12 +211,15 @@ pair detection) and media_video_frame_decontaminate (+_stored) —
 sub-clip eval leakage the whole-clip hash provably cannot see (the
 seeded golden asserts the whole-clip tier returns 0 rows on frames
 spliced among foreign frames while the frame tier flags both
-plants); seven registrable queries, oracles verified green at
-sf0.001 AND sf0.01 at build time, seeded-leak + clip-in-clip +
-hot-fp-guard goldens, stored-cycle and streaming-twin equivalences
-in pytest, affine-invariance property tests, 10x probe
-R13_VIDEO_PROBE.json, 4-worker check R13_VIDEO_CLUSTER_CHECK.json).
-Registry 157 -> 164 at their registration, at which point
+plants); and media_video_clean_funnel (pipeline.py — decode once,
+popcount quality gate at the corpus-calibrated
+MEDIA_VIDEO_MIN_GRADIENTS=26, min-doc keep per perceptual cluster,
+per-stage budgets). Eight registrable queries, oracles verified
+green at sf0.001 AND sf0.01 at build time, seeded-leak +
+clip-in-clip + hot-fp-guard goldens, stored-cycle and streaming-twin
+equivalences in pytest, affine-invariance property tests, 10x probe
+R13_VIDEO_PROBE.json, 4-worker check R13_VIDEO_CLUSTER_CHECK.json.
+Registry 157 -> 165 at their registration, at which point
 decontaminate_audit folds video in as the SIXTH tier (after the
 audio tier's r14 fold-in makes it five)."""
 

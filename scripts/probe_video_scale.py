@@ -49,6 +49,9 @@ from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
     media_video_neardup,
     reset_media_skip_counts,
 )
+from honors_p1_mapreduce_spark.operators.pipeline import (  # noqa: E402
+    media_video_clean_funnel,
+)
 from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("PROBE_SF", "/root/testdata/sf0.1")
@@ -102,6 +105,7 @@ def main() -> None:
                 "media_video_frame_decontaminate",
                 media_video_frame_decontaminate,
             ),
+            ("media_video_clean_funnel", media_video_clean_funnel),
         ):
             t, n = timed(fn, sf_dir)
             out.setdefault(name, {})[f"t_{sf_label}_s"] = t
@@ -113,6 +117,7 @@ def main() -> None:
         "media_video_decontaminate",
         "media_video_frame_overlap",
         "media_video_frame_decontaminate",
+        "media_video_clean_funnel",
     ):
         d = out[name]
         d["time_ratio"] = (

@@ -6,11 +6,11 @@ the scheduler). Pins that every video surface produces EXACTLY the
 same rows on the 4-worker cluster as in local mode at sf0.01:
 
 - media_video_neardup / media_video_dedup /
-  media_video_decontaminate_stored plus the frame-granular pair
-  media_video_frame_overlap / media_video_frame_decontaminate_stored
-  — the registrable batch surfaces (each stored cycle covers its
-  online path transitively: the roundtrip is bit-identical by
-  construction and pinned in pytest);
+  media_video_decontaminate_stored, the frame-granular pair
+  media_video_frame_overlap / media_video_frame_decontaminate_stored,
+  and media_video_clean_funnel — the registrable batch surfaces
+  (each stored cycle covers its online path transitively: the
+  roundtrip is bit-identical by construction and pinned in pytest);
 - video corrupt-payload skip — the media_skip_count('video')
   accumulator under a real multi-process scheduler (planted
   undecodable AVIs across 8 partitions; worker->driver accumulator
@@ -60,6 +60,9 @@ def _ops():
         media_video_frame_overlap,
         media_video_neardup,
     )
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        media_video_clean_funnel,
+    )
 
     return [
         ("media_video_neardup", media_video_neardup),
@@ -70,6 +73,7 @@ def _ops():
             "media_video_frame_decontaminate_stored",
             media_video_frame_decontaminate_stored,
         ),
+        ("media_video_clean_funnel", media_video_clean_funnel),
     ]
 
 

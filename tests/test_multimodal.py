@@ -2087,3 +2087,43 @@ def test_media_video_frame_decontaminate_stored_equals_online(
         ).collect()
     )
     assert via_index == want
+
+
+def test_media_video_clean_funnel_monotone_and_oracle(spark, sf_dir):
+    """Video funnel invariants (the media_clean_funnel test's shape):
+    item and byte budgets non-increasing across stages, stage 0
+    equals the raw AVI table, stage 1 equals the direct threshold
+    recount (the popcount quality signal is derived from the SAME
+    fingerprint the dedup stage uses — one decode pass), stage 2
+    keeps exactly one clip per cluster among survivors, and the whole
+    composition matches its DuckDB oracle."""
+    from honors_p1_mapreduce_spark.operators.pipeline import (
+        MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
+        MEDIA_VIDEO_MIN_GRADIENTS,
+        media_video_clean_funnel,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["stage"]: (r["n_items"], r["n_bytes"])
+        for r in media_video_clean_funnel(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == ["0_all", "1_quality", "2_dedup"]
+    assert rows["0_all"] >= rows["1_quality"] >= rows["2_dedup"]
+    assert rows["2_dedup"][0] >= 1
+
+    media = mm.media_avi_table(spark, sf_dir)
+    assert rows["0_all"][0] == media.count()
+    vfp = mm.video_fingerprints(media)
+    n_q = vfp.filter(
+        F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
+    ).count()
+    assert rows["1_quality"][0] == n_q
+    assert rows["1_quality"][0] < rows["0_all"][0]  # gate does real work
+
+    compare_query(
+        spark,
+        sf_dir,
+        media_video_clean_funnel,
+        MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
+    )
