@@ -1222,14 +1222,23 @@ def _avi_frames_parse(content: bytes) -> tuple[int, int, list[bytes]]:
         raise UnsupportedMediaError("not a RIFF/AVI container")
     geom: dict[str, int] = {}
     frames: list[bytes] = []
+    # Real AVIs nest 2-3 LIST levels (hdrl -> strl, movi -> rec).
+    # A corrupt payload of nothing but nested LIST headers (12 bytes
+    # per level) would otherwise recurse ~len/12 deep and raise
+    # RecursionError PAST the except wrapper below — one malformed
+    # byte string failing a whole ingest query, exactly what the
+    # skip-and-count contract forbids (r13 review).
+    MAX_LIST_DEPTH = 32
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        if depth > MAX_LIST_DEPTH:
+            raise UnsupportedMediaError("LIST nesting beyond any real AVI")
         while pos + 8 <= end:
             cid = content[pos : pos + 4]
             sz = struct.unpack_from("<I", content, pos + 4)[0]
             body_end = min(pos + 8 + sz, end)
             if cid == b"LIST":
-                walk(pos + 12, body_end)  # skip the 4-byte list type
+                walk(pos + 12, body_end, depth + 1)  # skip the list type
             elif cid == b"strf" and "w" not in geom:
                 _sz, w, h = struct.unpack_from("<Iii", content, pos + 8)
                 geom["w"], geom["h"] = w, abs(h)
@@ -2869,8 +2878,9 @@ MEDIA_VIDEO_DECONTAMINATE_STORED_ORACLE = MEDIA_VIDEO_DECONTAMINATE_ORACLE
 # aggregate is one shuffle of 8-byte rows.
 
 VIDEO_FRAME_FP_LAGS = (1, 2, 3)
+VIDEO_FRAME_FP_GRAYS = AVI_W * AVI_H  # luminances hashed per frame (16)
 VIDEO_FRAME_FP_BITS = sum(
-    AVI_W * AVI_H - lag for lag in VIDEO_FRAME_FP_LAGS
+    VIDEO_FRAME_FP_GRAYS - lag for lag in VIDEO_FRAME_FP_LAGS
 )  # 42
 VIDEO_FRAME_FP_CAP = 16  # hot-frame-fp guard (distinct docs per fp)
 
@@ -2892,11 +2902,18 @@ def frame_gradient_hash(grays: list[int]) -> int:
 def video_frame_fingerprints(media: DataFrame) -> DataFrame:
     """(doc_id, frame_idx, frame_fp) — one Arrow-batched map-only
     pass decoding each AVI once and hashing every frame
-    independently (:func:`frame_gradient_hash`). Same ingest
+    independently (:func:`frame_gradient_hash` over the frame's
+    FIRST ``VIDEO_FRAME_FP_GRAYS`` luminances — the signature is
+    fixed-width 42 bits for ANY decodable geometry; hashing whatever
+    pixel count the container declares would overflow the 64-bit
+    column on a well-formed 8x8 AVI, r13 review). Same ingest
     skip-and-count contract as :func:`video_fingerprints`
-    (UnsupportedMediaError alone — the parse wraps everything else;
-    skips count toward ``media_skip_count("video")``)."""
+    (UnsupportedMediaError alone — the parse wraps everything else
+    and caps LIST nesting; a frame too small for the signature
+    window skips the payload the same way; skips count toward
+    ``media_skip_count("video")``)."""
     acc = _skip_acc(media.sparkSession.sparkContext, "video")
+    need = 3 * VIDEO_FRAME_FP_GRAYS
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -2907,13 +2924,17 @@ def video_frame_fingerprints(media: DataFrame) -> DataFrame:
                     continue
                 try:
                     _w, _h, frames = _avi_frames_parse(bytes(content))
+                    if any(len(fr) < need for fr in frames):
+                        raise UnsupportedMediaError(
+                            "frame below the signature window"
+                        )
                 except UnsupportedMediaError:
                     acc.add(1)
                     continue
                 for i, fr in enumerate(frames):
                     grays = [
                         fr[3 * j] + fr[3 * j + 1] + fr[3 * j + 2]
-                        for j in range(len(fr) // 3)
+                        for j in range(VIDEO_FRAME_FP_GRAYS)
                     ]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
@@ -3005,13 +3026,16 @@ def _video_frame_rows_oracle() -> str:
         f"  SELECT doc_id, {i} AS frame_idx, {frame_fp(i)} AS frame_fp FROM g"
         for i in range(AVI_FRAMES)
     )
+    # g MATERIALIZED: the 4-branch frame UNION references it four
+    # times, and DuckDB would otherwise inline the 192 hex-substring
+    # casts per doc into every branch (the _fp_cluster_sql rule)
     return f"""
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id, hex(encode(text)) AS hx
   FROM documents
   WHERE octet_length(encode(text)) >= {AVI_DATA_LEN}
 ),
-g AS (
+g AS MATERIALIZED (
   SELECT doc_id,
          {g_cols}
   FROM d

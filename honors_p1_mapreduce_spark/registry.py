@@ -183,9 +183,11 @@ CORRECTNESS_r13.json to confirm before applying):
     embedding_neardup, dedup_minhash, semantic_dedup_fast,
     events_winsorized_stats_fast — last executed r11, age 3 at r14
     close, the execution-cadence bound).
-  - media_avi_decode FORCE-restamps (r13 changed its code path:
-    media_avi_table was factored into media_avi_table_from for the
-    video streaming twins — behavior-identical, restamps by rule;
+  - media_avi_decode FORCE-restamps (r13 changed its code path
+    twice: media_avi_table factored into media_avi_table_from for
+    the video streaming twins, and _avi_frames_parse gained the
+    LIST-nesting depth cap — both behavior-identical on well-formed
+    corpora, restamp by rule;
     `plan_next_window.py --force media_avi_decode`). The r13 oracle
     builder refactor (_fp_neardup_oracle) needs NO extra forcing:
     its two registered consumers are in-window r13 restamps already,

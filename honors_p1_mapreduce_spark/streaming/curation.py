@@ -386,13 +386,23 @@ def streaming_media_decontaminate(
     )
 
 
+def _read_store_columns(
+    spark: SparkSession, store_dir: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """Shared reader for the idempotent ``batch_id=N`` store layout:
+    selecting the payload columns drops the partition column. One
+    definition so a layout change (e.g. partition handling) cannot
+    desynchronize the per-store readers (r13 review)."""
+    return spark.read.parquet(store_dir).select(*cols)
+
+
 def read_media_flags_from_store(
     spark: SparkSession, store_dir: str
 ) -> DataFrame:
     """(doc_id, n_eval_matches, min_hamming) from the drained
     decontamination store — drops the batch_id partition column."""
-    return spark.read.parquet(store_dir).select(
-        "doc_id", "n_eval_matches", "min_hamming"
+    return _read_store_columns(
+        spark, store_dir, ("doc_id", "n_eval_matches", "min_hamming")
     )
 
 
@@ -512,6 +522,6 @@ def read_frame_flags_from_store(
     """(doc_id, n_eval_matches, n_frames_matched) from the drained
     frame-decontamination store — drops the batch_id partition
     column."""
-    return spark.read.parquet(store_dir).select(
-        "doc_id", "n_eval_matches", "n_frames_matched"
+    return _read_store_columns(
+        spark, store_dir, ("doc_id", "n_eval_matches", "n_frames_matched")
     )

@@ -2127,3 +2127,81 @@ def test_media_video_clean_funnel_monotone_and_oracle(spark, sf_dir):
         media_video_clean_funnel,
         MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
     )
+
+
+def test_avi_parse_rejects_list_nesting_bomb():
+    """r13 review finding, pinned at the parse layer: a corrupt
+    payload of nothing but nested LIST headers would recurse
+    ~len/12 deep and raise RecursionError PAST the except wrapper —
+    one malformed byte string failing a whole ingest query. The
+    depth cap turns it into UnsupportedMediaError (the single type
+    the ingest skip catches), while real AVIs (2-3 LIST levels)
+    parse unchanged."""
+    depth = 2000
+    body = b""
+    for _ in range(depth):
+        body = b"LIST" + __import__("struct").pack("<I", len(body) + 4) \
+            + b"bomb" + body
+    bomb = b"RIFF" + __import__("struct").pack("<I", len(body) + 4) \
+        + b"AVI " + body
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._avi_frames_parse(bomb)
+    # the genuine article still parses through the same cap
+    vals = [10 + ((k * 29) % 53) for k in range(64)]
+    good = _avi_from_payload(_video_payload(vals))
+    w, h, frames = mm._avi_frames_parse(good)
+    assert (w, h, len(frames)) == (mm.AVI_W, mm.AVI_H, mm.AVI_FRAMES)
+
+
+def test_video_frame_fingerprints_fixed_width_on_foreign_geometry(spark):
+    """r13 review finding: the frame signature must be fixed-width
+    42 bits for ANY decodable geometry — hashing whatever pixel count
+    the container declares would overflow the 64-bit frame_fp column
+    on a well-formed 8x8 AVI (64 grays -> up to 186 bits) and fail
+    the query instead of fingerprinting. A valid 8x8 single-frame AVI
+    now yields an in-range signature over its first 16 luminances; a
+    frame below the window skips-and-counts."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    def avi_with_geometry(w, h, frames):
+        frame_data = w * h * 3
+        strf = _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_data, 2835, 2835, 0, 0
+        )
+        strh = b"vids" + b"DIB " + _s.pack(
+            "<IIIIIIIIII4h", 0, 0, 0, 1, 10, 0, len(frames), frame_data,
+            0, 0, 0, 0, w, h,
+        )
+        strl = b"strl" + b"strh" + _s.pack("<I", len(strh)) + strh \
+            + b"strf" + _s.pack("<I", 40) + strf
+        avih = _s.pack(
+            "<IIIIIIIIII4I", 100_000, frame_data * 10, 0, 0, len(frames),
+            0, 1, frame_data, w, h, 0, 0, 0, 0,
+        )
+        hdrl = b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih \
+            + b"LIST" + _s.pack("<I", len(strl)) + strl
+        movi = b"movi"
+        for fr in frames:
+            movi += b"00db" + _s.pack("<I", len(fr)) + fr
+        riff = b"LIST" + _s.pack("<I", len(hdrl)) + hdrl \
+            + b"LIST" + _s.pack("<I", len(movi)) + movi
+        return b"RIFF" + _s.pack("<I", len(riff) + 4) + b"AVI " + riff
+
+    big = avi_with_geometry(8, 8, [bytes(range(192))])  # 64 px > window
+    tiny = avi_with_geometry(2, 2, [bytes(range(12))])  # 4 px < window
+    rows = [(1, bytearray(big)), (2, bytearray(tiny))]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("video/avi"))
+
+    mm.reset_media_skip_counts()
+    got = mm.video_frame_fingerprints(media).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert 0 <= got[0]["frame_fp"] < (1 << mm.VIDEO_FRAME_FP_BITS)
+    assert mm.media_skip_count("video") == 1  # the tiny frame skipped
+    # the signature is over the FIRST 16 luminances — recompute
+    grays = [sum(range(192)[3 * j : 3 * j + 3])
+             for j in range(mm.VIDEO_FRAME_FP_GRAYS)]
+    assert got[0]["frame_fp"] == mm.frame_gradient_hash(grays)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -548,6 +548,10 @@ def test_image_fingerprints_total_over_arbitrary_bytes(spark, payloads):
     gain=st.integers(min_value=1, max_value=3),
     bias=st.integers(min_value=0, max_value=170),
 )
+# the regression hypothesis found in the first cut (gain*85 + bias
+# overflowed byte range before the bias_eff clamp below) — kept as an
+# explicit example so the guard survives example-DB loss
+@example(vals=[0] * 63 + [35], gain=3, bias=151)
 @settings(max_examples=60, deadline=None)
 def test_video_hashes_affine_invariance_property(vals, gain, bias):
     """The perceptual video contract as a PROPERTY (the r12 audio
@@ -563,17 +567,15 @@ def test_video_hashes_affine_invariance_property(vals, gain, bias):
     Arrow passes apply."""
     from honors_p1_mapreduce_spark.operators import multimodal as mm
 
+    from .test_multimodal import _avi_from_payload
+
     def payload(vs):
         return bytes(v for v in vs for _ in range(3))
 
     def avi(vs):
-        parts = [mm.AVI_PREFIX]
-        p = payload(vs)
-        for i in range(mm.AVI_FRAMES):
-            if i:
-                parts.append(mm._AVI_FRAME_HDR)
-            parts.append(p[i * mm.AVI_FRAME_DATA : (i + 1) * mm.AVI_FRAME_DATA])
-        return b"".join(parts)
+        # the goldens' container builder — one synth definition, so
+        # this property exercises the same byte layout they pin
+        return _avi_from_payload(payload(vs))
 
     # keep the affine map inside byte range for ANY drawn pair:
     # gain*85 + bias_eff <= 255 (85 is the strategy's value ceiling)
