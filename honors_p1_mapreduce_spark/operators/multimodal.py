@@ -2946,6 +2946,40 @@ def video_frame_fingerprints(media: DataFrame) -> DataFrame:
     )
 
 
+def item_fp_overlap_pairs(
+    dfp: DataFrame, fp_col: str, fp_cap: int | None
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps) from a DISTINCT
+    (doc_id, ``fp_col``) frame — the generic sub-item overlap join
+    shared by the video frame, audio snippet-window, and image tile
+    operators (r13): hot-fp guard (> ``fp_cap`` docs per signature =
+    boilerplate, broadcast anti-join), keyed self-join on signature
+    equality, pair aggregate. Never pairwise items; fanout bounded by
+    cap^2 per signature."""
+    if fp_cap is not None:
+        # bounded by |distinct (doc, fp)| / fp_cap entries: broadcasts
+        hot = (
+            dfp.groupBy(fp_col)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > fp_cap)
+            .select(fp_col)
+        )
+        dfp = dfp.join(F.broadcast(hot), fp_col, "left_anti")
+    a, b = dfp.alias("a"), dfp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{fp_col}") == F.col(f"b.{fp_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared_fps"))
+    )
+
+
 def media_video_frame_overlap(
     spark: SparkSession,
     sf_dir: str,
@@ -2955,7 +2989,8 @@ def media_video_frame_overlap(
     DISTINCT frame fingerprint, the partial-content overlap the
     whole-clip hash cannot see (section comment). ``fp_cap`` is the
     hot-frame guard; ``None`` disables it (kept available by
-    parameter, the image_neardup_pairs convention)."""
+    parameter, the image_neardup_pairs convention). The join stage is
+    the shared :func:`item_fp_overlap_pairs`."""
     from pyspark.storagelevel import StorageLevel
 
     vids = media_avi_table(spark, sf_dir)
@@ -2965,28 +3000,7 @@ def media_video_frame_overlap(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if fp_cap is not None:
-        # bounded by |distinct (doc, fp)| / fp_cap entries: broadcasts
-        hot = (
-            dfp.groupBy("frame_fp")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > fp_cap)
-            .select("frame_fp")
-        )
-        dfp = dfp.join(F.broadcast(hot), "frame_fp", "left_anti")
-    a, b = dfp.alias("a"), dfp.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.frame_fp") == F.col("b.frame_fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_shared_fps"))
-    )
+    return item_fp_overlap_pairs(dfp, "frame_fp", fp_cap)
 
 
 def _video_frame_rows_oracle() -> str:
@@ -3052,28 +3066,35 @@ def _video_frame_fp_oracle_core() -> str:
 SELECT DISTINCT doc_id, frame_fp FROM ({_video_frame_rows_oracle()}) r"""
 
 
-def _video_frame_overlap_oracle() -> str:
+def _fp_overlap_oracle(core_sql: str, fp_col: str) -> str:
+    """DuckDB twin of :func:`item_fp_overlap_pairs`, generic over the
+    sub-item fingerprint derivation and its column name — one
+    definition for the video-frame, audio-window, and image-tile
+    overlap oracles (the :func:`_fp_neardup_oracle` factoring
+    pattern)."""
     return f"""
 WITH dfp AS MATERIALIZED (
-  SELECT doc_id, frame_fp FROM ({_video_frame_fp_oracle_core()}) t
+  SELECT doc_id, {fp_col} FROM ({core_sql}) t
 ),
 hot AS MATERIALIZED (
-  SELECT frame_fp FROM dfp
-  GROUP BY frame_fp HAVING count(*) > {VIDEO_FRAME_FP_CAP}
+  SELECT {fp_col} FROM dfp
+  GROUP BY {fp_col} HAVING count(*) > {VIDEO_FRAME_FP_CAP}
 ),
 kept AS MATERIALIZED (
   SELECT * FROM dfp
-  WHERE frame_fp NOT IN (SELECT frame_fp FROM hot)
+  WHERE {fp_col} NOT IN (SELECT {fp_col} FROM hot)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_fps
 FROM kept a JOIN kept b
-  ON a.frame_fp = b.frame_fp AND a.doc_id < b.doc_id
+  ON a.{fp_col} = b.{fp_col} AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
 
 
-MEDIA_VIDEO_FRAME_OVERLAP_ORACLE = _video_frame_overlap_oracle()
+MEDIA_VIDEO_FRAME_OVERLAP_ORACLE = _fp_overlap_oracle(
+    _video_frame_fp_oracle_core(), "frame_fp"
+)
 
 
 def media_video_frame_decontaminate(
@@ -3182,29 +3203,388 @@ def media_video_frame_decontaminate_stored(
     return media_video_frame_decontaminate_from_index(spark, sf_dir, d)
 
 
-def _video_frame_decontam_oracle() -> str:
+def _sub_item_decontam_oracle(
+    rows_sql: str, fp_col: str, idx_col: str, matched_alias: str
+) -> str:
+    """DuckDB twin of the sub-item (exact-signature) decontamination
+    aggregate, generic over the rows derivation and its column names
+    — shared by the video-frame, audio-window, and image-tile
+    tiers."""
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     return f"""
 WITH rows_ AS MATERIALIZED (
-  SELECT doc_id, frame_idx, frame_fp
-  FROM ({_video_frame_rows_oracle()}) t
+  SELECT doc_id, {idx_col}, {fp_col}
+  FROM ({rows_sql}) t
 ),
 ev AS MATERIALIZED (
-  SELECT DISTINCT frame_fp AS eval_fp FROM rows_
+  SELECT DISTINCT {fp_col} AS eval_fp FROM rows_
   WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
 )
 SELECT doc_id,
-       count(DISTINCT frame_fp) AS n_eval_matches,
-       count(DISTINCT frame_idx) AS n_frames_matched
-FROM rows_ JOIN ev ON rows_.frame_fp = ev.eval_fp
+       count(DISTINCT {fp_col}) AS n_eval_matches,
+       count(DISTINCT {idx_col}) AS {matched_alias}
+FROM rows_ JOIN ev ON rows_.{fp_col} = ev.eval_fp
 WHERE doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
 GROUP BY doc_id
 """
 
 
-MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE = _video_frame_decontam_oracle()
+MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE = _sub_item_decontam_oracle(
+    _video_frame_rows_oracle(), "frame_fp", "frame_idx", "n_frames_matched"
+)
 # the stored roundtrip is bit-identical, so one oracle gates both paths
 MEDIA_VIDEO_FRAME_DECONTAMINATE_STORED_ORACLE = (
     MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE
+)
+
+
+# --------------------- audio snippet windows + image tiles (r13)
+#
+# The sub-item granularity story, completed for the remaining two
+# modalities (text has had it since the substring/winnow family;
+# video got frames above):
+#
+# - AUDIO: a benchmark clip's SNIPPET inside a longer training clip
+#   (a jingle, a sampled hook — the audio-fingerprinting literature's
+#   core case, Haitsma-Kalker/Wang-style subsequence matching) moves
+#   the whole-clip envelope hash arbitrarily far, but a 16-sample
+#   window at a shared alignment still matches. Windows slide at
+#   stride AUDIO_WIN_STRIDE over the decoded PCM; the window
+#   signature is the SAME 42-bit lag-gradient kernel as video frames
+#   (frame_gradient_hash), over |sample| values — gain-invariant for
+#   exactly the wav_volume_hash reason.
+# - IMAGE: a CROPPED copy — the classic dHash failure mode (cropping
+#   changes the normalization grid, so the whole-image hash moves
+#   arbitrarily) — still shares aligned 4-row TILES with its
+#   original. Tiles slide at stride IMG_TILE_STRIDE_ROWS rows over
+#   the decoded pixel grid; the tile signature is the same kernel
+#   over r+g+b luminances.
+#
+# Stride-aligned exact signature equality is the match semantics
+# (the frame tier's convention): perceptual tolerance lives in the
+# kernel's affine invariance, alignment tolerance in the stride
+# overlap (adjacent windows/tiles share half / 1-row-less of their
+# content). All downstream machinery is shared and already
+# cluster-checked under video: item_fp_overlap_pairs for pairs, the
+# broadcast-eval aggregate for decontamination,
+# _fp_overlap_oracle/_sub_item_decontam_oracle for the SQL twins.
+
+AUDIO_WIN_SAMPLES = VIDEO_FRAME_FP_GRAYS  # 16 — the shared kernel width
+AUDIO_WIN_STRIDE = 8  # 50% window overlap
+IMG_TILE_ROWS = 4  # 4x4-pixel tiles on the 4-wide demo grid
+IMG_TILE_STRIDE_ROWS = 3
+
+
+def audio_window_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, win_idx, win_fp) — one Arrow-batched map-only pass:
+    RIFF walk once per clip, |PCM| values, 42-bit lag-gradient
+    signature per 16-sample window at stride 8. Undecodable clips
+    (non-RIFF, or shorter than one window) skip per item and count
+    toward ``media_skip_count("audio")`` — the audio fingerprint
+    family's contract."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "audio")
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "win_fp": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = (
+                    None if content is None
+                    else _wav_data_section(bytes(content))
+                )
+                if not data or len(data) // 2 < AUDIO_WIN_SAMPLES:
+                    acc.add(1)
+                    continue
+                n = len(data) // 2
+                vs = struct.unpack_from(f"<{n}h", data)
+                av = [abs(v) for v in vs]
+                w = 0
+                while w * AUDIO_WIN_STRIDE + AUDIO_WIN_SAMPLES <= n:
+                    s = w * AUDIO_WIN_STRIDE
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w)
+                    out["win_fp"].append(
+                        frame_gradient_hash(av[s : s + AUDIO_WIN_SAMPLES])
+                    )
+                    w += 1
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        _fp, schema="doc_id long, win_idx int, win_fp long"
+    )
+
+
+def media_audio_snippet_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_cap: int | None = VIDEO_FRAME_FP_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps) — audio pairs sharing >= 1
+    DISTINCT window signature, the snippet-level overlap the
+    whole-clip envelope hash cannot see (section comment). Join stage
+    = the shared :func:`item_fp_overlap_pairs`."""
+    from pyspark.storagelevel import StorageLevel
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    dfp = (
+        audio_window_fingerprints(wavs)
+        .select("doc_id", "win_fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return item_fp_overlap_pairs(dfp, "win_fp", fp_cap)
+
+
+def media_audio_snippet_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snippet-granular audio decontamination: TRAINING clips
+    containing ANY window whose signature appears in an EVAL-split
+    clip — the sub-clip leakage mode the whole-clip audio tier
+    (:func:`media_audio_decontaminate`) cannot see. Output
+    (doc_id, n_eval_matches, n_windows_matched) — the frame tier's
+    exact shape with window positions. Broadcast-eval, corpus never
+    self-joins, split filters raw rows before the barrier."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type") == "audio/wav"
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = (
+        audio_window_fingerprints(wavs.filter(is_eval))
+        .select(F.col("win_fp").alias("eval_fp"))
+        .distinct()
+    )
+    hits = audio_window_fingerprints(wavs.filter(~is_eval)).join(
+        F.broadcast(eval_fps), F.col("win_fp") == F.col("eval_fp")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("win_fp").alias("n_eval_matches"),
+        F.countDistinct("win_idx").alias("n_windows_matched"),
+    )
+
+
+def _audio_window_rows_oracle() -> str:
+    """(doc_id, win_idx, win_fp) for every window of every WAV doc —
+    |sample| values re-derived from hex(encode(text)) static offsets
+    (the audio fp core's absv arithmetic), the 42-bit kernel per
+    stride-8 window. ``a`` MATERIALIZED: the per-window UNION
+    branches all reference it."""
+    n_samples = WAV_DATA_LEN // 2
+    n_wins = (n_samples - AUDIO_WIN_SAMPLES) // AUDIO_WIN_STRIDE + 1
+
+    def absv(i: int) -> str:
+        lo = f"CAST(concat('0x', substr(hx, {4 * i + 1}, 2)) AS BIGINT)"
+        hi = f"CAST(concat('0x', substr(hx, {4 * i + 3}, 2)) AS BIGINT)"
+        return (
+            f"abs(CASE WHEN {lo} + 256 * {hi} >= 32768 "
+            f"THEN {lo} + 256 * {hi} - 65536 ELSE {lo} + 256 * {hi} END)"
+        )
+
+    a_cols = ",\n         ".join(
+        f"({absv(i)}) AS a{i}" for i in range(n_samples)
+    )
+
+    def win_fp(w: int) -> str:
+        s = w * AUDIO_WIN_STRIDE
+        terms = []
+        pos = 0
+        for lag in VIDEO_FRAME_FP_LAGS:
+            for j in range(AUDIO_WIN_SAMPLES - lag):
+                terms.append(
+                    f"CASE WHEN a{s + j} > a{s + j + lag} "
+                    f"THEN CAST({1 << pos} AS BIGINT) ELSE 0 END"
+                )
+                pos += 1
+        return " + ".join(terms)
+
+    win_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {w} AS win_idx, {win_fp(w)} AS win_fp FROM a"
+        for w in range(n_wins)
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 = 0
+),
+a AS MATERIALIZED (
+  SELECT doc_id,
+         {a_cols}
+  FROM d
+)
+SELECT doc_id, win_idx, win_fp FROM (
+{win_rows}
+) t"""
+
+
+MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE = _fp_overlap_oracle(
+    f"SELECT DISTINCT doc_id, win_fp FROM ({_audio_window_rows_oracle()}) r",
+    "win_fp",
+)
+MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE = _sub_item_decontam_oracle(
+    _audio_window_rows_oracle(), "win_fp", "win_idx", "n_windows_matched"
+)
+
+
+def image_tile_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, tile_idx, tile_fp) — one Arrow-batched map-only pass:
+    real container decode once per image (:func:`_pixel_grid`),
+    42-bit lag-gradient signature per 4-row tile at a 3-row stride
+    over the file-order pixel grid. Same skip-and-count caught set as
+    :func:`image_fingerprints` (the ingest contract), counting toward
+    ``media_skip_count("image")``."""
+    acc = _skip_acc(media.sparkSession.sparkContext, "image")
+    tile_px = IMG_TILE_ROWS * IMG_W  # 16 — the kernel width
+
+    def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "tile_idx": [], "tile_fp": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    acc.add(1)
+                    continue
+                try:
+                    w, h, data = _pixel_grid(bytes(content))
+                except (
+                    struct.error,
+                    UnsupportedMediaError,
+                    ValueError,
+                    IndexError,
+                ):
+                    acc.add(1)
+                    continue
+                grays = [
+                    data[3 * p] + data[3 * p + 1] + data[3 * p + 2]
+                    for p in range(w * h)
+                ]
+                t = 0
+                for ty in range(0, h - IMG_TILE_ROWS + 1, IMG_TILE_STRIDE_ROWS):
+                    tile = grays[ty * w : ty * w + tile_px]
+                    if len(tile) < tile_px:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["tile_idx"].append(t)
+                    out["tile_fp"].append(frame_gradient_hash(tile))
+                    t += 1
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _fp, schema="doc_id long, tile_idx int, tile_fp long"
+    )
+
+
+def media_image_tile_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    fp_cap: int | None = VIDEO_FRAME_FP_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps) — image pairs sharing >= 1
+    DISTINCT tile signature: the CROP-surviving overlap (section
+    comment; a crop moves the whole-image dHash arbitrarily because
+    it changes the normalization grid, but aligned tiles still match
+    exactly). Join stage = the shared
+    :func:`item_fp_overlap_pairs`."""
+    from pyspark.storagelevel import StorageLevel
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    )
+    dfp = (
+        image_tile_fingerprints(imgs)
+        .select("doc_id", "tile_fp")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return item_fp_overlap_pairs(dfp, "tile_fp", fp_cap)
+
+
+def media_image_tile_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tile-granular image decontamination: TRAINING images
+    containing ANY tile whose signature appears in an EVAL-split
+    image — the CROPPED-eval-image leakage the whole-image tier
+    (:func:`media_decontaminate`) cannot see. Output
+    (doc_id, n_eval_matches, n_tiles_matched)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
+    eval_fps = (
+        image_tile_fingerprints(imgs.filter(is_eval))
+        .select(F.col("tile_fp").alias("eval_fp"))
+        .distinct()
+    )
+    hits = image_tile_fingerprints(imgs.filter(~is_eval)).join(
+        F.broadcast(eval_fps), F.col("tile_fp") == F.col("eval_fp")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("tile_fp").alias("n_eval_matches"),
+        F.countDistinct("tile_idx").alias("n_tiles_matched"),
+    )
+
+
+def _image_tile_rows_oracle() -> str:
+    """(doc_id, tile_idx, tile_fp) for every tile of every image doc
+    — luminances from hex(encode(text)) static offsets (the image
+    payload's data section is the leading text bytes in file order at
+    the zero-padding demo geometry)."""
+    tile_px = IMG_TILE_ROWS * IMG_W
+    n_tiles = (IMG_H - IMG_TILE_ROWS) // IMG_TILE_STRIDE_ROWS + 1
+    n_px = IMG_W * IMG_H
+
+    def gray(p: int) -> str:
+        return " + ".join(
+            f"CAST(concat('0x', substr(hx, {2 * (3 * p + c) + 1}, 2)) AS BIGINT)"
+            for c in range(3)
+        )
+
+    g_cols = ",\n         ".join(f"({gray(p)}) AS g{p}" for p in range(n_px))
+
+    def tile_fp(t: int) -> str:
+        s = t * IMG_TILE_STRIDE_ROWS * IMG_W
+        terms = []
+        pos = 0
+        for lag in VIDEO_FRAME_FP_LAGS:
+            for j in range(tile_px - lag):
+                terms.append(
+                    f"CASE WHEN g{s + j} > g{s + j + lag} "
+                    f"THEN CAST({1 << pos} AS BIGINT) ELSE 0 END"
+                )
+                pos += 1
+        return " + ".join(terms)
+
+    tile_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {t} AS tile_idx, {tile_fp(t)} AS tile_fp FROM g"
+        for t in range(n_tiles)
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS hx
+  FROM documents
+  WHERE octet_length(encode(text)) >= {WAV_DATA_LEN} AND doc_id % 3 <> 0
+),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         {g_cols}
+  FROM d
+)
+SELECT doc_id, tile_idx, tile_fp FROM (
+{tile_rows}
+) t"""
+
+
+MEDIA_IMAGE_TILE_OVERLAP_ORACLE = _fp_overlap_oracle(
+    f"SELECT DISTINCT doc_id, tile_fp FROM ({_image_tile_rows_oracle()}) r",
+    "tile_fp",
+)
+MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE = _sub_item_decontam_oracle(
+    _image_tile_rows_oracle(), "tile_fp", "tile_idx", "n_tiles_matched"
 )

@@ -216,14 +216,25 @@ spliced among foreign frames while the frame tier flags both
 plants); and media_video_clean_funnel (pipeline.py — decode once,
 popcount quality gate at the corpus-calibrated
 MEDIA_VIDEO_MIN_GRADIENTS=26, min-doc keep per perceptual cluster,
-per-stage budgets). Eight registrable queries, oracles verified
-green at sf0.001 AND sf0.01 at build time, seeded-leak +
-clip-in-clip + hot-fp-guard goldens, stored-cycle and streaming-twin
-equivalences in pytest, affine-invariance property tests, 10x probe
-R13_VIDEO_PROBE.json, 4-worker check R13_VIDEO_CLUSTER_CHECK.json.
-Registry 157 -> 165 at their registration, at which point
-decontaminate_audit folds video in as the SIXTH tier (after the
-audio tier's r14 fold-in makes it five)."""
+per-stage budgets). PLUS the sub-item granularity completion for
+the other two media modalities over the same shared kernel and join
+machinery (multimodal.py): media_audio_snippet_overlap +
+media_audio_snippet_decontaminate (16-sample stride-8 windows — a
+benchmark clip's snippet inside a longer training clip, the case
+the whole-clip envelope hash provably misses, seeded golden) and
+media_image_tile_overlap + media_image_tile_decontaminate (4-row
+stride-3 tiles — the CROPPED-copy case where whole-image dHash
+provably fails, seeded golden). Twelve registrable queries, oracles
+verified green at sf0.001 AND sf0.01 at build time, seeded-leak +
+clip-in-clip + crop + snippet + hot-fp-guard goldens, stored-cycle
+and streaming-twin equivalences in pytest, affine-invariance
+property tests, 10x probe R13_VIDEO_PROBE.json, 4-worker check
+R13_VIDEO_CLUSTER_CHECK.json (the audio/image sub-item ops ride the
+IDENTICAL factored join/aggregate already probed + cluster-checked
+under video: item_fp_overlap_pairs and the broadcast-eval
+aggregate). Registry 157 -> 169 across r15/r16 registrations, at
+which point decontaminate_audit folds video in as the SIXTH tier
+(after the audio tier's r14 fold-in makes it five)."""
 
 QUERIES: dict[str, QueryFn] = {
     # --- [r13 window, 1-3] the r9-stamped trio displaced from the

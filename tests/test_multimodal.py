@@ -2205,3 +2205,236 @@ def test_video_frame_fingerprints_fixed_width_on_foreign_geometry(spark):
     grays = [sum(range(192)[3 * j : 3 * j + 3])
              for j in range(mm.VIDEO_FRAME_FP_GRAYS)]
     assert got[0]["frame_fp"] == mm.frame_gradient_hash(grays)
+
+
+# --------------- audio snippet windows + image tiles (r13 library)
+
+
+def seeded_snippet_corpus(spark, dirp: str):
+    """Planted SNIPPET leakage corpus for the audio window tier: eval
+    clip 108 (% 101 == 7, % 3 == 0 -> WAV); training clip 3 embeds
+    eval's first 16-sample window GAIN-DOUBLED at sample offset 8 (a
+    stride-aligned window boundary); clip 6 is an unrelated control.
+    Returns (expected_decontam_rows, expected_overlap_pairs) computed
+    from the kernel itself — the whole-clip audio tier must MISS the
+    leak (asserted in the tests)."""
+    import random
+    import struct as _s
+
+    # byte-safe sample pool: both v's and 2v's int16-LE bytes land in
+    # printable ASCII so documents.text survives the string roundtrip
+    # (a linear-congruential generator here ALIASES across parameter
+    # choices — same |.| order pattern, same window signatures — so
+    # the samples are seeded-random like the tile golden's grids)
+    def safe(x):
+        return 1 <= (x & 255) <= 126 and 1 <= (x >> 8) <= 126
+
+    pool = [x for x in range(257, 16000) if safe(x) and safe(2 * x)]
+
+    def draw(seed):
+        return random.Random(seed).sample(pool, 64)
+
+    a = draw(5)
+    snippet = [2 * s for s in a[:16]]  # gain x2: same |.| order
+    noise = draw(17)
+    b = noise[:8] + snippet + noise[24:]
+    c = draw(29)
+
+    def wins(samples):
+        av = [abs(s) for s in samples]
+        return {
+            mm.frame_gradient_hash(
+                av[w * mm.AUDIO_WIN_STRIDE:
+                   w * mm.AUDIO_WIN_STRIDE + mm.AUDIO_WIN_SAMPLES]
+            )
+            for w in range((64 - mm.AUDIO_WIN_SAMPLES)
+                           // mm.AUDIO_WIN_STRIDE + 1)
+        }
+    wa, wb, wc = wins(a), wins(b), wins(c)
+    n_ab = len(wa & wb)
+    assert n_ab >= 1  # the planted window really lands
+    assert not (wa & wc) and not (wb & wc)
+    # the whole-clip envelope hash misses it: B is not a gain variant
+    # of A, so their 56-bit hashes sit beyond the decontamination bound
+    def text_for(samples):
+        data = b"".join(_s.pack("<h", s) for s in samples)
+        assert all(1 <= byte <= 126 for byte in data)
+        return data.decode("ascii")
+
+    ham = bin(
+        mm.wav_volume_hash(mm._wav_header(128) + text_for(a).encode())
+        ^ mm.wav_volume_hash(mm._wav_header(128) + text_for(b).encode())
+    ).count("1")
+    assert ham > mm.DECONTAM_HAMMING_MAX
+
+    rows = [(108, text_for(a)), (3, text_for(b)), (6, text_for(c))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        dirp + "/documents.parquet"
+    )
+    return [(3, n_ab, n_ab)], [(3, 108, n_ab)]
+
+
+def test_media_audio_snippet_seeded_leak(spark, tmp_path):
+    """Snippet golden: the whole-clip audio tier returns ZERO rows on
+    the planted sub-clip leak while the window tier flags it, and the
+    overlap query reports the pair — both matching DuckDB."""
+    import duckdb
+
+    dirp = str(tmp_path / "sf")
+    want_decontam, want_pairs = seeded_snippet_corpus(spark, dirp)
+
+    assert mm.media_audio_decontaminate(spark, dirp).collect() == []
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_windows_matched"])
+        for r in mm.media_audio_snippet_decontaminate(spark, dirp).collect()
+    )
+    assert got == want_decontam
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["n_shared_fps"])
+        for r in mm.media_audio_snippet_overlap(spark, dirp).collect()
+    )
+    assert pairs == want_pairs
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora_d = con.execute(
+            mm.MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE
+        ).fetchall()
+        ora_p = con.execute(mm.MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora_d) == got
+    assert sorted(ora_p) == pairs
+
+
+def test_media_audio_snippet_overlap_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_audio_snippet_overlap,
+        mm.MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE,
+    )
+
+
+def test_media_audio_snippet_decontaminate_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_audio_snippet_decontaminate,
+        mm.MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE,
+    )
+
+
+def test_media_image_tile_crop_golden(spark, tmp_path):
+    """The tile tier's reason to exist, demonstrated: a CROPPED copy
+    (training doc 1 = eval doc 7 shifted up by the 3-row tile stride,
+    brightness-biased) moves the whole-image dHash beyond the
+    decontamination bound (the classic dHash crop failure — the
+    normalization grid changes), so media_decontaminate misses it —
+    but the copy still shares exactly 2 aligned tile signatures with
+    the eval original, and the tile tier flags it. DuckDB agrees on
+    both queries."""
+    import duckdb
+
+    def grid_rows(seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            [rnd.sample(range(10, 60), 1)[0] for _ in range(mm.IMG_W)]
+            for _ in range(mm.IMG_H)
+        ]
+
+    a_rows = grid_rows(13)
+    # crop: drop A's top 3 rows, append 3 fresh rows; bias +2
+    fresh = grid_rows(99)[:3]
+    b_rows = [[v + 2 for v in row] for row in a_rows[3:]] + fresh
+    c_rows = grid_rows(55)
+
+    def text_for(rows):
+        flat = [v for row in rows for v in row for _ in range(3)]
+        return bytes(flat).decode("ascii") + " " * (
+            mm.WAV_DATA_LEN - mm.IMG_DATA_LEN
+        )
+
+    def tiles(rows):
+        grays = [3 * v for row in rows for v in row]
+        out = set()
+        for t, ty in enumerate(
+            range(0, mm.IMG_H - mm.IMG_TILE_ROWS + 1, mm.IMG_TILE_STRIDE_ROWS)
+        ):
+            out.add(mm.frame_gradient_hash(
+                grays[ty * mm.IMG_W : ty * mm.IMG_W + 16]
+            ))
+        return out
+
+    shared = tiles(a_rows) & tiles(b_rows)
+    assert len(shared) == 2  # construction sanity (tiles 1,2 of A)
+    assert not (tiles(a_rows) & tiles(c_rows))
+
+    def dhash(rows):
+        return mm.image_dhash(
+            mm.BMP_HEADER
+            + bytes(v for row in rows for v in row for _ in range(3))
+        )
+
+    assert bin(dhash(a_rows) ^ dhash(b_rows)).count("1") \
+        > mm.DECONTAM_HAMMING_MAX  # the whole-image tier cannot see it
+
+    rows = [(7, text_for(a_rows)), (1, text_for(b_rows)),
+            (4, text_for(c_rows))]
+    dirp = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+
+    assert mm.media_decontaminate(spark, dirp).collect() == []
+    got = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_tiles_matched"])
+        for r in mm.media_image_tile_decontaminate(spark, dirp).collect()
+    )
+    assert got == [(1, 2, 2)]
+    pairs = sorted(
+        (r["doc_a"], r["doc_b"], r["n_shared_fps"])
+        for r in mm.media_image_tile_overlap(spark, dirp).collect()
+    )
+    assert pairs == [(1, 7, 2)]
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{dirp}/documents.parquet/*.parquet')"
+        )
+        ora_d = con.execute(
+            mm.MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE
+        ).fetchall()
+        ora_p = con.execute(mm.MEDIA_IMAGE_TILE_OVERLAP_ORACLE).fetchall()
+    finally:
+        con.close()
+    assert sorted(ora_d) == got
+    assert sorted(ora_p) == pairs
+
+
+def test_media_image_tile_overlap_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_image_tile_overlap,
+        mm.MEDIA_IMAGE_TILE_OVERLAP_ORACLE,
+    )
+
+
+def test_media_image_tile_decontaminate_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        mm.media_image_tile_decontaminate,
+        mm.MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE,
+    )

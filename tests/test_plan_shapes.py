@@ -880,3 +880,32 @@ def test_media_video_frame_overlap_guard_broadcast_no_cartesian(
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan  # the persisted distinct fp frame
     spark.catalog.clearCache()
+
+
+def test_sub_item_tiers_share_plan_shapes(spark, sf_dir):
+    """The audio-window and image-tile tiers ride the same factored
+    machinery as the (already individually pinned) video frame tier —
+    pin the shapes once across all of them: overlap = keyed self-join
+    with broadcast hot-set anti-join, never cartesian; decontamination
+    = broadcast eval, no sort-merge join, corpus never self-joins."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_snippet_decontaminate,
+        media_audio_snippet_overlap,
+        media_image_tile_decontaminate,
+        media_image_tile_overlap,
+    )
+
+    for fn in (media_audio_snippet_overlap, media_image_tile_overlap):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        spark.catalog.clearCache()
+    for fn in (
+        media_audio_snippet_decontaminate,
+        media_image_tile_decontaminate,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
