@@ -3097,6 +3097,28 @@ MEDIA_VIDEO_FRAME_OVERLAP_ORACLE = _fp_overlap_oracle(
 )
 
 
+def _sub_item_decontam_flags(
+    train_rows: DataFrame,
+    eval_fps: DataFrame,
+    fp_col: str,
+    idx_col: str,
+    matched_alias: str,
+) -> DataFrame:
+    """(doc_id, n_eval_matches, <matched_alias>) from sub-item
+    training rows and an (eval_fp) registry — the ONE exact-match
+    decontamination aggregate every sub-item tier consumes (video
+    frames, audio windows, image tiles; the clip tiers' banded
+    :func:`_decontam_flags` counterpart), so the online and stored
+    paths of all three tiers cannot drift."""
+    hits = train_rows.join(
+        F.broadcast(eval_fps), F.col(fp_col) == F.col("eval_fp")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct(fp_col).alias("n_eval_matches"),
+        F.countDistinct(idx_col).alias(matched_alias),
+    )
+
+
 def media_video_frame_decontaminate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3134,13 +3156,9 @@ def media_video_frame_decontaminate(
         .select(F.col("frame_fp").alias("eval_fp"))
         .distinct()
     )
-    train = video_frame_fingerprints(vids.filter(~is_eval))
-    hits = train.join(
-        F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
-    )
-    return hits.groupBy("doc_id").agg(
-        F.countDistinct("frame_fp").alias("n_eval_matches"),
-        F.countDistinct("frame_idx").alias("n_frames_matched"),
+    return _sub_item_decontam_flags(
+        video_frame_fingerprints(vids.filter(~is_eval)), eval_fps,
+        "frame_fp", "frame_idx", "n_frames_matched",
     )
 
 
@@ -3178,13 +3196,9 @@ def media_video_frame_decontaminate_from_index(
         F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE
     )
     eval_fps = spark.read.parquet(f"{index_dir}/frame_fps")
-    train = video_frame_fingerprints(vids)
-    hits = train.join(
-        F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
-    )
-    return hits.groupBy("doc_id").agg(
-        F.countDistinct("frame_fp").alias("n_eval_matches"),
-        F.countDistinct("frame_idx").alias("n_frames_matched"),
+    return _sub_item_decontam_flags(
+        video_frame_fingerprints(vids), eval_fps,
+        "frame_fp", "frame_idx", "n_frames_matched",
     )
 
 
@@ -3359,12 +3373,9 @@ def media_audio_snippet_decontaminate(
         .select(F.col("win_fp").alias("eval_fp"))
         .distinct()
     )
-    hits = audio_window_fingerprints(wavs.filter(~is_eval)).join(
-        F.broadcast(eval_fps), F.col("win_fp") == F.col("eval_fp")
-    )
-    return hits.groupBy("doc_id").agg(
-        F.countDistinct("win_fp").alias("n_eval_matches"),
-        F.countDistinct("win_idx").alias("n_windows_matched"),
+    return _sub_item_decontam_flags(
+        audio_window_fingerprints(wavs.filter(~is_eval)), eval_fps,
+        "win_fp", "win_idx", "n_windows_matched",
     )
 
 
@@ -3428,6 +3439,65 @@ MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE = _fp_overlap_oracle(
 )
 MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE = _sub_item_decontam_oracle(
     _audio_window_rows_oracle(), "win_fp", "win_idx", "n_windows_matched"
+)
+
+
+def media_audio_snippet_eval_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the EVAL split's distinct WINDOW signatures to
+    parquet — the snippet member of the benchmark-registry artifact
+    family (``snippet_fps`` layout, so one directory can serve every
+    granularity of the audio modality)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio/wav")
+        & (F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    )
+    (
+        audio_window_fingerprints(wavs)
+        .select(F.col("win_fp").alias("eval_fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/snippet_fps")
+    )
+
+
+def media_audio_snippet_decontaminate_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve snippet decontamination from a STORED eval window
+    registry — one map-only decode pass over the training clips."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    wavs = media_real_table(spark, sf_dir).filter(
+        (F.col("media_type") == "audio/wav")
+        & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+    )
+    eval_fps = spark.read.parquet(f"{index_dir}/snippet_fps")
+    return _sub_item_decontam_flags(
+        audio_window_fingerprints(wavs), eval_fps,
+        "win_fp", "win_idx", "n_windows_matched",
+    )
+
+
+def media_audio_snippet_decontaminate_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full stored-index snippet cycle as ONE query — integer
+    signatures survive parquet losslessly, so the roundtrip is
+    bit-identical to :func:`media_audio_snippet_decontaminate` and
+    one oracle gates both paths."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "media_audio_snippet_fps")
+    media_audio_snippet_eval_write_index(spark, sf_dir, d)
+    return media_audio_snippet_decontaminate_from_index(spark, sf_dir, d)
+
+
+MEDIA_AUDIO_SNIPPET_DECONTAMINATE_STORED_ORACLE = (
+    MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE
 )
 
 
@@ -3522,12 +3592,9 @@ def media_image_tile_decontaminate(
         .select(F.col("tile_fp").alias("eval_fp"))
         .distinct()
     )
-    hits = image_tile_fingerprints(imgs.filter(~is_eval)).join(
-        F.broadcast(eval_fps), F.col("tile_fp") == F.col("eval_fp")
-    )
-    return hits.groupBy("doc_id").agg(
-        F.countDistinct("tile_fp").alias("n_eval_matches"),
-        F.countDistinct("tile_idx").alias("n_tiles_matched"),
+    return _sub_item_decontam_flags(
+        image_tile_fingerprints(imgs.filter(~is_eval)), eval_fps,
+        "tile_fp", "tile_idx", "n_tiles_matched",
     )
 
 
@@ -3587,4 +3654,61 @@ MEDIA_IMAGE_TILE_OVERLAP_ORACLE = _fp_overlap_oracle(
 )
 MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE = _sub_item_decontam_oracle(
     _image_tile_rows_oracle(), "tile_fp", "tile_idx", "n_tiles_matched"
+)
+
+
+def media_image_tile_eval_write_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the EVAL split's distinct TILE signatures to
+    parquet — the tile member of the benchmark-registry artifact
+    family (``tile_fps`` layout)."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+        & (F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
+    )
+    (
+        image_tile_fingerprints(imgs)
+        .select(F.col("tile_fp").alias("eval_fp"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/tile_fps")
+    )
+
+
+def media_image_tile_decontaminate_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve tile decontamination from a STORED eval tile registry —
+    one map-only decode pass over the training images."""
+    from .winnow import EVAL_MOD, EVAL_RESIDUE
+
+    imgs = media_real_table(spark, sf_dir).filter(
+        F.col("media_type").isin("image/bmp", "image/ppm")
+        & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
+    )
+    eval_fps = spark.read.parquet(f"{index_dir}/tile_fps")
+    return _sub_item_decontam_flags(
+        image_tile_fingerprints(imgs), eval_fps,
+        "tile_fp", "tile_idx", "n_tiles_matched",
+    )
+
+
+def media_image_tile_decontaminate_stored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full stored-index tile cycle as ONE query — roundtrip
+    bit-identical to :func:`media_image_tile_decontaminate`, one
+    oracle gating both paths."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "media_image_tile_fps")
+    media_image_tile_eval_write_index(spark, sf_dir, d)
+    return media_image_tile_decontaminate_from_index(spark, sf_dir, d)
+
+
+MEDIA_IMAGE_TILE_DECONTAMINATE_STORED_ORACLE = (
+    MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE
 )

@@ -224,7 +224,10 @@ benchmark clip's snippet inside a longer training clip, the case
 the whole-clip envelope hash provably misses, seeded golden) and
 media_image_tile_overlap + media_image_tile_decontaminate (4-row
 stride-3 tiles — the CROPPED-copy case where whole-image dHash
-provably fails, seeded golden). Twelve registrable queries, oracles
+provably fails, seeded golden), each decontamination tier with its
+full stored cycle (+_stored — snippet_fps / tile_fps registry
+layouts) and streaming twin over the shared drain. Fourteen
+registrable queries, oracles
 verified green at sf0.001 AND sf0.01 at build time, seeded-leak +
 clip-in-clip + crop + snippet + hot-fp-guard goldens, stored-cycle
 and streaming-twin equivalences in pytest, affine-invariance
@@ -232,7 +235,7 @@ property tests, 10x probe R13_VIDEO_PROBE.json, 4-worker check
 R13_VIDEO_CLUSTER_CHECK.json (the audio/image sub-item ops ride the
 IDENTICAL factored join/aggregate already probed + cluster-checked
 under video: item_fp_overlap_pairs and the broadcast-eval
-aggregate). Registry 157 -> 169 across r15/r16 registrations, at
+aggregate). Registry 157 -> 171 across r15/r16 registrations, at
 which point decontaminate_audit folds video in as the SIXTH tier
 (after the audio tier's r14 fold-in makes it five)."""
 

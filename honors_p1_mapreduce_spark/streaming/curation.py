@@ -525,3 +525,86 @@ def read_frame_flags_from_store(
     return _read_store_columns(
         spark, store_dir, ("doc_id", "n_eval_matches", "n_frames_matched")
     )
+
+
+def streaming_media_audio_snippet_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest SNIPPET-granular audio decontamination
+    (r13) — the audio sub-item twin over the shared drain: each
+    micro-batch's TRAINING clips are window-fingerprinted and
+    flagged against the STORED eval window registry
+    (``media_audio_snippet_eval_write_index``'s ``snippet_fps``
+    layout). The drained store is EXACTLY the batch
+    ``media_audio_snippet_decontaminate`` answer — pinned by the
+    seeded 2-micro-batch equivalence test."""
+    from ..operators.multimodal import (
+        _sub_item_decontam_flags,
+        audio_window_fingerprints,
+    )
+
+    def _flags(fps: DataFrame, eval_fps: DataFrame) -> DataFrame:
+        return _sub_item_decontam_flags(
+            fps, eval_fps, "win_fp", "win_idx", "n_windows_matched"
+        )
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") == "audio/wav", audio_window_fingerprints,
+        glob, flags_fn=_flags, layout="snippet_fps",
+    )
+
+
+def read_snippet_flags_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(doc_id, n_eval_matches, n_windows_matched) from the drained
+    snippet store — drops the batch_id partition column."""
+    return _read_store_columns(
+        spark, store_dir, ("doc_id", "n_eval_matches", "n_windows_matched")
+    )
+
+
+def streaming_media_image_tile_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+) -> None:
+    """Continuous-ingest TILE-granular image decontamination (r13) —
+    the image sub-item twin over the shared drain, flagging each
+    micro-batch's TRAINING images against the STORED eval tile
+    registry (``tile_fps`` layout). Drained store == the batch
+    ``media_image_tile_decontaminate`` answer, seeded equivalence."""
+    from ..operators.multimodal import (
+        _sub_item_decontam_flags,
+        image_tile_fingerprints,
+    )
+
+    def _flags(fps: DataFrame, eval_fps: DataFrame) -> DataFrame:
+        return _sub_item_decontam_flags(
+            fps, eval_fps, "tile_fp", "tile_idx", "n_tiles_matched"
+        )
+
+    _drain_decontam(
+        spark, sf_dir, index_dir, store_dir, checkpoint_dir,
+        F.col("media_type") != "audio/wav", image_tile_fingerprints,
+        glob, flags_fn=_flags, layout="tile_fps",
+    )
+
+
+def read_tile_flags_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(doc_id, n_eval_matches, n_tiles_matched) from the drained
+    tile store — drops the batch_id partition column."""
+    return _read_store_columns(
+        spark, store_dir, ("doc_id", "n_eval_matches", "n_tiles_matched")
+    )

@@ -2210,7 +2210,7 @@ def test_video_frame_fingerprints_fixed_width_on_foreign_geometry(spark):
 # --------------- audio snippet windows + image tiles (r13 library)
 
 
-def seeded_snippet_corpus(spark, dirp: str):
+def seeded_snippet_corpus(spark, dirp: str, n_files: int = 1):
     """Planted SNIPPET leakage corpus for the audio window tier: eval
     clip 108 (% 101 == 7, % 3 == 0 -> WAV); training clip 3 embeds
     eval's first 16-sample window GAIN-DOUBLED at sample offset 8 (a
@@ -2270,7 +2270,7 @@ def seeded_snippet_corpus(spark, dirp: str):
     rows = [(108, text_for(a)), (3, text_for(b)), (6, text_for(c))]
     spark.createDataFrame(
         rows, "doc_id bigint, text string"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(n_files).write.mode("overwrite").parquet(
         dirp + "/documents.parquet"
     )
     return [(3, n_ab, n_ab)], [(3, 108, n_ab)]
@@ -2438,3 +2438,96 @@ def test_media_image_tile_decontaminate_matches_oracle(spark, sf_dir):
         mm.media_image_tile_decontaminate,
         mm.MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE,
     )
+
+
+def test_media_audio_snippet_stored_equals_online(spark, tmp_path):
+    """The stored snippet-registry serving path must be bit-identical
+    to the online query on the seeded corpus, plus a from_index
+    roundtrip (the tier convention)."""
+    dirp = str(tmp_path / "sf")
+    want, _pairs = seeded_snippet_corpus(spark, dirp)
+
+    online = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_windows_matched"])
+        for r in mm.media_audio_snippet_decontaminate(spark, dirp).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_windows_matched"])
+        for r in mm.media_audio_snippet_decontaminate_stored(
+            spark, dirp
+        ).collect()
+    )
+    assert online == stored == want
+
+    idx = str(tmp_path / "snipidx")
+    mm.media_audio_snippet_eval_write_index(spark, dirp, idx)
+    via_index = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_windows_matched"])
+        for r in mm.media_audio_snippet_decontaminate_from_index(
+            spark, dirp, idx
+        ).collect()
+    )
+    assert via_index == want
+
+
+def seeded_tile_corpus(spark, dirp: str, n_files: int = 1):
+    """The crop-golden corpus as a reusable builder (eval doc 7, a
+    3-row-cropped brightness-biased training copy doc 1, control
+    doc 4) — returns the expected tile-decontamination rows."""
+    import random
+
+    def grid_rows(seed):
+        rnd = random.Random(seed)
+        return [
+            [rnd.sample(range(10, 60), 1)[0] for _ in range(mm.IMG_W)]
+            for _ in range(mm.IMG_H)
+        ]
+
+    a_rows = grid_rows(13)
+    fresh = grid_rows(99)[:3]
+    b_rows = [[v + 2 for v in row] for row in a_rows[3:]] + fresh
+    c_rows = grid_rows(55)
+
+    def text_for(rows):
+        flat = [v for row in rows for v in row for _ in range(3)]
+        return bytes(flat).decode("ascii") + " " * (
+            mm.WAV_DATA_LEN - mm.IMG_DATA_LEN
+        )
+
+    rows = [(7, text_for(a_rows)), (1, text_for(b_rows)),
+            (4, text_for(c_rows))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).repartition(n_files).write.mode("overwrite").parquet(
+        dirp + "/documents.parquet"
+    )
+    return [(1, 2, 2)]
+
+
+def test_media_image_tile_stored_equals_online(spark, tmp_path):
+    """Stored tile-registry serving path bit-identical to online on
+    the seeded crop corpus, plus a from_index roundtrip."""
+    dirp = str(tmp_path / "sf")
+    want = seeded_tile_corpus(spark, dirp)
+
+    online = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_tiles_matched"])
+        for r in mm.media_image_tile_decontaminate(spark, dirp).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_tiles_matched"])
+        for r in mm.media_image_tile_decontaminate_stored(
+            spark, dirp
+        ).collect()
+    )
+    assert online == stored == want
+
+    idx = str(tmp_path / "tileidx")
+    mm.media_image_tile_eval_write_index(spark, dirp, idx)
+    via_index = sorted(
+        (r["doc_id"], r["n_eval_matches"], r["n_tiles_matched"])
+        for r in mm.media_image_tile_decontaminate_from_index(
+            spark, dirp, idx
+        ).collect()
+    )
+    assert via_index == want

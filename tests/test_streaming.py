@@ -457,3 +457,59 @@ def test_streaming_media_video_frame_decontaminate_matches_batch(
     import glob as globmod
 
     assert len(globmod.glob(store + "/batch_id=*")) == 2
+
+
+def test_streaming_sub_item_twins_match_batch(spark, tmp_path):
+    """The snippet and tile streaming twins (r13) must reproduce
+    their batch answers exactly on the seeded corpora, each split
+    into 2 parquet files = 2 real micro-batches — together with the
+    video twins these cover every (media_fn, flags_fn, layout)
+    combination of the shared drain."""
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_snippet_decontaminate,
+        media_audio_snippet_eval_write_index,
+        media_image_tile_decontaminate,
+        media_image_tile_eval_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_snippet_flags_from_store,
+        read_tile_flags_from_store,
+        streaming_media_audio_snippet_decontaminate,
+        streaming_media_image_tile_decontaminate,
+    )
+
+    from .test_multimodal import seeded_snippet_corpus, seeded_tile_corpus
+
+    for name, seed_fn, write_idx, stream_fn, read_fn, batch_fn in (
+        (
+            "snippet", seeded_snippet_corpus,
+            media_audio_snippet_eval_write_index,
+            streaming_media_audio_snippet_decontaminate,
+            read_snippet_flags_from_store,
+            media_audio_snippet_decontaminate,
+        ),
+        (
+            "tile", seeded_tile_corpus,
+            media_image_tile_eval_write_index,
+            streaming_media_image_tile_decontaminate,
+            read_tile_flags_from_store,
+            media_image_tile_decontaminate,
+        ),
+    ):
+        dirp = str(tmp_path / f"{name}_sf")
+        seed_fn(spark, dirp, n_files=2)
+        idx = str(tmp_path / f"{name}_idx")
+        store = str(tmp_path / f"{name}_store")
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        write_idx(spark, dirp, idx)
+        stream_fn(
+            spark, dirp + "/documents.parquet", idx, store, ckpt,
+            glob="part-*",
+        )
+        streamed = sorted(map(tuple, read_fn(spark, store).collect()))
+        batch = sorted(map(tuple, batch_fn(spark, dirp).collect()))
+        assert streamed == batch, name
+        assert streamed, name  # non-vacuous (the planted leaks)
+        import glob as globmod
+
+        assert len(globmod.glob(store + "/batch_id=*")) == 2, name
