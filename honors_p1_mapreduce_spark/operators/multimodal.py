@@ -3510,6 +3510,7 @@ def image_tile_fingerprints(media: DataFrame) -> DataFrame:
     ``media_skip_count("image")``."""
     acc = _skip_acc(media.sparkSession.sparkContext, "image")
     tile_px = IMG_TILE_ROWS * IMG_W  # 16 — the kernel width
+    stride_px = IMG_TILE_STRIDE_ROWS * IMG_W  # 12
 
     def _fp(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -3528,19 +3529,32 @@ def image_tile_fingerprints(media: DataFrame) -> DataFrame:
                 ):
                     acc.add(1)
                     continue
+                n_px = w * h
+                if n_px < tile_px:
+                    # decodable but too small for one tile — counts
+                    # like any undecodable payload (the audio/video
+                    # tiers' too-short contract; a thumbnail corpus
+                    # must not read as "clean, zero skips")
+                    acc.add(1)
+                    continue
                 grays = [
                     data[3 * p] + data[3 * p + 1] + data[3 * p + 2]
-                    for p in range(w * h)
+                    for p in range(n_px)
                 ]
-                t = 0
-                for ty in range(0, h - IMG_TILE_ROWS + 1, IMG_TILE_STRIDE_ROWS):
-                    tile = grays[ty * w : ty * w + tile_px]
-                    if len(tile) < tile_px:
-                        break
+                # tiles are 16-PIXEL windows at a 12-pixel stride over
+                # the file-order stream (== 4-row tiles at 3-row
+                # stride on the 4-wide demo geometry); bounding by
+                # PIXELS keeps the tiling total on foreign widths —
+                # a row-based bound skipped valid windows on an
+                # 8-wide image (r13 review)
+                for t, s in enumerate(
+                    range(0, n_px - tile_px + 1, stride_px)
+                ):
                     out["doc_id"].append(doc_id)
                     out["tile_idx"].append(t)
-                    out["tile_fp"].append(frame_gradient_hash(tile))
-                    t += 1
+                    out["tile_fp"].append(
+                        frame_gradient_hash(grays[s : s + tile_px])
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(

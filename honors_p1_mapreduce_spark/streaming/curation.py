@@ -494,17 +494,14 @@ def streaming_media_video_frame_decontaminate(
     ``media_video_frame_decontaminate`` answer — pinned by the seeded
     2-micro-batch equivalence test."""
     from ..operators.multimodal import (
+        _sub_item_decontam_flags,
         media_avi_table_from,
         video_frame_fingerprints,
     )
 
     def _frame_flags(fps: DataFrame, eval_fps: DataFrame) -> DataFrame:
-        hits = fps.join(
-            F.broadcast(eval_fps), F.col("frame_fp") == F.col("eval_fp")
-        )
-        return hits.groupBy("doc_id").agg(
-            F.countDistinct("frame_fp").alias("n_eval_matches"),
-            F.countDistinct("frame_idx").alias("n_frames_matched"),
+        return _sub_item_decontam_flags(
+            fps, eval_fps, "frame_fp", "frame_idx", "n_frames_matched"
         )
 
     _drain_decontam(

@@ -2339,67 +2339,21 @@ def test_media_image_tile_crop_golden(spark, tmp_path):
     normalization grid changes), so media_decontaminate misses it —
     but the copy still shares exactly 2 aligned tile signatures with
     the eval original, and the tile tier flags it. DuckDB agrees on
-    both queries."""
+    both queries. Corpus + construction-sanity asserts live in the
+    shared seeded_tile_corpus builder (one definition drives this
+    golden, the stored-cycle test, and the streaming equivalence —
+    r13 review)."""
     import duckdb
 
-    def grid_rows(seed):
-        import random
-
-        rnd = random.Random(seed)
-        return [
-            [rnd.sample(range(10, 60), 1)[0] for _ in range(mm.IMG_W)]
-            for _ in range(mm.IMG_H)
-        ]
-
-    a_rows = grid_rows(13)
-    # crop: drop A's top 3 rows, append 3 fresh rows; bias +2
-    fresh = grid_rows(99)[:3]
-    b_rows = [[v + 2 for v in row] for row in a_rows[3:]] + fresh
-    c_rows = grid_rows(55)
-
-    def text_for(rows):
-        flat = [v for row in rows for v in row for _ in range(3)]
-        return bytes(flat).decode("ascii") + " " * (
-            mm.WAV_DATA_LEN - mm.IMG_DATA_LEN
-        )
-
-    def tiles(rows):
-        grays = [3 * v for row in rows for v in row]
-        out = set()
-        for t, ty in enumerate(
-            range(0, mm.IMG_H - mm.IMG_TILE_ROWS + 1, mm.IMG_TILE_STRIDE_ROWS)
-        ):
-            out.add(mm.frame_gradient_hash(
-                grays[ty * mm.IMG_W : ty * mm.IMG_W + 16]
-            ))
-        return out
-
-    shared = tiles(a_rows) & tiles(b_rows)
-    assert len(shared) == 2  # construction sanity (tiles 1,2 of A)
-    assert not (tiles(a_rows) & tiles(c_rows))
-
-    def dhash(rows):
-        return mm.image_dhash(
-            mm.BMP_HEADER
-            + bytes(v for row in rows for v in row for _ in range(3))
-        )
-
-    assert bin(dhash(a_rows) ^ dhash(b_rows)).count("1") \
-        > mm.DECONTAM_HAMMING_MAX  # the whole-image tier cannot see it
-
-    rows = [(7, text_for(a_rows)), (1, text_for(b_rows)),
-            (4, text_for(c_rows))]
     dirp = str(tmp_path / "sf")
-    spark.createDataFrame(
-        rows, "doc_id bigint, text string"
-    ).coalesce(1).write.mode("overwrite").parquet(dirp + "/documents.parquet")
+    want = seeded_tile_corpus(spark, dirp)
 
     assert mm.media_decontaminate(spark, dirp).collect() == []
     got = sorted(
         (r["doc_id"], r["n_eval_matches"], r["n_tiles_matched"])
         for r in mm.media_image_tile_decontaminate(spark, dirp).collect()
     )
-    assert got == [(1, 2, 2)]
+    assert got == want
     pairs = sorted(
         (r["doc_a"], r["doc_b"], r["n_shared_fps"])
         for r in mm.media_image_tile_overlap(spark, dirp).collect()
@@ -2471,9 +2425,13 @@ def test_media_audio_snippet_stored_equals_online(spark, tmp_path):
 
 
 def seeded_tile_corpus(spark, dirp: str, n_files: int = 1):
-    """The crop-golden corpus as a reusable builder (eval doc 7, a
-    3-row-cropped brightness-biased training copy doc 1, control
-    doc 4) — returns the expected tile-decontamination rows."""
+    """The crop-golden corpus: eval doc 7, a 3-row-cropped
+    brightness-biased training copy doc 1, control doc 4. ONE
+    definition (construction-sanity asserts included) drives the crop
+    golden, the stored-cycle test, and the streaming equivalence, so
+    the expectation cannot drift from the corpus (r13 review).
+    Returns the expected tile-decontamination rows, computed from the
+    kernel rather than hardcoded."""
     import random
 
     def grid_rows(seed):
@@ -2488,6 +2446,30 @@ def seeded_tile_corpus(spark, dirp: str, n_files: int = 1):
     b_rows = [[v + 2 for v in row] for row in a_rows[3:]] + fresh
     c_rows = grid_rows(55)
 
+    def tiles(rows):
+        grays = [3 * v for row in rows for v in row]
+        return {
+            mm.frame_gradient_hash(grays[s : s + 16])
+            for s in range(0, len(grays) - 16 + 1,
+                           mm.IMG_TILE_STRIDE_ROWS * mm.IMG_W)
+        }
+
+    shared = tiles(a_rows) & tiles(b_rows)
+    n_shared = len(shared)
+    assert n_shared == 2  # construction sanity (tiles 1,2 of A)
+    assert not (tiles(a_rows) & tiles(c_rows))
+    assert not (tiles(b_rows) & tiles(c_rows))
+
+    def dhash(rows):
+        return mm.image_dhash(
+            mm.BMP_HEADER
+            + bytes(v for row in rows for v in row for _ in range(3))
+        )
+
+    # the whole-image tier provably cannot see the crop
+    assert bin(dhash(a_rows) ^ dhash(b_rows)).count("1") \
+        > mm.DECONTAM_HAMMING_MAX
+
     def text_for(rows):
         flat = [v for row in rows for v in row for _ in range(3)]
         return bytes(flat).decode("ascii") + " " * (
@@ -2501,7 +2483,7 @@ def seeded_tile_corpus(spark, dirp: str, n_files: int = 1):
     ).repartition(n_files).write.mode("overwrite").parquet(
         dirp + "/documents.parquet"
     )
-    return [(1, 2, 2)]
+    return [(1, n_shared, n_shared)]
 
 
 def test_media_image_tile_stored_equals_online(spark, tmp_path):
@@ -2531,3 +2513,48 @@ def test_media_image_tile_stored_equals_online(spark, tmp_path):
         ).collect()
     )
     assert via_index == want
+
+
+def test_image_tile_fingerprints_foreign_geometry(spark):
+    """r13 review findings pinned: (a) tiling is bounded by PIXELS,
+    not rows — a decodable 8-wide 5-tall BMP (40 px) yields tiles at
+    pixel offsets 0/12/24 including the final window a row-based
+    bound used to skip; (b) a decodable image too small for one tile
+    (4x3 = 12 px) skips AND counts, so a thumbnail corpus cannot read
+    as 'clean, zero skips'."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    def bmp(w, h, seed):
+        import random
+
+        data = bytes(
+            random.Random(seed).sample(range(10, 250), 1)[0]
+            for _ in range(w * h * 3)
+        )
+        return mm._bmp_header(w, h, len(data)) + data, data
+
+    wide, wide_px = bmp(8, 5, 3)   # 40 px, zero row padding (8*3=24)
+    tiny, _ = bmp(4, 3, 5)         # 12 px < one tile
+    media = spark.createDataFrame(
+        [(1, bytearray(wide)), (2, bytearray(tiny))],
+        "doc_id bigint, content binary",
+    ).withColumn("media_type", F.lit("image/bmp"))
+
+    mm.reset_media_skip_counts()
+    got = sorted(
+        (r["doc_id"], r["tile_idx"], r["tile_fp"])
+        for r in mm.image_tile_fingerprints(media).collect()
+    )
+    assert [g[:2] for g in got] == [(1, 0), (1, 1), (1, 2)]
+    assert mm.media_skip_count("image") == 1  # the thumbnail counted
+    # recompute the last tile (pixels 24..39) — the window the old
+    # row-based bound dropped
+    grays = [
+        wide_px[3 * p] + wide_px[3 * p + 1] + wide_px[3 * p + 2]
+        for p in range(40)
+    ]
+    assert got[2][2] == mm.frame_gradient_hash(grays[24:40])
+    for _, _, fp in got:
+        assert 0 <= fp < (1 << mm.VIDEO_FRAME_FP_BITS)
