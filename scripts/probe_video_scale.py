@@ -41,6 +41,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from honors_p1_mapreduce_spark import registry  # noqa: E402
 from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    media_audio_snippet_overlap,
+    media_image_tile_overlap,
     media_skip_count,
     media_video_dedup,
     media_video_decontaminate,
@@ -106,6 +108,8 @@ def main() -> None:
                 media_video_frame_decontaminate,
             ),
             ("media_video_clean_funnel", media_video_clean_funnel),
+            ("media_audio_snippet_overlap", media_audio_snippet_overlap),
+            ("media_image_tile_overlap", media_image_tile_overlap),
         ):
             t, n = timed(fn, sf_dir)
             out.setdefault(name, {})[f"t_{sf_label}_s"] = t
@@ -118,6 +122,8 @@ def main() -> None:
         "media_video_frame_overlap",
         "media_video_frame_decontaminate",
         "media_video_clean_funnel",
+        "media_audio_snippet_overlap",
+        "media_image_tile_overlap",
     ):
         d = out[name]
         d["time_ratio"] = (

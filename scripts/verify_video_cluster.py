@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Multi-executor validation of the r13 VIDEO tier on a REAL
+"""Multi-executor validation of the r13 media-tier additions (the
+video tier + the audio-snippet / image-tile sub-item granularity) on a REAL
 standalone cluster (the r10..r13 harness: master on 127.0.0.1, 4
 workers each bound to its own loopback address => distinct hosts to
 the scheduler). Pins that every video surface produces EXACTLY the
@@ -8,9 +9,11 @@ same rows on the 4-worker cluster as in local mode at sf0.01:
 - media_video_neardup / media_video_dedup /
   media_video_decontaminate_stored, the frame-granular pair
   media_video_frame_overlap / media_video_frame_decontaminate_stored,
-  and media_video_clean_funnel — the registrable batch surfaces
-  (each stored cycle covers its online path transitively: the
-  roundtrip is bit-identical by construction and pinned in pytest);
+  media_video_clean_funnel, and the audio-snippet / image-tile
+  sub-item ops (overlap + stored decontamination cycles) — the
+  registrable batch surfaces (each stored cycle covers its online
+  path transitively: the roundtrip is bit-identical by construction
+  and pinned in pytest);
 - video corrupt-payload skip — the media_skip_count('video')
   accumulator under a real multi-process scheduler (planted
   undecodable AVIs across 8 partitions; worker->driver accumulator
@@ -54,6 +57,10 @@ N_CORRUPT = 24
 
 def _ops():
     from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_snippet_decontaminate_stored,
+        media_audio_snippet_overlap,
+        media_image_tile_decontaminate_stored,
+        media_image_tile_overlap,
         media_video_dedup,
         media_video_decontaminate_stored,
         media_video_frame_decontaminate_stored,
@@ -74,6 +81,16 @@ def _ops():
             media_video_frame_decontaminate_stored,
         ),
         ("media_video_clean_funnel", media_video_clean_funnel),
+        ("media_audio_snippet_overlap", media_audio_snippet_overlap),
+        (
+            "media_audio_snippet_decontaminate_stored",
+            media_audio_snippet_decontaminate_stored,
+        ),
+        ("media_image_tile_overlap", media_image_tile_overlap),
+        (
+            "media_image_tile_decontaminate_stored",
+            media_image_tile_decontaminate_stored,
+        ),
     ]
 
 
