@@ -595,21 +595,26 @@ def decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier the engine ships: exact text n-gram overlap
     (``contamination_check``), fuzzy winnowed fingerprints
     (``decontaminate_neardup``), perceptual image hashes
-    (``media_decontaminate``), and semantic embedding cosine
-    (``embedding_decontaminate``). The report a dataset release
-    actually wants is not four separate queries but one "how
+    (``media_decontaminate``), semantic embedding cosine
+    (``embedding_decontaminate``), and — since the audio tier's r14
+    registration (r13 verdict #1) — perceptual audio envelope hashes
+    (``media_audio_decontaminate``). The report a dataset release
+    actually wants is not five separate queries but one "how
     compromised is this corpus, by which detection mechanism" table —
     the decontamination counterpart of ``dataset_build_audit``.
+    The video tier folds in as the 6th at its r15 registration
+    (registry rotation note).
 
     Counts are DISTINCT flagged training items per tier (documents
-    for the text/image tiers, vectors for the semantic tier — id
-    spaces differ by design, which is why the audit reports per tier
-    and never unions the id sets). Each tier keeps its own
-    broadcast-eval plan shape; this composition adds only four tiny
+    for the text/image/audio tiers, vectors for the semantic tier —
+    id spaces differ by design, which is why the audit reports per
+    tier and never unions the id sets). Each tier keeps its own
+    broadcast-eval plan shape; this composition adds only five tiny
     aggregates and a union. Library surface in r11 with a
-    pre-verified oracle (registry saturation note)."""
+    pre-verified oracle (registry saturation note); audio tier folded
+    in r14 with the recomposed oracle restamping in the same window."""
     from .curation import contamination_check
-    from .multimodal import media_decontaminate
+    from .multimodal import media_audio_decontaminate, media_decontaminate
     from .similarity import embedding_decontaminate
     from .winnow import decontaminate_neardup
 
@@ -638,12 +643,22 @@ def decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
             )
         )
+        .unionByName(
+            tier(
+                "5_audio",
+                media_audio_decontaminate(spark, sf_dir),
+                "doc_id",
+            )
+        )
     )
 
 
 def _decontaminate_audit_oracle() -> str:
     from .curation import CONTAMINATION_ORACLE
-    from .multimodal import MEDIA_DECONTAMINATE_ORACLE
+    from .multimodal import (
+        MEDIA_AUDIO_DECONTAMINATE_ORACLE,
+        MEDIA_DECONTAMINATE_ORACLE,
+    )
     from .similarity import EMBEDDING_DECONTAMINATE_ORACLE
     from .winnow import DECONTAMINATE_NEARDUP_ORACLE
 
@@ -660,6 +675,9 @@ FROM ({MEDIA_DECONTAMINATE_ORACLE}) t3
 UNION ALL
 SELECT '4_semantic', count(DISTINCT vec_id)
 FROM ({EMBEDDING_DECONTAMINATE_ORACLE}) t4
+UNION ALL
+SELECT '5_audio', count(DISTINCT doc_id)
+FROM ({MEDIA_AUDIO_DECONTAMINATE_ORACLE}) t5
 """
 
 

@@ -121,216 +121,70 @@ Never commit a new CORRECTNESS stamp into a tree whose registry
 still carries the previous window without immediately following with
 the rotation.
 
-ROUND-13 WINDOW (this ordering — reproduced exactly by
-``python scripts/plan_next_window.py --register media_clean_funnel
-decontaminate_audit media_decontaminate media_decontaminate_stored
-embedding_decontaminate --force media_image_neardup media_image_dedup
-media_resize media_audio_neardup media_audio_dedup`` on the committed
-CORRECTNESS_r01..r12 history; the r12 judge re-ran the planner and
-verified the un-forced plan — the five forced slots were added
-mid-r13 as the advisor fix and its review pass changed
-image_fingerprints, _pixel_grid/_bmp_geometry, and the audio
-fingerprint passes):
-  1-3     dedup_keep_best, token_len_histogram, token_budget_select —
-          the r9-stamped trio displaced from the r12 window (age 4 at
-          r13 close otherwise — the hard deadline; they MUST lead).
-  4-8     the 5-entry r11 library-surface backlog REGISTERS, in the
-          documented priority order: media_clean_funnel (pipeline.py —
-          the multimodal curation capstone), decontaminate_audit
-          (pipeline.py — the cross-modal release report),
-          media_decontaminate + media_decontaminate_stored
-          (multimodal.py — image contamination tiers),
-          embedding_decontaminate (similarity.py — the semantic
-          tier). All five oracles independently re-verified green at
-          sf0.01 by the r12 judge on the post-fuzz-fix tree — any
-          driver red is regression, not design.
-          Registry 150 -> 155, within the 200 cap.
-  9-13    media_image_neardup, media_image_dedup (r12 stamps),
-          media_resize, media_audio_neardup (r11 stamps),
-          media_audio_dedup (r12 stamp) — pulled forward: r13 changed
-          image_fingerprints (advisor fix — narrowed corrupt-payload
-          except + skip accumulator), then the review pass hardened
-          _bmp_geometry/_pixel_grid (memory-bomb bound — pulls in
-          media_resize) and added audio skip counting to
-          audio_fingerprints/wav_fp_peak (pulls in the two audio
-          consumers). Changed code paths restamp next window
-          regardless of behavior identity.
-  14-50   the oldest 37 of the 48-entry r10-stamped block
-          (CORRECTNESS_r10 order minus the two lm entries that
-          restamped r12), at age 3 — the deadline. The last 5 of that
-          block (event_type_hourly_topk through pricing_percentiles)
-          were displaced off the tail by the five forced slots (age 3
-          at r13 close — legal; they lead r14).
-Total 50.
+ROUND-14 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --force decontaminate_audit
+media_avi_decode media_decontaminate media_decontaminate_stored
+events_winsorized_stats_fast`` on the committed CORRECTNESS_r01..r13
+history, with the two audio-tier registrations landing as
+never-stamped deadline entries at slots 12-13):
+  1-11    the 11 r10-stamped leftovers (event_type_hourly_topk ..
+          simhash_neardup) displaced off the r13 window tail by its
+          five forced restamps — age 4 at r14 close otherwise, the
+          hard deadline; they lead by planner rule.
+  12-13   the r12-built AUDIO decontamination tier REGISTERS
+          (media_audio_decontaminate + media_audio_decontaminate_stored,
+          multimodal.py — judge-RE-verified green at sf0.001+sf0.01 on
+          the r13 final tree; driver-scale result legitimately empty,
+          the seeded golden is the real gate). Registry 155 -> 157.
+  14-18   forced restamps: decontaminate_audit (oracle recomposed to
+          fold the audio tier in as the 5th modality — r13 verdict
+          #1), media_avi_decode (r13 media_avi_table_from factoring +
+          LIST-depth cap; r14 _avi_frames_parse geometry bound — the
+          r13 advisor fix), media_decontaminate +
+          media_decontaminate_stored (clip-tier split now enumerates
+          the shared IMAGE_MEDIA_TYPES predicate — r13 advisor), and
+          events_winsorized_stats_fast (cadence: the twin last
+          executed r11 and the forced slots would have displaced it
+          from the oldest-first fill).
+  19-50   oldest-stamp-first fill from the r11-stamped block: the
+          other 4 sanctioned rows-only twins rejoin (execution-cadence
+          bound) plus 28 more r11 restamps.
+Total 50. Outside-window ages at r14 close: 47@1, 47@2, 13@3 — bound
+holds (planner output re-checked after the force-list settled).
 
-ROUND-14 WINDOW (planned NOW per r12 verdict #6 so the planner's
-mandatory set stays empty; re-run plan_next_window.py against
-CORRECTNESS_r13.json to confirm before applying):
-  - the 11 r10 leftovers (event_type_hourly_topk,
-    purchase_click_attribution, error_click_correlation,
-    cms_estimate, pricing_percentiles — the five displaced by the r13
-    forced slots — plus doc_token_stats, corpus_token_stats, lang_id,
-    quality_score, simhash_fingerprints, simhash_neardup) — age 4 at
-    r14 close otherwise; they lead.
-  - the r12-built audio decontamination tier REGISTERS
-    (media_audio_decontaminate + media_audio_decontaminate_stored,
-    multimodal.py — judge-verified green r12; driver-scale result is
-    legitimately empty, the seeded golden is the real gate). At the
-    same commit, decontaminate_audit's oracle recomposes to fold the
-    audio tier in as the 5th modality (r12 verdict #3) — a changed
-    oracle restamps decontaminate_audit in the same window.
-  - the 5 sanctioned rows-only twins REJOIN (similarity_ann_topk,
-    embedding_neardup, dedup_minhash, semantic_dedup_fast,
-    events_winsorized_stats_fast — last executed r11, age 3 at r14
-    close, the execution-cadence bound).
-  - media_avi_decode FORCE-restamps (r13 changed its code path
-    twice: media_avi_table factored into media_avi_table_from for
-    the video streaming twins, and _avi_frames_parse gained the
-    LIST-nesting depth cap — both behavior-identical on well-formed
-    corpora, restamp by rule;
-    `plan_next_window.py --force media_avi_decode`). The r13 oracle
-    builder refactor (_fp_neardup_oracle) needs NO extra forcing:
-    its two registered consumers are in-window r13 restamps already,
-    and the generated SQL was verified byte-identical at the
-    refactor commit.
-  - remaining slots: the oldest of the 47-entry r11 block
-    (media_image_neardup, media_audio_neardup and media_resize
-    restamp r13). Registry 155 -> 157.
-
-THEN (after the r13 window, rotating later): the 11 r10 leftovers,
-the 47-entry r11-stamped block (CORRECTNESS_r11 order), and the
-47-entry r12-stamped block (minus the three r13 forced restamps) —
-freshest stamps, rotates last. COUNT the entries against
-plan_next_window.py when building r14; this tail prose is the
-narrative, the planner is the arithmetic.
-
-ROUND-15 BACKLOG (library surfaces built r13, queuing behind the
-allocated r14 window): the VIDEO perceptual tier
-(multimodal.py — media_video_neardup, media_video_dedup,
-media_video_decontaminate, media_video_decontaminate_stored, plus
-the FRAME-granular pair: media_video_frame_overlap (clip-in-clip
-pair detection) and media_video_frame_decontaminate (+_stored) —
-sub-clip eval leakage the whole-clip hash provably cannot see (the
-seeded golden asserts the whole-clip tier returns 0 rows on frames
-spliced among foreign frames while the frame tier flags both
-plants); and media_video_clean_funnel (pipeline.py — decode once,
-popcount quality gate at the corpus-calibrated
-MEDIA_VIDEO_MIN_GRADIENTS=26, min-doc keep per perceptual cluster,
-per-stage budgets). PLUS the sub-item granularity completion for
-the other two media modalities over the same shared kernel and join
-machinery (multimodal.py): media_audio_snippet_overlap +
-media_audio_snippet_decontaminate (16-sample stride-8 windows — a
-benchmark clip's snippet inside a longer training clip, the case
-the whole-clip envelope hash provably misses, seeded golden) and
-media_image_tile_overlap + media_image_tile_decontaminate (4-row
-stride-3 tiles — the CROPPED-copy case where whole-image dHash
-provably fails, seeded golden), each decontamination tier with its
-full stored cycle (+_stored — snippet_fps / tile_fps registry
-layouts) and streaming twin over the shared drain. Fourteen
-registrable queries, oracles
-verified green at sf0.001 AND sf0.01 at build time, seeded-leak +
-clip-in-clip + crop + snippet + hot-fp-guard goldens, stored-cycle
-and streaming-twin equivalences in pytest, affine-invariance
-property tests, 10x probe R13_VIDEO_PROBE.json, 4-worker check
-R13_VIDEO_CLUSTER_CHECK.json (the audio/image sub-item ops ride the
-IDENTICAL factored join/aggregate already probed + cluster-checked
-under video: item_fp_overlap_pairs and the broadcast-eval
-aggregate). Registry 157 -> 171 across r15/r16 registrations, at
-which point decontaminate_audit folds video in as the SIXTH tier
-(after the audio tier's r14 fold-in makes it five)."""
+ROUND-15/16 REGISTRATION SPLIT (planned NOW per r13 verdict #2;
+feasibility simulated through r19 with planner.plan_window over the
+assumed-green r14 stamps — bound holds every round, steady-state
+deadline demand settles at ~21-23 slots/round for the 171-entry
+registry, comfortably inside the 50-slot window):
+  r15 (8 registrations + 1 force): the VIDEO perceptual tier
+    registers — media_video_neardup, media_video_dedup,
+    media_video_decontaminate, media_video_decontaminate_stored, the
+    FRAME-granular trio media_video_frame_overlap,
+    media_video_frame_decontaminate (+_stored), and
+    media_video_clean_funnel (pipeline.py). decontaminate_audit
+    FORCE-restamps in the same window (oracle recomposes to fold
+    video in as the 6th tier). The planner's r15 mandatory set is the
+    13 r11-residue entries (pack_token_ids, events_burst_runs,
+    dedup_clusters .. similarity_topk — age 4 at r15 close); they
+    lead, registrations take slots 14-21. Registry 157 -> 165.
+  r16 (6 registrations): the sub-item granularity completes —
+    media_audio_snippet_overlap, media_audio_snippet_decontaminate
+    (+_stored), media_image_tile_overlap,
+    media_image_tile_decontaminate (+_stored). Registry 165 -> 171.
+    All 14 surfaces were judge-verified green at sf0.001 + sf0.01 in
+    the r13 session; any driver red is regression, not design.
+  Evidence already on file for the whole split: seeded-leak +
+  clip-in-clip + crop + snippet goldens, stored-cycle + streaming
+  equivalences, affine-invariance properties,
+  R13_VIDEO_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
+"""
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r13 window, 1-3] the r9-stamped trio displaced from the
-    # r12 window (dedup_keep_best's slot went to the
-    # media_image_neardup corrupt-payload restamp) — age 4 at r13
-    # close otherwise, the hard deadline; they lead by planner rule.
-    "dedup_keep_best": _dd.dedup_keep_best,
-    "token_len_histogram": _ta.token_len_histogram,
-    "token_budget_select": _cx.token_budget_select,
-    # --- [r13 window, 4-8] the r11 library-surface backlog REGISTERS
-    # (registry 150 -> 155, r12 verdict #2). All five oracles were
-    # independently re-verified green at sf0.01 by the r12 judge on
-    # the post-fuzz-fix tree — any driver red here is regression.
-    #
-    # 4: the multimodal curation capstone — decode once, then
-    # dedup-first funnel over image+audio fingerprints (pipeline.py;
-    # cluster-stage share tracked per-round in R*_SCALE_PROBE).
-    "media_clean_funnel": _pl.media_clean_funnel,
-    # 5: the cross-modal release report — composes the exact, fuzzy,
-    # image-perceptual, and semantic tier oracles (the audio tier
-    # folds in as the 5th at its r14 registration, verdict #3).
-    "decontaminate_audit": _pl.decontaminate_audit,
-    # 6-7: image contamination tiers, online + stored cycle. The
-    # streaming drained-store equivalence
-    # (test_streaming_media_decontaminate_matches_batch) inherits
-    # this stamp transitively — noted in SURVEY §8.4.
-    "media_decontaminate": _mm.media_decontaminate,
-    "media_decontaminate_stored": _mm.media_decontaminate_stored,
-    # 8: the semantic tier — broadcast eval + exact-fold cosine,
-    # linear in train for fixed eval.
-    "embedding_decontaminate": _sim.embedding_decontaminate,
-    # --- [r13 window, 9-13] changed-code-path restamps, reproduced
-    # by ``plan_next_window.py --force media_image_neardup
-    # media_image_dedup media_resize media_audio_neardup
-    # media_audio_dedup``. Two r13 changes, both behavior-identical
-    # on the well-formed driver corpora but restamping by rule:
-    # (a) the r12-advisor fix — image_fingerprints' corrupt-payload
-    # except narrowed + per-context skip accumulator — whose review
-    # pass then hardened _bmp_geometry/_pixel_grid against the
-    # declared-geometry memory bomb (pulls in media_resize, the other
-    # _pixel_grid consumer); (b) the same review's audio symmetry —
-    # audio_fingerprints/wav_fp_peak now COUNT their skips (pulls in
-    # the two audio fingerprint consumers with out-of-window stamps).
-    "media_image_neardup": _mm.media_image_neardup,
-    "media_image_dedup": _mm.media_image_dedup,
-    "media_resize": _mm.media_resize,
-    "media_audio_neardup": _mm.media_audio_neardup,
-    "media_audio_dedup": _mm.media_audio_dedup,
-    # --- [r13 window, 14-50] the oldest 37 of the 48-entry
-    # r10-stamped block (CORRECTNESS_r10 order minus the two lm
-    # entries that restamped r12), at the 3-round deadline.
-    "winnow_index_retract": _wn.winnow_index_retract,
-    "lm_model_retract": _lm.lm_model_retract,
-    "trade_labelprop": _gph.trade_labelprop,
-    "media_audio_features": _mm.media_audio_features,
-    "dataset_split": _cx.dataset_split,
-    "source_profile": _cx.source_profile,
-    "revenue_cube": _rx.revenue_cube,
-    "bpe_encode_stats": _bpx.bpe_encode_stats,
-    "events_moving_stats": _ev.events_moving_stats,
-    "events_daily_pivot": _ev.events_daily_pivot,
-    "hll_daily_users": _sk.hll_daily_users,
-    "user_retention": _ev.user_retention,
-    "events_value_deciles": _ev.events_value_deciles,
-    "word_typo_pairs": _cx.word_typo_pairs,
-    "events_winsorized_stats": _ev.events_winsorized_stats,
-    "dataset_build_audit": _cx.dataset_build_audit,
-    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
-    "chunk_boilerplate": _ta.chunk_boilerplate,
-    "similarity_ann_portable": _sim.similarity_ann_portable,
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,
-    "similarity_pq_topk": _pq.similarity_pq_topk,
-    "events_value_outliers": _cx.events_value_outliers,
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
-    "winnow_fingerprints": _wn.winnow_fingerprints,
-    "winnow_neardup": _wn.winnow_neardup,
-    "media_real_decode": _mm.media_real_decode,
-    "corpus_clean_funnel": _pl.corpus_clean_funnel,
-    "semantic_dedup": _sd.semantic_dedup,
-    "wordcount_topk": _wc.wordcount_topk,
-    "grep_total": _gr.grep_total,
-    "log_analyzer": _la.log_analyzer,
-    "bigrams": _ng.bigrams,
-    "bigrams_topk": _ng.bigrams_topk,
-    "trigrams": _ng.trigrams,
-    "events_tumbling": _ev.events_tumbling,
-    "events_sliding": _ev.events_sliding,
-    "user_sessions": _ev.user_sessions,
-    # ================ position 51+ — outside the r13 driver window =====
-    # The 11 r10-block leftovers (the last 5 displaced off the window
-    # tail by the five forced restamps above) — age 3 at r13 close
-    # (legal), they LEAD the r14 window (see the ROUND-14 plan in the
-    # module docstring):
+    # --- [r14 window, 1-11] the 11 r10-stamped leftovers displaced
+    # off the r13 window tail by its five forced restamps — age 4 at
+    # r14 close otherwise, the hard deadline; they lead by planner
+    # rule (``plan_next_window.py`` positions 1-11).
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
@@ -342,9 +196,43 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": _ta.quality_score,
     "simhash_fingerprints": _ta.simhash_fingerprints,
     "simhash_neardup": _ta.simhash_neardup,
-    # The 47 remaining entries of the r11-stamped block
-    # (CORRECTNESS_r11 order; media_image_neardup, media_audio_neardup
-    # and media_resize restamp in the window above):
+    # --- [r14 window, 12-13] the r12-built audio decontamination
+    # tier REGISTERS (registry 155 -> 157, r13 verdict #1). Both
+    # surfaces judge-RE-verified green at sf0.001 + sf0.01 on the r13
+    # final tree — any driver red is regression, not design. The
+    # driver-scale result is legitimately EMPTY (0 rows both SFs, the
+    # corpora contain no audio contamination); the stamp is an
+    # empty-vs-empty oracle agreement and the seeded-leak golden +
+    # stored/streaming equivalences in pytest are the real gates.
+    "media_audio_decontaminate": _mm.media_audio_decontaminate,
+    "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
+    # --- [r14 window, 14-18] forced restamps
+    # (``plan_next_window.py --force``, reasons per entry):
+    # decontaminate_audit — oracle RECOMPOSED this round to fold the
+    #   audio tier in as the 5th modality (r13 verdict #1);
+    # media_avi_decode — parse path changed twice in r13
+    #   (media_avi_table_from factoring + LIST-depth cap) and once in
+    #   r14 (_avi_frames_parse declared-geometry bound, the r13
+    #   advisor fix; media_real_decode does NOT restamp for it — its
+    #   corpus contains no RIFF/AVI payloads so stdlib_codec never
+    #   reaches the changed branch);
+    # media_decontaminate + media_decontaminate_stored — the clip-tier
+    #   image split now enumerates the shared IMAGE_MEDIA_TYPES
+    #   predicate instead of != 'audio/wav' (r13 advisor; equivalent
+    #   on the three real media types, restamp by rule);
+    # events_winsorized_stats_fast — no code change: the sanctioned
+    #   twin last executed r11 (age 3 at r14 close, the cadence
+    #   bound) and the four restamps above would have displaced it
+    #   from the oldest-first fill, so it holds a forced slot.
+    "decontaminate_audit": _pl.decontaminate_audit,
+    "media_avi_decode": _mm.media_avi_decode,
+    "media_decontaminate": _mm.media_decontaminate,
+    "media_decontaminate_stored": _mm.media_decontaminate_stored,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    # --- [r14 window, 19-50] oldest-stamp-first fill: the other
+    # four sanctioned rows-only twins rejoin (last executed r11 — the
+    # execution-cadence bound) among the oldest 32 of the
+    # r11-stamped block.
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
@@ -377,11 +265,14 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
     "bpe_encode_ids": _bpx.bpe_encode_ids,
+    # ================ position 51+ — outside the r14 driver window =====
+    # The 13 r11-stamped residue entries (age 3 at r14 close — legal;
+    # they LEAD the r15 window together with the video-tier
+    # registrations, see the ROUND-15/16 plan in the module
+    # docstring):
     "pack_token_ids": _bpx.pack_token_ids,
     "events_burst_runs": _ev.events_burst_runs,
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
     "dedup_clusters": _dd.dedup_clusters,
-    "media_avi_decode": _mm.media_avi_decode,
     "hll_type_overlap": _sk.hll_type_overlap,
     "cms_daily_merge": _sk.cms_daily_merge,
     "trade_triangles": _gph.trade_triangles,
@@ -392,18 +283,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
-    # The 47 remaining entries of the r12-stamped block
-    # (CORRECTNESS_r12 order; media_image_neardup, media_image_dedup
-    # and media_audio_dedup restamp in the window above) — freshest
-    # stamps, rotates last:
-    #
-    # lm_interp_score / lm_bigram_score: r12 changed-code-path
-    # restamps (read paths enroll persisted frames for reset_memos
-    # release; plans pinned identical by
-    # tests/test_plan_shapes.py::test_lm_scoring_single_corpus_scan).
-    # (media_image_neardup / media_image_dedup also carry r12 stamps
-    # but restamp in the r13 window above — the image_fingerprints
-    # skip-accumulator change.)
+    # The 47-entry r12-stamped block (CORRECTNESS_r12 order; age 2
+    # at r14 close — rotates r15/r16):
     "lm_interp_score": _lm.lm_interp_score,
     "lm_bigram_score": _lm.lm_bigram_score,
     "quantile_daily_merge": _sk.quantile_daily_merge,
@@ -451,6 +332,56 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
+    # The 47-entry r13-stamped block (CORRECTNESS_r13 order minus
+    # the three restamping in the window above — freshest stamps,
+    # rotates last):
+    "dedup_keep_best": _dd.dedup_keep_best,
+    "token_len_histogram": _ta.token_len_histogram,
+    "token_budget_select": _cx.token_budget_select,
+    "media_clean_funnel": _pl.media_clean_funnel,
+    "embedding_decontaminate": _sim.embedding_decontaminate,
+    "media_image_neardup": _mm.media_image_neardup,
+    "media_image_dedup": _mm.media_image_dedup,
+    "media_resize": _mm.media_resize,
+    "media_audio_neardup": _mm.media_audio_neardup,
+    "media_audio_dedup": _mm.media_audio_dedup,
+    "winnow_index_retract": _wn.winnow_index_retract,
+    "lm_model_retract": _lm.lm_model_retract,
+    "trade_labelprop": _gph.trade_labelprop,
+    "media_audio_features": _mm.media_audio_features,
+    "dataset_split": _cx.dataset_split,
+    "source_profile": _cx.source_profile,
+    "revenue_cube": _rx.revenue_cube,
+    "bpe_encode_stats": _bpx.bpe_encode_stats,
+    "events_moving_stats": _ev.events_moving_stats,
+    "events_daily_pivot": _ev.events_daily_pivot,
+    "hll_daily_users": _sk.hll_daily_users,
+    "user_retention": _ev.user_retention,
+    "events_value_deciles": _ev.events_value_deciles,
+    "word_typo_pairs": _cx.word_typo_pairs,
+    "events_winsorized_stats": _ev.events_winsorized_stats,
+    "dataset_build_audit": _cx.dataset_build_audit,
+    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
+    "chunk_boilerplate": _ta.chunk_boilerplate,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_pq_topk": _pq.similarity_pq_topk,
+    "events_value_outliers": _cx.events_value_outliers,
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
+    "winnow_fingerprints": _wn.winnow_fingerprints,
+    "winnow_neardup": _wn.winnow_neardup,
+    "media_real_decode": _mm.media_real_decode,
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,
+    "semantic_dedup": _sd.semantic_dedup,
+    "wordcount_topk": _wc.wordcount_topk,
+    "grep_total": _gr.grep_total,
+    "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
+    "events_tumbling": _ev.events_tumbling,
+    "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
 }
 
 
@@ -688,6 +619,14 @@ ORACLES: dict[str, str] = {
     "media_decontaminate": _mm.MEDIA_DECONTAMINATE_ORACLE,
     "media_decontaminate_stored": _mm.MEDIA_DECONTAMINATE_STORED_ORACLE,
     "embedding_decontaminate": _sim.EMBEDDING_DECONTAMINATE_ORACLE,
+    # the r14 registrations (r12-built audio decontamination tier):
+    # online + stored cycles are bit-identical (integer fingerprints
+    # survive parquet losslessly), so one oracle body gates both via
+    # the uniform *_STORED_ORACLE alias (r13 verdict #6).
+    "media_audio_decontaminate": _mm.MEDIA_AUDIO_DECONTAMINATE_ORACLE,
+    "media_audio_decontaminate_stored": (
+        _mm.MEDIA_AUDIO_DECONTAMINATE_STORED_ORACLE
+    ),
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full

@@ -378,11 +378,12 @@ def streaming_media_decontaminate(
     triggers; the eval registry is the only long-lived object,
     snapshotted per stream start (see :func:`_drain_decontam` for the
     snapshot/release discipline and the ``glob`` file-layout hook)."""
-    from ..operators.multimodal import image_fingerprints
+    from ..operators.multimodal import IMAGE_MEDIA_TYPES, image_fingerprints
 
     _drain_decontam(
         spark, sf_dir, index_dir, store_dir, checkpoint_dir,
-        F.col("media_type") != "audio/wav", image_fingerprints, glob,
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES), image_fingerprints,
+        glob,
     )
 
 
@@ -581,6 +582,7 @@ def streaming_media_image_tile_decontaminate(
     registry (``tile_fps`` layout). Drained store == the batch
     ``media_image_tile_decontaminate`` answer, seeded equivalence."""
     from ..operators.multimodal import (
+        IMAGE_MEDIA_TYPES,
         _sub_item_decontam_flags,
         image_tile_fingerprints,
     )
@@ -592,8 +594,8 @@ def streaming_media_image_tile_decontaminate(
 
     _drain_decontam(
         spark, sf_dir, index_dir, store_dir, checkpoint_dir,
-        F.col("media_type") != "audio/wav", image_tile_fingerprints,
-        glob, flags_fn=_flags, layout="tile_fps",
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES),
+        image_tile_fingerprints, glob, flags_fn=_flags, layout="tile_fps",
     )
 
 

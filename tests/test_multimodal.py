@@ -1239,6 +1239,7 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
             decontaminate_audit(spark, sf_dir).collect()}
     assert sorted(rows) == [
         "1_text_exact", "2_text_fuzzy", "3_image", "4_semantic",
+        "5_audio",
     ]
     assert rows["2_text_fuzzy"] == (
         decontaminate_neardup(spark, sf_dir).select("doc_id").distinct().count()
@@ -1248,6 +1249,10 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
     )
     assert rows["4_semantic"] == (
         embedding_decontaminate(spark, sf_dir).select("vec_id").distinct().count()
+    )
+    assert rows["5_audio"] == (
+        mm.media_audio_decontaminate(spark, sf_dir)
+        .select("doc_id").distinct().count()
     )
     compare_query(
         spark, sf_dir, decontaminate_audit, DECONTAMINATE_AUDIT_ORACLE
@@ -2151,6 +2156,43 @@ def test_avi_parse_rejects_list_nesting_bomb():
     good = _avi_from_payload(_video_payload(vals))
     w, h, frames = mm._avi_frames_parse(good)
     assert (w, h, len(frames)) == (mm.AVI_W, mm.AVI_H, mm.AVI_FRAMES)
+
+
+def test_avi_parse_rejects_declared_geometry_bomb():
+    """r13 advisor finding, the _bmp_geometry bug class on the AVI
+    path: a tiny corrupt AVI whose strf declares height 2^31-1 over
+    one 16-byte '00db' chunk would build a multi-GB row list if the
+    declared geometry were trusted — an uncatchable memory bomb on
+    every video ingest path. The payload-length bound turns it into
+    UnsupportedMediaError (the one type ingest skips-and-counts)
+    before any row list is built."""
+    import struct
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2**31 - 1, 1, 8, 0, 0, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"strf" + struct.pack("<I", len(strf)) + strf
+    movi = b"movi" + b"00db" + struct.pack("<I", 16) + b"\x00" * 16
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    bomb = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._avi_frames_parse(bomb)
+    # degenerate declared geometry (zero height / width) also raises
+    # instead of silently returning empty frames
+    strf0 = struct.pack("<IiiHHIIiiII", 40, 0, 0, 1, 8, 0, 0, 0, 0, 0, 0)
+    hdrl0 = b"hdrl" + b"strf" + struct.pack("<I", len(strf0)) + strf0
+    body0 = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl0)) + hdrl0
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    bomb0 = b"RIFF" + struct.pack("<I", len(body0)) + body0
+    with pytest.raises(mm.UnsupportedMediaError):
+        mm._avi_frames_parse(bomb0)
 
 
 def test_video_frame_fingerprints_fixed_width_on_foreign_geometry(spark):

@@ -593,3 +593,166 @@ def test_video_hashes_affine_invariance_property(vals, gain, bias):
         fp = mm.frame_gradient_hash(grays)
         assert 0 <= fp < (1 << mm.VIDEO_FRAME_FP_BITS)
         assert mm.frame_gradient_hash(mapped_grays) == fp
+
+
+# arbitrary bytes biased toward the three container magics + the
+# repo's own VALID synth prefixes, so the fuzzer spends its budget
+# INSIDE the parsers and the sub-item tiling/window loops instead of
+# bouncing off the magic checks (r14; the r13 verdict #7 evidence
+# story for the sub-item ingest passes)
+_SUB_ITEM_PAYLOADS = st.lists(
+    st.one_of(
+        st.binary(max_size=60),
+        st.binary(max_size=60).map(
+            lambda b: b"RIFF" + b[:4] + b"AVI " + b[4:]
+        ),
+        st.binary(max_size=120).map(lambda b: b"BM" + b),
+        st.binary(max_size=120).map(lambda b: b"P6 4 10 255\n" + b),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_SUB_ITEM_PAYLOADS)
+@SLOW
+def test_video_frame_fingerprints_total_over_arbitrary_bytes(
+    spark, payloads
+):
+    """The sub-item ingest skip contract as a PROPERTY (r14, the
+    image_fingerprints totality pattern over the frame-granular
+    pass): for ANY byte payloads — including a truncated copy of the
+    repo's own valid AVI prefix, which drives the r14 declared-
+    geometry bound — video_frame_fingerprints never fails the job,
+    every row either yields its exact per-frame rows or counts one
+    skip, and the produced (frame_idx, frame_fp) rows agree with the
+    driver-side _avi_frames_parse + frame_gradient_hash kernels."""
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    # include one truncation of the genuine synth container per draw
+    # so the parse regularly reaches the frame loop
+    payloads = list(payloads) + [mm.AVI_PREFIX + payloads[0]]
+    need = 3 * mm.VIDEO_FRAME_FP_GRAYS
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("video/avi"))
+    mm.reset_media_skip_counts()
+    got: dict = {}
+    for r in mm.video_frame_fingerprints(media).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["frame_fp"]
+    skips = mm.media_skip_count("video")
+    want: dict = {}
+    n_skip = 0
+    for i, p in enumerate(payloads):
+        try:
+            _w, _h, frames = mm._avi_frames_parse(bytes(p))
+            if any(len(fr) < need for fr in frames):
+                raise mm.UnsupportedMediaError("below signature window")
+        except mm.UnsupportedMediaError:
+            n_skip += 1
+            continue
+        if frames:
+            want[i] = {
+                fi: mm.frame_gradient_hash(
+                    [
+                        fr[3 * j] + fr[3 * j + 1] + fr[3 * j + 2]
+                        for j in range(mm.VIDEO_FRAME_FP_GRAYS)
+                    ]
+                )
+                for fi, fr in enumerate(frames)
+            }
+    assert skips == n_skip
+    assert got == want
+
+
+@given(_SUB_ITEM_PAYLOADS)
+@SLOW
+def test_audio_window_fingerprints_total_over_arbitrary_bytes(
+    spark, payloads
+):
+    """Totality of the snippet-window pass over arbitrary bytes (r14):
+    undecodable or sub-window clips count one skip each; decodable
+    clips yield exactly the driver-side windowed lag-gradient rows."""
+    import struct
+
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    payloads = list(payloads) + [
+        mm._wav_header(len(payloads[0])) + payloads[0]
+    ]
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("audio/wav"))
+    mm.reset_media_skip_counts()
+    got: dict = {}
+    for r in mm.audio_window_fingerprints(media).collect():
+        got.setdefault(r["doc_id"], {})[r["win_idx"]] = r["win_fp"]
+    skips = mm.media_skip_count("audio")
+    want: dict = {}
+    n_skip = 0
+    for i, p in enumerate(payloads):
+        data = mm._wav_data_section(bytes(p))
+        if not data or len(data) // 2 < mm.AUDIO_WIN_SAMPLES:
+            n_skip += 1
+            continue
+        n = len(data) // 2
+        av = [abs(v) for v in struct.unpack_from(f"<{n}h", data)]
+        w = 0
+        wrows = {}
+        while w * mm.AUDIO_WIN_STRIDE + mm.AUDIO_WIN_SAMPLES <= n:
+            s = w * mm.AUDIO_WIN_STRIDE
+            wrows[w] = mm.frame_gradient_hash(
+                av[s : s + mm.AUDIO_WIN_SAMPLES]
+            )
+            w += 1
+        want[i] = wrows
+    assert skips == n_skip
+    assert got == want
+
+
+@given(_SUB_ITEM_PAYLOADS)
+@SLOW
+def test_image_tile_fingerprints_total_over_arbitrary_bytes(
+    spark, payloads
+):
+    """Totality of the tile pass over arbitrary bytes (r14):
+    undecodable payloads AND decodable-but-sub-tile thumbnails count
+    one skip each (the r13-review thumbnail rule); decodable images
+    yield exactly the driver-side pixel-bounded tiling rows."""
+    from honors_p1_mapreduce_spark.operators import multimodal as mm
+
+    tile_px = mm.IMG_TILE_ROWS * mm.IMG_W
+    stride_px = mm.IMG_TILE_STRIDE_ROWS * mm.IMG_W
+    rows = [(i, bytearray(p)) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, content binary"
+    ).withColumn("media_type", F.lit("image/bmp"))
+    mm.reset_media_skip_counts()
+    got: dict = {}
+    for r in mm.image_tile_fingerprints(media).collect():
+        got.setdefault(r["doc_id"], {})[r["tile_idx"]] = r["tile_fp"]
+    skips = mm.media_skip_count("image")
+    want: dict = {}
+    n_skip = 0
+    for i, p in enumerate(payloads):
+        try:
+            w, h, data = mm._pixel_grid(bytes(p))
+        except Exception:
+            n_skip += 1
+            continue
+        n_px = w * h
+        if n_px < tile_px:
+            n_skip += 1
+            continue
+        grays = [
+            data[3 * q] + data[3 * q + 1] + data[3 * q + 2]
+            for q in range(n_px)
+        ]
+        want[i] = {
+            t: mm.frame_gradient_hash(grays[s : s + tile_px])
+            for t, s in enumerate(range(0, n_px - tile_px + 1, stride_px))
+        }
+    assert skips == n_skip
+    assert got == want
