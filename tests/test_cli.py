@@ -112,6 +112,28 @@ def test_bench_calibration_median_and_spread():
     assert parsed2["calibration_spread_pct"] > 30.0
 
 
+def test_bench_preflight_gate_shares_spread_definition():
+    """r13 verdict #4: the pre-flight gate and build_output must
+    apply the SAME spread definition (one helper, not two
+    near-copies), the gate's exit code must be distinct from a crash
+    (1) or bad usage (2), and --no-preflight-gate must parse — the
+    documented escape hatch for known-noisy hosts."""
+    import json
+
+    import bench
+
+    wide = [0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75]
+    line, _ = bench.build_output({"q": 10.0}, 0.1, calibration=wide)
+    assert json.loads(line)["calibration_spread_pct"] == (
+        bench._cal_spread_pct(wide)
+    )
+    assert bench._cal_spread_pct(wide) > bench.CAL_SPREAD_BOUND_PCT
+    # one outlier among ten: IQR ignores it, the gate would pass
+    assert bench._cal_spread_pct([0.5] * 9 + [5.0]) == 0.0
+    assert bench.PREFLIGHT_EXIT_CODE not in (0, 1, 2)
+    assert bench.PREFLIGHT_ATTEMPTS >= 2
+
+
 def test_driver_window_rows_only_queries_are_sanctioned():
     """The driver checks exactly the FIRST 50 registry entries each
     round. Rows-only queries inside the window produce `no_oracle`
