@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Round-14 scale probe (r13 verdict #5): per-stage splits for BOTH
+funnels — media_clean_funnel (image+audio) and
+media_video_clean_funnel — plus rounds-to-fixpoint for every modality
+graph the funnels cluster, recorded each round so the NO-CAP decision
+(r13 A/B: fixpoint at 2 rounds, max_iter=1 inadmissible) stays a
+measured fact rather than a one-time snapshot. The decision stands
+while rounds-to-fixpoint stays at 2; revisit only if it grows.
+
+Stage decomposition and persist discipline mirror probe_r13_scale.py
+(comparable from r12 on); the rep-node/banded-edge construction is
+the same deliberate local mirror of fp_clusters
+(multimodal.py:fp_clusters) so the probe can drive
+connected_components with a max_iter knob WITHOUT touching the
+registered code path (registry ordering note: a signature change
+would force restamps of every fingerprint consumer).
+
+Corpus enlargement mirrors probe_r9..r13_scale.py: documents are
+STRING-ROTATED per copy so every copy is a distinct corpus slice.
+
+Usage: python scripts/probe_r14_scale.py  (writes JSON to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.storagelevel import StorageLevel  # noqa: E402
+
+from probe_r13_scale import rep_edges  # noqa: E402  (the one mirror)
+
+from honors_p1_mapreduce_spark import registry  # noqa: E402
+from honors_p1_mapreduce_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+)
+from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    fp_clusters,
+    image_fingerprints,
+    media_avi_table,
+    media_real_table,
+    media_skip_count,
+    reset_media_skip_counts,
+    video_fingerprints,
+    wav_fp_peak,
+)
+from honors_p1_mapreduce_spark.operators.pipeline import (  # noqa: E402
+    MEDIA_VIDEO_MIN_GRADIENTS,
+    media_clean_funnel,
+    media_video_clean_funnel,
+)
+from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("PROBE_SF", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("PROBE_COPIES", "10"))
+FIXPOINT_CAPS = (1, 2, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="probe_r14_scale")
+    work = Path(tempfile.mkdtemp(prefix="r14_scale_"))
+    out: dict = {"copies": COPIES}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    big = docs
+    for i in range(1, COPIES):
+        off = 7 * i + 1
+        big = big.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            .withColumn(
+                "text",
+                F.concat(
+                    F.expr(f"substring(text, {off + 1})"),
+                    F.expr(f"substring(text, 1, {off})"),
+                ),
+            )
+        )
+    big.repartition(32).write.parquet(str(work / "documents.parquet"))
+
+    def timed(fn, sf_dir: str) -> tuple[float, int]:
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 2), n
+
+    def media_funnel_stages(sf_dir: str) -> dict:
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        st: dict = {}
+        t0 = time.perf_counter()
+        media = media_real_table(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        st["n_items"] = media.count()
+        st["t_scan_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        afp = wav_fp_peak(media).persist(StorageLevel.MEMORY_AND_DISK)
+        ifp = image_fingerprints(
+            media.filter("media_type <> 'audio/wav'")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        st["n_fps"] = afp.count() + ifp.count()
+        st["t_decode_fp_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        st["n_distinct_fps"] = (
+            afp.select("fingerprint")
+            .union(ifp.select("fingerprint"))
+            .distinct()
+            .count()
+        )
+        clusters = fp_clusters(ifp).unionByName(
+            fp_clusters(afp.select("doc_id", "fingerprint"))
+        )
+        st["n_clusters"] = clusters.select("cluster").distinct().count()
+        st["t_cluster_s"] = round(time.perf_counter() - t0, 2)
+        total = st["t_scan_s"] + st["t_decode_fp_s"] + st["t_cluster_s"]
+        st["cluster_share_pct"] = round(
+            100.0 * st["t_cluster_s"] / total, 1
+        )
+        for f in (afp, ifp, media):
+            f.unpersist()
+        return st
+
+    def video_funnel_stages(sf_dir: str) -> dict:
+        """The video funnel's honest split: synth+container scan,
+        decode+fingerprint (the one video_fingerprints pass that
+        feeds BOTH gates), quality gate, cluster stage."""
+        spark.catalog.clearCache()
+        registry.reset_memos()
+        st: dict = {}
+        t0 = time.perf_counter()
+        media = media_avi_table(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        st["n_items"] = media.count()
+        st["t_scan_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        vfp = video_fingerprints(media).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        st["n_fps"] = vfp.count()
+        st["t_decode_fp_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        st["n_quality"] = vfp.filter(
+            F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
+        ).count()
+        st["t_quality_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        st["n_clusters"] = (
+            fp_clusters(vfp).select("cluster").distinct().count()
+        )
+        st["t_cluster_s"] = round(time.perf_counter() - t0, 2)
+        total = (
+            st["t_scan_s"]
+            + st["t_decode_fp_s"]
+            + st["t_quality_s"]
+            + st["t_cluster_s"]
+        )
+        st["cluster_share_pct"] = round(
+            100.0 * st["t_cluster_s"] / total, 1
+        )
+        for f in (vfp, media):
+            f.unpersist()
+        return st
+
+    def rounds_to_fixpoint(fp) -> dict:
+        """Smallest max_iter whose label frame equals the
+        default-budget early-stopped run's — the per-graph
+        convergence measure the NO-CAP decision watches."""
+        reps, edges = rep_edges(fp)
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+
+        def labels(max_iter: int | None) -> frozenset:
+            kw = {} if max_iter is None else {"max_iter": max_iter}
+            return frozenset(
+                (r["node"], r["label"])
+                for r in connected_components(edges, **kw).collect()
+            )
+
+        full = labels(None)
+        res: dict = {"n_edges": edges.count(), "n_labels": len(full)}
+        smallest = None
+        for k in FIXPOINT_CAPS:
+            if smallest is None and labels(k) == full:
+                smallest = k
+        res["rounds_to_fixpoint"] = smallest
+        edges.unpersist()
+        return res
+
+    for name, fn in (
+        ("media_clean_funnel", media_clean_funnel),
+        ("media_video_clean_funnel", media_video_clean_funnel),
+    ):
+        timed(fn, SF)  # warm codegen/JVM once per operator shape
+        t1, n1 = timed(fn, SF)
+        tn, nn = timed(fn, str(work))
+        out[name] = {
+            "t_1x_s": t1,
+            f"t_{COPIES}x_s": tn,
+            "time_ratio": round(tn / t1, 2),
+            "data_ratio": COPIES,
+        }
+        print(
+            f"{name}: 1x {t1}s -> {COPIES}x {tn}s "
+            f"(time {tn / t1:.1f}x)",
+            file=sys.stderr,
+        )
+
+    out["media_clean_funnel"]["stages_1x"] = media_funnel_stages(SF)
+    out["media_clean_funnel"][f"stages_{COPIES}x"] = media_funnel_stages(
+        str(work)
+    )
+    out["media_video_clean_funnel"]["stages_1x"] = video_funnel_stages(SF)
+    out["media_video_clean_funnel"][f"stages_{COPIES}x"] = (
+        video_funnel_stages(str(work))
+    )
+
+    # rounds-to-fixpoint per modality graph at 10x (the scale where a
+    # growing value would first show) — the NO-CAP watch condition
+    reset_media_skip_counts()
+    media10 = media_real_table(spark, str(work)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    media10.count()
+    fix: dict = {}
+    fix["image"] = rounds_to_fixpoint(
+        image_fingerprints(media10.filter("media_type <> 'audio/wav'"))
+    )
+    fix["audio"] = rounds_to_fixpoint(
+        wav_fp_peak(media10).select("doc_id", "fingerprint")
+    )
+    media10.unpersist()
+    v10 = media_avi_table(spark, str(work)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    v10.count()
+    fix["video"] = rounds_to_fixpoint(video_fingerprints(v10))
+    v10.unpersist()
+    out["rounds_to_fixpoint_10x"] = fix
+    # corruption monitors must read 0 on the well-formed synth corpora
+    out["skips_10x"] = {
+        m: media_skip_count(m) for m in ("image", "audio", "video")
+    }
+
+    grew = [m for m, r in fix.items() if (r["rounds_to_fixpoint"] or 99) > 2]
+    out["decision"] = {
+        "no_cap_stands": not grew,
+        "note": (
+            "r13 A/B ruling: NO CAP while rounds_to_fixpoint stays at"
+            " <= 2 on every modality graph (max_iter=1 was measured"
+            " inadmissible — it changes the keep set). Graphs past 2"
+            f" this round: {grew or 'none'}."
+        ),
+    }
+    print(json.dumps(out, indent=1))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
