@@ -62,7 +62,92 @@ from honors_p1_mapreduce_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("PROBE_SF", "/root/testdata/sf0.1")
 COPIES = int(os.environ.get("PROBE_COPIES", "10"))
-FIXPOINT_CAPS = (1, 2, 3)
+# wide enough to FIND the fixpoint, not just confirm <= 2 — the first
+# r14 run read null for the video graph at caps (1,2,3), i.e. its
+# banded-hamming components chain deeper than the image graph's
+FIXPOINT_CAPS = (1, 2, 3, 4, 5, 6, 8)
+
+
+def _video_keep_ab(spark, sf_dir: str, fixpoint: int | None) -> dict:
+    """The r13 cc_ab measurement applied to the VIDEO funnel's
+    graph: uncapped CC (early-stops at the fixpoint within its
+    default max_iter=12 budget) vs capped runs, with the funnel's
+    keep decision (min quality-surviving doc per cluster) re-derived
+    under each label frame. Only caps BELOW the measured fixpoint are
+    cap candidates — a cap at/above it does byte-identical work to
+    uncapped (early-stop), so any timing delta there is run noise,
+    not a saving (the first r14 run mislabeled exactly that). A
+    candidate is worth anything only if it preserves the keep set AND
+    beats uncapped by more than noise."""
+    spark.catalog.clearCache()
+    registry.reset_memos()
+    media = media_avi_table(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    media.count()
+    vfp = video_fingerprints(media).persist(StorageLevel.MEMORY_AND_DISK)
+    vfp.count()
+    s1 = (
+        vfp.filter(
+            F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
+        )
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s1.count()
+    reps, edges = rep_edges(vfp)
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+
+    def run(max_iter: int | None) -> tuple[float, frozenset]:
+        t0 = time.perf_counter()
+        kw = {} if max_iter is None else {"max_iter": max_iter}
+        labels = connected_components(edges, **kw).select(
+            F.col("node").alias("rep"), "label"
+        )
+        clusters = (
+            vfp.join(reps, "fingerprint")
+            .join(labels, "rep", "left")
+            .select(
+                "doc_id",
+                F.coalesce("label", F.col("rep")).alias("cluster"),
+            )
+        )
+        keep = (
+            s1.join(clusters, "doc_id")
+            .groupBy("cluster")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        got = frozenset(r["doc_id"] for r in keep.collect())
+        return round(time.perf_counter() - t0, 2), got
+
+    run(None)  # warm the join/codegen shapes once, untimed
+    t_full, keep_full = run(None)
+    res: dict = {
+        "t_uncapped_s": t_full,
+        "n_keep_uncapped": len(keep_full),
+        "measured_fixpoint_rounds": fixpoint,
+        "caps": {},
+    }
+    admissible_faster = False
+    for k in (1, 2, 3, 4, 6):
+        t_k, keep_k = run(k)
+        eq = keep_k == keep_full
+        below = fixpoint is None or k < fixpoint
+        res["caps"][str(k)] = {
+            "t_s": t_k,
+            "keep_equal": eq,
+            "n_keep": len(keep_k),
+            "below_fixpoint": below,
+        }
+        # >10% saving = beyond single-run noise on these graphs; only
+        # below-fixpoint caps do less work than uncapped at all
+        if below and eq and t_k < t_full * 0.9:
+            admissible_faster = True
+    res["cap_admissible_and_faster"] = admissible_faster
+    for f in (edges, s1, vfp, media):
+        f.unpersist()
+    return res
 
 
 def main() -> None:
@@ -254,13 +339,29 @@ def main() -> None:
     }
 
     grew = [m for m, r in fix.items() if (r["rounds_to_fixpoint"] or 99) > 2]
+    if "video" in grew:
+        # the r13 ruling's revisit condition fired for the video
+        # graph: answer it with the prescribed measurement instead of
+        # deferring — the full keep-decision A/B (r13 cc_ab shape)
+        # over the video funnel's clusters under each cap
+        out["video_keep_ab_10x"] = _video_keep_ab(
+            spark, str(work), fix["video"]["rounds_to_fixpoint"]
+        )
     out["decision"] = {
-        "no_cap_stands": not grew,
+        "no_cap_stands": not grew
+        or not out.get("video_keep_ab_10x", {}).get("cap_admissible_and_faster"),
+        "watch_graphs_past_2": grew,
         "note": (
             "r13 A/B ruling: NO CAP while rounds_to_fixpoint stays at"
             " <= 2 on every modality graph (max_iter=1 was measured"
             " inadmissible — it changes the keep set). Graphs past 2"
-            f" this round: {grew or 'none'}."
+            f" this round: {grew or 'none'}. Structurally, CC"
+            " early-stops the round the star-forest fixpoint is"
+            " reached, so the uncapped run pays exactly"
+            " rounds_to_fixpoint rounds; a cap can only help if a"
+            " BELOW-fixpoint cap preserves the keep decision AND"
+            " saves more than noise — see video_keep_ab_10x when the"
+            " watch fired."
         ),
     }
     print(json.dumps(out, indent=1))
