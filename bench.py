@@ -283,16 +283,27 @@ PREFLIGHT_ATTEMPTS = 3
 PREFLIGHT_EXIT_CODE = 3
 
 
+def _cal_median(samples: list[float]) -> float:
+    """The ONE median definition the normalizer, calibration_sec,
+    and the spread's denominator all share — a later change (e.g.
+    statistics.median or different even-n handling) cannot silently
+    diverge the spread from the printed normalizer (r14 review; the
+    same drift class the r11 advisor caught in the spread docs)."""
+    s = sorted(samples)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _cal_spread_pct(samples: list[float]) -> float:
     """Relative IQR spread (q3-q1)/median in percent — the ONE spread
     definition shared by the pre-flight gate and build_output (two
     near-copies would drift; the r11 advisor caught exactly such a
     doc/IQR mismatch)."""
     s = sorted(samples)
-    n = len(s)
-    median = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    median = _cal_median(samples)
     if median <= 0:
         return 0.0
+    n = len(s)
     q1, q3 = s[n // 4], s[(3 * n) // 4]
     return round(100.0 * (q3 - q1) / median, 1)
 # Documented variance bound (r10 verdict #4): the normalized headline
@@ -490,13 +501,7 @@ def build_output(
         # error bar — a cross-round value_normalized delta within the
         # spread is host noise by definition. The full sample list
         # stays in BENCH_FULL.json; the line carries the summary.
-        cal_sorted = sorted(calibration)
-        n = len(cal_sorted)
-        cal_median = (
-            cal_sorted[n // 2]
-            if n % 2
-            else (cal_sorted[n // 2 - 1] + cal_sorted[n // 2]) / 2
-        )
+        cal_median = _cal_median(calibration)
         line_dict["calibration_sec"] = round(cal_median, 3)
         if cal_median > 0:
             spread_pct = _cal_spread_pct(calibration)

@@ -762,7 +762,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic — DuckDB re-derives every resized byte from
     hex(encode(text))."""
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
     )
     return resize_media(imgs)
 
@@ -1726,7 +1726,7 @@ def media_image_neardup(
     from pyspark.storagelevel import StorageLevel
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
     )
     # both sides of the band self-join (and the hot-set counts) need
     # the fingerprints; persist or the decode pass runs per consumer
@@ -1863,7 +1863,7 @@ def media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
     )
     fp = image_fingerprints(imgs).persist(StorageLevel.MEMORY_AND_DISK)
     labeled = fp_clusters(fp)
@@ -2245,7 +2245,10 @@ DECONTAM_HAMMING_MAX = IMG_NEARDUP_BANDS - 1  # lossless banding bound
 # media_type != 'audio/wav' while the tile tier enumerated
 # isin('image/bmp','image/ppm') — equivalent on today's three real
 # media types, but a fourth media type would have silently diverged
-# the tiers. Every image-tier split now enumerates this tuple.
+# the tiers. EVERY image-tier split in the package (media_resize, the
+# neardup/dedup family, the clip + tile decontamination tiers, both
+# streaming twins, media_clean_funnel) now routes through this tuple
+# — the r14 review closed the sites the first pass skipped.
 IMAGE_MEDIA_TYPES = ("image/bmp", "image/ppm")
 
 
@@ -3615,7 +3618,7 @@ def media_image_tile_overlap(
     from pyspark.storagelevel import StorageLevel
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
     )
     dfp = (
         image_tile_fingerprints(imgs)
@@ -3637,7 +3640,7 @@ def media_image_tile_decontaminate(
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
     )
     is_eval = F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE
     eval_fps = (
@@ -3719,7 +3722,7 @@ def media_image_tile_eval_write_index(
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
         & (F.col("doc_id") % EVAL_MOD == EVAL_RESIDUE)
     )
     (
@@ -3739,7 +3742,7 @@ def media_image_tile_decontaminate_from_index(
     from .winnow import EVAL_MOD, EVAL_RESIDUE
 
     imgs = media_real_table(spark, sf_dir).filter(
-        F.col("media_type").isin("image/bmp", "image/ppm")
+        F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
         & (F.col("doc_id") % EVAL_MOD != EVAL_RESIDUE)
     )
     eval_fps = spark.read.parquet(f"{index_dir}/tile_fps")

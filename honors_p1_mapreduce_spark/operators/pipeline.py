@@ -358,6 +358,7 @@ def media_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     from .multimodal import (
+        IMAGE_MEDIA_TYPES,
         fp_clusters,
         image_fingerprints,
         media_real_table,
@@ -369,7 +370,7 @@ def media_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     afp = wav_fp_peak(media).persist(StorageLevel.MEMORY_AND_DISK)
     ifp = image_fingerprints(
-        media.filter(F.col("media_type") != "audio/wav")
+        media.filter(F.col("media_type").isin(*IMAGE_MEDIA_TYPES))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     keep1 = (
         afp.filter(F.col("peak_abs") < MEDIA_AUDIO_CLIP_PEAK)

@@ -124,9 +124,10 @@ the rotation.
 ROUND-14 WINDOW (this ordering — reproduced exactly by
 ``python scripts/plan_next_window.py --force decontaminate_audit
 media_avi_decode media_decontaminate media_decontaminate_stored
-events_winsorized_stats_fast`` on the committed CORRECTNESS_r01..r13
-history, with the two audio-tier registrations landing as
-never-stamped deadline entries at slots 12-13):
+events_winsorized_stats_fast media_clean_funnel media_resize
+media_image_neardup media_image_dedup`` on the committed
+CORRECTNESS_r01..r13 history, with the two audio-tier registrations
+landing as never-stamped deadline entries at slots 12-13):
   1-11    the 11 r10-stamped leftovers (event_type_hourly_topk ..
           simhash_neardup) displaced off the r13 window tail by its
           five forced restamps — age 4 at r14 close otherwise, the
@@ -136,21 +137,24 @@ never-stamped deadline entries at slots 12-13):
           multimodal.py — judge-RE-verified green at sf0.001+sf0.01 on
           the r13 final tree; driver-scale result legitimately empty,
           the seeded golden is the real gate). Registry 155 -> 157.
-  14-18   forced restamps: decontaminate_audit (oracle recomposed to
+  14-22   forced restamps: decontaminate_audit (oracle recomposed to
           fold the audio tier in as the 5th modality — r13 verdict
           #1), media_avi_decode (r13 media_avi_table_from factoring +
           LIST-depth cap; r14 _avi_frames_parse geometry bound — the
-          r13 advisor fix), media_decontaminate +
-          media_decontaminate_stored (clip-tier split now enumerates
-          the shared IMAGE_MEDIA_TYPES predicate — r13 advisor), and
-          events_winsorized_stats_fast (cadence: the twin last
-          executed r11 and the forced slots would have displaced it
-          from the oldest-first fill).
-  19-50   oldest-stamp-first fill from the r11-stamped block: the
+          r13 advisor fix), and the image-tier predicate unification
+          set (media_decontaminate + _stored, media_clean_funnel,
+          media_resize, media_image_neardup, media_image_dedup — all
+          image-tier splits now route through IMAGE_MEDIA_TYPES; the
+          r14 review closed the funnel/inline sites the first cut
+          skipped), plus events_winsorized_stats_fast (cadence: the
+          twin last executed r11 and the forced slots would have
+          displaced it from the oldest-first fill).
+  23-50   oldest-stamp-first fill from the r11-stamped block: the
           other 4 sanctioned rows-only twins rejoin (execution-cadence
-          bound) plus 28 more r11 restamps.
-Total 50. Outside-window ages at r14 close: 47@1, 47@2, 13@3 — bound
-holds (planner output re-checked after the force-list settled).
+          bound) plus 24 more r11 restamps.
+Total 50. Outside-window ages at r14 close: 43@1, 47@2, 17@3 — bound
+holds (planner output re-checked after the force-list settled; the
+17 age-3 r11 residue entries are the r15 deadline block).
 
 ROUND-15/16 REGISTRATION SPLIT (planned NOW per r13 verdict #2;
 feasibility simulated through r19 with planner.plan_window over the
@@ -206,7 +210,7 @@ QUERIES: dict[str, QueryFn] = {
     # stored/streaming equivalences in pytest are the real gates.
     "media_audio_decontaminate": _mm.media_audio_decontaminate,
     "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
-    # --- [r14 window, 14-18] forced restamps
+    # --- [r14 window, 14-22] forced restamps
     # (``plan_next_window.py --force``, reasons per entry):
     # decontaminate_audit — oracle RECOMPOSED this round to fold the
     #   audio tier in as the 5th modality (r13 verdict #1);
@@ -216,22 +220,29 @@ QUERIES: dict[str, QueryFn] = {
     #   advisor fix; media_real_decode does NOT restamp for it — its
     #   corpus contains no RIFF/AVI payloads so stdlib_codec never
     #   reaches the changed branch);
-    # media_decontaminate + media_decontaminate_stored — the clip-tier
-    #   image split now enumerates the shared IMAGE_MEDIA_TYPES
-    #   predicate instead of != 'audio/wav' (r13 advisor; equivalent
-    #   on the three real media types, restamp by rule);
+    # media_decontaminate + media_decontaminate_stored,
+    # media_clean_funnel, media_resize, media_image_neardup,
+    # media_image_dedup — every image-tier split now routes through
+    #   the shared IMAGE_MEDIA_TYPES predicate (r13 advisor + the r14
+    #   review pass that closed the sites the first cut skipped:
+    #   the funnel's != 'audio/wav' and the inline isin literals);
+    #   equivalent on the three real media types, restamp by rule;
     # events_winsorized_stats_fast — no code change: the sanctioned
     #   twin last executed r11 (age 3 at r14 close, the cadence
-    #   bound) and the four restamps above would have displaced it
+    #   bound) and the forced restamps above would have displaced it
     #   from the oldest-first fill, so it holds a forced slot.
     "decontaminate_audit": _pl.decontaminate_audit,
     "media_avi_decode": _mm.media_avi_decode,
     "media_decontaminate": _mm.media_decontaminate,
     "media_decontaminate_stored": _mm.media_decontaminate_stored,
     "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    # --- [r14 window, 19-50] oldest-stamp-first fill: the other
+    "media_clean_funnel": _pl.media_clean_funnel,
+    "media_resize": _mm.media_resize,
+    "media_image_neardup": _mm.media_image_neardup,
+    "media_image_dedup": _mm.media_image_dedup,
+    # --- [r14 window, 23-50] oldest-stamp-first fill: the other
     # four sanctioned rows-only twins rejoin (last executed r11 — the
-    # execution-cadence bound) among the oldest 32 of the
+    # execution-cadence bound) among the oldest 28 of the
     # r11-stamped block.
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
@@ -261,15 +272,15 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,
     "events_multi_rollup": _ev.events_multi_rollup,
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    # ================ position 51+ — outside the r14 driver window =====
+    # The 17 r11-stamped residue entries (age 3 at r14 close — legal;
+    # they LEAD the r15 window together with the video-tier
+    # registrations, see the ROUND-15/16 plan in the module
+    # docstring):
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
     "bpe_encode_ids": _bpx.bpe_encode_ids,
-    # ================ position 51+ — outside the r14 driver window =====
-    # The 13 r11-stamped residue entries (age 3 at r14 close — legal;
-    # they LEAD the r15 window together with the video-tier
-    # registrations, see the ROUND-15/16 plan in the module
-    # docstring):
     "pack_token_ids": _bpx.pack_token_ids,
     "events_burst_runs": _ev.events_burst_runs,
     "dedup_clusters": _dd.dedup_clusters,
@@ -332,17 +343,13 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    # The 47-entry r13-stamped block (CORRECTNESS_r13 order minus
-    # the three restamping in the window above — freshest stamps,
+    # The 43-entry r13-stamped block (CORRECTNESS_r13 order minus
+    # the seven restamping in the window above — freshest stamps,
     # rotates last):
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
-    "media_clean_funnel": _pl.media_clean_funnel,
     "embedding_decontaminate": _sim.embedding_decontaminate,
-    "media_image_neardup": _mm.media_image_neardup,
-    "media_image_dedup": _mm.media_image_dedup,
-    "media_resize": _mm.media_resize,
     "media_audio_neardup": _mm.media_audio_neardup,
     "media_audio_dedup": _mm.media_audio_dedup,
     "winnow_index_retract": _wn.winnow_index_retract,

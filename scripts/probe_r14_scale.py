@@ -44,6 +44,7 @@ from honors_p1_mapreduce_spark.operators.dedup import (  # noqa: E402
     connected_components,
 )
 from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
+    IMAGE_MEDIA_TYPES,
     fp_clusters,
     image_fingerprints,
     media_avi_table,
@@ -54,6 +55,8 @@ from honors_p1_mapreduce_spark.operators.multimodal import (  # noqa: E402
     wav_fp_peak,
 )
 from honors_p1_mapreduce_spark.operators.pipeline import (  # noqa: E402
+    MEDIA_AUDIO_CLIP_PEAK,
+    MEDIA_IMG_MIN_GRADIENTS,
     MEDIA_VIDEO_MIN_GRADIENTS,
     media_clean_funnel,
     media_video_clean_funnel,
@@ -68,34 +71,24 @@ COPIES = int(os.environ.get("PROBE_COPIES", "10"))
 FIXPOINT_CAPS = (1, 2, 3, 4, 5, 6, 8)
 
 
-def _video_keep_ab(spark, sf_dir: str, fixpoint: int | None) -> dict:
-    """The r13 cc_ab measurement applied to the VIDEO funnel's
-    graph: uncapped CC (early-stops at the fixpoint within its
-    default max_iter=12 budget) vs capped runs, with the funnel's
-    keep decision (min quality-surviving doc per cluster) re-derived
-    under each label frame. Only caps BELOW the measured fixpoint are
-    cap candidates — a cap at/above it does byte-identical work to
+def _keep_ab(spark, fp, s1, fixpoint: int | None) -> dict:
+    """The r13 cc_ab measurement applied to ONE modality graph:
+    uncapped CC (early-stops at the fixpoint within its default
+    max_iter=12 budget) vs capped runs, with the funnel's keep
+    decision (min quality-surviving doc per cluster) re-derived under
+    each label frame. Only caps BELOW the measured fixpoint are cap
+    candidates — a cap at/above it does byte-identical work to
     uncapped (early-stop), so any timing delta there is run noise,
     not a saving (the first r14 run mislabeled exactly that). A
     candidate is worth anything only if it preserves the keep set AND
-    beats uncapped by more than noise."""
-    spark.catalog.clearCache()
-    registry.reset_memos()
-    media = media_avi_table(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    media.count()
-    vfp = video_fingerprints(media).persist(StorageLevel.MEMORY_AND_DISK)
-    vfp.count()
-    s1 = (
-        vfp.filter(
-            F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
-        )
-        .select("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    s1.count()
-    reps, edges = rep_edges(vfp)
+    beats uncapped by more than noise. ``fp`` is a persisted
+    (doc_id, fingerprint) frame, ``s1`` its persisted
+    quality-surviving doc frame — built per graph by
+    :func:`_grown_graph_frames` so the A/B runs for WHICHEVER graph
+    trips the watch, not just video (r14 review: the first cut
+    hard-wired video and would have claimed no_cap_stands without a
+    measurement had image or audio grown instead)."""
+    reps, edges = rep_edges(fp)
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     edges.count()
 
@@ -106,7 +99,7 @@ def _video_keep_ab(spark, sf_dir: str, fixpoint: int | None) -> dict:
             F.col("node").alias("rep"), "label"
         )
         clusters = (
-            vfp.join(reps, "fingerprint")
+            fp.join(reps, "fingerprint")
             .join(labels, "rep", "left")
             .select(
                 "doc_id",
@@ -145,9 +138,55 @@ def _video_keep_ab(spark, sf_dir: str, fixpoint: int | None) -> dict:
         if below and eq and t_k < t_full * 0.9:
             admissible_faster = True
     res["cap_admissible_and_faster"] = admissible_faster
-    for f in (edges, s1, vfp, media):
-        f.unpersist()
+    edges.unpersist()
     return res
+
+
+def _grown_graph_frames(spark, sf_dir: str, graph: str):
+    """(persisted frames to release, fp, s1) for one modality graph —
+    the same fingerprint + quality-gate definitions the funnels use."""
+    spark.catalog.clearCache()
+    registry.reset_memos()
+    frames = []
+
+    def keep(df):
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        frames.append(df)
+        return df
+
+    if graph == "video":
+        media = keep(media_avi_table(spark, sf_dir))
+        fp = keep(video_fingerprints(media))
+        s1 = keep(
+            fp.filter(
+                F.bit_count("fingerprint") >= MEDIA_VIDEO_MIN_GRADIENTS
+            ).select("doc_id")
+        )
+    elif graph == "image":
+        media = keep(media_real_table(spark, sf_dir))
+        fp = keep(
+            image_fingerprints(
+                media.filter(
+                    F.col("media_type").isin(*IMAGE_MEDIA_TYPES)
+                )
+            )
+        )
+        s1 = keep(
+            fp.filter(
+                F.bit_count("fingerprint") >= MEDIA_IMG_MIN_GRADIENTS
+            ).select("doc_id")
+        )
+    else:  # audio
+        media = keep(media_real_table(spark, sf_dir))
+        afp = keep(wav_fp_peak(media))
+        fp = afp.select("doc_id", "fingerprint")
+        s1 = keep(
+            afp.filter(
+                F.col("peak_abs") < MEDIA_AUDIO_CLIP_PEAK
+            ).select("doc_id")
+        )
+    return frames, fp, s1
 
 
 def main() -> None:
@@ -192,7 +231,7 @@ def main() -> None:
         t0 = time.perf_counter()
         afp = wav_fp_peak(media).persist(StorageLevel.MEMORY_AND_DISK)
         ifp = image_fingerprints(
-            media.filter("media_type <> 'audio/wav'")
+            media.filter(F.col("media_type").isin(*IMAGE_MEDIA_TYPES))
         ).persist(StorageLevel.MEMORY_AND_DISK)
         st["n_fps"] = afp.count() + ifp.count()
         st["t_decode_fp_s"] = round(time.perf_counter() - t0, 2)
@@ -320,7 +359,9 @@ def main() -> None:
     media10.count()
     fix: dict = {}
     fix["image"] = rounds_to_fixpoint(
-        image_fingerprints(media10.filter("media_type <> 'audio/wav'"))
+        image_fingerprints(
+            media10.filter(F.col("media_type").isin(*IMAGE_MEDIA_TYPES))
+        )
     )
     fix["audio"] = rounds_to_fixpoint(
         wav_fp_peak(media10).select("doc_id", "fingerprint")
@@ -339,17 +380,26 @@ def main() -> None:
     }
 
     grew = [m for m, r in fix.items() if (r["rounds_to_fixpoint"] or 99) > 2]
-    if "video" in grew:
-        # the r13 ruling's revisit condition fired for the video
-        # graph: answer it with the prescribed measurement instead of
-        # deferring — the full keep-decision A/B (r13 cc_ab shape)
-        # over the video funnel's clusters under each cap
-        out["video_keep_ab_10x"] = _video_keep_ab(
-            spark, str(work), fix["video"]["rounds_to_fixpoint"]
-        )
+    if grew:
+        # the r13 ruling's revisit condition fired: answer it with the
+        # prescribed measurement instead of deferring — the full
+        # keep-decision A/B over EVERY grown graph's clusters
+        out["keep_ab_10x"] = {}
+        for g in grew:
+            frames, fp, s1 = _grown_graph_frames(spark, str(work), g)
+            out["keep_ab_10x"][g] = _keep_ab(
+                spark, fp, s1, fix[g]["rounds_to_fixpoint"]
+            )
+            for f in frames:
+                f.unpersist()
     out["decision"] = {
-        "no_cap_stands": not grew
-        or not out.get("video_keep_ab_10x", {}).get("cap_admissible_and_faster"),
+        # NO CAP stands unless some grown graph measured an admissible
+        # below-fixpoint cap that actually saves time — every grown
+        # graph gets its own A/B, so the claim is never unmeasured
+        "no_cap_stands": all(
+            not ab["cap_admissible_and_faster"]
+            for ab in out.get("keep_ab_10x", {}).values()
+        ),
         "watch_graphs_past_2": grew,
         "note": (
             "r13 A/B ruling: NO CAP while rounds_to_fixpoint stays at"
@@ -360,7 +410,7 @@ def main() -> None:
             " reached, so the uncapped run pays exactly"
             " rounds_to_fixpoint rounds; a cap can only help if a"
             " BELOW-fixpoint cap preserves the keep decision AND"
-            " saves more than noise — see video_keep_ab_10x when the"
+            " saves more than noise — see keep_ab_10x when the"
             " watch fired."
         ),
     }

@@ -44,6 +44,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+from cluster_harness import (  # noqa: E402
+    package_zip,
+    stop_cluster,
+)
 from perf_straggler_cluster import (  # noqa: E402
     MASTER_URL,
     start_cluster,
@@ -51,30 +55,6 @@ from perf_straggler_cluster import (  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 N_BOMBS = 24  # planted declared-geometry-bomb AVIs
-
-
-def stop_cluster(procs) -> None:
-    for p in procs:
-        p.terminate()
-    for p in procs:
-        try:
-            p.wait(timeout=10)
-        except Exception:
-            p.kill()
-
-
-def _package_zip() -> str:
-    """Zip the engine package for sc.addPyFile distribution."""
-    import shutil
-
-    repo = Path(__file__).resolve().parent.parent
-    base = tempfile.mkdtemp(prefix="r14_pkg_")
-    return shutil.make_archive(
-        f"{base}/honors_p1_mapreduce_spark",
-        "zip",
-        root_dir=str(repo),
-        base_dir="honors_p1_mapreduce_spark",
-    )
 
 
 def _ops():
@@ -180,7 +160,7 @@ def main() -> None:
             .config("spark.executor.memory", "1400m")
             .getOrCreate()
         )
-        spark.sparkContext.addPyFile(_package_zip())
+        spark.sparkContext.addPyFile(package_zip("r14_pkg_"))
         got = _run_all(spark)
         spark.stop()
     finally:
