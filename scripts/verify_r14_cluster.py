@@ -11,9 +11,11 @@ mode at sf0.01:
   underlying paths were pinned in R12_CLUSTER_CHECK; the registered
   stored cycle composition was not)
 - decontaminate_audit — recomposed to 5 tiers this round
-- media_decontaminate / media_decontaminate_stored — the clip-tier
-  image split now enumerates the shared IMAGE_MEDIA_TYPES predicate
-  (r13 advisor)
+- media_decontaminate / media_decontaminate_stored /
+  media_clean_funnel / media_resize / media_image_neardup /
+  media_image_dedup — every image-tier split now routes through the
+  shared IMAGE_MEDIA_TYPES predicate (r13 advisor + the r14 review
+  pass that closed the funnel/inline sites)
 - media_avi_decode — the r14 _avi_frames_parse declared-geometry
   bound on its parse path
 - avi_geometry_bomb_skip — the NEW bound's skip semantics under a
@@ -64,9 +66,13 @@ def _ops():
         media_avi_decode,
         media_decontaminate,
         media_decontaminate_stored,
+        media_image_dedup,
+        media_image_neardup,
+        media_resize,
     )
     from honors_p1_mapreduce_spark.operators.pipeline import (
         decontaminate_audit,
+        media_clean_funnel,
     )
 
     return [
@@ -76,6 +82,10 @@ def _ops():
         ("media_decontaminate", media_decontaminate),
         ("media_decontaminate_stored", media_decontaminate_stored),
         ("media_avi_decode", media_avi_decode),
+        ("media_clean_funnel", media_clean_funnel),
+        ("media_resize", media_resize),
+        ("media_image_neardup", media_image_neardup),
+        ("media_image_dedup", media_image_dedup),
     ]
 
 
