@@ -159,3 +159,101 @@ SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
 FROM spans
 GROUP BY doc_id, span_id
 """
+
+
+def dedup_substring_cut(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    min_docs: int = MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_cut, cleaned_text) — the corpus REWRITE
+    the span finder exists for: every cross-document duplicated span
+    (:func:`dedup_substring_spans`) is cut from every document and
+    the surviving tokens are reassembled in order. Lee et al. 2022
+    (arXiv:2107.06499) measure the LM-quality win from retraining on
+    exactly this output; ``dedup_substring_spans`` reports what WOULD
+    be cut, this operator materializes the cleaned corpus a training
+    run actually consumes.
+
+    Semantics: ALL occurrences of a duplicated span are removed (the
+    mask/down-weight convention — deterministic and
+    order-independent, where Lee et al.'s keep-one-arbitrary-copy is
+    not). Whole-document retention decisions belong to the doc-level
+    dedup family (``dedup_keep_best``); a document whose every token
+    is duplicated cleans to the empty string here and would be
+    dropped by the funnel's dedup stage anyway.
+
+    At 100 TB: the span pipeline keeps its shuffle story (module
+    docstring); the rewrite adds ONE aggregation of flagged spans per
+    doc and ONE doc_id join of span lists back onto the tokenized
+    corpus — AQE broadcasts the span side when the duplicated set is
+    small, shuffle-joins otherwise; the rewrite itself is a map-only
+    array filter (no per-token rows ever shuffle). r14 library
+    surface; queues for registration behind the r15/r16 split
+    (registry rotation note)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_cut_from(docs, k=k, min_docs=min_docs)
+
+
+def substring_cut_from(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Library-level corpus rewrite over any (doc_id, text) frame —
+    the body of :func:`dedup_substring_cut`, factored for seeded
+    tests (the :func:`substring_spans_from` convention)."""
+    per_doc = (
+        substring_spans_from(docs, k=k, min_docs=min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct("span_start", "span_end")
+            ).alias("spans")
+        )
+    )
+    toked = docs.select("doc_id", tokens_col("text").alias("toks"))
+    kept = (
+        "filter(transform(toks, (t, i) -> struct(i AS i, t AS t)), "
+        "s -> spans IS NULL OR NOT exists(spans, "
+        "sp -> s.i BETWEEN sp.span_start AND sp.span_end))"
+    )
+    return (
+        toked.join(per_doc, "doc_id", "left")
+        .withColumn("kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).alias("n_cut"),
+            F.expr(
+                "concat_ws(' ', transform(kept, s -> s.t))"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_CUT_ORACLE = f"""
+WITH spans AS MATERIALIZED ({DEDUP_SUBSTRING_SPANS_ORACLE}),
+toked AS MATERIALIZED (
+  SELECT doc_id, {_T} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, g.i AS i, toks[g.i] AS tok
+  FROM toked, unnest(generate_series(1, len(toks))) AS g(i)
+),
+kept AS (
+  SELECT p.doc_id, p.i, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i - 1 BETWEEN s.span_start AND s.span_end
+  )
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(len(t.toks) - count(k.i) AS INT) AS n_cut,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS cleaned_text
+FROM toked t
+LEFT JOIN kept k USING (doc_id)
+GROUP BY t.doc_id, len(t.toks)
+"""

@@ -182,6 +182,15 @@ registry, comfortably inside the 50-slot window):
   clip-in-clip + crop + snippet goldens, stored-cycle + streaming
   equivalences, affine-invariance properties,
   R13_VIDEO_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
+
+ROUND-17 BACKLOG (library surface built r14, queuing behind the
+r15/r16 split): dedup_substring_cut (substring_dedup.py — the corpus
+REWRITE of the Lee et al. span family: every cross-document
+duplicated span cut from every document, cleaned text reassembled;
+mask semantics documented vs the paper's keep-one; goldens +
+python-reference property + oracle parity green at sf0.001/sf0.01 at
+build time, 45/47 docs with real cuts at the driver scales).
+Registry 171 -> 172 at its registration, within the 200 cap.
 """
 
 QUERIES: dict[str, QueryFn] = {

@@ -108,3 +108,85 @@ def test_spans_match_python_reference(spark, corpus):
         for r in substring_spans_from(docs, k=k).collect()
     }
     assert got == _expected_spans(corpus, k=3, min_docs=2)
+
+
+# --------------------- corpus rewrite: dedup_substring_cut (r14)
+
+
+def _cut(spark, rows, **kw):
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        substring_cut_from,
+    )
+
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cleaned_text"])
+        for r in substring_cut_from(docs, **kw).collect()
+    }
+
+
+def test_cut_removes_every_occurrence_and_keeps_the_rest(spark):
+    shared = " ".join(f"tok{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three {shared} four five"),
+        (3, "unrelated text with no overlap at all"),
+    ]
+    got = _cut(spark, rows)
+    # the duplicated run is cut from BOTH docs (mask semantics —
+    # docstring), surrounding unique tokens survive in order
+    assert got[1] == (16, 12, "alpha beta gamma delta")
+    assert got[2] == (17, 12, "one two three four five")
+    # an untouched doc passes through byte-identical
+    assert got[3] == (7, 0, "unrelated text with no overlap at all")
+
+
+def test_cut_entirely_duplicated_doc_cleans_to_empty(spark):
+    shared = " ".join(f"tok{i}" for i in range(SPAN_K + 2))
+    rows = [(1, shared), (2, f"{shared} trailing unique words here")]
+    got = _cut(spark, rows)
+    assert got[1] == (SPAN_K + 2, SPAN_K + 2, "")
+    assert got[2] == (
+        SPAN_K + 6,
+        SPAN_K + 2,
+        "trailing unique words here",
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(CORPUS)
+def test_cut_matches_python_reference(spark, corpus):
+    """The rewrite is exactly 'drop every token inside an expected
+    span' — pinned against the same python span reference the span
+    finder uses, token by token."""
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        substring_cut_from,
+    )
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cleaned_text"])
+        for r in substring_cut_from(docs, k=k).collect()
+    }
+    spans = _expected_spans(corpus, k=k, min_docs=2)
+    for i, toks in enumerate(corpus):
+        cut = set()
+        for d, s, e in spans:
+            if d == i:
+                cut.update(range(s, e + 1))
+        kept = [t for p, t in enumerate(toks) if p not in cut]
+        assert got[i] == (len(toks), len(cut), " ".join(kept))
+
+
+def test_cut_oracle_parity(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        DEDUP_SUBSTRING_CUT_ORACLE,
+        dedup_substring_cut,
+    )
+    from tests.oracle import compare_query
+
+    compare_query(
+        spark, sf_dir, dedup_substring_cut, DEDUP_SUBSTRING_CUT_ORACLE
+    )
