@@ -63,12 +63,12 @@ def dedup_substring_spans(
     return substring_spans_from(docs, k=k, min_docs=min_docs)
 
 
-def substring_spans_from(
-    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
-) -> DataFrame:
-    """Library-level span finder over any (doc_id, text) frame — the
-    body of :func:`dedup_substring_spans`, factored so tests can drive
-    it with hand-crafted corpora."""
+def _gram_occurrences(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh) — every k-token gram hash of every document.
+    Deliberately NOT persisted by callers that consume it twice — at
+    one row per corpus token it is the largest frame in the pipeline,
+    and re-deriving it is one map-only pass over the scan (cheaper
+    than caching it at 100 TB)."""
     toked = (
         docs.select("doc_id", tokens_col("text").alias("toks"))
         .filter(F.size("toks") >= k)
@@ -80,21 +80,49 @@ def substring_spans_from(
         f"cast(conv(substring(md5(concat_ws(' ', slice(toks, i + 1, {k}))), "
         f"1, 12), 16, 10) as bigint))"
     )
-    # occ feeds both the duplicated-gram aggregate and the hit join;
-    # it is deliberately NOT persisted — at one row per corpus token it
-    # is the largest frame in the pipeline, and re-deriving it is one
-    # map-only pass over the scan (cheaper than caching it at 100 TB)
-    occ = toked.select(
+    return toked.select(
         "doc_id", F.posexplode(F.expr(ghs)).alias("pos", "gh")
     )
-    dup = (
-        occ.select("gh", "doc_id")
+
+
+def duplicated_grams(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """(gh) — gram hashes occurring in >= ``min_docs`` distinct
+    documents: the corpus-level duplication evidence, factored (r14)
+    so the stored cycle can ship it as an artifact the way the
+    winnow/decontamination families ship their fingerprint
+    registries."""
+    return (
+        _gram_occurrences(docs, k)
+        .select("gh", "doc_id")
         .distinct()
         .groupBy("gh")
         .count()
         .filter(F.col("count") >= min_docs)
         .select("gh")
     )
+
+
+def substring_spans_from(
+    docs: DataFrame, k: int = SPAN_K, min_docs: int = MIN_DOCS
+) -> DataFrame:
+    """Library-level span finder over any (doc_id, text) frame — the
+    body of :func:`dedup_substring_spans`, factored so tests can drive
+    it with hand-crafted corpora."""
+    return substring_spans_against(
+        docs, duplicated_grams(docs, k, min_docs), k
+    )
+
+
+def substring_spans_against(
+    docs: DataFrame, dup: DataFrame, k: int = SPAN_K
+) -> DataFrame:
+    """Spans of ``docs`` whose grams hit the given duplicated-gram
+    set — the shared lower half of the online and stored paths (one
+    definition, so they cannot drift; the _decontam_flags
+    convention)."""
+    occ = _gram_occurrences(docs, k)
     hits = occ.join(dup, "gh", "leftsemi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = hits.withColumn(
@@ -202,14 +230,17 @@ def substring_cut_from(
     """Library-level corpus rewrite over any (doc_id, text) frame —
     the body of :func:`dedup_substring_cut`, factored for seeded
     tests (the :func:`substring_spans_from` convention)."""
-    per_doc = (
-        substring_spans_from(docs, k=k, min_docs=min_docs)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct("span_start", "span_end")
-            ).alias("spans")
-        )
+    return _cut_with_spans(
+        docs, substring_spans_from(docs, k=k, min_docs=min_docs)
+    )
+
+
+def _cut_with_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """The rewrite itself over any (doc_id, text) frame and any
+    (doc_id, span_start, span_end) span frame — ONE definition shared
+    by the online and stored cut paths (they cannot drift)."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
     toked = docs.select("doc_id", tokens_col("text").alias("toks"))
     kept = (
@@ -229,6 +260,68 @@ def substring_cut_from(
             ).alias("cleaned_text"),
         )
     )
+
+
+def substring_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = SPAN_K,
+    min_docs: int = MIN_DOCS,
+) -> None:
+    """Materialize the corpus's duplicated-gram hash set to parquet —
+    the ship-once artifact of the substring family (the
+    winnow_write_index / media_eval_write_index rationale: the
+    duplication evidence changes when the reference corpus changes,
+    incoming batches arrive daily, so the corpus-wide gram count is
+    never re-paid per batch)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        duplicated_grams(docs, k, min_docs)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/dup_grams")
+    )
+
+
+def substring_cut_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = SPAN_K,
+) -> DataFrame:
+    """Serve the corpus rewrite from a STORED duplicated-gram index:
+    one gram-hash pass over the documents + the semi-join against the
+    read-back set — the corpus-wide duplication aggregate is never
+    recomputed. Cuts spans duplicated AGAINST THE INDEXED CORPUS (the
+    ``dedup_incremental`` convention — duplicates internal to a new
+    batch and absent from the index are the online pass's job)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = spark.read.parquet(f"{index_dir}/dup_grams")
+    return _cut_with_spans(docs, substring_spans_against(docs, dup, k))
+
+
+def dedup_substring_cut_stored(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SPAN_K,
+    min_docs: int = MIN_DOCS,
+) -> DataFrame:
+    """The full stored-index cut cycle as ONE query: duplicated grams
+    -> parquet -> read back -> rewrite the corpus. Gram hashes are
+    int64 and survive parquet losslessly, so the roundtrip is
+    bit-identical to :func:`dedup_substring_cut` and ONE oracle gates
+    both paths (the registered-cycle pattern of the bpe/pq/winnow/
+    media families). Scratch: per-application overwrite-in-place
+    (``bpe_encode._artifact_dir``)."""
+    from .bpe_encode import _artifact_dir
+
+    d = _artifact_dir(spark, sf_dir, "substring_dup_grams")
+    substring_write_index(spark, sf_dir, d, k, min_docs)
+    return substring_cut_from_index(spark, sf_dir, d, k)
+
+
+# the stored roundtrip is bit-identical, so one oracle gates both paths
+
 
 
 DEDUP_SUBSTRING_CUT_ORACLE = f"""
@@ -257,3 +350,4 @@ FROM toked t
 LEFT JOIN kept k USING (doc_id)
 GROUP BY t.doc_id, len(t.toks)
 """
+DEDUP_SUBSTRING_CUT_STORED_ORACLE = DEDUP_SUBSTRING_CUT_ORACLE

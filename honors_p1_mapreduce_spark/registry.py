@@ -183,14 +183,22 @@ registry, comfortably inside the 50-slot window):
   equivalences, affine-invariance properties,
   R13_VIDEO_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
 
-ROUND-17 BACKLOG (library surface built r14, queuing behind the
-r15/r16 split): dedup_substring_cut (substring_dedup.py — the corpus
-REWRITE of the Lee et al. span family: every cross-document
-duplicated span cut from every document, cleaned text reassembled;
-mask semantics documented vs the paper's keep-one; goldens +
-python-reference property + oracle parity green at sf0.001/sf0.01 at
-build time, 45/47 docs with real cuts at the driver scales).
-Registry 171 -> 172 at its registration, within the 200 cap.
+ROUND-17 BACKLOG (library surfaces built r14, queuing behind the
+r15/r16 split): dedup_substring_cut + dedup_substring_cut_stored
+(substring_dedup.py — the corpus REWRITE of the Lee et al. span
+family: every cross-document duplicated span cut from every document,
+cleaned text reassembled; mask semantics documented vs the paper's
+keep-one; the stored cycle ships the duplicated-gram set as the
+family's parquet artifact — substring_write_index ->
+substring_cut_from_index, roundtrip bit-identical so ONE oracle gates
+both paths. Goldens + python-reference property + stored-cycle
+equivalence pytest + oracle parity green at sf0.001/sf0.01 at build
+time for BOTH paths, 45/47 docs with real cuts at the driver scales;
+the spans refactor it required — duplicated_grams /
+substring_spans_against factored out of substring_spans_from — is
+covered by dedup_substring_spans' in-window r14 restamp, re-verified
+green at both SFs post-refactor). Registry 171 -> 173 at their
+registration, within the 200 cap.
 """
 
 QUERIES: dict[str, QueryFn] = {

@@ -190,3 +190,26 @@ def test_cut_oracle_parity(spark, sf_dir):
     compare_query(
         spark, sf_dir, dedup_substring_cut, DEDUP_SUBSTRING_CUT_ORACLE
     )
+
+
+def test_cut_stored_cycle_is_bit_identical_to_online(spark, sf_dir):
+    """The stored cycle (duplicated grams -> parquet -> read back ->
+    rewrite) must reproduce the online cut exactly — int64 gram
+    hashes survive parquet losslessly, so one oracle gates both
+    registered paths (the bpe/pq/winnow/media registered-cycle
+    pattern)."""
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        dedup_substring_cut,
+        dedup_substring_cut_stored,
+    )
+
+    online = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cleaned_text"])
+        for r in dedup_substring_cut(spark, sf_dir).collect()
+    }
+    stored = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cleaned_text"])
+        for r in dedup_substring_cut_stored(spark, sf_dir).collect()
+    }
+    assert online == stored
+    assert any(v[1] > 0 for v in online.values())  # non-vacuous
