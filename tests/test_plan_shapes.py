@@ -909,3 +909,32 @@ def test_sub_item_tiers_share_plan_shapes(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "SortMergeJoin" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_substring_cut_plans_are_clean(spark, sf_dir):
+    """The r14 cut family (r17 registration backlog): no cartesian
+    anywhere; the online path keeps the span pipeline's semi-join
+    shape, and the stored-serve path reads the gram index instead of
+    recomputing the corpus-wide duplication aggregate (no second
+    distinct/count over gram occurrences)."""
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        dedup_substring_cut,
+        substring_cut_from_index,
+        substring_write_index,
+    )
+
+    online = _plan(dedup_substring_cut(spark, sf_dir))
+    assert "CartesianProduct" not in online
+    assert "LeftSemi" in online  # the duplicated-gram semi-join
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cut_idx_")
+    substring_write_index(spark, sf_dir, d)
+    served = _plan(substring_cut_from_index(spark, sf_dir, d))
+    assert "CartesianProduct" not in served
+    assert "LeftSemi" in served
+    # served plan scans the parquet index; the corpus-wide duplication
+    # aggregate (distinct (gh, doc_id) -> count) appears ONLY online
+    assert "dup_grams" in served
+    assert online.count("HashAggregate") > served.count("HashAggregate")
