@@ -192,7 +192,9 @@ keep-one; the stored cycle ships the duplicated-gram set as the
 family's parquet artifact — substring_write_index ->
 substring_cut_from_index, roundtrip bit-identical so ONE oracle gates
 both paths. Goldens + python-reference property + stored-cycle
-equivalence pytest + oracle parity green at sf0.001/sf0.01 at build
+equivalence pytest + streaming twin over the shared rewrite
+(streaming_substring_cut, drained store == batch, replay-idempotent
+batch_id sink) + oracle parity green at sf0.001/sf0.01 at build
 time for BOTH paths, 45/47 docs with real cuts at the driver scales;
 the spans refactor it required — duplicated_grams /
 substring_spans_against factored out of substring_spans_from — is

@@ -171,6 +171,67 @@ def read_flagged_from_store(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def streaming_substring_cut(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous-ingest corpus REWRITE (r14): drain the document
+    stream through the per-micro-batch substring cut against the
+    STORED duplicated-gram index
+    (``operators.substring_dedup.substring_write_index``'s parquet —
+    the static side of a stream-static join, the
+    ``streaming_dedup_incremental`` shape) and write each batch's
+    cleaned rows to the idempotent ``batch_id=N`` store. Per-document
+    output depends only on (doc tokens) x (static gram set) — never
+    on other stream docs — so the drained store is EXACTLY the batch
+    ``substring_cut_from_index`` answer, pinned by the equivalence
+    test. The rewrite and span lower-half are the SAME
+    ``_cut_with_spans`` / ``substring_spans_against`` the batch paths
+    use (one definition each — batch, stored, and streaming cannot
+    drift). State story at 100 TB/day: the stream holds nothing
+    between triggers; the gram index is the only long-lived object,
+    snapshotted per stream start and released in the ``finally``."""
+    from ..operators.substring_dedup import (
+        _cut_with_spans,
+        substring_spans_against,
+    )
+
+    dup = spark.read.parquet(f"{index_dir}/dup_grams").persist()
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        docs = bdf.select("doc_id", "text")
+        cleaned = _cut_with_spans(
+            docs, substring_spans_against(docs, dup)
+        )
+        _write_batch_partition(cleaned, batch_id, store_dir)
+
+    try:
+        # materialize INSIDE the try (the r12-review discipline): a
+        # failure mid-materialization must still release cached blocks
+        dup.count()
+        q = (
+            stream_documents(spark, sf_dir)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        dup.unpersist()
+
+
+def read_cleaned_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_cut, cleaned_text) from the drained
+    cleaned-corpus store — drops the batch_id partition column."""
+    return _read_store_columns(
+        spark, store_dir, ("doc_id", "n_tokens", "n_cut", "cleaned_text")
+    )
+
+
 def streaming_quantile_merge(
     spark: SparkSession,
     sf_dir: str,

@@ -513,3 +513,36 @@ def test_streaming_sub_item_twins_match_batch(spark, tmp_path):
         import glob as globmod
 
         assert len(globmod.glob(store + "/batch_id=*")) == 2, name
+
+
+def test_streaming_substring_cut_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the document stream through the per-micro-batch
+    substring cut against the STORED duplicated-gram index must
+    reproduce the batch substring_cut_from_index answer exactly —
+    per-doc rewrites depend only on the static gram set, so
+    micro-batch boundaries cannot matter."""
+    from honors_p1_mapreduce_spark.operators.substring_dedup import (
+        substring_cut_from_index,
+        substring_write_index,
+    )
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_cleaned_from_store,
+        streaming_substring_cut,
+    )
+
+    idx = str(tmp_path / "gram_index")
+    store = str(tmp_path / "cleaned")
+    ckpt = str(tmp_path / "cut_ckpt")
+    substring_write_index(spark, sf_dir, idx)
+    streaming_substring_cut(spark, sf_dir, idx, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_cleaned_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            substring_cut_from_index(spark, sf_dir, idx).collect(),
+        )
+    )
+    assert streamed == batch
+    assert any(t[2] > 0 for t in streamed)  # non-vacuous: real cuts
