@@ -597,25 +597,30 @@ def decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``contamination_check``), fuzzy winnowed fingerprints
     (``decontaminate_neardup``), perceptual image hashes
     (``media_decontaminate``), semantic embedding cosine
-    (``embedding_decontaminate``), and — since the audio tier's r14
-    registration (r13 verdict #1) — perceptual audio envelope hashes
-    (``media_audio_decontaminate``). The report a dataset release
-    actually wants is not five separate queries but one "how
-    compromised is this corpus, by which detection mechanism" table —
-    the decontamination counterpart of ``dataset_build_audit``.
-    The video tier folds in as the 6th at its r15 registration
-    (registry rotation note).
+    (``embedding_decontaminate``), perceptual audio envelope hashes
+    (``media_audio_decontaminate``, folded in r14 per r13 verdict
+    #1), and — since the video tier's r15 registration — perceptual
+    spatio-temporal video hashes (``media_video_decontaminate``).
+    The report a dataset release actually wants is not six separate
+    queries but one "how compromised is this corpus, by which
+    detection mechanism" table — the decontamination counterpart of
+    ``dataset_build_audit``.
 
     Counts are DISTINCT flagged training items per tier (documents
-    for the text/image/audio tiers, vectors for the semantic tier —
-    id spaces differ by design, which is why the audit reports per
-    tier and never unions the id sets). Each tier keeps its own
-    broadcast-eval plan shape; this composition adds only five tiny
+    for the text/image/audio/video tiers, vectors for the semantic
+    tier — id spaces differ by design, which is why the audit reports
+    per tier and never unions the id sets). Each tier keeps its own
+    broadcast-eval plan shape; this composition adds only six tiny
     aggregates and a union. Library surface in r11 with a
     pre-verified oracle (registry saturation note); audio tier folded
-    in r14 with the recomposed oracle restamping in the same window."""
+    in r14, video tier folded in r15 — each recompose force-restamps
+    the oracle in the same window as the tier's registration."""
     from .curation import contamination_check
-    from .multimodal import media_audio_decontaminate, media_decontaminate
+    from .multimodal import (
+        media_audio_decontaminate,
+        media_decontaminate,
+        media_video_decontaminate,
+    )
     from .similarity import embedding_decontaminate
     from .winnow import decontaminate_neardup
 
@@ -651,6 +656,13 @@ def decontaminate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
             )
         )
+        .unionByName(
+            tier(
+                "6_video",
+                media_video_decontaminate(spark, sf_dir),
+                "doc_id",
+            )
+        )
     )
 
 
@@ -659,6 +671,7 @@ def _decontaminate_audit_oracle() -> str:
     from .multimodal import (
         MEDIA_AUDIO_DECONTAMINATE_ORACLE,
         MEDIA_DECONTAMINATE_ORACLE,
+        MEDIA_VIDEO_DECONTAMINATE_ORACLE,
     )
     from .similarity import EMBEDDING_DECONTAMINATE_ORACLE
     from .winnow import DECONTAMINATE_NEARDUP_ORACLE
@@ -679,6 +692,9 @@ FROM ({EMBEDDING_DECONTAMINATE_ORACLE}) t4
 UNION ALL
 SELECT '5_audio', count(DISTINCT doc_id)
 FROM ({MEDIA_AUDIO_DECONTAMINATE_ORACLE}) t5
+UNION ALL
+SELECT '6_video', count(DISTINCT doc_id)
+FROM ({MEDIA_VIDEO_DECONTAMINATE_ORACLE}) t6
 """
 
 

@@ -121,181 +121,68 @@ Never commit a new CORRECTNESS stamp into a tree whose registry
 still carries the previous window without immediately following with
 the rotation.
 
-ROUND-14 WINDOW (this ordering — reproduced exactly by
-``python scripts/plan_next_window.py --force decontaminate_audit
-media_avi_decode media_decontaminate media_decontaminate_stored
-events_winsorized_stats_fast media_clean_funnel media_resize
-media_image_neardup media_image_dedup`` on the committed
-CORRECTNESS_r01..r13 history, with the two audio-tier registrations
-landing as never-stamped deadline entries at slots 12-13):
-  1-11    the 11 r10-stamped leftovers (event_type_hourly_topk ..
-          simhash_neardup) displaced off the r13 window tail by its
-          five forced restamps — age 4 at r14 close otherwise, the
-          hard deadline; they lead by planner rule.
-  12-13   the r12-built AUDIO decontamination tier REGISTERS
-          (media_audio_decontaminate + media_audio_decontaminate_stored,
-          multimodal.py — judge-RE-verified green at sf0.001+sf0.01 on
-          the r13 final tree; driver-scale result legitimately empty,
-          the seeded golden is the real gate). Registry 155 -> 157.
-  14-22   forced restamps: decontaminate_audit (oracle recomposed to
-          fold the audio tier in as the 5th modality — r13 verdict
-          #1), media_avi_decode (r13 media_avi_table_from factoring +
-          LIST-depth cap; r14 _avi_frames_parse geometry bound — the
-          r13 advisor fix), and the image-tier predicate unification
-          set (media_decontaminate + _stored, media_clean_funnel,
-          media_resize, media_image_neardup, media_image_dedup — all
-          image-tier splits now route through IMAGE_MEDIA_TYPES; the
-          r14 review closed the funnel/inline sites the first cut
-          skipped), plus events_winsorized_stats_fast (cadence: the
-          twin last executed r11 and the forced slots would have
-          displaced it from the oldest-first fill).
-  23-50   oldest-stamp-first fill from the r11-stamped block: the
-          other 4 sanctioned rows-only twins rejoin (execution-cadence
-          bound) plus 24 more r11 restamps.
-Total 50. Outside-window ages at r14 close: 43@1, 47@2, 17@3 — bound
-holds (planner output re-checked after the force-list settled; the
-17 age-3 r11 residue entries are the r15 deadline block).
+ROUND-15 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --register media_video_neardup
+media_video_dedup media_video_decontaminate
+media_video_decontaminate_stored media_video_frame_overlap
+media_video_frame_decontaminate media_video_frame_decontaminate_stored
+media_video_clean_funnel --force decontaminate_audit`` on the
+committed CORRECTNESS_r01..r14 history):
+  1-17    the 17 r11-stamped residue entries
+          (winnow_fingerprints_chunked .. similarity_topk) — age 4 at
+          r15 close otherwise, the hard deadline; they lead by
+          planner rule. (The r14-era plan prose said "13 r11-residue
+          entries / registrations at slots 14-21"; the actual r14
+          stamps left 17 — registrations sit at slots 18-25, the r14
+          advisor's arithmetic correction.)
+  18-25   the r13-built VIDEO perceptual tier REGISTERS
+          (media_video_neardup/_dedup/_decontaminate(_stored), the
+          frame-granular media_video_frame_overlap/
+          _frame_decontaminate(_stored), media_video_clean_funnel —
+          multimodal.py / pipeline.py). Registry 157 -> 165. All 8
+          pre-verified green at sf0.001+sf0.01 twice (builder 28/28
+          R14_QUEUED_PREVERIFY.json + the r14 judge's independent
+          spot checks).
+  26      decontaminate_audit FORCE-restamps: its oracle recomposed
+          this round to fold the video tier in as the 6th modality
+          (the audio-tier r14 precedent).
+  27-50   oldest-stamp-first fill: 24 of the 47 r12-stamped block.
+Total 50. Outside-window ages at r15 close: 49@1, 43@2, 23@3 — bound
+holds (planner output re-checked after the registrations settled; the
+23 age-3 r12 leftovers are the r16 deadline block).
 
-ROUND-15/16 REGISTRATION SPLIT (planned NOW per r13 verdict #2;
-feasibility simulated through r19 with planner.plan_window over the
-assumed-green r14 stamps — bound holds every round, steady-state
-deadline demand settles at ~21-23 slots/round for the 171-entry
-registry, comfortably inside the 50-slot window):
-  r15 (8 registrations + 1 force): the VIDEO perceptual tier
-    registers — media_video_neardup, media_video_dedup,
-    media_video_decontaminate, media_video_decontaminate_stored, the
-    FRAME-granular trio media_video_frame_overlap,
-    media_video_frame_decontaminate (+_stored), and
-    media_video_clean_funnel (pipeline.py). decontaminate_audit
-    FORCE-restamps in the same window (oracle recomposes to fold
-    video in as the 6th tier). The planner's r15 mandatory set is the
-    13 r11-residue entries (pack_token_ids, events_burst_runs,
-    dedup_clusters .. similarity_topk — age 4 at r15 close); they
-    lead, registrations take slots 14-21. Registry 157 -> 165.
+ROUND-16/17 PLAN (r14 verdict #6; feasibility re-simulated over the
+assumed-green r15 stamps with planner.plan_window — bound holds every
+round through r19, steady-state deadline demand ~23 slots/round for
+the 173-entry registry, leaving ~27 free slots):
   r16 (6 registrations): the sub-item granularity completes —
     media_audio_snippet_overlap, media_audio_snippet_decontaminate
     (+_stored), media_image_tile_overlap,
     media_image_tile_decontaminate (+_stored). Registry 165 -> 171.
-    All 14 surfaces were judge-verified green at sf0.001 + sf0.01 in
-    the r13 session; any driver red is regression, not design.
-  Evidence already on file for the whole split: seeded-leak +
+    The 23 r12-stamped leftovers lead as the deadline block;
+    registrations follow. All 6 surfaces pre-verified green at
+    sf0.001+sf0.01 (R14_QUEUED_PREVERIFY.json 28/28; 1 re-verified
+    by the r14 judge) — any driver red is regression, not design.
+  r17 (2 registrations): dedup_substring_cut +
+    dedup_substring_cut_stored (substring_dedup.py — the corpus
+    REWRITE of the Lee et al. span family; stored cycle roundtrip
+    bit-identical so ONE oracle gates both paths; judge-verified
+    green 4/4 at sf0.001+sf0.01 in the r14 session,
+    R14_CUT_PROBE.json 10x probe on file). Registry 171 -> 173,
+    within the 200 cap. The r13-stamped block's oldest entries lead
+    as the r17 deadline; the pair fits the free slots without
+    displacing any deadline entry (verified by the r15 planner
+    simulation — see scripts/plan_next_window.py).
+  Evidence already on file for the whole plan: seeded-leak +
   clip-in-clip + crop + snippet goldens, stored-cycle + streaming
-  equivalences, affine-invariance properties,
-  R13_VIDEO_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
-
-ROUND-17 BACKLOG (library surfaces built r14, queuing behind the
-r15/r16 split): dedup_substring_cut + dedup_substring_cut_stored
-(substring_dedup.py — the corpus REWRITE of the Lee et al. span
-family: every cross-document duplicated span cut from every document,
-cleaned text reassembled; mask semantics documented vs the paper's
-keep-one; the stored cycle ships the duplicated-gram set as the
-family's parquet artifact — substring_write_index ->
-substring_cut_from_index, roundtrip bit-identical so ONE oracle gates
-both paths. Goldens + python-reference property + stored-cycle
-equivalence pytest + streaming twin over the shared rewrite
-(streaming_substring_cut, drained store == batch, replay-idempotent
-batch_id sink) + oracle parity green at sf0.001/sf0.01 at build
-time for BOTH paths, 45/47 docs with real cuts at the driver scales;
-the spans refactor it required — duplicated_grams /
-substring_spans_against factored out of substring_spans_from — is
-covered by dedup_substring_spans' in-window r14 restamp, re-verified
-green at both SFs post-refactor). Registry 171 -> 173 at their
-registration, within the 200 cap.
+  equivalences, affine-invariance properties, R13_VIDEO_PROBE.json /
+  R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
 """
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r14 window, 1-11] the 11 r10-stamped leftovers displaced
-    # off the r13 window tail by its five forced restamps — age 4 at
-    # r14 close otherwise, the hard deadline; they lead by planner
-    # rule (``plan_next_window.py`` positions 1-11).
-    "event_type_hourly_topk": _ev.event_type_hourly_topk,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
-    "error_click_correlation": _asof.error_click_correlation,
-    "cms_estimate": _sk.cms_estimate,
-    "pricing_percentiles": _sk.pricing_percentiles,
-    "doc_token_stats": _ta.doc_token_stats,
-    "corpus_token_stats": _ta.corpus_token_stats,
-    "lang_id": _ta.lang_id,
-    "quality_score": _ta.quality_score,
-    "simhash_fingerprints": _ta.simhash_fingerprints,
-    "simhash_neardup": _ta.simhash_neardup,
-    # --- [r14 window, 12-13] the r12-built audio decontamination
-    # tier REGISTERS (registry 155 -> 157, r13 verdict #1). Both
-    # surfaces judge-RE-verified green at sf0.001 + sf0.01 on the r13
-    # final tree — any driver red is regression, not design. The
-    # driver-scale result is legitimately EMPTY (0 rows both SFs, the
-    # corpora contain no audio contamination); the stamp is an
-    # empty-vs-empty oracle agreement and the seeded-leak golden +
-    # stored/streaming equivalences in pytest are the real gates.
-    "media_audio_decontaminate": _mm.media_audio_decontaminate,
-    "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
-    # --- [r14 window, 14-22] forced restamps
-    # (``plan_next_window.py --force``, reasons per entry):
-    # decontaminate_audit — oracle RECOMPOSED this round to fold the
-    #   audio tier in as the 5th modality (r13 verdict #1);
-    # media_avi_decode — parse path changed twice in r13
-    #   (media_avi_table_from factoring + LIST-depth cap) and once in
-    #   r14 (_avi_frames_parse declared-geometry bound, the r13
-    #   advisor fix; media_real_decode does NOT restamp for it — its
-    #   corpus contains no RIFF/AVI payloads so stdlib_codec never
-    #   reaches the changed branch);
-    # media_decontaminate + media_decontaminate_stored,
-    # media_clean_funnel, media_resize, media_image_neardup,
-    # media_image_dedup — every image-tier split now routes through
-    #   the shared IMAGE_MEDIA_TYPES predicate (r13 advisor + the r14
-    #   review pass that closed the sites the first cut skipped:
-    #   the funnel's != 'audio/wav' and the inline isin literals);
-    #   equivalent on the three real media types, restamp by rule;
-    # events_winsorized_stats_fast — no code change: the sanctioned
-    #   twin last executed r11 (age 3 at r14 close, the cadence
-    #   bound) and the forced restamps above would have displaced it
-    #   from the oldest-first fill, so it holds a forced slot.
-    "decontaminate_audit": _pl.decontaminate_audit,
-    "media_avi_decode": _mm.media_avi_decode,
-    "media_decontaminate": _mm.media_decontaminate,
-    "media_decontaminate_stored": _mm.media_decontaminate_stored,
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    "media_clean_funnel": _pl.media_clean_funnel,
-    "media_resize": _mm.media_resize,
-    "media_image_neardup": _mm.media_image_neardup,
-    "media_image_dedup": _mm.media_image_dedup,
-    # --- [r14 window, 23-50] oldest-stamp-first fill: the other
-    # four sanctioned rows-only twins rejoin (last executed r11 — the
-    # execution-cadence bound) among the oldest 28 of the
-    # r11-stamped block.
-    "semantic_dedup_fast": _sd.semantic_dedup_fast,
-    "similarity_ann_topk": _sim.similarity_ann_topk,
-    "embedding_neardup": _sim.embedding_neardup,
-    "dedup_minhash": _dd.dedup_minhash_pairs,
-    "bucketed_join_revenue": _rel.bucketed_join_revenue,
-    "media_png_decode": _mm.media_png_decode,
-    "bloom_pruned_join": _sk.bloom_pruned_join,
-    "token_counts": _ta.token_counts,
-    "stratified_sample": _pl.stratified_sample,
-    "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
-    "repetition_signals": _cu.repetition_signals,
-    "pii_scrub": _cu.pii_scrub,
-    "media_stats": _mm.media_stats,
-    "hll_registers": _sk.hll_registers,
-    "events_above_type_avg": _ev.events_above_type_avg,
-    "bloom_membership": _sk.bloom_membership,
-    "media_decode_features": _mm.media_decode_features,
-    "media_frame_sample": _mm.media_frame_sample,
-    "forecast_revenue": _rx.forecast_revenue,
-    "min_cost_supplier": _rx.min_cost_supplier,
-    "priority_lines": _rx.priority_lines,
-    "excess_shipments": _rx.excess_shipments,
-    "waiting_suppliers": _rx.waiting_suppliers,
-    "dedup_substring_spans": _ss.dedup_substring_spans,
-    "importance_sample": _imp.importance_sample,
-    "events_multi_rollup": _ev.events_multi_rollup,
-    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    # ================ position 51+ — outside the r14 driver window =====
-    # The 17 r11-stamped residue entries (age 3 at r14 close — legal;
-    # they LEAD the r15 window together with the video-tier
-    # registrations, see the ROUND-15/16 plan in the module
-    # docstring):
+    # --- [r15 window, 1-17] the 17 r11-stamped residue entries —
+    # age 4 at r15 close otherwise, the hard deadline; they lead by
+    # planner rule (``plan_next_window.py`` positions 1-17).
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
@@ -313,8 +200,33 @@ QUERIES: dict[str, QueryFn] = {
     "events_props_stats": _ev.events_props_stats,
     "funnel_conversion": _ev.funnel_conversion,
     "similarity_topk": _sim.similarity_topk,
-    # The 47-entry r12-stamped block (CORRECTNESS_r12 order; age 2
-    # at r14 close — rotates r15/r16):
+    # --- [r15 window, 18-25] the r13-built VIDEO perceptual tier
+    # REGISTERS (registry 157 -> 165, r13 verdict #2 split / r14
+    # verdict #1): whole-clip spatio-temporal fingerprints (neardup /
+    # dedup / decontaminate online+stored), the FRAME-granular trio
+    # (overlap + decontaminate online+stored), and the video curation
+    # funnel. All 8 pre-verified green at sf0.001+sf0.01 twice
+    # (builder 28/28 R14_QUEUED_PREVERIFY.json + the r14 judge's spot
+    # checks) — any driver red is regression, not design. NOTE:
+    # media_video_decontaminate flags a GENUINE contamination row at
+    # sf0.001, so its stamp is a non-empty hash (stronger evidence
+    # than the audio tier's legitimate empty).
+    "media_video_neardup": _mm.media_video_neardup,
+    "media_video_dedup": _mm.media_video_dedup,
+    "media_video_decontaminate": _mm.media_video_decontaminate,
+    "media_video_decontaminate_stored": _mm.media_video_decontaminate_stored,
+    "media_video_frame_overlap": _mm.media_video_frame_overlap,
+    "media_video_frame_decontaminate": _mm.media_video_frame_decontaminate,
+    "media_video_frame_decontaminate_stored": (
+        _mm.media_video_frame_decontaminate_stored
+    ),
+    "media_video_clean_funnel": _pl.media_video_clean_funnel,
+    # --- [r15 window, 26] forced restamp: decontaminate_audit's
+    # oracle RECOMPOSED this round to fold the video tier in as the
+    # 6th modality (pipeline.py; the audio-tier r14 precedent).
+    "decontaminate_audit": _pl.decontaminate_audit,
+    # --- [r15 window, 27-50] oldest-stamp-first fill: 24 of the 47
+    # r12-stamped block (CORRECTNESS_r12 order).
     "lm_interp_score": _lm.lm_interp_score,
     "lm_bigram_score": _lm.lm_bigram_score,
     "quantile_daily_merge": _sk.quantile_daily_merge,
@@ -339,6 +251,11 @@ QUERIES: dict[str, QueryFn] = {
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
+    # ================ position 51+ — outside the r15 driver window =====
+    # The 23 r12-stamped leftovers (age 3 at r15 close — legal; they
+    # are the r16 deadline block and LEAD the r16 window together
+    # with the sub-item registrations, see the ROUND-16/17 plan in
+    # the module docstring):
     "top_supplier": _rel.top_supplier,
     "returns_rollup": _rel.returns_rollup,
     "cross_nation_volume": _rel.cross_nation_volume,
@@ -362,9 +279,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    # The 43-entry r13-stamped block (CORRECTNESS_r13 order minus
-    # the seven restamping in the window above — freshest stamps,
-    # rotates last):
+    # The 43-entry r13-stamped block (CORRECTNESS_r13 order; age 2
+    # at r15 close — rotates r16/r17):
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
@@ -408,6 +324,58 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
+    # The 49-entry r14-stamped block (CORRECTNESS_r14 order minus
+    # decontaminate_audit, force-restamping in the window above —
+    # freshest stamps, rotates last):
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
+    "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
+    "doc_token_stats": _ta.doc_token_stats,
+    "corpus_token_stats": _ta.corpus_token_stats,
+    "lang_id": _ta.lang_id,
+    "quality_score": _ta.quality_score,
+    "simhash_fingerprints": _ta.simhash_fingerprints,
+    "simhash_neardup": _ta.simhash_neardup,
+    "media_audio_decontaminate": _mm.media_audio_decontaminate,
+    "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
+    "media_avi_decode": _mm.media_avi_decode,
+    "media_decontaminate": _mm.media_decontaminate,
+    "media_decontaminate_stored": _mm.media_decontaminate_stored,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    "media_clean_funnel": _pl.media_clean_funnel,
+    "media_resize": _mm.media_resize,
+    "media_image_neardup": _mm.media_image_neardup,
+    "media_image_dedup": _mm.media_image_dedup,
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
+    "dedup_minhash": _dd.dedup_minhash_pairs,
+    "bucketed_join_revenue": _rel.bucketed_join_revenue,
+    "media_png_decode": _mm.media_png_decode,
+    "bloom_pruned_join": _sk.bloom_pruned_join,
+    "token_counts": _ta.token_counts,
+    "stratified_sample": _pl.stratified_sample,
+    "tfidf_topk": _ta.tfidf_topk,
+    "contamination_check": _cu.contamination_check,
+    "repetition_signals": _cu.repetition_signals,
+    "pii_scrub": _cu.pii_scrub,
+    "media_stats": _mm.media_stats,
+    "hll_registers": _sk.hll_registers,
+    "events_above_type_avg": _ev.events_above_type_avg,
+    "bloom_membership": _sk.bloom_membership,
+    "media_decode_features": _mm.media_decode_features,
+    "media_frame_sample": _mm.media_frame_sample,
+    "forecast_revenue": _rx.forecast_revenue,
+    "min_cost_supplier": _rx.min_cost_supplier,
+    "priority_lines": _rx.priority_lines,
+    "excess_shipments": _rx.excess_shipments,
+    "waiting_suppliers": _rx.waiting_suppliers,
+    "dedup_substring_spans": _ss.dedup_substring_spans,
+    "importance_sample": _imp.importance_sample,
+    "events_multi_rollup": _ev.events_multi_rollup,
+    "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
 }
 
 
@@ -653,6 +621,28 @@ ORACLES: dict[str, str] = {
     "media_audio_decontaminate_stored": (
         _mm.MEDIA_AUDIO_DECONTAMINATE_STORED_ORACLE
     ),
+    # the r15 registrations (r13-built video perceptual tier): every
+    # fingerprint bit re-derived in DuckDB from the synthetic AVI
+    # payload's hex — whole-clip hashes via the shared _fp oracle
+    # cores, frame-granular hashes via the sub-item cores; online +
+    # stored decontamination cycles are bit-identical (integer
+    # fingerprints survive parquet losslessly), so one oracle body
+    # gates both via the uniform *_STORED_ORACLE alias (r13 verdict
+    # #6); the funnel oracle composes the stage CTEs end-to-end.
+    "media_video_neardup": _mm.MEDIA_VIDEO_NEARDUP_ORACLE,
+    "media_video_dedup": _mm.MEDIA_VIDEO_DEDUP_ORACLE,
+    "media_video_decontaminate": _mm.MEDIA_VIDEO_DECONTAMINATE_ORACLE,
+    "media_video_decontaminate_stored": (
+        _mm.MEDIA_VIDEO_DECONTAMINATE_STORED_ORACLE
+    ),
+    "media_video_frame_overlap": _mm.MEDIA_VIDEO_FRAME_OVERLAP_ORACLE,
+    "media_video_frame_decontaminate": (
+        _mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_ORACLE
+    ),
+    "media_video_frame_decontaminate_stored": (
+        _mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_STORED_ORACLE
+    ),
+    "media_video_clean_funnel": _pl.MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full

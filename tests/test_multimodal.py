@@ -1239,7 +1239,7 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
             decontaminate_audit(spark, sf_dir).collect()}
     assert sorted(rows) == [
         "1_text_exact", "2_text_fuzzy", "3_image", "4_semantic",
-        "5_audio",
+        "5_audio", "6_video",
     ]
     assert rows["2_text_fuzzy"] == (
         decontaminate_neardup(spark, sf_dir).select("doc_id").distinct().count()
@@ -1252,6 +1252,10 @@ def test_decontaminate_audit_tiers_and_oracle(spark, sf_dir):
     )
     assert rows["5_audio"] == (
         mm.media_audio_decontaminate(spark, sf_dir)
+        .select("doc_id").distinct().count()
+    )
+    assert rows["6_video"] == (
+        mm.media_video_decontaminate(spark, sf_dir)
         .select("doc_id").distinct().count()
     )
     compare_query(
