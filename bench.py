@@ -53,6 +53,16 @@ the memo-backed families (bpe_*, pack_*, winnow_*, similarity_pq_*,
 The warm pass costs one extra untimed run per query; that is the
 price of a steady-state number that cannot be perturbed by registry
 order or by other families' resident memo blocks.
+
+Round 15 (r14 verdict #5): "value_normalized" now divides by the
+median of the NORMALIZER workload (norm_calibration: compute-bound
+per-row md5, seconds long, so its own jitter is a few percent — the
+short ~0.4 s shuffle it replaces moved three same-tree normalized
+totals 23 % apart) and the line carries the normalizer's own IQR
+spread + "normalizer_ok" as the normalized headline's error bar. The
+short shuffle stays as the pre-flight gate and the historical
+"calibration_sec" host band. Pre-r15 value_normalized numbers are NOT
+comparable with r15+ ones; the raw "value" is the unbroken series.
 """
 
 from __future__ import annotations
@@ -169,6 +179,35 @@ def main(argv: list[str] | None = None) -> None:
         )
         return round(time.perf_counter() - t0, 3)
 
+    def norm_calibration() -> float:
+        """The NORMALIZER workload (r15, r14 verdict #5): the short
+        shuffle above is ~0.35-0.8 s of mostly fixed scheduling +
+        shuffle-setup overhead — three calibration-valid runs of
+        essentially the same tree normalized 23 % apart because
+        ``value_normalized`` divided by that one noisy scalar
+        (149.5/278.5/342.6 across the r13-r14 artifacts). Measured on
+        this host: growing the shuffle's row count 8x moved its median
+        ~10 % (schedule-bound, not compute-bound), so a longer SHUFFLE
+        is not a steadier normalizer — a longer COMPUTE is. This shape
+        is per-row md5 over a codegen'd range: linear CPU work that
+        runs seconds long, so per-sample jitter (GC pauses, scheduling
+        gaps) is amortized to a few percent instead of ~25 %. The
+        short shuffle stays as the pre-flight gate (its job is a ~3 s
+        abort on noisy hosts) and as the historical host band;
+        ``value_normalized`` divides by THIS workload's median, with
+        the normalizer's own IQR spread printed next to it."""
+        from pyspark.sql import functions as F
+
+        t0 = time.perf_counter()
+        (
+            spark.range(0, NORM_CAL_ROWS, 1, 32)
+            .select(F.md5(F.col("id").cast("string")).alias("h"))
+            .groupBy(F.substring("h", 1, 2).alias("k"))
+            .agg(F.count("*").alias("c"), F.max("h").alias("m"))
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
     def timed_warm(name: str) -> float:
         # warm = the query's OWN artifacts already built (production
         # steady state): one untimed run builds the memos, the timed
@@ -252,12 +291,25 @@ def main(argv: list[str] | None = None) -> None:
             attempt += 1
             time.sleep(5)
             cal_start = [calibration() for _ in range(CAL_SAMPLES)]
+    norm_calibration()  # throwaway: compile the normalizer shape
+    # PRE-suite samples only feed the normalizer: run-1 measurement
+    # read pre [3.612, 3.464, 3.711] vs post [10.273, 4.264, 4.141] —
+    # the post-suite JVM is systematically ~15 % slower (165 queries
+    # of heap churn), so mixing phases bakes JVM lifecycle into the
+    # normalizer. Every bench run samples PRE at the same lifecycle
+    # point (fresh session + one warm query + the short-cal batch),
+    # which is the apples-to-apples scalar; POST is recorded after an
+    # explicit full GC as a drift diagnostic, never as normalizer
+    # input.
+    norm_start = [norm_calibration() for _ in range(NORM_CAL_SAMPLES)]
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
     second = {name: timed(name) for name in names}
     warm = {name: timed_warm(name) for name in names}
     stages = timed_stages()
     cal_end = [calibration() for _ in range(CAL_SAMPLES)]
+    spark._jvm.System.gc()
+    norm_end = [norm_calibration() for _ in range(NORM_CAL_POST_SAMPLES)]
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
 
@@ -268,6 +320,8 @@ def main(argv: list[str] | None = None) -> None:
         calibration=cal_start + cal_end,
         warm={n: round(w, 3) for n, w in warm.items()},
         stages=stages,
+        norm_calibration=norm_start,
+        norm_calibration_post=norm_end,
     )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
@@ -276,6 +330,30 @@ def main(argv: list[str] | None = None) -> None:
 
 CAL_REF = 0.5  # reference calibration seconds for cross-round norm
 CAL_SAMPLES = 5  # calibration samples taken before AND after the suite
+# Normalizer workload (r15, r14 verdict #5 — see norm_calibration's
+# docstring for the measured rationale): per-row md5 over a range,
+# sized to run seconds long so the normalizer's own jitter is a few
+# percent, not the short shuffle's ~25 %. NORM_CAL_REF plays CAL_REF's
+# role for value_normalized; the bound gates "normalizer_ok" (the
+# normalized headline is only comparable across rounds when the
+# NORMALIZER ITSELF was steady — the r13/r14 numbers failed exactly
+# this, invisibly). 5 pre-suite samples feed the normalizer; 3
+# post-suite samples (after a full GC) feed only the drift
+# diagnostic: ~35 s of one-time overhead total.
+NORM_CAL_ROWS = 192_000_000
+NORM_CAL_REF = 4.0
+NORM_CAL_SAMPLES = 5  # PRE-suite samples — the normalizer input
+NORM_CAL_POST_SAMPLES = 3  # post-suite, drift diagnostic only
+NORM_SPREAD_BOUND_PCT = 10.0
+# The within-run IQR UNDERSTATES the cross-run error: the 5 pre
+# samples share one ~20 s host window (autocorrelated), and the r15
+# back-to-back A/B/A (R15_BENCH_AB.json) measured within-run spreads
+# of 1.7 %/3.4 % while the normalizer medians of the two runs sat
+# 7.2 % apart (suite raw totals: 2.0 % apart). The printed error band
+# is therefore floored at the measured between-run drift — a
+# cross-round normalized delta inside the band is host noise. Under
+# the pre-r15 short-shuffle protocol the same comparison read 23 %.
+NORM_BAND_FLOOR_PCT = 10.0
 # Pre-flight gate (r13 verdict #4): abort before the timed suite when
 # the pre-suite calibration spread alone exceeds the bound. Distinct
 # exit code so the driver can tell "noisy host, retry" from a crash.
@@ -437,6 +515,8 @@ def build_output(
     calibration: list[float] | None = None,
     warm: dict[str, float] | None = None,
     stages: dict[str, dict[str, float]] | None = None,
+    norm_calibration: list[float] | None = None,
+    norm_calibration_post: list[float] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
@@ -507,13 +587,50 @@ def build_output(
             spread_pct = _cal_spread_pct(calibration)
             line_dict["calibration_spread_pct"] = spread_pct
             line_dict["calibration_ok"] = spread_pct <= CAL_SPREAD_BOUND_PCT
-            # host-speed-corrected total: comparable across rounds
-            # without reading the calibration band by hand
-            line_dict["value_normalized"] = round(
-                total * CAL_REF / cal_median, 3
-            )
+            if norm_calibration is None:
+                # pre-r15 protocol (kept for old-artifact tooling):
+                # normalize by the short shuffle — known-noisy, see
+                # the r14 verdict #5 finding at norm_calibration
+                line_dict["value_normalized"] = round(
+                    total * CAL_REF / cal_median, 3
+                )
             full["calibration_median"] = round(cal_median, 3)
             full["calibration_spread_pct"] = spread_pct
+    if norm_calibration is not None:
+        # r15 protocol (r14 verdict #5): value_normalized divides by
+        # the compute-bound NORMALIZER's PRE-suite median, and carries
+        # the normalizer's OWN spread as its error bar — a normalized
+        # total is only cross-round comparable when normalizer_ok is
+        # true on BOTH rounds and the delta exceeds both spreads.
+        # NOT comparable with pre-r15 value_normalized numbers (those
+        # divided by the short shuffle; the raw "value" is the
+        # unbroken cross-round series). Post-suite samples, when
+        # given, yield a drift diagnostic only (see the main()-side
+        # note: the post-suite JVM measured ~15 % slower).
+        full["norm_calibration_sec"] = norm_calibration
+        norm_median = _cal_median(norm_calibration)
+        if norm_median > 0:
+            norm_spread = _cal_spread_pct(norm_calibration)
+            line_dict["norm_calibration_sec"] = round(norm_median, 3)
+            line_dict["norm_calibration_spread_pct"] = norm_spread
+            line_dict["normalizer_ok"] = norm_spread <= NORM_SPREAD_BOUND_PCT
+            line_dict["value_normalized"] = round(
+                total * NORM_CAL_REF / norm_median, 3
+            )
+            # the honest error bar: within-run spread floored at the
+            # measured between-run drift (see NORM_BAND_FLOOR_PCT)
+            line_dict["normalized_band_pct"] = max(
+                norm_spread, NORM_BAND_FLOOR_PCT
+            )
+            full["norm_calibration_median"] = round(norm_median, 3)
+            full["norm_calibration_spread_pct"] = norm_spread
+            if norm_calibration_post:
+                post_median = _cal_median(norm_calibration_post)
+                full["norm_calibration_post_sec"] = norm_calibration_post
+                full["norm_calibration_post_median"] = round(post_median, 3)
+                line_dict["norm_drift_pct"] = round(
+                    100.0 * (post_median - norm_median) / norm_median, 1
+                )
     if warm is not None:
         line_dict["warm_total"] = round(sum(warm.values()), 3)
     line = json.dumps(line_dict)

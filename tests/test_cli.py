@@ -112,6 +112,60 @@ def test_bench_calibration_median_and_spread():
     assert parsed2["calibration_spread_pct"] > 30.0
 
 
+def test_bench_normalizer_uses_long_calibration():
+    """r14 verdict #5: value_normalized divided by one noisy ~0.4 s
+    shuffle median — three calibration-valid runs of the same tree
+    normalized 23 % apart. The r15 protocol normalizes by the
+    compute-bound NORMALIZER workload's median, carries the
+    normalizer's OWN IQR spread + ok-bit on the line, and keeps the
+    short-shuffle fields untouched as the pre-flight/host band.
+    Without norm samples the pre-r15 computation still applies, so
+    old artifacts stay interpretable."""
+    import json
+
+    import bench
+
+    timings = {"q": 10.0}
+    # cal median 0.25 != CAL_REF: the pre-r15 path would normalize to
+    # 20.0, so the 10.0 below PROVES the long workload is the divisor
+    cal = [0.25] * 10
+    norm = [4.0] * 4 + [8.0]  # one GC outlier — median must ignore it
+    post = [4.4, 4.4, 4.4]  # degraded post-suite JVM -> drift only
+    line, full = bench.build_output(
+        timings,
+        0.1,
+        calibration=cal,
+        norm_calibration=norm,
+        norm_calibration_post=post,
+    )
+    parsed = json.loads(line)
+    # post-suite samples are a DRIFT diagnostic, never normalizer
+    # input: median(norm)=4.0 exactly despite the slower post batch
+    assert parsed["norm_drift_pct"] == 10.0
+    assert full["norm_calibration_post_median"] == 4.4
+    # normalized by the LONG workload: NORM_CAL_REF/median(norm) == 1
+    assert parsed["value_normalized"] == 10.0
+    assert parsed["norm_calibration_sec"] == 4.0
+    assert parsed["norm_calibration_spread_pct"] == 0.0
+    assert parsed["normalizer_ok"] is True
+    # the error band never reads below the measured between-run floor
+    assert parsed["normalized_band_pct"] == bench.NORM_BAND_FLOOR_PCT
+    # short-shuffle band still reported, unchanged semantics
+    assert parsed["calibration_sec"] == 0.25
+    assert parsed["calibration_ok"] is True
+    assert full["norm_calibration_sec"] == norm
+    assert full["norm_calibration_median"] == 4.0
+    # a wide normalizer distribution trips the normalizer's OWN bound
+    wide = [3.0, 3.3, 3.6, 4.0, 4.4, 4.8]
+    parsed2 = json.loads(
+        bench.build_output(timings, 0.1, calibration=cal, norm_calibration=wide)[0]
+    )
+    assert parsed2["normalizer_ok"] is False
+    assert (
+        parsed2["norm_calibration_spread_pct"] > bench.NORM_SPREAD_BOUND_PCT
+    )
+
+
 def test_bench_preflight_gate_shares_spread_definition():
     """r13 verdict #4: the pre-flight gate and build_output must
     apply the SAME spread definition (one helper, not two
