@@ -1890,6 +1890,12 @@ def fp_clusters(fp: DataFrame) -> DataFrame:
     # are dups by construction and collapse here — no pair enumeration
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
+
+    def _slice(col: str, b) -> F.Column:
+        return F.shiftright(F.col(col), b * IMG_NEARDUP_BAND_BITS).bitwiseAND(
+            F.lit(mask)
+        )
+
     banded = reps.select(
         "rep",
         "fingerprint",
@@ -1898,9 +1904,7 @@ def fp_clusters(fp: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("fingerprint", b * IMG_NEARDUP_BAND_BITS)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bucket"),
+                        _slice("fingerprint", b).alias("bucket"),
                     )
                     for b in range(IMG_NEARDUP_BANDS)
                 ]
@@ -1908,6 +1912,31 @@ def fp_clusters(fp: DataFrame) -> DataFrame:
         ).alias("bb"),
     ).select("rep", "fingerprint", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
+    # FIRST-MATCHING-BAND emission (r15, r14 verdict #3): a near-pair
+    # agrees on up to all IMG_NEARDUP_BANDS bands — on the r14 10x
+    # probe's dense corpus that meant every edge emitted up to 8x and
+    # a full shuffle of the inflated set just to .distinct() it back
+    # down (8.1 M edges, 94.8 % of funnel wall time in the cluster
+    # stage). A pair is now kept only in the LOWEST band whose slices
+    # agree — an inline bitwise filter on the join output (still
+    # whole-stage codegen), so the edge set arrives exactly-once by
+    # construction and the distinct shuffle disappears. The edge SET
+    # is unchanged (banding is lossless for hamming <= max by
+    # pigeonhole, and every agreeing pair has exactly one lowest
+    # agreeing band), so the clusters — and the oracles gating every
+    # caller — are bit-identical.
+    lowest_agreeing = (
+        F.array_position(
+            F.array(
+                *[
+                    _slice("a.fingerprint", i) == _slice("b.fingerprint", i)
+                    for i in range(IMG_NEARDUP_BANDS)
+                ]
+            ),
+            F.lit(True),
+        )
+        - 1
+    )
     edges = (
         a.join(
             b,
@@ -1921,8 +1950,8 @@ def fp_clusters(fp: DataFrame) -> DataFrame:
             )
             <= IMG_NEARDUP_HAMMING_MAX
         )
+        .filter(F.col("a.band") == lowest_agreeing)
         .select(F.col("a.rep").alias("u"), F.col("b.rep").alias("v"))
-        .distinct()
     )
     rep_labels = connected_components(edges).select(
         F.col("node").alias("rep"), "label"

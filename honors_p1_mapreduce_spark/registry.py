@@ -126,8 +126,9 @@ ROUND-15 WINDOW (this ordering — reproduced exactly by
 media_video_dedup media_video_decontaminate
 media_video_decontaminate_stored media_video_frame_overlap
 media_video_frame_decontaminate media_video_frame_decontaminate_stored
-media_video_clean_funnel --force decontaminate_audit`` on the
-committed CORRECTNESS_r01..r14 history):
+media_video_clean_funnel --force decontaminate_audit
+media_clean_funnel media_image_dedup media_audio_dedup
+contamination_check`` on the committed CORRECTNESS_r01..r14 history):
   1-17    the 17 r11-stamped residue entries
           (winnow_fingerprints_chunked .. similarity_topk) — age 4 at
           r15 close otherwise, the hard deadline; they lead by
@@ -143,23 +144,29 @@ committed CORRECTNESS_r01..r14 history):
           pre-verified green at sf0.001+sf0.01 twice (builder 28/28
           R14_QUEUED_PREVERIFY.json + the r14 judge's independent
           spot checks).
-  26      decontaminate_audit FORCE-restamps: its oracle recomposed
-          this round to fold the video tier in as the 6th modality
-          (the audio-tier r14 precedent).
-  27-50   oldest-stamp-first fill: 24 of the 47 r12-stamped block.
-Total 50. Outside-window ages at r15 close: 49@1, 43@2, 23@3 — bound
-holds (planner output re-checked after the registrations settled; the
-23 age-3 r12 leftovers are the r16 deadline block).
+  26-30   forced restamps: decontaminate_audit (oracle recomposed to
+          fold the video tier in as the 6th modality — the audio-tier
+          r14 precedent); media_clean_funnel, media_image_dedup,
+          media_audio_dedup (the fp_clusters first-matching-band
+          edge-emission change, r14 verdict #3 — cluster-identical
+          and oracle-verified, but the code path changed, so they
+          restamp by rule); contamination_check (prefilter/tail
+          factored out for the Bloom-prefilter library surface — the
+          same rule).
+  31-50   oldest-stamp-first fill: 20 of the 47 r12-stamped block.
+Total 50. Outside-window ages at r15 close: 46@1, 42@2, 27@3 — bound
+holds (planner output re-checked after the registrations and forces
+settled; the 27 age-3 r12 leftovers are the r16 deadline block).
 
 ROUND-16/17 PLAN (r14 verdict #6; feasibility re-simulated over the
 assumed-green r15 stamps with planner.plan_window — bound holds every
-round through r19, steady-state deadline demand ~23 slots/round for
-the 173-entry registry, leaving ~27 free slots):
+round through r19 with ~18-27 free slots/round on the 173-entry
+registry):
   r16 (6 registrations): the sub-item granularity completes —
     media_audio_snippet_overlap, media_audio_snippet_decontaminate
     (+_stored), media_image_tile_overlap,
     media_image_tile_decontaminate (+_stored). Registry 165 -> 171.
-    The 23 r12-stamped leftovers lead as the deadline block;
+    The 27 r12-stamped leftovers lead as the deadline block;
     registrations follow. All 6 surfaces pre-verified green at
     sf0.001+sf0.01 (R14_QUEUED_PREVERIFY.json 28/28; 1 re-verified
     by the r14 judge) — any driver red is regression, not design.
@@ -177,6 +184,20 @@ the 173-entry registry, leaving ~27 free slots):
   clip-in-clip + crop + snippet goldens, stored-cycle + streaming
   equivalences, affine-invariance properties, R13_VIDEO_PROBE.json /
   R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
+
+ROUND-18 BACKLOG (library surfaces built r15, queuing behind the
+r16/r17 split): decontaminate_bloom_prefilter (curation.py — the
+exact contamination tier served through a CONSTANT-SIZE Bloom runtime
+filter instead of the eval-keys broadcast; false positives cancel in
+the shared exact tail, so CONTAMINATION_ORACLE gates both paths — the
+bloom_pruned_join proof pattern applied to the decontamination
+family) and dedup_containment (dedup.py:containment_pairs — ASYMMETRIC
+n-gram containment |A∩B|/|A|, the doc-in-doc mode Jaccard misses;
+directional (inner_doc, outer_doc) output, its own SQL oracle, same
+df-capped one-self-join skeleton as dedup_ngram_jaccard). Goldens +
+exact-equality + oracle parity green at sf0.001/sf0.01 at build time
+(tests/test_curation.py). Registry 173 -> 175 at their registration,
+within the 200 cap.
 """
 
 QUERIES: dict[str, QueryFn] = {
@@ -221,11 +242,29 @@ QUERIES: dict[str, QueryFn] = {
         _mm.media_video_frame_decontaminate_stored
     ),
     "media_video_clean_funnel": _pl.media_video_clean_funnel,
-    # --- [r15 window, 26] forced restamp: decontaminate_audit's
-    # oracle RECOMPOSED this round to fold the video tier in as the
-    # 6th modality (pipeline.py; the audio-tier r14 precedent).
+    # --- [r15 window, 26-29] forced restamps:
+    # decontaminate_audit — oracle RECOMPOSED this round to fold the
+    #   video tier in as the 6th modality (pipeline.py; the
+    #   audio-tier r14 precedent);
+    # media_clean_funnel, media_image_dedup, media_audio_dedup — the
+    #   r15 fp_clusters edge-enumeration change (first-matching-band
+    #   emission replaces the post-join distinct, r14 verdict #3):
+    #   cluster-identical by construction and oracle-verified at both
+    #   SFs, but the code path changed, so they restamp by rule (the
+    #   media_image_neardup r10->r11 precedent; the other two
+    #   fp_clusters callers, media_video_dedup and
+    #   media_video_clean_funnel, register in this window anyway).
     "decontaminate_audit": _pl.decontaminate_audit,
-    # --- [r15 window, 27-50] oldest-stamp-first fill: 24 of the 47
+    "media_clean_funnel": _pl.media_clean_funnel,
+    "media_image_dedup": _mm.media_image_dedup,
+    "media_audio_dedup": _mm.media_audio_dedup,
+    # contamination_check — its prefilter/tail split into
+    #   _contam_doc_shingles / _contamination_tail (shared with the
+    #   r15-built decontaminate_bloom_prefilter library surface, r18
+    #   registration plan): behaviour-identical and oracle-verified,
+    #   but the code path changed, so it restamps by rule.
+    "contamination_check": _cu.contamination_check,
+    # --- [r15 window, 31-50] oldest-stamp-first fill: 20 of the 47
     # r12-stamped block (CORRECTNESS_r12 order).
     "lm_interp_score": _lm.lm_interp_score,
     "lm_bigram_score": _lm.lm_bigram_score,
@@ -247,15 +286,16 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
     "nation_revenue": _rel.nation_revenue,
-    "order_priority": _rel.order_priority,
+    # ================ position 51+ — outside the r15 driver window =====
+    # The 26 r12-stamped leftovers (age 3 at r15 close — legal; they
+    # are the r16 deadline block and LEAD the r16 window together
+    # with the sub-item registrations, see the ROUND-16/17 plan in
+    # the module docstring). The first three were displaced from the
+    # window fill by the fp_clusters forced restamps:
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
-    # ================ position 51+ — outside the r15 driver window =====
-    # The 23 r12-stamped leftovers (age 3 at r15 close — legal; they
-    # are the r16 deadline block and LEAD the r16 window together
-    # with the sub-item registrations, see the ROUND-16/17 plan in
-    # the module docstring):
+    "order_priority": _rel.order_priority,
     "top_supplier": _rel.top_supplier,
     "returns_rollup": _rel.returns_rollup,
     "cross_nation_volume": _rel.cross_nation_volume,
@@ -286,7 +326,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_select": _cx.token_budget_select,
     "embedding_decontaminate": _sim.embedding_decontaminate,
     "media_audio_neardup": _mm.media_audio_neardup,
-    "media_audio_dedup": _mm.media_audio_dedup,
     "winnow_index_retract": _wn.winnow_index_retract,
     "lm_model_retract": _lm.lm_model_retract,
     "trade_labelprop": _gph.trade_labelprop,
@@ -344,10 +383,8 @@ QUERIES: dict[str, QueryFn] = {
     "media_decontaminate": _mm.media_decontaminate,
     "media_decontaminate_stored": _mm.media_decontaminate_stored,
     "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    "media_clean_funnel": _pl.media_clean_funnel,
     "media_resize": _mm.media_resize,
     "media_image_neardup": _mm.media_image_neardup,
-    "media_image_dedup": _mm.media_image_dedup,
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
@@ -358,7 +395,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_counts": _ta.token_counts,
     "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,
-    "contamination_check": _cu.contamination_check,
     "repetition_signals": _cu.repetition_signals,
     "pii_scrub": _cu.pii_scrub,
     "media_stats": _mm.media_stats,

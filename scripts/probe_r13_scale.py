@@ -84,7 +84,13 @@ CAPS = (1, 2, 3)
 def rep_edges(fp):
     """Distinct-fp rep nodes + banded hamming edges — LOCAL MIRROR of
     fp_clusters' construction (multimodal.py:1780-1817; see module
-    docstring for why this is not a refactor of the operator)."""
+    docstring for why this is not a refactor of the operator).
+
+    r15 note: this mirrors the PRE-r15 construction (per-band
+    emission + .distinct()); fp_clusters itself now emits each edge
+    once at its lowest agreeing band. The edge SET is identical, so
+    fixpoint/keep measurements through this mirror stay valid, and
+    probe_r15_scale.py uses the mirror as the OLD arm of its A/B."""
     reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
     mask = (1 << IMG_NEARDUP_BAND_BITS) - 1
     banded = reps.select(

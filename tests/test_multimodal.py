@@ -1113,6 +1113,80 @@ def test_media_clean_funnel_monotone_and_oracle(spark, sf_dir):
     compare_query(spark, sf_dir, media_clean_funnel, MEDIA_CLEAN_FUNNEL_ORACLE)
 
 
+def test_fp_clusters_first_band_emission_equivalence(spark):
+    """r15 (r14 verdict #3): fp_clusters emits each banded-hamming
+    edge once, at its LOWEST agreeing band, instead of per agreeing
+    band + a distinct shuffle. Pin the equivalence on a synthetic
+    DENSE frame (the regime that motivated the change): clusters from
+    the registered path must equal a brute-force O(n^2) hamming CC —
+    including fps that agree on MANY bands at once (identical high
+    bits), the multi-emission case the old distinct existed for."""
+    import itertools
+
+    rows = []
+    # component A: near-identical 56-bit fps (pairwise hamming 2,
+    # every band shared -> the multi-emission case) + exact dups
+    base = 0x34_5678_9ABC_DEF0  # < 2^56 (PHASH is 56-bit)
+    for i in range(6):
+        rows.append((100 + i, base ^ (1 << i)))
+        rows.append((200 + i, base ^ (1 << i)))  # exact dup of each
+    # component B: far from A in hamming, own little clique
+    base2 = 0x0F_0F0F_0F0F_0F0F
+    rows += [(300, base2), (301, base2 ^ 1), (302, base2 ^ 3)]
+    # singleton: nothing within hamming range
+    rows.append((400, 0x2A_AA55_55AA_AA55))
+    # hamming 4 to base (5 to every other A member) but spread over
+    # ALL 4 bands -> NO shared band with ANY A member (bit 7 avoids
+    # the members' flipped bits 0..5) -> the banded graph
+    # (deliberately, the LSH candidate condition) does NOT connect it
+    # even though raw hamming <= 6
+    spread = base ^ (1 << 7) ^ (1 << 15) ^ (1 << 29) ^ (1 << 43)
+    rows.append((500, spread))
+    fp = spark.createDataFrame(rows, ["doc_id", "fingerprint"])
+
+    got = {
+        r["doc_id"]: r["cluster"] for r in mm.fp_clusters(fp).collect()
+    }
+    # brute-force reference of the REGISTERED graph semantics: edge
+    # iff hamming <= IMG_NEARDUP_HAMMING_MAX AND at least one 14-bit
+    # band equal (the banded-LSH candidate condition — lossy above
+    # hamming BANDS-1 by design); labels = min doc_id of component
+    bits, mask = mm.IMG_NEARDUP_BAND_BITS, (1 << mm.IMG_NEARDUP_BAND_BITS) - 1
+
+    def shares_band(f1: int, f2: int) -> bool:
+        return any(
+            (f1 >> (b * bits)) & mask == (f2 >> (b * bits)) & mask
+            for b in range(mm.IMG_NEARDUP_BANDS)
+        )
+
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (d1, f1), (d2, f2) in itertools.combinations(rows, 2):
+        if (
+            bin(f1 ^ f2).count("1") <= mm.IMG_NEARDUP_HAMMING_MAX
+            and shares_band(f1, f2)
+        ):
+            a, b = find(d1), find(d2)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    comp: dict[int, list[int]] = {}
+    for d, _ in rows:
+        comp.setdefault(find(d), []).append(d)
+    want = {d: min(members) for root, members in comp.items() for d in members}
+    assert got == want
+    # the dense chain collapsed into ONE component with its exact dups
+    assert len({want[d] for d in want if 100 <= d < 300}) == 1
+    # the lossy-banding pin: isolated despite raw hamming <= 6,
+    # because no 14-bit band agrees with any A member
+    assert got[500] == 500
+
+
 def test_media_decontaminate_seeded_leak(spark, tmp_path):
     """Seeded-leak golden (r10 verdict #3): an eval image (doc 7 —
     doc_id % 101 == 7, % 3 == 1 -> BMP) leaks into training as an
