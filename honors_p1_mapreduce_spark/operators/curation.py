@@ -74,14 +74,9 @@ def contamination_check(
     return contamination_check_from(docs, n, min_overlap, df_cap)
 
 
-def contamination_check_from(
-    docs: DataFrame,
-    n: int = CONTAM_N,
-    min_overlap: int = CONTAM_MIN_OVERLAP,
-    df_cap: int = CONTAM_DF_CAP,
-) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
+def _contam_doc_shingles(docs: DataFrame, n: int):
+    """(train, ev) shingle-hash frames — the shared top of the exact
+    and Bloom-prefiltered contamination paths."""
     sh = docs.select("doc_id", tokens_col("text").alias("toks")).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), n))).alias(
@@ -91,14 +86,23 @@ def contamination_check_from(
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = sh.filter(~is_eval).select(F.col("doc_id").alias("train_doc"), "sh")
     ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "sh")
-    # map-side reduction of the 100 TB side to eval-overlapping rows;
-    # persisted (MEMORY_AND_DISK, left to LRU per the
-    # dedup_minhash_pairs cache policy) — it feeds the df count and
-    # the pair expansion.
-    ev_keys = ev.select("sh").distinct()
-    tr_matched = train.join(F.broadcast(ev_keys), "sh").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    return train, ev
+
+
+def _contamination_tail(
+    tr_matched: DataFrame,
+    ev: DataFrame,
+    min_overlap: int,
+    df_cap: int,
+) -> DataFrame:
+    """df-cap + pair expansion over an already-prefiltered train
+    frame — the shared bottom of the exact and Bloom paths.
+    ``tr_matched`` must contain EVERY train row whose shingle occurs
+    in eval (no false negatives); rows whose shingle does NOT occur
+    in eval are tolerated and cancel here: they drop out of
+    ``good_keys`` (built FROM the eval side, left-joined) and of the
+    overlap join (inner against ``ev``) — which is what lets a Bloom
+    prefilter feed this tail without changing the answer."""
     # total df per eval shingle = eval occurrences + matched train
     # occurrences (train-only shingles never matter). All frames here
     # are O(|eval|).
@@ -132,6 +136,110 @@ def contamination_check_from(
     )
 
 
+def contamination_check_from(
+    docs: DataFrame,
+    n: int = CONTAM_N,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+    df_cap: int = CONTAM_DF_CAP,
+) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    train, ev = _contam_doc_shingles(docs, n)
+    # map-side reduction of the 100 TB side to eval-overlapping rows;
+    # persisted (MEMORY_AND_DISK, left to LRU per the
+    # dedup_minhash_pairs cache policy) — it feeds the df count and
+    # the pair expansion.
+    ev_keys = ev.select("sh").distinct()
+    tr_matched = train.join(F.broadcast(ev_keys), "sh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _contamination_tail(tr_matched, ev, min_overlap, df_cap)
+
+
+def decontaminate_bloom_prefilter(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = CONTAM_N,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+    df_cap: int = CONTAM_DF_CAP,
+) -> DataFrame:
+    """:func:`contamination_check` with the eval-keys broadcast
+    replaced by a CONSTANT-SIZE Bloom runtime filter — the serving
+    shape for when the benchmark registry outgrows an exact broadcast
+    set (a 13-gram registry over a large eval suite is GBs of md5
+    keys; the bitmap is 16 kB at any eval size).
+
+    The eval side's distinct shingle hashes pack into a
+    BLOOM_M=2^17 / BLOOM_K=5 bitmap (the
+    :func:`~.sketch.bloom_pruned_join` machinery: Kirsch-Mitzenmacher
+    double hashing, bit_or word aggregation, <= 2048-word driver
+    collect — constant in corpus AND eval size), shipped to the train
+    scan as a literal array, and train shingles failing any of the K
+    probes drop MAP-SIDE. False positives cancel in the shared exact
+    tail (:func:`_contamination_tail`: FP shingles never join back to
+    the eval side), so the answer is EXACTLY
+    :func:`contamination_check`'s and ONE oracle gates both paths —
+    the driver hash-gates that the filter cancels out of the answer,
+    the ``bloom_pruned_join`` proof pattern applied to the
+    decontamination family.
+
+    Probe hashing is the portable md5 family (``_bloom_h``), not
+    native xxhash64: the shingle hash ``sh`` is already an md5 hex
+    string, so the extra md5 chain is one hash of a 32-char string
+    per distinct shingle — not the 8x-hotter integer-key path
+    ``bloom_pruned_join`` justifies its native hashing with."""
+    from .sketch import BLOOM_K, BLOOM_M, _bloom_h
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, ev = _contam_doc_shingles(docs, n)
+    build = (
+        ev.select("sh")
+        .distinct()
+        .select(
+            _bloom_h("bf1", F.col("sh")).alias("b1"),
+            _bloom_h("bf2", F.col("sh")).alias("b2"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("b1") + F.lit(i) * F.col("b2")) % BLOOM_M).cast(
+                            "int"
+                        )
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+    )
+    words = {
+        r["w"]: r["m"]
+        for r in build.groupBy(F.expr("bit div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit % 64))").alias("m"))
+        .collect()  # bounded: <= BLOOM_M/64 = 2048 rows, constant at any scale
+    }
+    bitmap = F.lit([int(words.get(w, 0)) for w in range(BLOOM_M // 64)])
+
+    def _h_sql(salt: str) -> str:
+        # the SQL spelling of _bloom_h over the sh column (md5 chain,
+        # 60-bit) so the K probes can use expression-level shifts
+        return (
+            f"CAST(conv(substring(md5(concat('{salt}|', sh)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+
+    b1, b2 = _h_sql("bf1"), _h_sql("bf2")
+    cond = None
+    for i in range(BLOOM_K):
+        pos = f"(({b1} + {i} * {b2}) % {BLOOM_M})"
+        word = F.element_at(bitmap, F.expr(f"CAST({pos} div 64 AS INT) + 1"))
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
+        test = word.bitwiseAND(mask) != 0
+        cond = test if cond is None else (cond & test)
+    tr_matched = train.filter(cond)
+    return _contamination_tail(tr_matched, ev, min_overlap, df_cap)
+
+
 def contamination_oracle(
     n: int = CONTAM_N,
     min_overlap: int = CONTAM_MIN_OVERLAP,
@@ -163,6 +271,9 @@ FROM overlap JOIN ev_sizes USING (eval_doc)
 
 
 CONTAMINATION_ORACLE = contamination_oracle()
+# the Bloom prefilter must cancel out of the answer entirely — one
+# oracle body gates both paths (the bloom_pruned_join proof pattern)
+DECONTAMINATE_BLOOM_PREFILTER_ORACLE = CONTAMINATION_ORACLE
 
 # ------------------------------------------------- repetition signals
 

@@ -239,6 +239,124 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= {
 
 NGRAM_JACCARD_ORACLE = ngram_jaccard_oracle()
 
+# ------------------------------------------------------- containment
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 5,
+    threshold: float = CONTAIN_THRESHOLD, df_cap: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the doc-in-doc detector
+    Jaccard structurally misses: a short document quoted wholesale
+    inside a long one scores |A∩B|/|A∪B| ~ |A|/|B| (arbitrarily low)
+    but containment |A∩B|/|A| ~ 1. Training corpora are full of this
+    mode (nested quotes, syndicated excerpts, doc-in-doc scrapes), and
+    the dedup decision for it is directional: cut the INNER doc, keep
+    the outer — which is why the output is ordered (inner_doc,
+    outer_doc), not a symmetric pair.
+
+    Output: (inner_doc, outer_doc, n_inter, containment) where
+    containment = |grams(inner) ∩ grams(outer)| / |grams(inner)| >=
+    ``threshold``, both directions tested per unordered pair (a
+    full mutual near-dup legitimately emits both rows).
+
+    Plan shape: identical skeleton to :func:`ngram_jaccard_pairs`
+    (one corpus scan persisted, hot-shingle broadcast anti-join
+    df-cap bounding per-shingle fanout at df_cap^2/2, ONE a<b
+    self-join) — the intersection counts are computed once per
+    unordered pair and both directional containments derive from that
+    single frame, so the asymmetric semantics cost no second join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_from(docs, n, threshold, df_cap)
+
+
+def containment_pairs_from(
+    docs: DataFrame, n: int = 5,
+    threshold: float = CONTAIN_THRESHOLD, df_cap: int = 100,
+) -> DataFrame:
+    sh = (
+        _doc_shingles(docs, n)
+        .select("doc_id", F.md5("shingle").alias("sh"))
+        .persist()
+    )
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        "n_inter",
+        (F.col("n_inter").cast("double") / F.col("na").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        "n_inter",
+        (F.col("n_inter").cast("double") / F.col("nb").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def containment_oracle(
+    n: int = 5, threshold: float = CONTAIN_THRESHOLD, df_cap: int = 100
+) -> str:
+    return f"""
+WITH sh_all AS (
+  SELECT DISTINCT doc_id, s.shingle AS shingle
+  FROM documents, unnest({shingles_sql('text', n)}) AS s(shingle)
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh_all
+  ) WHERE df <= {df_cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+both_dirs AS (
+  SELECT doc_a AS inner_doc, doc_b AS outer_doc, n_inter,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, n_inter,
+         CAST(n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)
+  FROM inter JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT inner_doc, outer_doc, n_inter, containment
+FROM both_dirs WHERE containment >= {threshold}
+"""
+
+
+CONTAINMENT_ORACLE = containment_oracle()
+
 # ----------------------------------------------------------- minhash LSH
 
 N_HASHES = 32

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.substring_dedup import SPAN_K
 from ..operators.winnow import (
     BATCH_MOD,
     BATCH_RESIDUE,
@@ -177,6 +178,7 @@ def streaming_substring_cut(
     index_dir: str,
     store_dir: str,
     checkpoint_dir: str,
+    k: int = SPAN_K,
 ) -> None:
     """Continuous-ingest corpus REWRITE (r14): drain the document
     stream through the per-micro-batch substring cut against the
@@ -193,7 +195,11 @@ def streaming_substring_cut(
     use (one definition each — batch, stored, and streaming cannot
     drift). State story at 100 TB/day: the stream holds nothing
     between triggers; the gram index is the only long-lived object,
-    snapshotted per stream start and released in the ``finally``."""
+    snapshotted per stream start and released in the ``finally``.
+    ``k`` must match the gram width the index was BUILT with
+    (``substring_write_index``'s) — defaulted like
+    ``substring_cut_from_index`` so a non-default-k index is never
+    silently served at SPAN_K (r14 advisor)."""
     from ..operators.substring_dedup import (
         _cut_with_spans,
         substring_spans_against,
@@ -204,7 +210,7 @@ def streaming_substring_cut(
     def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
         docs = bdf.select("doc_id", "text")
         cleaned = _cut_with_spans(
-            docs, substring_spans_against(docs, dup)
+            docs, substring_spans_against(docs, dup, k)
         )
         _write_batch_partition(cleaned, batch_id, store_dir)
 

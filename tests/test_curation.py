@@ -40,6 +40,72 @@ def test_contamination_df_cap_drops_boilerplate(spark):
     assert out.count() == 0
 
 
+def test_bloom_prefilter_matches_exact_contamination(spark, sf_dir):
+    """r15 library surface: the Bloom-prefiltered contamination path
+    must produce EXACTLY contamination_check's rows (false positives
+    cancel in the shared exact tail) and pass the shared oracle —
+    the bloom_pruned_join filter-cancels-out proof pattern applied to
+    the decontamination family."""
+    from .oracle import compare_query
+
+    exact = {
+        (r["train_doc"], r["eval_doc"], r["n_overlap"], r["coverage"])
+        for r in cu.contamination_check(spark, sf_dir).collect()
+    }
+    bloom = {
+        (r["train_doc"], r["eval_doc"], r["n_overlap"], r["coverage"])
+        for r in cu.decontaminate_bloom_prefilter(spark, sf_dir).collect()
+    }
+    assert exact == bloom and exact  # equal AND non-trivial
+    compare_query(
+        spark,
+        sf_dir,
+        cu.decontaminate_bloom_prefilter,
+        cu.DECONTAMINATE_BLOOM_PREFILTER_ORACLE,
+    )
+
+
+def test_containment_pairs_directional_golden(spark, sf_dir):
+    """The doc-in-doc detector: a short doc quoted wholesale inside a
+    long one must emit (inner=short, outer=long) with containment 1.0
+    and NOT the reverse direction (whose containment is the small
+    fraction Jaccard would also report); oracle parity on the driver
+    corpus closes the loop."""
+    from .oracle import compare_query
+
+    from honors_p1_mapreduce_spark.operators import dedup as dd
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    outer = (
+        "intro passage before the quote "
+        + inner
+        + " and a long closing discussion follows with many more"
+        " unrelated tokens trailing the quotation to dilute jaccard"
+        " far below any symmetric threshold used here"
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "nothing shared with the others at all")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in dd.containment_pairs_from(docs, n=5, threshold=0.5).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    # full mutual near-dups legitimately emit BOTH directions
+    dup = spark.createDataFrame(
+        [(1, inner), (2, inner)], ["doc_id", "text"]
+    )
+    both = {
+        (r["inner_doc"], r["outer_doc"])
+        for r in dd.containment_pairs_from(dup, n=5, threshold=0.5).collect()
+    }
+    assert both == {(1, 2), (2, 1)}
+    compare_query(
+        spark, sf_dir, dd.containment_pairs, dd.CONTAINMENT_ORACLE
+    )
+
+
 def test_repetition_signals_detect_loops(spark):
     docs = _docs(
         spark,

@@ -911,7 +911,7 @@ def test_sub_item_tiers_share_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
 
 
-def test_substring_cut_plans_are_clean(spark, sf_dir):
+def test_substring_cut_plans_are_clean(spark, sf_dir, tmp_path):
     """The r14 cut family (r17 registration backlog): no cartesian
     anywhere; the online path keeps the span pipeline's semi-join
     shape, and the stored-serve path reads the gram index instead of
@@ -927,14 +927,15 @@ def test_substring_cut_plans_are_clean(spark, sf_dir):
     assert "CartesianProduct" not in online
     assert "LeftSemi" in online  # the duplicated-gram semi-join
 
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="cut_idx_")
+    d = str(tmp_path / "cut_idx")
     substring_write_index(spark, sf_dir, d)
     served = _plan(substring_cut_from_index(spark, sf_dir, d))
     assert "CartesianProduct" not in served
     assert "LeftSemi" in served
-    # served plan scans the parquet index; the corpus-wide duplication
-    # aggregate (distinct (gh, doc_id) -> count) appears ONLY online
-    assert "dup_grams" in served
+    # served plan scans the parquet index — pinned by the index
+    # scan's pruned read schema (just the gh column; a path-substring
+    # pin broke when tmp_path's longer path got elided in the plan
+    # text), and the corpus-wide duplication aggregate
+    # (distinct (gh, doc_id) -> count) appears ONLY online
+    assert "ReadSchema: struct<gh:bigint>" in served
     assert online.count("HashAggregate") > served.count("HashAggregate")
