@@ -116,6 +116,33 @@ def test_ngram_dfcap_hot_set_is_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_bloom_prefilter_and_containment_plans_are_clean(spark, sf_dir):
+    """r15 library surfaces. decontaminate_bloom_prefilter: every join
+    in the tail is a BROADCAST (eval-sized sides only — the train side
+    never sort-merge-joins or shuffles raw corpus rows) and the Bloom
+    probe reaches the train scan as a literal-array FILTER, not a join
+    (no build-side relation to shuffle at all). containment_pairs:
+    inherits ngram_jaccard's pins — df-cap via broadcast anti-join,
+    no cartesian product."""
+    from honors_p1_mapreduce_spark.operators.curation import (
+        decontaminate_bloom_prefilter,
+    )
+    from honors_p1_mapreduce_spark.operators.dedup import containment_pairs
+
+    bloom = _plan(decontaminate_bloom_prefilter(spark, sf_dir))
+    assert "CartesianProduct" not in bloom
+    assert "SortMergeJoin" not in bloom
+    assert "BroadcastHashJoin" in bloom
+    # the K-probe literal filter sits in the plan as a Filter over the
+    # scan side (element_at over the packed bitmap literal)
+    assert "element_at" in bloom
+
+    cont = _plan(containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in cont
+    assert "LeftAnti" in cont  # the df-cap hot-set broadcast anti-join
+    assert "BroadcastHashJoin" in cont
+
+
 def test_bloom_probe_side_never_shuffles(spark, sf_dir):
     # the bit set (<= M rows, bounded regardless of member count) must
     # reach the probe side as a broadcast — a probe-side shuffle would
