@@ -186,18 +186,32 @@ registry):
   R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
 
 ROUND-18 BACKLOG (library surfaces built r15, queuing behind the
-r16/r17 split): decontaminate_bloom_prefilter (curation.py — the
-exact contamination tier served through a CONSTANT-SIZE Bloom runtime
-filter instead of the eval-keys broadcast; false positives cancel in
-the shared exact tail, so CONTAMINATION_ORACLE gates both paths — the
-bloom_pruned_join proof pattern applied to the decontamination
-family) and dedup_containment (dedup.py:containment_pairs — ASYMMETRIC
-n-gram containment |A∩B|/|A|, the doc-in-doc mode Jaccard misses;
-directional (inner_doc, outer_doc) output, its own SQL oracle, same
-df-capped one-self-join skeleton as dedup_ngram_jaccard). Goldens +
-exact-equality + oracle parity green at sf0.001/sf0.01 at build time
-(tests/test_curation.py). Registry 173 -> 175 at their registration,
-within the 200 cap.
+r16/r17 split):
+  decontaminate_bloom_prefilter (curation.py) — the exact
+    contamination tier served through a CONSTANT-SIZE Bloom runtime
+    filter instead of the eval-keys broadcast; false positives cancel
+    in the shared exact tail, so CONTAMINATION_ORACLE gates both
+    paths (the bloom_pruned_join proof pattern applied to the
+    decontamination family). 10x probe: scale ratio 1.75x matches
+    the exact tier's 1.74x with row equality at both scales
+    (R15_SURFACES_PROBE.json, including the md5-vs-native probe
+    lesson).
+  dedup_containment (dedup.py:containment_pairs) — ASYMMETRIC n-gram
+    containment |A∩B|/|A|, the doc-in-doc mode Jaccard misses;
+    directional (inner_doc, outer_doc) output, its own SQL oracle,
+    same df-capped one-self-join skeleton as dedup_ngram_jaccard;
+    10x probe output-bound (936x rows at 5.5x time on the
+    rotated-copy clique corpus).
+  contamination_stored (curation.py) — the exact tier's stored
+    benchmark-registry cycle (contamination_write_index ->
+    contamination_from_index; informative-key set FROZEN at build,
+    the dedup_incremental convention), roundtrip bit-identical so
+    CONTAMINATION_ORACLE gates it too — completing exact-tier
+    lifecycle parity with the fuzzy/perceptual families; streaming
+    twin (streaming_contamination, drained store == batch, pinned).
+  Goldens + exact-equality + oracle parity green at sf0.001/sf0.01 at
+  build time (tests/test_curation.py, R15_QUEUED_PREVERIFY.json).
+  Registry 173 -> 176 at their registration, within the 200 cap.
 """
 
 QUERIES: dict[str, QueryFn] = {

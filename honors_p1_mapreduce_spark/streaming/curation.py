@@ -230,6 +230,97 @@ def streaming_substring_cut(
         dup.unpersist()
 
 
+def streaming_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    n: int | None = None,
+    min_overlap: int | None = None,
+) -> None:
+    """Continuous-ingest EXACT contamination scan: drain the document
+    stream's TRAIN split through the per-micro-batch n-gram overlap
+    against the STORED benchmark-shingle registry
+    (``operators.curation.contamination_write_index``'s parquet — the
+    static side of a stream-static join) and write each batch's
+    flagged (train_doc, eval_doc, n_overlap, coverage) rows to the
+    idempotent ``batch_id=N`` store.
+
+    The informative-key set and per-eval-doc sizes are FROZEN in the
+    index at build time (the ``dedup_incremental`` convention:
+    corpus-global statistics never recompute at serve time), so
+    per-document output depends only on (doc shingles) x (static
+    registry) — never on other stream docs — and the drained store is
+    EXACTLY the batch ``contamination_from_index`` answer, pinned by
+    the equivalence test. ``n`` must match the gram width the index
+    was built with (the ``streaming_substring_cut`` k caveat)."""
+    from ..operators.curation import (
+        CONTAM_MIN_OVERLAP,
+        CONTAM_N,
+        EVAL_MOD,
+        _contam_raw_shingles,
+    )
+
+    if n is None:
+        n = CONTAM_N
+    if min_overlap is None:
+        min_overlap = CONTAM_MIN_OVERLAP
+    ev_good = spark.read.parquet(f"{index_dir}/eval_shingles").persist()
+    ev_sizes = (
+        ev_good.groupBy("eval_doc").agg(F.count("*").alias("n_ev")).persist()
+    )
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        train = _contam_raw_shingles(bdf, n).select(
+            F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("sh")
+        )
+        overlap = (
+            train.join(F.broadcast(ev_good), "sh")
+            .groupBy("train_doc", "eval_doc")
+            .agg(F.count("*").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap)
+        )
+        flagged = overlap.join(F.broadcast(ev_sizes), "eval_doc").select(
+            "train_doc",
+            "eval_doc",
+            "n_overlap",
+            (
+                F.col("n_overlap").cast("double")
+                / F.col("n_ev").cast("double")
+            ).alias("coverage"),
+        )
+        _write_batch_partition(flagged, batch_id, store_dir)
+
+    try:
+        # materialize INSIDE the try (the r12-review discipline): a
+        # failure mid-materialization must still release cached blocks
+        ev_good.count()
+        ev_sizes.count()
+        q = (
+            stream_documents(spark, sf_dir)
+            .filter(F.col("doc_id") % EVAL_MOD != 0)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        ev_good.unpersist()
+        ev_sizes.unpersist()
+
+
+def read_contamination_from_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame:
+    """(train_doc, eval_doc, n_overlap, coverage) from the drained
+    contamination store — drops the batch_id partition column."""
+    return _read_store_columns(
+        spark, store_dir, ["train_doc", "eval_doc", "n_overlap", "coverage"]
+    )
+
+
 def read_cleaned_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     """(doc_id, n_tokens, n_cut, cleaned_text) from the drained
     cleaned-corpus store — drops the batch_id partition column."""

@@ -60,6 +60,8 @@ def _surfaces():
         ("decontaminate_bloom_prefilter", cu.decontaminate_bloom_prefilter,
          cu.DECONTAMINATE_BLOOM_PREFILTER_ORACLE),
         ("dedup_containment", dd.containment_pairs, dd.CONTAINMENT_ORACLE),
+        ("contamination_stored", cu.contamination_stored,
+         cu.CONTAMINATION_STORED_ORACLE),
     ]
 
 

@@ -106,6 +106,56 @@ def test_containment_pairs_directional_golden(spark, sf_dir):
     )
 
 
+def test_contamination_stored_cycle_matches_online(spark, sf_dir, tmp_path):
+    """The stored-registry cycle must be bit-identical to the online
+    scan on the same corpus (md5-hex shingles survive parquet
+    losslessly; the informative-key set freezes at build), so the
+    SAME oracle gates both paths — exact-tier lifecycle parity with
+    decontaminate_stored and the media *_decontaminate_stored
+    cycles. Serving from the index must not re-tokenize eval (the
+    plan reads the parquet registry, pinned by the scan count)."""
+    from .oracle import compare_query
+
+    idx = str(tmp_path / "contam_idx")
+    cu.contamination_write_index(spark, sf_dir, idx)
+    online = sorted(
+        map(tuple, cu.contamination_check(spark, sf_dir).collect())
+    )
+    served = sorted(
+        map(tuple, cu.contamination_from_index(spark, sf_dir, idx).collect())
+    )
+    assert online == served and online  # bit-identical AND non-trivial
+    compare_query(
+        spark, sf_dir, cu.contamination_stored, cu.CONTAMINATION_STORED_ORACLE
+    )
+
+
+def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the document stream's train split through the
+    per-micro-batch scan against the STORED benchmark registry must
+    reproduce the batch contamination_from_index answer exactly —
+    the informative-key set and eval sizes are frozen in the index,
+    so per-doc output depends only on the static registry and
+    micro-batch boundaries cannot matter."""
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_contamination_from_store,
+        streaming_contamination,
+    )
+
+    idx = str(tmp_path / "contam_idx")
+    store = str(tmp_path / "flagged")
+    ckpt = str(tmp_path / "contam_ckpt")
+    cu.contamination_write_index(spark, sf_dir, idx)
+    streaming_contamination(spark, sf_dir, idx, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_contamination_from_store(spark, store).collect())
+    )
+    batch = sorted(
+        map(tuple, cu.contamination_from_index(spark, sf_dir, idx).collect())
+    )
+    assert streamed == batch and streamed  # equal AND non-vacuous
+
+
 def test_repetition_signals_detect_loops(spark):
     docs = _docs(
         spark,
