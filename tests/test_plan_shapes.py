@@ -143,6 +143,26 @@ def test_bloom_prefilter_and_containment_plans_are_clean(spark, sf_dir):
     assert "BroadcastHashJoin" in cont
 
 
+def test_contamination_served_plan_never_retokenizes_eval(
+    spark, sf_dir, tmp_path
+):
+    """The stored-registry serve path pays exactly ONE tokenize+explode
+    pass (the training side); the eval side reads the parquet registry
+    — re-tokenizing eval at serve time is what the artifact exists to
+    avoid (benchmarks change rarely, training batches arrive daily)."""
+    from honors_p1_mapreduce_spark.operators.curation import (
+        contamination_from_index,
+        contamination_write_index,
+    )
+
+    d = str(tmp_path / "contam_idx")
+    contamination_write_index(spark, sf_dir, d)
+    served = _plan(contamination_from_index(spark, sf_dir, d))
+    assert served.count("Generate") == 1  # one explode: the train side
+    assert "CartesianProduct" not in served
+    assert "SortMergeJoin" not in served  # eval-sized sides broadcast
+
+
 def test_bloom_probe_side_never_shuffles(spark, sf_dir):
     # the bit set (<= M rows, bounded regardless of member count) must
     # reach the probe side as a broadcast — a probe-side shuffle would
