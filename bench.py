@@ -559,7 +559,13 @@ def build_output(
     # seed the headline wordcount only when it actually ran — a run
     # without it must not report a fabricated 0.0 s timing
     shown: dict[str, float] = {k: timings[k] for k in ("wordcount",) if k in timings}
-    budget = 1600  # bytes for the "queries" dict, conservative
+    # bytes for the "queries" dict. Reduced 1600 -> 1400 in r15: the
+    # norm_* fields added ~140 bytes and the committed r15 line
+    # measured 1987/2000 — one extra digit in the totals (a 1000+ s
+    # round) would have truncated the driver's parse (the round-4
+    # parsed=null failure). The guard test now builds the line WITH
+    # every optional field at wide magnitudes.
+    budget = 1400
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
         if name in shown:
             continue

@@ -100,6 +100,26 @@ def _contam_doc_shingles(docs: DataFrame, n: int):
     return train, ev
 
 
+def _contam_good_keys(
+    tr_matched: DataFrame, ev: DataFrame, df_cap: int
+) -> DataFrame:
+    """The informative-key (df-cap) set: total df per eval shingle =
+    eval occurrences + matched train occurrences (train-only shingles
+    never matter), capped. ONE definition shared by the online tail
+    and the index builder — the stored cycle's bit-parity guarantee
+    (CONTAMINATION_STORED_ORACLE is CONTAMINATION_ORACLE) rests on
+    both computing the identical key set (r15 review: two copies had
+    crept in). All frames here are O(|eval|)."""
+    tr_df = tr_matched.groupBy("sh").agg(F.count("*").alias("tr_cnt"))
+    return (
+        ev.groupBy("sh")
+        .agg(F.count("*").alias("ev_cnt"))
+        .join(tr_df, "sh", "left")
+        .filter(F.col("ev_cnt") + F.coalesce(F.col("tr_cnt"), F.lit(0)) <= df_cap)
+        .select("sh")
+    )
+
+
 def _contamination_tail(
     tr_matched: DataFrame,
     ev: DataFrame,
@@ -114,17 +134,7 @@ def _contamination_tail(
     ``good_keys`` (built FROM the eval side, left-joined) and of the
     overlap join (inner against ``ev``) — which is what lets a Bloom
     prefilter feed this tail without changing the answer."""
-    # total df per eval shingle = eval occurrences + matched train
-    # occurrences (train-only shingles never matter). All frames here
-    # are O(|eval|).
-    tr_df = tr_matched.groupBy("sh").agg(F.count("*").alias("tr_cnt"))
-    good_keys = (
-        ev.groupBy("sh")
-        .agg(F.count("*").alias("ev_cnt"))
-        .join(tr_df, "sh", "left")
-        .filter(F.col("ev_cnt") + F.coalesce(F.col("tr_cnt"), F.lit(0)) <= df_cap)
-        .select("sh")
-    )
+    good_keys = _contam_good_keys(tr_matched, ev, df_cap)
     ev_sizes = (
         ev.join(F.broadcast(good_keys), "sh")
         .groupBy("eval_doc")
@@ -207,7 +217,9 @@ def decontaminate_bloom_prefilter(
     SURVIVE the filter — on the 100 TB side that is the whole point
     of a map-side drop — and substitution cannot inline the md5 into
     the K probe expressions."""
-    from .sketch import BLOOM_K, BLOOM_M, _bloom_native_h
+    from pyspark.storagelevel import StorageLevel
+
+    from .sketch import bloom_bitmap_words, bloom_probe_cond
 
     docs = load_table(spark, sf_dir, "documents")
     raw = _contam_raw_shingles(docs, n)
@@ -216,51 +228,17 @@ def decontaminate_bloom_prefilter(
     ev = ev_raw.select(
         F.col("doc_id").alias("eval_doc"), F.md5("shingle").alias("sh")
     )
-    build = (
-        ev_raw.select("shingle")
-        .distinct()
-        .select(
-            F.expr(_bloom_native_h("bf1", "shingle", False)).alias("b1"),
-            F.expr(_bloom_native_h("bf2", "shingle", True)).alias("b2"),
-        )
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        ((F.col("b1") + F.lit(i) * F.col("b2")) % BLOOM_M).cast(
-                            "int"
-                        )
-                        for i in range(BLOOM_K)
-                    ]
-                )
-            ).alias("bit")
-        )
-    )
-    words = {
-        r["w"]: r["m"]
-        for r in build.groupBy(F.expr("bit div 64").alias("w"))
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit % 64))").alias("m"))
-        .collect()  # bounded: <= BLOOM_M/64 = 2048 rows, constant at any scale
-    }
-    bitmap = F.lit([int(words.get(w, 0)) for w in range(BLOOM_M // 64)])
-    b1 = _bloom_native_h("bf1", "shingle", False)
-    b2 = _bloom_native_h("bf2", "shingle", True)
-    cond = None
-    for i in range(BLOOM_K):
-        pos = f"(({b1} + {i} * {b2}) % {BLOOM_M})"
-        word = F.element_at(bitmap, F.expr(f"CAST({pos} div 64 AS INT) + 1"))
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
-        test = word.bitwiseAND(mask) != 0
-        cond = test if cond is None else (cond & test)
-    from pyspark.storagelevel import StorageLevel
-
+    # the bloom_pruned_join machinery verbatim-by-reference (r15
+    # review: the first cut copied it): pack the eval shingles' bit
+    # positions into the 2048-word bitmap, probe the train scan
+    words = bloom_bitmap_words(ev_raw, "shingle")
     # persisted like the exact path's tr_matched: the tail consumes it
     # twice (df count + pair expansion) and the frame is the tiny
     # post-drop sliver — without the persist the corpus scan + K
     # probes re-run per consumer
     tr_matched = (
         raw.filter(~is_eval)
-        .filter(cond)
+        .filter(bloom_probe_cond(words, "shingle"))
         .select(F.col("doc_id").alias("train_doc"), F.md5("shingle").alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -325,14 +303,7 @@ def contamination_write_index(
     train, ev = _contam_doc_shingles(docs, n)
     ev_keys = ev.select("sh").distinct()
     tr_matched = train.join(F.broadcast(ev_keys), "sh")
-    tr_df = tr_matched.groupBy("sh").agg(F.count("*").alias("tr_cnt"))
-    good_keys = (
-        ev.groupBy("sh")
-        .agg(F.count("*").alias("ev_cnt"))
-        .join(tr_df, "sh", "left")
-        .filter(F.col("ev_cnt") + F.coalesce(F.col("tr_cnt"), F.lit(0)) <= df_cap)
-        .select("sh")
-    )
+    good_keys = _contam_good_keys(tr_matched, ev, df_cap)
     (
         ev.join(F.broadcast(good_keys), "sh")
         .write.mode("overwrite")
@@ -358,9 +329,12 @@ def contamination_from_index(
     train, _ = _contam_doc_shingles(docs, n)
     ev_good = spark.read.parquet(f"{index_dir}/eval_shingles")
     ev_sizes = ev_good.groupBy("eval_doc").agg(F.count("*").alias("n_ev"))
+    # ONE broadcast join: ev_good is already the good-key-filtered
+    # registry, so a prefilter against its distinct keys would remove
+    # exactly nothing (r15 review — the streaming twin's micro-batch
+    # is the same single-join shape)
     overlap = (
-        train.join(F.broadcast(ev_good.select("sh").distinct()), "sh")
-        .join(F.broadcast(ev_good), "sh")
+        train.join(F.broadcast(ev_good), "sh")
         .groupBy("train_doc", "eval_doc")
         .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)

@@ -881,20 +881,21 @@ def _bloom_native_h(salt: str, col_sql: str, odd: bool) -> str:
     return f"({e} | 1)" if odd else e
 
 
-def _bloom_pruned_sides(spark: SparkSession, sf_dir: str):
-    """Build the (urgent orders, bloom-pruned lineitem) pair shared by
-    :func:`bloom_pruned_join` and :func:`bloom_join_fp_audit`."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    urgent = orders.filter(
-        F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY
-    ).select("o_orderkey", "o_orderdate")
-    # no distinct before the pack: bit_or over duplicate bit rows is
-    # idempotent, so the explode feeds the word aggregate directly
-    # (map-side combined — one small shuffle of <= 2048 word rows)
-    build = urgent.select(
-        F.expr(_bloom_native_h("bf1", "o_orderkey", False)).alias("b1"),
-        F.expr(_bloom_native_h("bf2", "o_orderkey", True)).alias("b2"),
+def bloom_bitmap_words(build_df: DataFrame, col_sql: str) -> list[int]:
+    """Pack the Bloom bit positions of ``build_df[col_sql]`` into the
+    BLOOM_M/64-word bitmap: K native-hash positions exploded per row,
+    ONE map-side-combined bit_or aggregate, a bounded driver collect
+    (<= 2048 rows / 16 kB, constant at any build-side size). No
+    distinct before the pack — bit_or over duplicate bit rows is
+    idempotent, so deduplication would only add a shuffle. Shared by
+    the runtime-filter join family (:func:`bloom_pruned_join`) and the
+    decontamination Bloom serving path
+    (``curation.decontaminate_bloom_prefilter``) so the layout,
+    hashing, and the pmod/odd-stride caveats live in ONE place (r15
+    review: the first cut copied this machinery verbatim)."""
+    build = build_df.select(
+        F.expr(_bloom_native_h("bf1", col_sql, False)).alias("b1"),
+        F.expr(_bloom_native_h("bf2", col_sql, True)).alias("b2"),
     ).select(
         F.explode(
             F.array(
@@ -909,15 +910,22 @@ def _bloom_pruned_sides(spark: SparkSession, sf_dir: str):
         r["w"]: r["m"]
         for r in build.groupBy(F.expr("bit div 64").alias("w"))
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit % 64))").alias("m"))
-        .collect()  # bounded: <= BLOOM_M/64 = 2048 rows (16 kB), constant in corpus size
+        .collect()  # bounded: <= BLOOM_M/64 = 2048 rows (16 kB)
     }
-    # ONE array literal via F.lit(list) — a Literal(ArrayType); the
-    # per-row probe cost is the hash arithmetic, not the constant
-    # array access (element_at on the folded literal measures at
-    # built-in-function speed)
-    bitmap = F.lit([int(words.get(w, 0)) for w in range(_BLOOM_WORDS)])
-    b1 = _bloom_native_h("bf1", "l_orderkey", False)
-    b2 = _bloom_native_h("bf2", "l_orderkey", True)
+    return [int(words.get(w, 0)) for w in range(_BLOOM_WORDS)]
+
+
+def bloom_probe_cond(words: list[int], col_sql: str) -> Column:
+    """The K-probe membership test over a packed bitmap as ONE
+    whole-stage-codegen filter Column: the bitmap ships as a single
+    array LITERAL (F.lit(list) — the per-row cost is the hash
+    arithmetic, not the constant array access) and each probe tests
+    its bit via element_at + shiftleft. The other half of
+    :func:`bloom_bitmap_words`; ``col_sql`` must hash the same column
+    family the bitmap was built from."""
+    bitmap = F.lit(words)
+    b1 = _bloom_native_h("bf1", col_sql, False)
+    b2 = _bloom_native_h("bf2", col_sql, True)
     cond = None
     for i in range(BLOOM_K):
         pos = f"(({b1} + {i} * {b2}) % {BLOOM_M})"
@@ -925,7 +933,21 @@ def _bloom_pruned_sides(spark: SparkSession, sf_dir: str):
         mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))")
         test = word.bitwiseAND(mask) != 0
         cond = test if cond is None else (cond & test)
-    pruned = li.select("l_orderkey", "l_extendedprice", "l_discount").filter(cond)
+    return cond
+
+
+def _bloom_pruned_sides(spark: SparkSession, sf_dir: str):
+    """Build the (urgent orders, bloom-pruned lineitem) pair shared by
+    :func:`bloom_pruned_join` and :func:`bloom_join_fp_audit`."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == BLOOM_JOIN_PRIORITY
+    ).select("o_orderkey", "o_orderdate")
+    words = bloom_bitmap_words(urgent, "o_orderkey")
+    pruned = li.select("l_orderkey", "l_extendedprice", "l_discount").filter(
+        bloom_probe_cond(words, "l_orderkey")
+    )
     return urgent, pruned
 
 

@@ -128,7 +128,8 @@ media_video_decontaminate_stored media_video_frame_overlap
 media_video_frame_decontaminate media_video_frame_decontaminate_stored
 media_video_clean_funnel --force decontaminate_audit
 media_clean_funnel media_image_dedup media_audio_dedup
-contamination_check`` on the committed CORRECTNESS_r01..r14 history):
+contamination_check bloom_pruned_join`` on the committed
+CORRECTNESS_r01..r14 history):
   1-17    the 17 r11-stamped residue entries
           (winnow_fingerprints_chunked .. similarity_topk) — age 4 at
           r15 close otherwise, the hard deadline; they lead by
@@ -144,7 +145,7 @@ contamination_check`` on the committed CORRECTNESS_r01..r14 history):
           pre-verified green at sf0.001+sf0.01 twice (builder 28/28
           R14_QUEUED_PREVERIFY.json + the r14 judge's independent
           spot checks).
-  26-30   forced restamps: decontaminate_audit (oracle recomposed to
+  26-31   forced restamps: decontaminate_audit (oracle recomposed to
           fold the video tier in as the 6th modality — the audio-tier
           r14 precedent); media_clean_funnel, media_image_dedup,
           media_audio_dedup (the fp_clusters first-matching-band
@@ -152,11 +153,12 @@ contamination_check`` on the committed CORRECTNESS_r01..r14 history):
           and oracle-verified, but the code path changed, so they
           restamp by rule); contamination_check (prefilter/tail
           factored out for the Bloom-prefilter library surface — the
-          same rule).
-  31-50   oldest-stamp-first fill: 20 of the 47 r12-stamped block.
-Total 50. Outside-window ages at r15 close: 46@1, 42@2, 27@3 — bound
+          same rule); bloom_pruned_join (its bitmap machinery factored
+          into the shared sketch helpers for the same surface).
+  32-50   oldest-stamp-first fill: 19 of the 47 r12-stamped block.
+Total 50. Outside-window ages at r15 close: 45@1, 42@2, 28@3 — bound
 holds (planner output re-checked after the registrations and forces
-settled; the 27 age-3 r12 leftovers are the r16 deadline block).
+settled; the 28 age-3 r12 leftovers are the r16 deadline block).
 
 ROUND-16/17 PLAN (r14 verdict #6; feasibility re-simulated over the
 assumed-green r15 stamps with planner.plan_window — bound holds every
@@ -166,7 +168,7 @@ registry):
     media_audio_snippet_overlap, media_audio_snippet_decontaminate
     (+_stored), media_image_tile_overlap,
     media_image_tile_decontaminate (+_stored). Registry 165 -> 171.
-    The 27 r12-stamped leftovers lead as the deadline block;
+    The 28 r12-stamped leftovers lead as the deadline block;
     registrations follow. All 6 surfaces pre-verified green at
     sf0.001+sf0.01 (R14_QUEUED_PREVERIFY.json 28/28; 1 re-verified
     by the r14 judge) — any driver red is regression, not design.
@@ -278,6 +280,12 @@ QUERIES: dict[str, QueryFn] = {
     #   registration plan): behaviour-identical and oracle-verified,
     #   but the code path changed, so it restamps by rule.
     "contamination_check": _cu.contamination_check,
+    # bloom_pruned_join — its bitmap-pack/probe machinery factored
+    #   into sketch.bloom_bitmap_words / bloom_probe_cond (shared with
+    #   the r15 decontaminate_bloom_prefilter library surface, r15
+    #   review): behaviour-identical, but the code path changed, so it
+    #   restamps by rule.
+    "bloom_pruned_join": _sk.bloom_pruned_join,
     # --- [r15 window, 31-50] oldest-stamp-first fill: 20 of the 47
     # r12-stamped block (CORRECTNESS_r12 order).
     "lm_interp_score": _lm.lm_interp_score,
@@ -299,13 +307,13 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
-    "nation_revenue": _rel.nation_revenue,
     # ================ position 51+ — outside the r15 driver window =====
-    # The 26 r12-stamped leftovers (age 3 at r15 close — legal; they
+    # The 28 r12-stamped leftovers (age 3 at r15 close — legal; they
     # are the r16 deadline block and LEAD the r16 window together
     # with the sub-item registrations, see the ROUND-16/17 plan in
-    # the module docstring). The first three were displaced from the
-    # window fill by the fp_clusters forced restamps:
+    # the module docstring). The first four were displaced from the
+    # window fill by the forced restamps:
+    "nation_revenue": _rel.nation_revenue,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
     "small_quantity_revenue": _rel.small_quantity_revenue,
@@ -333,7 +341,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    # The 43-entry r13-stamped block (CORRECTNESS_r13 order; age 2
+    # The 42-entry r13-stamped block (CORRECTNESS_r13 order minus
+    # media_audio_dedup, force-restamping in the window above; age 2
     # at r15 close — rotates r16/r17):
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
@@ -377,9 +386,10 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
-    # The 49-entry r14-stamped block (CORRECTNESS_r14 order minus
-    # decontaminate_audit, force-restamping in the window above —
-    # freshest stamps, rotates last):
+    # The 45-entry r14-stamped block (CORRECTNESS_r14 order minus
+    # decontaminate_audit, media_clean_funnel, media_image_dedup,
+    # contamination_check and bloom_pruned_join, all force-restamping
+    # in the window above — freshest stamps, rotates last):
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
@@ -405,7 +415,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash": _dd.dedup_minhash_pairs,
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
     "media_png_decode": _mm.media_png_decode,
-    "bloom_pruned_join": _sk.bloom_pruned_join,
     "token_counts": _ta.token_counts,
     "stratified_sample": _pl.stratified_sample,
     "tfidf_topk": _ta.tfidf_topk,

@@ -9,7 +9,8 @@ fp_clusters/contamination refactors touched shared machinery):
 
   r16: the 6 sub-item surfaces (audio snippet trio, image tile trio)
   r17: dedup_substring_cut + dedup_substring_cut_stored
-  r18: decontaminate_bloom_prefilter + dedup_containment
+  r18: decontaminate_bloom_prefilter + dedup_containment +
+       contamination_stored
 
 Usage: python scripts/preverify_queued_r15.py > R15_QUEUED_PREVERIFY.json
 """

@@ -63,11 +63,25 @@ def test_bench_line_fits_record_window():
 
     for magnitude in (0.001, 9.999, 12345.678):
         timings = {n: magnitude for n in registry.QUERIES}
-        line, full = bench.build_output(timings, 0.1)
+        # WITH every optional line field at wide magnitudes — the r15
+        # norm_* fields pushed a real line to 1987/2000 bytes while
+        # this test built the minimal line and could not see it
+        line, full = bench.build_output(
+            timings,
+            0.1,
+            runs={n: [magnitude, magnitude] for n in timings},
+            calibration=[0.123456] * 10,
+            warm={n: magnitude for n in timings},
+            norm_calibration=[1234.5678] * 5,
+            norm_calibration_post=[2345.6789] * 3,
+        )
         assert len(line.encode()) < 1900, len(line)
         parsed = json.loads(line)
         assert parsed["metric"] == "headline_queries_total"
         assert set(full["queries"]) == set(registry.QUERIES)
+        # minimal line still fits too
+        line2, _ = bench.build_output(timings, 0.1)
+        assert len(line2.encode()) < 1900
 
 
 def test_bench_headline_canonical_order():
