@@ -121,74 +121,55 @@ Never commit a new CORRECTNESS stamp into a tree whose registry
 still carries the previous window without immediately following with
 the rotation.
 
-ROUND-15 WINDOW (this ordering — reproduced exactly by
-``python scripts/plan_next_window.py --register media_video_neardup
-media_video_dedup media_video_decontaminate
-media_video_decontaminate_stored media_video_frame_overlap
-media_video_frame_decontaminate media_video_frame_decontaminate_stored
-media_video_clean_funnel --force decontaminate_audit
-media_clean_funnel media_image_dedup media_audio_dedup
-contamination_check bloom_pruned_join`` on the committed
-CORRECTNESS_r01..r14 history):
-  1-17    the 17 r11-stamped residue entries
-          (winnow_fingerprints_chunked .. similarity_topk) — age 4 at
-          r15 close otherwise, the hard deadline; they lead by
-          planner rule. (The r14-era plan prose said "13 r11-residue
-          entries / registrations at slots 14-21"; the actual r14
-          stamps left 17 — registrations sit at slots 18-25, the r14
-          advisor's arithmetic correction.)
-  18-25   the r13-built VIDEO perceptual tier REGISTERS
-          (media_video_neardup/_dedup/_decontaminate(_stored), the
-          frame-granular media_video_frame_overlap/
-          _frame_decontaminate(_stored), media_video_clean_funnel —
-          multimodal.py / pipeline.py). Registry 157 -> 165. All 8
-          pre-verified green at sf0.001+sf0.01 twice (builder 28/28
-          R14_QUEUED_PREVERIFY.json + the r14 judge's independent
-          spot checks).
-  26-31   forced restamps: decontaminate_audit (oracle recomposed to
-          fold the video tier in as the 6th modality — the audio-tier
-          r14 precedent); media_clean_funnel, media_image_dedup,
-          media_audio_dedup (the fp_clusters first-matching-band
-          edge-emission change, r14 verdict #3 — cluster-identical
-          and oracle-verified, but the code path changed, so they
-          restamp by rule); contamination_check (prefilter/tail
-          factored out for the Bloom-prefilter library surface — the
-          same rule); bloom_pruned_join (its bitmap machinery factored
-          into the shared sketch helpers for the same surface).
-  32-50   oldest-stamp-first fill: 19 of the 47 r12-stamped block.
-Total 50. Outside-window ages at r15 close: 45@1, 42@2, 28@3 — bound
-holds (planner output re-checked after the registrations and forces
-settled; the 28 age-3 r12 leftovers are the r16 deadline block).
+ROUND-16 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --register
+media_audio_snippet_overlap media_audio_snippet_decontaminate
+media_audio_snippet_decontaminate_stored media_image_tile_overlap
+media_image_tile_decontaminate media_image_tile_decontaminate_stored``
+on the committed CORRECTNESS_r01..r15 history):
+  1-28    the 28 r12-stamped deadline entries (nation_revenue ..
+          bpe_train_merges) — age 4 at r16 close otherwise, the hard
+          deadline; they lead by planner rule.
+  29-34   the r14-built SUB-ITEM granularity tiers REGISTER
+          (media_audio_snippet_overlap/_decontaminate(_stored),
+          media_image_tile_overlap/_decontaminate(_stored) —
+          multimodal.py). Registry 165 -> 171. All 6 pre-verified
+          green at sf0.001+sf0.01 three times (builder 28/28
+          R14_QUEUED_PREVERIFY.json, the r15 final-tree re-verify
+          R15_QUEUED_PREVERIFY.json, the r15 judge's independent
+          runs).
+  35-50   oldest-stamp-first fill: 16 of the 42 r13-stamped block
+          (dedup_keep_best .. hll_daily_users, CORRECTNESS_r13
+          order). No forced restamps this round: no code path under
+          a stamped query changed between the r15 snapshot and this
+          rotation.
+Total 50. Outside-window ages at r16 close: 50@1, 45@2, 26@3 — bound
+holds (planner output re-checked after the registrations settled;
+the 26 age-3 r13 leftovers are the r17 deadline block).
 
-ROUND-16/17 PLAN (r14 verdict #6; feasibility re-simulated over the
-assumed-green r15 stamps with planner.plan_window — bound holds every
-round through r19 with ~18-27 free slots/round on the 173-entry
-registry):
-  r16 (6 registrations): the sub-item granularity completes —
-    media_audio_snippet_overlap, media_audio_snippet_decontaminate
-    (+_stored), media_image_tile_overlap,
-    media_image_tile_decontaminate (+_stored). Registry 165 -> 171.
-    The 28 r12-stamped leftovers lead as the deadline block;
-    registrations follow. All 6 surfaces pre-verified green at
-    sf0.001+sf0.01 (R14_QUEUED_PREVERIFY.json 28/28; 1 re-verified
-    by the r14 judge) — any driver red is regression, not design.
+ROUND-17/18 PLAN (r15 verdict #3; feasibility re-simulated over the
+assumed-green r16 stamps with planner.plan_window — bound holds
+through r20):
   r17 (2 registrations): dedup_substring_cut +
     dedup_substring_cut_stored (substring_dedup.py — the corpus
     REWRITE of the Lee et al. span family; stored cycle roundtrip
     bit-identical so ONE oracle gates both paths; judge-verified
-    green 4/4 at sf0.001+sf0.01 in the r14 session,
+    green 4/4 at sf0.001+sf0.01 in the r14 AND r15 sessions,
     R14_CUT_PROBE.json 10x probe on file). Registry 171 -> 173,
-    within the 200 cap. The r13-stamped block's oldest entries lead
+    within the 200 cap. The 26 remaining r13-stamped entries lead
     as the r17 deadline; the pair fits the free slots without
-    displacing any deadline entry (verified by the r15 planner
-    simulation — see scripts/plan_next_window.py).
+    displacing any deadline entry (r16 planner simulation).
+  r18 (3 registrations): the r15-built library surfaces below.
+    Registry 173 -> 176. The r14-stamped block's oldest entries
+    lead as the r18 deadline; the trio fits the free slots.
   Evidence already on file for the whole plan: seeded-leak +
   clip-in-clip + crop + snippet goldens, stored-cycle + streaming
   equivalences, affine-invariance properties, R13_VIDEO_PROBE.json /
-  R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json.
+  R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json,
+  R15_QUEUED_PREVERIFY.json (11 surfaces x 2 SFs).
 
 ROUND-18 BACKLOG (library surfaces built r15, queuing behind the
-r16/r17 split):
+r17 substring-cut pair):
   decontaminate_bloom_prefilter (curation.py) — the exact
     contamination tier served through a CONSTANT-SIZE Bloom runtime
     filter instead of the eval-keys broadcast; false positives cancel
@@ -217,102 +198,9 @@ r16/r17 split):
 """
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r15 window, 1-17] the 17 r11-stamped residue entries —
-    # age 4 at r15 close otherwise, the hard deadline; they lead by
-    # planner rule (``plan_next_window.py`` positions 1-17).
-    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
-    "decontaminate_neardup": _wn.decontaminate_neardup,
-    "events_value_mad_outliers": _cx.events_value_mad_outliers,
-    "bpe_encode_ids": _bpx.bpe_encode_ids,
-    "pack_token_ids": _bpx.pack_token_ids,
-    "events_burst_runs": _ev.events_burst_runs,
-    "dedup_clusters": _dd.dedup_clusters,
-    "hll_type_overlap": _sk.hll_type_overlap,
-    "cms_daily_merge": _sk.cms_daily_merge,
-    "trade_triangles": _gph.trade_triangles,
-    "cms_sketch": _sk.cms_sketch,
-    "hll_estimate": _sk.hll_estimate,
-    "embedding_neardup_portable": _sim.embedding_neardup_portable,
-    "events_gapfill": _ev.events_gapfill,
-    "events_props_stats": _ev.events_props_stats,
-    "funnel_conversion": _ev.funnel_conversion,
-    "similarity_topk": _sim.similarity_topk,
-    # --- [r15 window, 18-25] the r13-built VIDEO perceptual tier
-    # REGISTERS (registry 157 -> 165, r13 verdict #2 split / r14
-    # verdict #1): whole-clip spatio-temporal fingerprints (neardup /
-    # dedup / decontaminate online+stored), the FRAME-granular trio
-    # (overlap + decontaminate online+stored), and the video curation
-    # funnel. All 8 pre-verified green at sf0.001+sf0.01 twice
-    # (builder 28/28 R14_QUEUED_PREVERIFY.json + the r14 judge's spot
-    # checks) — any driver red is regression, not design. NOTE:
-    # media_video_decontaminate flags a GENUINE contamination row at
-    # sf0.001, so its stamp is a non-empty hash (stronger evidence
-    # than the audio tier's legitimate empty).
-    "media_video_neardup": _mm.media_video_neardup,
-    "media_video_dedup": _mm.media_video_dedup,
-    "media_video_decontaminate": _mm.media_video_decontaminate,
-    "media_video_decontaminate_stored": _mm.media_video_decontaminate_stored,
-    "media_video_frame_overlap": _mm.media_video_frame_overlap,
-    "media_video_frame_decontaminate": _mm.media_video_frame_decontaminate,
-    "media_video_frame_decontaminate_stored": (
-        _mm.media_video_frame_decontaminate_stored
-    ),
-    "media_video_clean_funnel": _pl.media_video_clean_funnel,
-    # --- [r15 window, 26-29] forced restamps:
-    # decontaminate_audit — oracle RECOMPOSED this round to fold the
-    #   video tier in as the 6th modality (pipeline.py; the
-    #   audio-tier r14 precedent);
-    # media_clean_funnel, media_image_dedup, media_audio_dedup — the
-    #   r15 fp_clusters edge-enumeration change (first-matching-band
-    #   emission replaces the post-join distinct, r14 verdict #3):
-    #   cluster-identical by construction and oracle-verified at both
-    #   SFs, but the code path changed, so they restamp by rule (the
-    #   media_image_neardup r10->r11 precedent; the other two
-    #   fp_clusters callers, media_video_dedup and
-    #   media_video_clean_funnel, register in this window anyway).
-    "decontaminate_audit": _pl.decontaminate_audit,
-    "media_clean_funnel": _pl.media_clean_funnel,
-    "media_image_dedup": _mm.media_image_dedup,
-    "media_audio_dedup": _mm.media_audio_dedup,
-    # contamination_check — its prefilter/tail split into
-    #   _contam_doc_shingles / _contamination_tail (shared with the
-    #   r15-built decontaminate_bloom_prefilter library surface, r18
-    #   registration plan): behaviour-identical and oracle-verified,
-    #   but the code path changed, so it restamps by rule.
-    "contamination_check": _cu.contamination_check,
-    # bloom_pruned_join — its bitmap-pack/probe machinery factored
-    #   into sketch.bloom_bitmap_words / bloom_probe_cond (shared with
-    #   the r15 decontaminate_bloom_prefilter library surface, r15
-    #   review): behaviour-identical, but the code path changed, so it
-    #   restamps by rule.
-    "bloom_pruned_join": _sk.bloom_pruned_join,
-    # --- [r15 window, 31-50] oldest-stamp-first fill: 20 of the 47
-    # r12-stamped block (CORRECTNESS_r12 order).
-    "lm_interp_score": _lm.lm_interp_score,
-    "lm_bigram_score": _lm.lm_bigram_score,
-    "quantile_daily_merge": _sk.quantile_daily_merge,
-    "trade_kcore": _gph.trade_kcore,
-    "trade_pagerank": _gph.trade_pagerank,
-    "lm_score_stored": _lm.lm_score_stored,
-    "pq_search_appended": _pq.pq_search_appended,
-    "dedup_incremental": _wn.dedup_incremental,
-    "events_drift_chisq": _ev.events_drift_chisq,
-    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
-    "pq_search_stored": _pq.pq_search_stored,
-    "decontaminate_stored": _wn.decontaminate_stored,
-    "dataset_publish_manifest": _cx.dataset_publish_manifest,
-    "similarity_filtered_topk": _sim.similarity_filtered_topk,
-    "dedup_exact": _dd.dedup_exact,
-    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
-    "dedup_minhash_portable": _dd.dedup_minhash_portable,
-    "pricing_summary": _rel.pricing_summary,
-    "top_revenue_orders": _rel.top_revenue_orders,
-    # ================ position 51+ — outside the r15 driver window =====
-    # The 28 r12-stamped leftovers (age 3 at r15 close — legal; they
-    # are the r16 deadline block and LEAD the r16 window together
-    # with the sub-item registrations, see the ROUND-16/17 plan in
-    # the module docstring). The first four were displaced from the
-    # window fill by the forced restamps:
+    # --- [r16 window, 1-28] the 28 r12-stamped deadline entries —
+    # age 4 at r16 close otherwise, the hard deadline; they lead by
+    # planner rule (``plan_next_window.py`` positions 1-28).
     "nation_revenue": _rel.nation_revenue,
     "region_acctbal": _rel.region_acctbal,
     "promo_revenue": _rel.promo_revenue,
@@ -341,9 +229,29 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": _ta.pack_sequences,
     "mixture_weights": _pl.mixture_weights,
     "bpe_train_merges": _bpe.bpe_train_merges,
-    # The 42-entry r13-stamped block (CORRECTNESS_r13 order minus
-    # media_audio_dedup, force-restamping in the window above; age 2
-    # at r15 close — rotates r16/r17):
+    # --- [r16 window, 29-34] the r14-built SUB-ITEM granularity
+    # tiers REGISTER (registry 165 -> 171, r14 verdict #6 / r15
+    # verdict #1): audio snippet-in-track overlap + decontamination
+    # (online + stored) and image tile-in-image overlap +
+    # decontamination (online + stored) — multimodal.py. All 6
+    # pre-verified green at sf0.001+sf0.01 three times (builder
+    # R14_QUEUED_PREVERIFY.json 28/28, the r15 final-tree re-verify
+    # R15_QUEUED_PREVERIFY.json, the r15 judge's independent runs)
+    # — any driver red is regression, not design. NOTE:
+    # media_image_tile_decontaminate flags a GENUINE tile leak at
+    # sf0.01, so its stamp should be a non-empty hash.
+    "media_audio_snippet_overlap": _mm.media_audio_snippet_overlap,
+    "media_audio_snippet_decontaminate": _mm.media_audio_snippet_decontaminate,
+    "media_audio_snippet_decontaminate_stored": (
+        _mm.media_audio_snippet_decontaminate_stored
+    ),
+    "media_image_tile_overlap": _mm.media_image_tile_overlap,
+    "media_image_tile_decontaminate": _mm.media_image_tile_decontaminate,
+    "media_image_tile_decontaminate_stored": (
+        _mm.media_image_tile_decontaminate_stored
+    ),
+    # --- [r16 window, 35-50] oldest-stamp-first fill: 16 of the 42
+    # r13-stamped block (CORRECTNESS_r13 order).
     "dedup_keep_best": _dd.dedup_keep_best,
     "token_len_histogram": _ta.token_len_histogram,
     "token_budget_select": _cx.token_budget_select,
@@ -360,6 +268,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_moving_stats": _ev.events_moving_stats,
     "events_daily_pivot": _ev.events_daily_pivot,
     "hll_daily_users": _sk.hll_daily_users,
+    # ================ position 51+ — outside the r16 driver window =====
+    # The remaining 26 r13-stamped entries (age 3 at r16 close —
+    # legal; they are the r17 deadline block and LEAD the r17 window
+    # together with the dedup_substring_cut(+_stored) registrations,
+    # see the ROUND-17/18 plan in the module docstring):
     "user_retention": _ev.user_retention,
     "events_value_deciles": _ev.events_value_deciles,
     "word_typo_pairs": _cx.word_typo_pairs,
@@ -386,10 +299,8 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
-    # The 45-entry r14-stamped block (CORRECTNESS_r14 order minus
-    # decontaminate_audit, media_clean_funnel, media_image_dedup,
-    # contamination_check and bloom_pruned_join, all force-restamping
-    # in the window above — freshest stamps, rotates last):
+    # The 45-entry r14-stamped block (CORRECTNESS_r14 order; age 2
+    # at r16 close — rotates r17/r18):
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
@@ -435,6 +346,60 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,
     "events_multi_rollup": _ev.events_multi_rollup,
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
+    # The 50-entry r15-stamped block (CORRECTNESS_r15 order —
+    # freshest stamps, rotates last):
+    "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
+    "decontaminate_neardup": _wn.decontaminate_neardup,
+    "events_value_mad_outliers": _cx.events_value_mad_outliers,
+    "bpe_encode_ids": _bpx.bpe_encode_ids,
+    "pack_token_ids": _bpx.pack_token_ids,
+    "events_burst_runs": _ev.events_burst_runs,
+    "dedup_clusters": _dd.dedup_clusters,
+    "hll_type_overlap": _sk.hll_type_overlap,
+    "cms_daily_merge": _sk.cms_daily_merge,
+    "trade_triangles": _gph.trade_triangles,
+    "cms_sketch": _sk.cms_sketch,
+    "hll_estimate": _sk.hll_estimate,
+    "embedding_neardup_portable": _sim.embedding_neardup_portable,
+    "events_gapfill": _ev.events_gapfill,
+    "events_props_stats": _ev.events_props_stats,
+    "funnel_conversion": _ev.funnel_conversion,
+    "similarity_topk": _sim.similarity_topk,
+    "media_video_neardup": _mm.media_video_neardup,
+    "media_video_dedup": _mm.media_video_dedup,
+    "media_video_decontaminate": _mm.media_video_decontaminate,
+    "media_video_decontaminate_stored": _mm.media_video_decontaminate_stored,
+    "media_video_frame_overlap": _mm.media_video_frame_overlap,
+    "media_video_frame_decontaminate": _mm.media_video_frame_decontaminate,
+    "media_video_frame_decontaminate_stored": (
+        _mm.media_video_frame_decontaminate_stored
+    ),
+    "media_video_clean_funnel": _pl.media_video_clean_funnel,
+    "decontaminate_audit": _pl.decontaminate_audit,
+    "media_clean_funnel": _pl.media_clean_funnel,
+    "media_image_dedup": _mm.media_image_dedup,
+    "media_audio_dedup": _mm.media_audio_dedup,
+    "contamination_check": _cu.contamination_check,
+    "bloom_pruned_join": _sk.bloom_pruned_join,
+    "lm_interp_score": _lm.lm_interp_score,
+    "lm_bigram_score": _lm.lm_bigram_score,
+    "quantile_daily_merge": _sk.quantile_daily_merge,
+    "trade_kcore": _gph.trade_kcore,
+    "trade_pagerank": _gph.trade_pagerank,
+    "lm_score_stored": _lm.lm_score_stored,
+    "pq_search_appended": _pq.pq_search_appended,
+    "dedup_incremental": _wn.dedup_incremental,
+    "events_drift_chisq": _ev.events_drift_chisq,
+    "bpe_encode_ids_stored": _bpx.bpe_encode_ids_stored,
+    "pq_search_stored": _pq.pq_search_stored,
+    "decontaminate_stored": _wn.decontaminate_stored,
+    "dataset_publish_manifest": _cx.dataset_publish_manifest,
+    "similarity_filtered_topk": _sim.similarity_filtered_topk,
+    "dedup_exact": _dd.dedup_exact,
+    "dedup_ngram_jaccard": _dd.ngram_jaccard_pairs,
+    "dedup_minhash_portable": _dd.dedup_minhash_portable,
+    "pricing_summary": _rel.pricing_summary,
+    "top_revenue_orders": _rel.top_revenue_orders,
 }
 
 
@@ -702,6 +667,27 @@ ORACLES: dict[str, str] = {
         _mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_STORED_ORACLE
     ),
     "media_video_clean_funnel": _pl.MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
+    # the r16 registrations (r14-built sub-item granularity tiers):
+    # snippet/tile fingerprints re-derived in DuckDB from the raw
+    # payload hex via the shared sub-item oracle cores; online +
+    # stored decontamination cycles are bit-identical (integer
+    # fingerprints survive parquet losslessly), so one oracle body
+    # gates both via the uniform *_STORED_ORACLE alias (r13 verdict
+    # #6).
+    "media_audio_snippet_overlap": _mm.MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE,
+    "media_audio_snippet_decontaminate": (
+        _mm.MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE
+    ),
+    "media_audio_snippet_decontaminate_stored": (
+        _mm.MEDIA_AUDIO_SNIPPET_DECONTAMINATE_STORED_ORACLE
+    ),
+    "media_image_tile_overlap": _mm.MEDIA_IMAGE_TILE_OVERLAP_ORACLE,
+    "media_image_tile_decontaminate": (
+        _mm.MEDIA_IMAGE_TILE_DECONTAMINATE_ORACLE
+    ),
+    "media_image_tile_decontaminate_stored": (
+        _mm.MEDIA_IMAGE_TILE_DECONTAMINATE_STORED_ORACLE
+    ),
     # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
     # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
     # *_portable twins above run the identical pipeline under full
