@@ -276,6 +276,16 @@ def containment_pairs_from(
     docs: DataFrame, n: int = 5,
     threshold: float = CONTAIN_THRESHOLD, df_cap: int = 100,
 ) -> DataFrame:
+    # Persist BEFORE the df-cap, exactly as in ngram_jaccard_pairs
+    # (dedup.py:160): the raw frame feeds the broadcast-hot build job
+    # (a SEPARATE job, outside ReuseExchange's reach) AND the capped
+    # frame's three consumers (per-doc sizes + both self-join sides),
+    # so this keeps the tokenize+shingle+md5 corpus scan to exactly
+    # one. The rebind below makes the handle unreachable by design:
+    # the cache entry is left to LRU eviction (callers consume the
+    # returned lazy frame, so eager unpersist here would defeat it);
+    # the bench's clearCache between queries releases it, and
+    # long-lived sessions can spark.catalog.clearCache().
     sh = (
         _doc_shingles(docs, n)
         .select("doc_id", F.md5("shingle").alias("sh"))
