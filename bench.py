@@ -313,6 +313,17 @@ def main(argv: list[str] | None = None) -> None:
     runs = {n: [round(first[n], 3), round(second[n], 3)] for n in names}
     timings = {n: min(r) for n, r in runs.items()}
 
+    # previous round's committed full file (read BEFORE the overwrite
+    # below): feeds the mover detection so the printed line surfaces
+    # any query whose time moved >MOVER_RATIO cross-round
+    prev_timings: dict[str, float] | None = None
+    try:
+        prev_full = json.loads(Path("BENCH_FULL.json").read_text())
+        if isinstance(prev_full.get("queries"), dict):
+            prev_timings = prev_full["queries"]
+    except (OSError, ValueError):
+        prev_timings = None
+
     line, full = build_output(
         timings,
         sf,
@@ -322,6 +333,7 @@ def main(argv: list[str] | None = None) -> None:
         stages=stages,
         norm_calibration=norm_start,
         norm_calibration_post=norm_end,
+        prev_timings=prev_timings,
     )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
     print(line)
@@ -359,6 +371,15 @@ NORM_BAND_FLOOR_PCT = 10.0
 # exit code so the driver can tell "noisy host, retry" from a crash.
 PREFLIGHT_ATTEMPTS = 3
 PREFLIGHT_EXIT_CODE = 3
+# Mover surfacing (r15 verdict #6): a query re-enters the printed
+# line — ahead of the slowest-first fill — when its cold min-of-two
+# moved by more than this ratio vs the previous round's committed
+# BENCH_FULL.json, so the driver-visible line itself surfaces
+# regressions in fast queries instead of deferring to the full-file
+# diff. The absolute floor keeps sub-noise ratio flips on
+# sub-half-second queries from burning line slots.
+MOVER_RATIO = 1.5
+MOVER_ABS_FLOOR_SEC = 0.3
 
 
 def _cal_median(samples: list[float]) -> float:
@@ -517,6 +538,7 @@ def build_output(
     stages: dict[str, dict[str, float]] | None = None,
     norm_calibration: list[float] | None = None,
     norm_calibration_post: list[float] | None = None,
+    prev_timings: dict[str, float] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
     stay well under 2000 bytes — the driver records only the last
@@ -566,6 +588,30 @@ def build_output(
     # parsed=null failure). The guard test now builds the line WITH
     # every optional field at wide magnitudes.
     budget = 1400
+    # MOVERS first (r15 verdict #6): the slowest-first fill hides a
+    # regression in a FAST query (a 0.3 s -> 1.2 s query never makes
+    # the top-~40 cut), so any query whose time moved more than
+    # MOVER_RATIO vs the previous round's committed BENCH_FULL file
+    # claims a line slot ahead of the merely-slow. The absolute floor
+    # keeps sub-noise flips (0.05 s -> 0.09 s is 1.8x but meaningless
+    # under the measured per-query jitter) from burning slots. Biggest
+    # absolute delta first, so when many move the worst always fit.
+    movers: list[str] = []
+    if prev_timings:
+        for name, secs in timings.items():
+            prev = prev_timings.get(name)
+            if prev is None or min(secs, prev) <= 0:
+                continue
+            ratio = max(secs, prev) / min(secs, prev)
+            if ratio > MOVER_RATIO and abs(secs - prev) >= MOVER_ABS_FLOOR_SEC:
+                movers.append(name)
+        movers.sort(key=lambda n: -abs(timings[n] - prev_timings[n]))
+        for name in movers:
+            if name in shown:
+                continue
+            if len(json.dumps({**shown, name: timings[name]})) > budget:
+                break
+            shown[name] = timings[name]
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
         if name in shown:
             continue
@@ -581,6 +627,12 @@ def build_output(
         "detail": "BENCH_FULL.json",
         "sf": sf,
     }
+    if prev_timings:
+        # how many >MOVER_RATIO movers exist vs the previous round's
+        # full file (all of them are in "queries" unless the byte
+        # budget overflowed — full list in BENCH_FULL.json "movers")
+        line_dict["n_movers"] = len(movers)
+        full["movers"] = movers
     if calibration is not None:
         # r11 protocol: median of 2*CAL_SAMPLES samples (was mean of
         # 2), plus the relative spread as the normalized headline's

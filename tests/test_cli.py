@@ -74,6 +74,10 @@ def test_bench_line_fits_record_window():
             warm={n: magnitude for n in timings},
             norm_calibration=[1234.5678] * 5,
             norm_calibration_post=[2345.6789] * 3,
+            # worst case for the r16 mover path: EVERY query is a
+            # >MOVER_RATIO mover vs the previous round — the byte
+            # budget must still hold
+            prev_timings={n: magnitude * 2 + 1 for n in timings},
         )
         assert len(line.encode()) < 1900, len(line)
         parsed = json.loads(line)
@@ -82,6 +86,39 @@ def test_bench_line_fits_record_window():
         # minimal line still fits too
         line2, _ = bench.build_output(timings, 0.1)
         assert len(line2.encode()) < 1900
+
+
+def test_bench_line_surfaces_movers():
+    """r15 verdict #6: a FAST query whose time moved >MOVER_RATIO vs
+    the previous round's full file must appear in the printed line
+    even when the slowest-first fill would have cut it; sub-floor
+    ratio flips must not burn slots."""
+    import json
+
+    import bench
+    from honors_p1_mapreduce_spark import registry
+
+    names = sorted(registry.QUERIES)
+    # everything slow and flat except one fast regression + one
+    # sub-floor flip
+    timings = {n: 60.0 for n in names}
+    fast_mover, noise_flip = names[0], names[1]
+    timings[fast_mover] = 1.2  # was 0.4 -> 3x, above the 0.3 s floor
+    timings[noise_flip] = 0.09  # was 0.05 -> 1.8x but sub-floor
+    prev = dict(timings)
+    prev[fast_mover] = 0.4
+    prev[noise_flip] = 0.05
+    line, full = bench.build_output(timings, 0.1, prev_timings=prev)
+    parsed = json.loads(line)
+    assert fast_mover in parsed["queries"], "mover cut from the line"
+    assert noise_flip not in full["movers"], "sub-floor flip counted"
+    assert parsed["n_movers"] == 1
+    assert full["movers"] == [fast_mover]
+    # without prev the mover machinery stays silent (first round /
+    # missing full file)
+    line2, full2 = bench.build_output(timings, 0.1)
+    assert "n_movers" not in json.loads(line2)
+    assert "movers" not in full2
 
 
 def test_bench_headline_canonical_order():
