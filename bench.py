@@ -301,10 +301,32 @@ def main(argv: list[str] | None = None) -> None:
     # which is the apples-to-apples scalar; POST is recorded after an
     # explicit full GC as a drift diagnostic, never as normalizer
     # input.
-    norm_start = [norm_calibration() for _ in range(NORM_CAL_SAMPLES)]
+    # r16 protocol (r15 verdict #5): normalizer samples are taken at
+    # THREE fixed lifecycle points bracketing the timed window — pre
+    # (before the first cold pass), mid (between the two cold passes,
+    # right after the same System.gc every run), and end (right after
+    # the second pass) — each tagged with its suite-clock offset, and
+    # value_normalized divides by the TIME-WEIGHTED median so host
+    # drift during the ~15-25 min suite is represented in proportion
+    # to the wall-clock it affected. The lifecycle points are the
+    # SAME every run (the r15 apples-to-apples argument, applied at
+    # three points instead of one), so JVM-age bias is constant
+    # cross-round and cancels in comparisons.
+    suite_t0 = time.perf_counter()
+
+    def timed_norm_samples(n: int) -> list[tuple[float, float]]:
+        return [
+            (round(time.perf_counter() - suite_t0, 3), norm_calibration())
+            for _ in range(n)
+        ]
+
+    norm_pre = timed_norm_samples(NORM_CAL_SAMPLES)
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
+    norm_mid = timed_norm_samples(NORM_CAL_MID_SAMPLES)
     second = {name: timed(name) for name in names}
+    norm_fin = timed_norm_samples(NORM_CAL_MID_SAMPLES)
+    norm_window = round(time.perf_counter() - suite_t0, 3)
     warm = {name: timed_warm(name) for name in names}
     stages = timed_stages()
     cal_end = [calibration() for _ in range(CAL_SAMPLES)]
@@ -331,8 +353,14 @@ def main(argv: list[str] | None = None) -> None:
         calibration=cal_start + cal_end,
         warm={n: round(w, 3) for n, w in warm.items()},
         stages=stages,
-        norm_calibration=norm_start,
+        norm_calibration=[v for _, v in norm_pre],
         norm_calibration_post=norm_end,
+        norm_timed={
+            "pre": norm_pre,
+            "mid": norm_mid,
+            "end": norm_fin,
+            "window_sec": norm_window,
+        },
         prev_timings=prev_timings,
     )
     Path("BENCH_FULL.json").write_text(json.dumps(full, indent=1) + "\n")
@@ -354,7 +382,8 @@ CAL_SAMPLES = 5  # calibration samples taken before AND after the suite
 # diagnostic: ~35 s of one-time overhead total.
 NORM_CAL_ROWS = 192_000_000
 NORM_CAL_REF = 4.0
-NORM_CAL_SAMPLES = 5  # PRE-suite samples — the normalizer input
+NORM_CAL_SAMPLES = 5  # PRE-suite samples
+NORM_CAL_MID_SAMPLES = 2  # samples at EACH mid-suite pause point (r16)
 NORM_CAL_POST_SAMPLES = 3  # post-suite, drift diagnostic only
 NORM_SPREAD_BOUND_PCT = 10.0
 # The within-run IQR UNDERSTATES the cross-run error: the 5 pre
@@ -380,6 +409,34 @@ PREFLIGHT_EXIT_CODE = 3
 # sub-half-second queries from burning line slots.
 MOVER_RATIO = 1.5
 MOVER_ABS_FLOOR_SEC = 0.3
+
+
+def _weighted_median(timed_samples: list[tuple[float, float]], window: float) -> float:
+    """Time-weighted median of (offset_sec, value) normalizer samples
+    over the suite window [0, window] (r16, r15 verdict #5): each
+    sample's weight is the Voronoi span of suite wall-clock nearest
+    to its offset, so a sample taken mid-suite represents the hours
+    of queries around it, not 1/n of the vote. The r15 protocol's 5
+    PRE-only samples shared one ~20 s host window and missed drift
+    that happened mid-suite — back-to-back identical runs normalized
+    8.6 % apart while their within-run spreads read 1.7 %/3.4 %."""
+    pts = sorted(timed_samples)
+    if not pts:
+        return 0.0
+    bounds = [0.0]
+    for i in range(len(pts) - 1):
+        bounds.append((pts[i][0] + pts[i + 1][0]) / 2)
+    bounds.append(max(window, pts[-1][0]))
+    weighted = sorted(
+        (v, bounds[i + 1] - bounds[i]) for i, (_, v) in enumerate(pts)
+    )
+    total_w = sum(w for _, w in weighted)
+    acc = 0.0
+    for v, w in weighted:
+        acc += w
+        if acc >= total_w / 2:
+            return v
+    return weighted[-1][0]
 
 
 def _cal_median(samples: list[float]) -> float:
@@ -538,6 +595,7 @@ def build_output(
     stages: dict[str, dict[str, float]] | None = None,
     norm_calibration: list[float] | None = None,
     norm_calibration_post: list[float] | None = None,
+    norm_timed: dict | None = None,
     prev_timings: dict[str, float] | None = None,
 ) -> tuple[str, dict]:
     """(printed JSON line, full-detail dict). The PRINTED line must
@@ -667,7 +725,47 @@ def build_output(
         # note: the post-suite JVM measured ~15 % slower).
         full["norm_calibration_sec"] = norm_calibration
         norm_median = _cal_median(norm_calibration)
-        if norm_median > 0:
+        if norm_timed is not None and norm_median > 0:
+            # r16 protocol (r15 verdict #5): the normalizer is the
+            # TIME-WEIGHTED median over samples taken at three fixed
+            # lifecycle points (pre / mid / end of the timed window),
+            # so mid-suite host drift — which the pre-only r15 median
+            # missed entirely — moves the normalizer in proportion to
+            # the wall-clock it affected. normalizer_ok gates on the
+            # max WITHIN-group spread: between-group differences are
+            # the drift this protocol exists to absorb, not noise.
+            # The flat PRE median stays in the full file
+            # (norm_pre_median) so r15<->r16 normalized numbers keep
+            # one comparable series during the protocol change.
+            groups = {
+                g: norm_timed[g] for g in ("pre", "mid", "end") if norm_timed.get(g)
+            }
+            all_samples = [s for g in groups.values() for s in g]
+            w_median = _weighted_median(all_samples, norm_timed["window_sec"])
+            group_medians = {
+                g: round(_cal_median([v for _, v in s]), 3)
+                for g, s in groups.items()
+            }
+            within = max(_cal_spread_pct([v for _, v in s]) for s in groups.values())
+            gm = sorted(group_medians.values())
+            drift_pct = (
+                round(100.0 * (gm[-1] - gm[0]) / gm[0], 1) if gm[0] > 0 else 0.0
+            )
+            line_dict["norm_calibration_sec"] = round(w_median, 3)
+            line_dict["norm_calibration_spread_pct"] = within
+            line_dict["normalizer_ok"] = within <= NORM_SPREAD_BOUND_PCT
+            line_dict["value_normalized"] = round(
+                total * NORM_CAL_REF / w_median, 3
+            )
+            line_dict["normalized_band_pct"] = max(within, NORM_BAND_FLOOR_PCT)
+            line_dict["norm_suite_drift_pct"] = drift_pct
+            full["norm_timed"] = norm_timed
+            full["norm_calibration_median"] = round(w_median, 3)
+            full["norm_group_medians"] = group_medians
+            full["norm_pre_median"] = round(norm_median, 3)
+            full["norm_calibration_spread_pct"] = within
+            full["norm_suite_drift_pct"] = drift_pct
+        elif norm_median > 0:
             norm_spread = _cal_spread_pct(norm_calibration)
             line_dict["norm_calibration_sec"] = round(norm_median, 3)
             line_dict["norm_calibration_spread_pct"] = norm_spread

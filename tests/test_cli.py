@@ -74,6 +74,12 @@ def test_bench_line_fits_record_window():
             warm={n: magnitude for n in timings},
             norm_calibration=[1234.5678] * 5,
             norm_calibration_post=[2345.6789] * 3,
+            norm_timed={
+                "pre": [(float(i), 1234.5678) for i in range(5)],
+                "mid": [(600.0, 2345.6789), (605.0, 2345.6789)],
+                "end": [(1200.0, 3456.789), (1205.0, 3456.789)],
+                "window_sec": 1210.0,
+            },
             # worst case for the r16 mover path: EVERY query is a
             # >MOVER_RATIO mover vs the previous round — the byte
             # budget must still hold
@@ -86,6 +92,67 @@ def test_bench_line_fits_record_window():
         # minimal line still fits too
         line2, _ = bench.build_output(timings, 0.1)
         assert len(line2.encode()) < 1900
+
+
+def test_bench_weighted_median_normalizer():
+    """r15 verdict #5: the normalizer is the TIME-WEIGHTED median over
+    pre/mid/end sample groups — a host that is fast for the 20 s of
+    pre-sampling but slow for the rest of the suite must normalize by
+    the slow value, not the pre one; and normalizer_ok gates on
+    within-group spread only (between-group drift is what the
+    weighting absorbs)."""
+    import json
+
+    import bench
+
+    # fast pre (4.0 s), slow mid+end (5.0 s) over a 1200 s window:
+    # pre covers ~300 s of the window, mid+end ~900 s -> weighted
+    # median = 5.0 (the r15 pre-only median would read 4.0)
+    assert (
+        bench._weighted_median(
+            [(0.0, 4.0), (5.0, 4.0), (10.0, 4.0)]
+            + [(600.0, 5.0), (605.0, 5.0), (1190.0, 5.0), (1195.0, 5.0)],
+            1200.0,
+        )
+        == 5.0
+    )
+    # uniform samples -> plain median
+    assert bench._weighted_median([(0.0, 2.0), (50.0, 3.0), (100.0, 4.0)], 100.0) == 3.0
+    # empty -> 0 (defensive)
+    assert bench._weighted_median([], 100.0) == 0.0
+
+    timings = {"wordcount": 1.0, "q2": 2.0}
+    norm_timed = {
+        "pre": [(0.0, 4.0), (4.0, 4.1), (8.0, 4.0)],
+        "mid": [(600.0, 5.0), (605.0, 5.0)],
+        "end": [(1190.0, 5.0), (1195.0, 5.1)],
+        "window_sec": 1200.0,
+    }
+    line, full = bench.build_output(
+        timings,
+        0.1,
+        calibration=[0.5] * 10,
+        norm_calibration=[v for _, v in norm_timed["pre"]],
+        norm_timed=norm_timed,
+    )
+    parsed = json.loads(line)
+    # weighted median lands on the slow regime the suite actually ran in
+    assert parsed["norm_calibration_sec"] == 5.0
+    assert parsed["value_normalized"] == round(3.0 * bench.NORM_CAL_REF / 5.0, 3)
+    # within-group spreads are tiny -> ok, even though pre vs end
+    # group medians are 25 % apart (that's drift, reported separately)
+    assert parsed["normalizer_ok"] is True
+    assert parsed["norm_suite_drift_pct"] == 26.2  # (5.05-4.0)/4.0
+    assert full["norm_pre_median"] == 4.0
+    assert full["norm_group_medians"]["end"] == 5.05
+    # legacy path (no norm_timed) unchanged: pre-median normalizer
+    line2, _ = bench.build_output(
+        timings,
+        0.1,
+        calibration=[0.5] * 10,
+        norm_calibration=[4.0, 4.0, 4.1],
+    )
+    assert json.loads(line2)["norm_calibration_sec"] == 4.0
 
 
 def test_bench_line_surfaces_movers():
