@@ -700,3 +700,99 @@ SELECT CASE WHEN bk < {TRAIN_PCT} THEN 'train'
 FROM b
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------- corpus snapshot diff
+# r16 library surface (queue r19): recrawl delta attribution. A
+# production corpus is re-snapshotted continuously (crawl N vs crawl
+# N+1), and every downstream artifact (dedup indexes, LM counts, PQ
+# codes) wants the DELTA, not a full rebuild — the first question is
+# "which docs were added / removed / changed?". The reference engine
+# has no notion of dataset versions at all (SURVEY.md §2.4).
+#
+# Deterministic snapshot derivation (portable integer arithmetic, the
+# dataset_split convention): OLD = doc_id % 7 != 2, NEW = doc_id % 5
+# != 3, and NEW's text is rotated by 11 chars for doc_id % 3 == 0 —
+# so the diff sees all three statuses plus a silent fourth: a % 3
+# doc whose text is <= 11 chars rotates to itself and must NOT be
+# reported as changed (status derives from the content hash, never
+# from the perturbation rule).
+SNAP_OLD_MOD, SNAP_OLD_RESIDUE = 7, 2
+SNAP_NEW_MOD, SNAP_NEW_RESIDUE = 5, 3
+SNAP_CHANGE_MOD = 3
+SNAP_ROT = 11  # rotation offset, chars
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, status) for every doc that differs between two corpus
+    snapshots, each given as (doc_id, h) with h = a content hash:
+    'added' (new only), 'removed' (old only), 'changed' (both, hash
+    differs). Unchanged docs — the bulk of any recrawl — are filtered
+    out, so the output is O(churn), not O(corpus).
+
+    Plan shape: ONE full-outer equi-join on doc_id. Keys are unique
+    per side, so there is no skew to salt; at 100 TB both snapshots
+    stored bucketed by doc_id make this a zero-shuffle co-located
+    sort-merge join, and Catalyst pushes the doc_id/hash projection
+    into both scans (nothing but 2 columns per side ever moves)."""
+    j = old.alias("o").join(new.alias("n"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("o.h").isNull(), F.lit("added"))
+        .when(F.col("n.h").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.filter(
+        F.col("o.h").isNull()
+        | F.col("n.h").isNull()
+        | (F.col("o.h") != F.col("n.h"))
+    ).select("doc_id", status.alias("status"))
+
+
+def _rotated_text() -> F.Column:
+    """text rotated left by SNAP_ROT chars — the same perturbation
+    family the scale probes use to make distinct corpus copies;
+    substring past the end is '' in both engines, so a short text
+    rotates to itself (and correctly reads as unchanged)."""
+    return F.concat(
+        F.expr(f"substring(text, {SNAP_ROT + 1})"),
+        F.expr(f"substring(text, 1, {SNAP_ROT})"),
+    )
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: diff the two deterministic snapshots of the
+    documents table (see the section comment for the derivation) via
+    :func:`snapshot_diff`. Output (doc_id, status), one row per
+    added/removed/changed doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(
+        F.col("doc_id") % SNAP_OLD_MOD != SNAP_OLD_RESIDUE
+    ).select("doc_id", F.md5("text").alias("h"))
+    new_text = F.when(
+        F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
+    ).otherwise(F.col("text"))
+    new = docs.filter(
+        F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE
+    ).select("doc_id", F.md5(new_text).alias("h"))
+    return snapshot_diff(old, new)
+
+
+CORPUS_SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % {SNAP_OLD_MOD} != {SNAP_OLD_RESIDUE}
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0
+                  THEN concat(substr(text, {SNAP_ROT + 1}), substr(text, 1, {SNAP_ROT}))
+                  ELSE text END) AS h
+  FROM documents WHERE doc_id % {SNAP_NEW_MOD} != {SNAP_NEW_RESIDUE}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h
+"""

@@ -781,3 +781,57 @@ def test_lm_read_path_frames_released_by_reset_memos(spark, sf_dir):
         not (f.storageLevel.useMemory or f.storageLevel.useDisk)
         for f in frames
     )
+
+
+def test_corpus_snapshot_diff_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        cx.corpus_snapshot_diff,
+        cx.CORPUS_SNAPSHOT_DIFF_ORACLE,
+    )
+
+
+def test_snapshot_diff_statuses_golden(spark):
+    """Tiny hand-built snapshots: one of each status, plus an
+    unchanged doc that must NOT appear."""
+    old = spark.createDataFrame(
+        [(1, "ha"), (2, "hb"), (3, "hc")], ["doc_id", "h"]
+    )
+    new = spark.createDataFrame(
+        [(1, "ha"), (2, "hb2"), (4, "hd")], ["doc_id", "h"]
+    )
+    out = {r["doc_id"]: r["status"] for r in cx.snapshot_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_snapshot_diff_python_differential(spark, sf_dir):
+    """Statuses recomputed row-by-row in Python from the same
+    derivation rules; short %3 docs must read unchanged (rotation is
+    the identity on texts <= SNAP_ROT chars)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    exp: dict[int, str] = {}
+    old = {}
+    new = {}
+    for r in docs:
+        if r["doc_id"] % cx.SNAP_OLD_MOD != cx.SNAP_OLD_RESIDUE:
+            old[r["doc_id"]] = r["text"]
+        if r["doc_id"] % cx.SNAP_NEW_MOD != cx.SNAP_NEW_RESIDUE:
+            t = r["text"]
+            if r["doc_id"] % cx.SNAP_CHANGE_MOD == 0:
+                t = t[cx.SNAP_ROT:] + t[: cx.SNAP_ROT]
+            new[r["doc_id"]] = t
+    for d in set(old) | set(new):
+        if d not in old:
+            exp[d] = "added"
+        elif d not in new:
+            exp[d] = "removed"
+        elif old[d] != new[d]:
+            exp[d] = "changed"
+    got = {
+        r["doc_id"]: r["status"]
+        for r in cx.corpus_snapshot_diff(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # the corpus actually exercises all three statuses at this SF
+    assert set(exp.values()) == {"added", "removed", "changed"}
