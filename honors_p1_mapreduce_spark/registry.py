@@ -195,6 +195,27 @@ r17 substring-cut pair):
   Goldens + exact-equality + oracle parity green at sf0.001/sf0.01 at
   build time (tests/test_curation.py, R15_QUEUED_PREVERIFY.json).
   Registry 173 -> 176 at their registration, within the 200 cap.
+
+ROUND-19 QUEUE (library surfaces built r16, behind the r17/r18
+backlog; parity green at both SFs at build time and re-verified on
+the final r16 tree — R16_QUEUED_PREVERIFY.json):
+  corpus_snapshot_diff (curation_ext.py) — recrawl delta attribution:
+    added/removed/changed docs between two content-hashed corpus
+    snapshots via ONE full-outer equi-join on doc_id (unique keys, no
+    skew; bucketed snapshots make it zero-shuffle at scale), output
+    O(churn); own SQL oracle, golden + Python differential.
+  winnow_index_refresh (curation_ext.py) — the stored fingerprint
+    index maintained BY that delta instead of full rebuild:
+    removed/changed rows leave by anti-join deletion (the retract
+    shape), only added/changed docs are re-fingerprinted (O(churn)
+    extraction), union ships the refreshed index, decontamination
+    serves from it; refresh == rebuild bit-for-bit (pytest
+    frame-equality + an oracle re-deriving from the NEW snapshot) —
+    completing the index lifecycle: write/read-back (r8), append
+    (r9), retract (r10), refresh (r16).
+  Registry 176 -> 178 at their registration, within the 200 cap
+  (feasibility: scripts/simulate_rotation_r16.py shows >= 22 free
+  slots at r19 before these two).
 """
 
 QUERIES: dict[str, QueryFn] = {
