@@ -314,7 +314,17 @@ def main(argv: list[str] | None = None) -> None:
     # cross-round and cancels in comparisons.
     suite_t0 = time.perf_counter()
 
-    def timed_norm_samples(n: int) -> list[tuple[float, float]]:
+    def timed_norm_samples(n: int, settle: bool = False) -> list[tuple[float, float]]:
+        # settle (r16 A/B/A finding): the FIRST normalizer sample
+        # taken right after a 300 s query pass is consistently
+        # inflated 15-60 % (6.24/4.55/5.32/4.84 s firsts vs
+        # 3.85-4.04 s seconds across runs 2-4 — async cleanup +
+        # cache-state settling), which poisoned the 2-sample groups'
+        # spread gate. One UNTIMED settling run before the counted
+        # samples removes it — the same role the pre-suite
+        # norm_calibration() throwaway plays for the pre group.
+        if settle:
+            norm_calibration()
         return [
             (round(time.perf_counter() - suite_t0, 3), norm_calibration())
             for _ in range(n)
@@ -323,9 +333,9 @@ def main(argv: list[str] | None = None) -> None:
     norm_pre = timed_norm_samples(NORM_CAL_SAMPLES)
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
-    norm_mid = timed_norm_samples(NORM_CAL_MID_SAMPLES)
+    norm_mid = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True)
     second = {name: timed(name) for name in names}
-    norm_fin = timed_norm_samples(NORM_CAL_MID_SAMPLES)
+    norm_fin = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True)
     norm_window = round(time.perf_counter() - suite_t0, 3)
     warm = {name: timed_warm(name) for name in names}
     stages = timed_stages()
@@ -383,7 +393,11 @@ CAL_SAMPLES = 5  # calibration samples taken before AND after the suite
 NORM_CAL_ROWS = 192_000_000
 NORM_CAL_REF = 4.0
 NORM_CAL_SAMPLES = 5  # PRE-suite samples
-NORM_CAL_MID_SAMPLES = 2  # samples at EACH mid-suite pause point (r16)
+# 3 counted samples at EACH mid-suite pause point, after one untimed
+# settling run (r16; the A/B/A showed every group's first
+# post-activity sample inflated 15-60 % while the settled ones sat
+# within ~4 % — see timed_norm_samples)
+NORM_CAL_MID_SAMPLES = 3
 NORM_CAL_POST_SAMPLES = 3  # post-suite, drift diagnostic only
 NORM_SPREAD_BOUND_PCT = 10.0
 # The within-run IQR UNDERSTATES the cross-run error: the 5 pre
