@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Multi-executor validation of the round-16 surfaces on a REAL
+standalone cluster (the r10..r15 harness: master on 127.0.0.1, 4
+workers each bound to its own loopback address => distinct hosts to
+the scheduler). Pins that every surface NEW in r16 produces EXACTLY
+the same rows on the 4-worker cluster as in local mode at sf0.01:
+
+- the 6 sub-item registrations (audio snippet trio, image tile trio)
+  — first cluster exposure as REGISTERED names
+- corpus_snapshot_diff — the full-outer diff join under a real
+  multi-process scheduler
+- winnow_index_refresh — the delta-refresh cycle: parquet artifacts
+  written/read across executor processes, anti-join deletion + churn
+  extraction + union, decontamination served from the refreshed index
+  (the cluster-relevant risk: the refreshed index must be
+  row-identical regardless of which executor wrote which partition)
+
+Usage (PYTHONPATH required — python UDF workers are separate
+processes that do not inherit the driver's sys.path):
+
+    PYTHONPATH=/root/repo \
+        python scripts/verify_r16_cluster.py > R16_CLUSTER_CHECK.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from cluster_harness import (  # noqa: E402
+    package_zip,
+    stop_cluster,
+)
+from perf_straggler_cluster import (  # noqa: E402
+    MASTER_URL,
+    start_cluster,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ops():
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        corpus_snapshot_diff,
+        winnow_index_refresh,
+    )
+    from honors_p1_mapreduce_spark.operators.multimodal import (
+        media_audio_snippet_decontaminate,
+        media_audio_snippet_decontaminate_stored,
+        media_audio_snippet_overlap,
+        media_image_tile_decontaminate,
+        media_image_tile_decontaminate_stored,
+        media_image_tile_overlap,
+    )
+
+    return [
+        ("media_audio_snippet_overlap", media_audio_snippet_overlap),
+        ("media_audio_snippet_decontaminate", media_audio_snippet_decontaminate),
+        (
+            "media_audio_snippet_decontaminate_stored",
+            media_audio_snippet_decontaminate_stored,
+        ),
+        ("media_image_tile_overlap", media_image_tile_overlap),
+        ("media_image_tile_decontaminate", media_image_tile_decontaminate),
+        (
+            "media_image_tile_decontaminate_stored",
+            media_image_tile_decontaminate_stored,
+        ),
+        ("corpus_snapshot_diff", corpus_snapshot_diff),
+        ("winnow_index_refresh", winnow_index_refresh),
+    ]
+
+
+def _run_all(spark: SparkSession) -> dict:
+    from honors_p1_mapreduce_spark import registry
+
+    out: dict = {}
+    for name, fn in _ops():
+        out[name] = sorted(tuple(r) for r in fn(spark, SF).collect())
+        spark.catalog.clearCache()
+        registry.reset_memos()
+    return out
+
+
+def main() -> None:
+    local = (
+        SparkSession.builder.master("local[8]")
+        .appName("r16-cluster-check-local")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    want = _run_all(local)
+    local.stop()
+
+    log_dir = tempfile.mkdtemp(prefix="r16_cluster_")
+    procs = start_cluster(log_dir)
+    try:
+        spark = (
+            SparkSession.builder.master(MASTER_URL)
+            .appName("r16-cluster-check")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.executor.memory", "1400m")
+            .getOrCreate()
+        )
+        spark.sparkContext.addPyFile(package_zip("r16_pkg_"))
+        got = _run_all(spark)
+        spark.stop()
+    finally:
+        stop_cluster(procs)
+
+    ops = {
+        name: {
+            "rows_local": len(want[name]),
+            "rows_cluster": len(got[name]),
+            "match": want[name] == got[name],
+        }
+        for name, _ in _ops()
+    }
+    report = {
+        "sf": SF,
+        "workers": 4,
+        "ops": ops,
+        "all_match": all(o["match"] for o in ops.values()),
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
