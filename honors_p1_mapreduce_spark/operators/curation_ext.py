@@ -909,3 +909,15 @@ HAVING count(*) >= {CONTAM_MIN_SHARED}
 
 
 WINNOW_INDEX_REFRESH_ORACLE = _refresh_oracle()
+
+
+def snapshot_write_hashes(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Materialize the OLD snapshot's (doc_id, h) content-hash
+    registry to parquet — the static side the streaming recrawl diff
+    joins against (the ship-once artifact: the previous snapshot's
+    hashes are already on disk when the new crawl starts arriving)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, old_h, _ = _snapshot_frames(docs)
+    old_h.write.mode("overwrite").parquet(f"{index_dir}/snapshot_hashes")

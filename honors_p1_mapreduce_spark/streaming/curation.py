@@ -765,3 +765,91 @@ def read_tile_flags_from_store(
     return _read_store_columns(
         spark, store_dir, ("doc_id", "n_eval_matches", "n_tiles_matched")
     )
+
+
+def streaming_snapshot_diff(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous-recrawl diff: drain the NEW snapshot's document
+    stream against the STORED old-snapshot content-hash registry
+    (``operators.curation_ext.snapshot_write_hashes``'s parquet — the
+    static side of a stream-static join) and write each batch's
+    'added'/'changed' rows to the idempotent ``batch_id=N`` diff
+    store, plus the batch's seen doc_ids to a manifest store.
+
+    Per-doc status against the static registry depends only on (doc,
+    registry) — never on other stream docs — so micro-batch
+    boundaries cannot matter for added/changed. 'removed' is ABSENCE
+    from the whole new snapshot, undecidable inside any single
+    micro-batch by construction; the reader
+    (:func:`read_snapshot_diff_from_store`) reconciles it after the
+    drain as registry ANTI-JOIN manifest — making the drained store
+    EXACTLY the batch ``corpus_snapshot_diff`` answer (pinned by the
+    equivalence test)."""
+    from ..operators.curation_ext import (
+        SNAP_CHANGE_MOD,
+        SNAP_NEW_MOD,
+        SNAP_NEW_RESIDUE,
+        _rotated_text,
+    )
+
+    old = (
+        spark.read.parquet(f"{index_dir}/snapshot_hashes")
+        .withColumnRenamed("h", "old_h")
+        .persist()
+    )
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        new_text = F.when(
+            F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
+        ).otherwise(F.col("text"))
+        nh = bdf.select("doc_id", F.md5(new_text).alias("h"))
+        j = nh.join(old, "doc_id", "left")
+        rows = j.filter(
+            F.col("old_h").isNull() | (F.col("h") != F.col("old_h"))
+        ).select(
+            "doc_id",
+            F.when(F.col("old_h").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+        _write_batch_partition(rows, batch_id, f"{store_dir}/diff")
+        _write_batch_partition(
+            bdf.select("doc_id"), batch_id, f"{store_dir}/manifest"
+        )
+
+    try:
+        old.count()
+        q = (
+            stream_documents(spark, sf_dir)
+            .filter(F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        old.unpersist()
+
+
+def read_snapshot_diff_from_store(
+    spark: SparkSession, store_dir: str, index_dir: str
+) -> DataFrame:
+    """(doc_id, status) from the drained recrawl-diff store, with the
+    post-drain 'removed' reconciliation: old-registry docs absent
+    from the streamed manifest. Equal to batch
+    ``corpus_snapshot_diff`` on the same corpus."""
+    diff = _read_store_columns(spark, f"{store_dir}/diff", ("doc_id", "status"))
+    seen = _read_store_columns(spark, f"{store_dir}/manifest", ("doc_id",))
+    removed = (
+        spark.read.parquet(f"{index_dir}/snapshot_hashes")
+        .select("doc_id")
+        .join(seen, "doc_id", "left_anti")
+        .select("doc_id", F.lit("removed").alias("status"))
+    )
+    return diff.unionByName(removed)

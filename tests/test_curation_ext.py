@@ -870,3 +870,31 @@ def test_winnow_index_refresh_equals_rebuild(spark, sf_dir):
     diff = cx.corpus_snapshot_diff(spark, sf_dir)
     statuses = {r["status"] for r in diff.select("status").distinct().collect()}
     assert statuses == {"added", "removed", "changed"}
+
+
+def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
+    """Draining the NEW snapshot stream against the stored
+    old-snapshot hash registry, then reconciling 'removed' as
+    registry-anti-manifest, must reproduce the batch
+    corpus_snapshot_diff answer exactly — per-doc added/changed
+    depends only on the static registry, so micro-batch boundaries
+    cannot matter, and absence is decidable only after the drain."""
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_snapshot_diff_from_store,
+        streaming_snapshot_diff,
+    )
+
+    idx = str(tmp_path / "snap_idx")
+    store = str(tmp_path / "snap_store")
+    ckpt = str(tmp_path / "snap_ckpt")
+    cx.snapshot_write_hashes(spark, sf_dir, idx)
+    streaming_snapshot_diff(spark, sf_dir, idx, store, ckpt)
+    streamed = sorted(
+        map(tuple, read_snapshot_diff_from_store(spark, store, idx).collect())
+    )
+    batch = sorted(
+        map(tuple, cx.corpus_snapshot_diff(spark, sf_dir).collect())
+    )
+    assert streamed == batch and streamed  # equal AND non-vacuous
+    # every status genuinely exercised through the streaming path
+    assert {s for _, s in streamed} == {"added", "removed", "changed"}
