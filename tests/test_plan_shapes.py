@@ -986,3 +986,29 @@ def test_substring_cut_plans_are_clean(spark, sf_dir, tmp_path):
     # (distinct (gh, doc_id) -> count) appears ONLY online
     assert "ReadSchema: struct<gh:bigint>" in served
     assert online.count("HashAggregate") > served.count("HashAggregate")
+
+
+def test_snapshot_diff_full_outer_smj_pruned(spark, sf_dir):
+    """corpus_snapshot_diff's physical plan: ONE full-outer
+    sort-merge join on doc_id (unique keys both sides — the shape
+    that goes zero-shuffle under bucketed snapshot storage), no
+    nested-loop/cartesian fallback, and both scans pruned to the two
+    columns the diff needs."""
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        corpus_snapshot_diff,
+    )
+
+    plan = (
+        corpus_snapshot_diff(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan and "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
