@@ -756,3 +756,42 @@ def test_image_tile_fingerprints_total_over_arbitrary_bytes(
         }
     assert skips == n_skip
     assert got == want
+
+
+SNAPSHOTS = st.tuples(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.sampled_from(["a", "b", "c"]),
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.sampled_from(["a", "b", "c"]),
+        max_size=12,
+    ),
+).filter(lambda s: s[0] or s[1])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(SNAPSHOTS)
+def test_snapshot_diff_matches_python_reference(spark, snaps):
+    # the full-outer diff must report exactly the added/removed/changed
+    # keys for ANY pair of (doc_id -> hash) snapshots — including an
+    # empty side, identical sides, and hash collisions across docs
+    from honors_p1_mapreduce_spark.operators.curation_ext import snapshot_diff
+
+    old, new = snaps
+    want = {}
+    for d in set(old) | set(new):
+        if d not in old:
+            want[d] = "added"
+        elif d not in new:
+            want[d] = "removed"
+        elif old[d] != new[d]:
+            want[d] = "changed"
+
+    schema = "doc_id long, h string"
+    odf = spark.createDataFrame(list(old.items()), schema)
+    ndf = spark.createDataFrame(list(new.items()), schema)
+    got = {r.doc_id: r.status for r in snapshot_diff(odf, ndf).collect()}
+    assert got == want
