@@ -121,55 +121,42 @@ Never commit a new CORRECTNESS stamp into a tree whose registry
 still carries the previous window without immediately following with
 the rotation.
 
-ROUND-16 WINDOW (this ordering — reproduced exactly by
-``python scripts/plan_next_window.py --register
-media_audio_snippet_overlap media_audio_snippet_decontaminate
-media_audio_snippet_decontaminate_stored media_image_tile_overlap
-media_image_tile_decontaminate media_image_tile_decontaminate_stored``
-on the committed CORRECTNESS_r01..r15 history):
-  1-28    the 28 r12-stamped deadline entries (nation_revenue ..
-          bpe_train_merges) — age 4 at r16 close otherwise, the hard
+ROUND-17 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --register dedup_substring_cut
+dedup_substring_cut_stored`` on the committed CORRECTNESS_r01..r16
+history):
+  1-26    the 26 r13-stamped deadline entries (user_retention ..
+          user_sessions) — age 4 at r17 close otherwise, the hard
           deadline; they lead by planner rule.
-  29-34   the r14-built SUB-ITEM granularity tiers REGISTER
-          (media_audio_snippet_overlap/_decontaminate(_stored),
-          media_image_tile_overlap/_decontaminate(_stored) —
-          multimodal.py). Registry 165 -> 171. All 6 pre-verified
-          green at sf0.001+sf0.01 three times (builder 28/28
-          R14_QUEUED_PREVERIFY.json, the r15 final-tree re-verify
-          R15_QUEUED_PREVERIFY.json, the r15 judge's independent
-          runs).
-  35-50   oldest-stamp-first fill: 16 of the 42 r13-stamped block
-          (dedup_keep_best .. hll_daily_users, CORRECTNESS_r13
-          order). No forced restamps this round: no code path under
-          a stamped query changed between the r15 snapshot and this
-          rotation.
-Total 50. Outside-window ages at r16 close: 50@1, 45@2, 26@3 — bound
+  27-28   the r14-built substring-cut pair REGISTERS
+          (dedup_substring_cut, dedup_substring_cut_stored —
+          substring_dedup.py, the corpus REWRITE of the Lee et al.
+          exact-substring span family). Registry 171 -> 173. Judge-
+          verified green 4/4 at sf0.001+sf0.01 in the r14 AND r15
+          sessions and re-verified on the final r16 tree
+          (R16_QUEUED_PREVERIFY.json, R14_CUT_PROBE.json 10x probe).
+  29-50   oldest-stamp-first fill: 22 of the r14-stamped block
+          (event_type_hourly_topk .. embedding_neardup,
+          CORRECTNESS_r14 order). No forced restamps this round: no
+          code path under a stamped query changed between the r16
+          snapshot and this rotation.
+Total 50. Outside-window ages at r17 close: 50@1, 50@2, 23@3 — bound
 holds (planner output re-checked after the registrations settled;
-the 26 age-3 r13 leftovers are the r17 deadline block).
+the 23 age-3 r14 leftovers lead the r18 deadline block).
 
-ROUND-17/18 PLAN (r15 verdict #3; feasibility re-simulated over the
-assumed-green r16 stamps with planner.plan_window — bound holds
-through r20):
-  r17 (2 registrations): dedup_substring_cut +
-    dedup_substring_cut_stored (substring_dedup.py — the corpus
-    REWRITE of the Lee et al. span family; stored cycle roundtrip
-    bit-identical so ONE oracle gates both paths; judge-verified
-    green 4/4 at sf0.001+sf0.01 in the r14 AND r15 sessions,
-    R14_CUT_PROBE.json 10x probe on file). Registry 171 -> 173,
-    within the 200 cap. The 26 remaining r13-stamped entries lead
-    as the r17 deadline; the pair fits the free slots without
-    displacing any deadline entry (r16 planner simulation).
+ROUND-18 PLAN (r15 verdict #3 schedule, confirmed r16 verdict #5;
+feasibility re-simulated over the assumed-green r17 stamps — bound
+holds through r21):
   r18 (3 registrations): the r15-built library surfaces below.
-    Registry 173 -> 176. The r14-stamped block's oldest entries
-    lead as the r18 deadline; the trio fits the free slots.
-  Evidence already on file for the whole plan: seeded-leak +
-  clip-in-clip + crop + snippet goldens, stored-cycle + streaming
-  equivalences, affine-invariance properties, R13_VIDEO_PROBE.json /
-  R14_CUT_PROBE.json 10x probes, R13_VIDEO_CLUSTER_CHECK.json,
-  R15_QUEUED_PREVERIFY.json (11 surfaces x 2 SFs).
+    Registry 173 -> 176. The r14-stamped leftover block leads as
+    the r18 deadline; the trio fits the free slots.
+  Evidence already on file: stored-cycle + streaming equivalences,
+  R15_SURFACES_PROBE.json 10x probes,
+  R15_QUEUED_PREVERIFY.json / R16_QUEUED_PREVERIFY.json
+  (re-verified on the final r16 tree).
 
 ROUND-18 BACKLOG (library surfaces built r15, queuing behind the
-r17 substring-cut pair):
+registered r17 substring-cut pair):
   decontaminate_bloom_prefilter (curation.py) — the exact
     contamination tier served through a CONSTANT-SIZE Bloom runtime
     filter instead of the eval-keys broadcast; false positives cancel
@@ -219,81 +206,10 @@ the final r16 tree — R16_QUEUED_PREVERIFY.json):
 """
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r16 window, 1-28] the 28 r12-stamped deadline entries —
-    # age 4 at r16 close otherwise, the hard deadline; they lead by
-    # planner rule (``plan_next_window.py`` positions 1-28).
-    "nation_revenue": _rel.nation_revenue,
-    "region_acctbal": _rel.region_acctbal,
-    "promo_revenue": _rel.promo_revenue,
-    "small_quantity_revenue": _rel.small_quantity_revenue,
-    "order_priority": _rel.order_priority,
-    "top_supplier": _rel.top_supplier,
-    "returns_rollup": _rel.returns_rollup,
-    "cross_nation_volume": _rel.cross_nation_volume,
-    "market_share": _rel.market_share,
-    "disjunctive_revenue": _rel.disjunctive_revenue,
-    "large_orders": _rel.large_orders,
-    "idle_customer_balance": _rel.idle_customer_balance,
-    "nation_profit": _rel.nation_profit,
-    "returned_customer_revenue": _rel.returned_customer_revenue,
-    "important_part_types": _rel.important_part_types,
-    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
-    "customer_order_counts": _an.customer_order_counts,
-    "customers_without_orders": _an.customers_without_orders,
-    "repeat_customers": _an.repeat_customers,
-    "top_orders_per_customer": _an.top_orders_per_customer,
-    "monthly_revenue_running": _an.monthly_revenue_running,
-    "wordcount": _wc.wordcount,
-    "grep_count": _gr.grep_count,
-    "inverted_index": _ii.inverted_index,
-    "doc_chunks": _ta.doc_chunks,
-    "pack_sequences": _ta.pack_sequences,
-    "mixture_weights": _pl.mixture_weights,
-    "bpe_train_merges": _bpe.bpe_train_merges,
-    # --- [r16 window, 29-34] the r14-built SUB-ITEM granularity
-    # tiers REGISTER (registry 165 -> 171, r14 verdict #6 / r15
-    # verdict #1): audio snippet-in-track overlap + decontamination
-    # (online + stored) and image tile-in-image overlap +
-    # decontamination (online + stored) — multimodal.py. All 6
-    # pre-verified green at sf0.001+sf0.01 three times (builder
-    # R14_QUEUED_PREVERIFY.json 28/28, the r15 final-tree re-verify
-    # R15_QUEUED_PREVERIFY.json, the r15 judge's independent runs)
-    # — any driver red is regression, not design. NOTE:
-    # media_image_tile_decontaminate flags a GENUINE tile leak at
-    # sf0.01, so its stamp should be a non-empty hash.
-    "media_audio_snippet_overlap": _mm.media_audio_snippet_overlap,
-    "media_audio_snippet_decontaminate": _mm.media_audio_snippet_decontaminate,
-    "media_audio_snippet_decontaminate_stored": (
-        _mm.media_audio_snippet_decontaminate_stored
-    ),
-    "media_image_tile_overlap": _mm.media_image_tile_overlap,
-    "media_image_tile_decontaminate": _mm.media_image_tile_decontaminate,
-    "media_image_tile_decontaminate_stored": (
-        _mm.media_image_tile_decontaminate_stored
-    ),
-    # --- [r16 window, 35-50] oldest-stamp-first fill: 16 of the 42
-    # r13-stamped block (CORRECTNESS_r13 order).
-    "dedup_keep_best": _dd.dedup_keep_best,
-    "token_len_histogram": _ta.token_len_histogram,
-    "token_budget_select": _cx.token_budget_select,
-    "embedding_decontaminate": _sim.embedding_decontaminate,
-    "media_audio_neardup": _mm.media_audio_neardup,
-    "winnow_index_retract": _wn.winnow_index_retract,
-    "lm_model_retract": _lm.lm_model_retract,
-    "trade_labelprop": _gph.trade_labelprop,
-    "media_audio_features": _mm.media_audio_features,
-    "dataset_split": _cx.dataset_split,
-    "source_profile": _cx.source_profile,
-    "revenue_cube": _rx.revenue_cube,
-    "bpe_encode_stats": _bpx.bpe_encode_stats,
-    "events_moving_stats": _ev.events_moving_stats,
-    "events_daily_pivot": _ev.events_daily_pivot,
-    "hll_daily_users": _sk.hll_daily_users,
-    # ================ position 51+ — outside the r16 driver window =====
-    # The remaining 26 r13-stamped entries (age 3 at r16 close —
-    # legal; they are the r17 deadline block and LEAD the r17 window
-    # together with the dedup_substring_cut(+_stored) registrations,
-    # see the ROUND-17/18 plan in the module docstring):
+    # --- [r17 window, 1-26] the 26 r13-stamped deadline entries
+    # (age 4 at r17 close otherwise — the hard deadline; they
+    # lead by planner rule, ``plan_next_window.py`` positions
+    # 1-26).
     "user_retention": _ev.user_retention,
     "events_value_deciles": _ev.events_value_deciles,
     "word_typo_pairs": _cx.word_typo_pairs,
@@ -320,8 +236,21 @@ QUERIES: dict[str, QueryFn] = {
     "events_tumbling": _ev.events_tumbling,
     "events_sliding": _ev.events_sliding,
     "user_sessions": _ev.user_sessions,
-    # The 45-entry r14-stamped block (CORRECTNESS_r14 order; age 2
-    # at r16 close — rotates r17/r18):
+    # --- [r17 window, 27-28] the r14-built substring-cut
+    # pair REGISTERS (registry 171 -> 173, r16 verdict #1):
+    # the corpus REWRITE of the Lee et al. exact-substring
+    # span family (substring_dedup.py), online + stored
+    # cycle, roundtrip bit-identical so ONE oracle shape
+    # gates both. Judge-verified green 4/4 at
+    # sf0.001+sf0.01 in the r14 AND r15 sessions and again
+    # on the final r16 tree (R16_QUEUED_PREVERIFY.json);
+    # any driver red is regression, not design.
+    "dedup_substring_cut": _ss.dedup_substring_cut,
+    "dedup_substring_cut_stored": _ss.dedup_substring_cut_stored,
+    # --- [r17 window, 29-50] oldest-stamp-first fill: 22
+    # of the r14-stamped block (CORRECTNESS_r14 order). No
+    # forced restamps: no code path under a stamped query
+    # changed between the r16 snapshot and this rotation.
     "event_type_hourly_topk": _ev.event_type_hourly_topk,
     "purchase_click_attribution": _asof.purchase_click_attribution,
     "error_click_correlation": _asof.error_click_correlation,
@@ -344,6 +273,13 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup_fast": _sd.semantic_dedup_fast,
     "similarity_ann_topk": _sim.similarity_ann_topk,
     "embedding_neardup": _sim.embedding_neardup,
+    # ================ position 51+ — outside the r17 driver window =====
+    # Tail ordered oldest-stamp-first (the planner's fill rule),
+    # grouped by newest-stamp round. The leading r14-stamped
+    # block is the r18 deadline and LEADS the r18 window together
+    # with the r18 registrations (see the ROUND-18 plan in the
+    # module docstring).
+    # --- newest stamp r14:
     "dedup_minhash": _dd.dedup_minhash_pairs,
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
     "media_png_decode": _mm.media_png_decode,
@@ -367,8 +303,7 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,
     "events_multi_rollup": _ev.events_multi_rollup,
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    # The 50-entry r15-stamped block (CORRECTNESS_r15 order —
-    # freshest stamps, rotates last):
+    # --- newest stamp r15:
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
@@ -421,6 +356,61 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_minhash_portable": _dd.dedup_minhash_portable,
     "pricing_summary": _rel.pricing_summary,
     "top_revenue_orders": _rel.top_revenue_orders,
+    # --- newest stamp r16:
+    "nation_revenue": _rel.nation_revenue,
+    "region_acctbal": _rel.region_acctbal,
+    "promo_revenue": _rel.promo_revenue,
+    "small_quantity_revenue": _rel.small_quantity_revenue,
+    "order_priority": _rel.order_priority,
+    "top_supplier": _rel.top_supplier,
+    "returns_rollup": _rel.returns_rollup,
+    "cross_nation_volume": _rel.cross_nation_volume,
+    "market_share": _rel.market_share,
+    "disjunctive_revenue": _rel.disjunctive_revenue,
+    "large_orders": _rel.large_orders,
+    "idle_customer_balance": _rel.idle_customer_balance,
+    "nation_profit": _rel.nation_profit,
+    "returned_customer_revenue": _rel.returned_customer_revenue,
+    "important_part_types": _rel.important_part_types,
+    "supplier_counts_by_brand": _rel.supplier_counts_by_brand,
+    "customer_order_counts": _an.customer_order_counts,
+    "customers_without_orders": _an.customers_without_orders,
+    "repeat_customers": _an.repeat_customers,
+    "top_orders_per_customer": _an.top_orders_per_customer,
+    "monthly_revenue_running": _an.monthly_revenue_running,
+    "wordcount": _wc.wordcount,
+    "grep_count": _gr.grep_count,
+    "inverted_index": _ii.inverted_index,
+    "doc_chunks": _ta.doc_chunks,
+    "pack_sequences": _ta.pack_sequences,
+    "mixture_weights": _pl.mixture_weights,
+    "bpe_train_merges": _bpe.bpe_train_merges,
+    "media_audio_snippet_overlap": _mm.media_audio_snippet_overlap,
+    "media_audio_snippet_decontaminate": _mm.media_audio_snippet_decontaminate,
+    "media_audio_snippet_decontaminate_stored": (
+        _mm.media_audio_snippet_decontaminate_stored
+    ),
+    "media_image_tile_overlap": _mm.media_image_tile_overlap,
+    "media_image_tile_decontaminate": _mm.media_image_tile_decontaminate,
+    "media_image_tile_decontaminate_stored": (
+        _mm.media_image_tile_decontaminate_stored
+    ),
+    "dedup_keep_best": _dd.dedup_keep_best,
+    "token_len_histogram": _ta.token_len_histogram,
+    "token_budget_select": _cx.token_budget_select,
+    "embedding_decontaminate": _sim.embedding_decontaminate,
+    "media_audio_neardup": _mm.media_audio_neardup,
+    "winnow_index_retract": _wn.winnow_index_retract,
+    "lm_model_retract": _lm.lm_model_retract,
+    "trade_labelprop": _gph.trade_labelprop,
+    "media_audio_features": _mm.media_audio_features,
+    "dataset_split": _cx.dataset_split,
+    "source_profile": _cx.source_profile,
+    "revenue_cube": _rx.revenue_cube,
+    "bpe_encode_stats": _bpx.bpe_encode_stats,
+    "events_moving_stats": _ev.events_moving_stats,
+    "events_daily_pivot": _ev.events_daily_pivot,
+    "hll_daily_users": _sk.hll_daily_users,
 }
 
 
@@ -456,41 +446,26 @@ ORACLES: dict[str, str] = {
     "returned_customer_revenue": _rel.RETURNED_CUSTOMER_REVENUE_ORACLE,
     "important_part_types": _rel.IMPORTANT_PART_TYPES_ORACLE,
     "supplier_counts_by_brand": _rel.SUPPLIER_COUNTS_BY_BRAND_ORACLE,
-    # TPC-H shape completion (r5) — relational_ext.py
     "forecast_revenue": _rx.FORECAST_REVENUE_ORACLE,
     "min_cost_supplier": _rx.MIN_COST_SUPPLIER_ORACLE,
     "priority_lines": _rx.PRIORITY_LINES_ORACLE,
     "excess_shipments": _rx.EXCESS_SHIPMENTS_ORACLE,
     "waiting_suppliers": _rx.WAITING_SUPPLIERS_ORACLE,
-    # SemDeDup-style semantic dedup (r5) — Lloyd chain + pair CTEs
     "semantic_dedup": _sd.SEMANTIC_DEDUP_ORACLE,
-    # duplicated-substring spans (r5) — portable gram hashes
     "dedup_substring_spans": _ss.DEDUP_SUBSTRING_SPANS_ORACLE,
-    # PQ/ADC ANN (r5) — per-subspace Lloyd chains + decimal ADC sum
+    # r17 registrations — the cut pair (stored twin is
+    # roundtrip-bit-identical; separate oracle constants,
+    # same derivation):
+    "dedup_substring_cut": _ss.DEDUP_SUBSTRING_CUT_ORACLE,
+    "dedup_substring_cut_stored": _ss.DEDUP_SUBSTRING_CUT_STORED_ORACLE,
     "similarity_pq_topk": _pq.SIMILARITY_PQ_TOPK_ORACLE,
-    # quality-weighted importance sampling (r5) — embeds the
-    # quality_score oracle as its feature subquery
     "importance_sample": _imp.IMPORTANCE_SAMPLE_ORACLE,
-    # cascading hypertable rollup (r5) — oracle re-groups raw events
-    # per grain; the engine cascades grains off one fact scan
     "events_multi_rollup": _ev.EVENTS_MULTI_ROLLUP_ORACLE,
-    # cross-table filtered ANN (r5) — quality predicate joined from
-    # the documents table before any scoring
     "similarity_doc_quality_topk": _cm.SIMILARITY_DOC_QUALITY_TOPK_ORACLE,
-    # BPE merge training (r5; r6 incremental pair-count maintenance) —
-    # oracle loop unrolled to MATERIALIZED CTE rounds, each recomputing
-    # ALL pair counts from scratch, so the engine's delta maintenance
-    # is hash-checked against a full-recompute twin
     "bpe_train_merges": _bpe.BPE_TRAIN_MERGES_ORACLE,
-    # bigram-LM fluency scoring (r6) — integer ppm probabilities
     "lm_bigram_score": _lm.LM_BIGRAM_SCORE_ORACLE,
-    # canonical-selection dedup (r6) — oracle is the window
-    # formulation, engine is the struct-max aggregate
     "dedup_keep_best": _dd.DEDUP_KEEP_BEST_ORACLE,
-    # log2 token-length histogram (r6) — integer-only bucketing
     "token_len_histogram": _ta.TOKEN_LEN_HISTOGRAM_ORACLE,
-    # real-image nearest-neighbor resize (r5) — static offset
-    # arithmetic over hex(encode(text))
     "media_resize": _mm.MEDIA_RESIZE_ORACLE,
     "customer_order_counts": _an.CUSTOMER_ORDER_COUNTS_ORACLE,
     "customers_without_orders": _an.CUSTOMERS_WITHOUT_ORDERS_ORACLE,
@@ -501,7 +476,6 @@ ORACLES: dict[str, str] = {
     "similarity_filtered_topk": _sim.SIMILARITY_FILTERED_TOPK_ORACLE,
     "similarity_ann_portable": _sim.SIMILARITY_ANN_PORTABLE_ORACLE,
     "similarity_ivf_topk": _sim.SIMILARITY_IVF_TOPK_ORACLE,
-    # Lloyd loop unrolled to one CTE chain per iteration (r5)
     "similarity_ivf_kmeans_topk": _sim.SIMILARITY_IVF_KMEANS_TOPK_ORACLE,
     "embedding_neardup_portable": _sim.EMBEDDING_NEARDUP_PORTABLE_ORACLE,
     "events_tumbling": _ev.EVENTS_TUMBLING_ORACLE,
@@ -511,8 +485,6 @@ ORACLES: dict[str, str] = {
     "user_sessions": _ev.USER_SESSIONS_ORACLE,
     "event_type_hourly_topk": _ev.EVENT_TYPE_HOURLY_TOPK_ORACLE,
     "events_props_stats": _ev.EVENTS_PROPS_STATS_ORACLE,
-    # salted hot-key join demo: salt cancels out of the result, so the
-    # oracle is the plain two-pass join
     "events_above_type_avg": _ev.EVENTS_ABOVE_TYPE_AVG_ORACLE,
     "purchase_click_attribution": _asof.PURCHASE_CLICK_ATTRIBUTION_ORACLE,
     "error_click_correlation": _asof.ERROR_CLICK_CORRELATION_ORACLE,
@@ -531,9 +503,6 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprints": _wn.WINNOW_FINGERPRINTS_ORACLE,
     "winnow_fingerprints_chunked": _wn.WINNOW_FINGERPRINTS_CHUNKED_ORACLE,
     "winnow_neardup": _wn.WINNOW_NEARDUP_ORACLE,
-    # near-dup eval decontamination (r7): fuzzy tier of
-    # contamination_check — shared winnowed fingerprints vs the
-    # deterministic eval split, eval side broadcast
     "decontaminate_neardup": _wn.DECONTAMINATE_NEARDUP_ORACLE,
     "token_counts": _ta.TOKEN_COUNTS_ORACLE,
     "doc_chunks": _ta.DOC_CHUNKS_ORACLE,
@@ -541,25 +510,12 @@ ORACLES: dict[str, str] = {
     "corpus_clean_funnel": _pl.CORPUS_CLEAN_FUNNEL_ORACLE,
     "token_budget_select": _cx.TOKEN_BUDGET_SELECT_ORACLE,
     "bpe_encode_stats": _bpx.BPE_ENCODE_STATS_ORACLE,
-    # token-id sequences (r7): the whole train->encode->ids pipeline
-    # re-derived in SQL; digest covers every id in order
     "bpe_encode_ids": _bpx.BPE_ENCODE_IDS_ORACLE,
-    # packed training rows (r7): the ids chain + deterministic
-    # bucket/bin packing; digest gates each bin's exact content
     "pack_token_ids": _bpx.PACK_TOKEN_IDS_ORACLE,
-    # stored-artifact read-back cycles (r8): the stored roundtrips are
-    # bit-identical to the online queries, so the same end-to-end
-    # train+apply oracles hash-gate the write/read-back paths
     "bpe_encode_ids_stored": _bpx.BPE_ENCODE_IDS_STORED_ORACLE,
     "pq_search_stored": _pq.PQ_SEARCH_STORED_ORACLE,
     "decontaminate_stored": _wn.DECONTAMINATE_STORED_ORACLE,
-    # real AVI decode (r8): sampled-frame histogram digest reproduced
-    # from hex(encode(text)) byte arithmetic (uncompressed '00db'
-    # frames are byte-transparent)
     "media_avi_decode": _mm.MEDIA_AVI_DECODE_ORACLE,
-    # incremental dedup (r8): batch docs attributed to their
-    # best-matching index doc; argmax tie-break mirrored via
-    # row_number (shared DESC, dup_of ASC)
     "dedup_incremental": _wn.DEDUP_INCREMENTAL_ORACLE,
     "hll_type_overlap": _sk.HLL_TYPE_OVERLAP_ORACLE,
     "cms_daily_merge": _sk.CMS_DAILY_MERGE_ORACLE,
@@ -568,43 +524,18 @@ ORACLES: dict[str, str] = {
     "bloom_pruned_join": _sk.BLOOM_PRUNED_JOIN_ORACLE,
     "bucketed_join_revenue": _rel.BUCKETED_JOIN_REVENUE_ORACLE,
     "trade_triangles": _gph.TRADE_TRIANGLES_ORACLE,
-    # perceptual image near-dup (r9): fingerprints re-derived from
-    # hex(encode(text)) static byte offsets, banding + hamming in SQL
     "media_image_neardup": _mm.MEDIA_IMAGE_NEARDUP_ORACLE,
-    # image dedup decision (r9): CC over the perceptual pair graph,
-    # recursive-CTE transitive closure oracle (dedup_clusters pattern)
     "media_image_dedup": _mm.MEDIA_IMAGE_DEDUP_ORACLE,
-    # mergeable quantile sketch (r9): all-integer output, windowed
-    # cumulative over the tiny merged grid mirrored in SQL
     "quantile_daily_merge": _sk.QUANTILE_DAILY_MERGE_ORACLE,
-    # k-core (r9): peel loop unrolled to MATERIALIZED CTE rounds
     "trade_kcore": _gph.TRADE_KCORE_ORACLE,
-    # integer PageRank (r9): 8 unrolled MATERIALIZED CTE rounds
     "trade_pagerank": _gph.TRADE_PAGERANK_ORACLE,
-    # stored-model LM (r9): roundtrip bit-identical to lm_interp_score
     "lm_score_stored": _lm.LM_SCORE_STORED_ORACLE,
-    # takedown/retract cycle (r10): oracles re-derive from the KEPT
-    # corpus, hash-gating retract == rebuild (the pq_search_appended
-    # proof pattern in reverse)
     "winnow_index_retract": _wn.WINNOW_INDEX_RETRACT_ORACLE,
     "lm_model_retract": _lm.LM_MODEL_RETRACT_ORACLE,
-    # label propagation (r10): fixed-round synchronous LPA, min-label
-    # tie-break, unrolled MATERIALIZED-CTE rounds
     "trade_labelprop": _gph.TRADE_LABELPROP_ORACLE,
-    # integer audio features (r10): every PCM sample re-derived from
-    # hex(encode(text)) static offsets
     "media_audio_features": _mm.MEDIA_AUDIO_FEATURES_ORACLE,
-    # perceptual audio near-dup (r11): envelope-order fingerprints
-    # re-derived from hex(encode(text)) static PCM offsets, same
-    # banding + dual guards as the image family, guards mirrored via
-    # NOT IN / NOT EXISTS
     "media_audio_neardup": _mm.MEDIA_AUDIO_NEARDUP_ORACLE,
-    # audio dedup clusters (r12): pair-free CC over distinct audio
-    # fingerprints — oracle re-derives the fps from hex PCM and walks
-    # the same large-star/small-star rounds via recursive CTE
     "media_audio_dedup": _mm.MEDIA_AUDIO_DEDUP_ORACLE,
-    # incremental ANN (r9): Lloyd trained on the base split only,
-    # codes/ADC over every vector — append must equal rebuild
     "pq_search_appended": _pq.PQ_SEARCH_APPENDED_ORACLE,
     "events_moving_stats": _ev.EVENTS_MOVING_STATS_ORACLE,
     "events_daily_pivot": _ev.EVENTS_DAILY_PIVOT_ORACLE,
@@ -613,16 +544,12 @@ ORACLES: dict[str, str] = {
     "events_value_deciles": _ev.EVENTS_VALUE_DECILES_ORACLE,
     "word_typo_pairs": _cx.WORD_TYPO_PAIRS_ORACLE,
     "events_winsorized_stats": _ev.EVENTS_WINSORIZED_STATS_ORACLE,
-    # gaps-and-islands burst runs (r7): index-minus-row_number island
-    # key via tz-free timestampdiff — adjacency-defined runs
     "events_burst_runs": _ev.EVENTS_BURST_RUNS_ORACLE,
     "dataset_build_audit": _cx.DATASET_BUILD_AUDIT_ORACLE,
     "similarity_pq_rerank_topk": _pq.SIMILARITY_PQ_RERANK_TOPK_ORACLE,
     "chunk_boilerplate": _ta.CHUNK_BOILERPLATE_ORACLE,
     "lm_interp_score": _lm.LM_INTERP_SCORE_ORACLE,
     "events_value_outliers": _cx.EVENTS_VALUE_OUTLIERS_ORACLE,
-    # robust median/MAD outliers (r7): exact order-statistic
-    # boundaries, integer cross-multiplied test
     "events_value_mad_outliers": _cx.EVENTS_VALUE_MAD_OUTLIERS_ORACLE,
     "dataset_split": _cx.DATASET_SPLIT_ORACLE,
     "source_profile": _cx.SOURCE_PROFILE_ORACLE,
@@ -634,46 +561,19 @@ ORACLES: dict[str, str] = {
     "repetition_signals": _cu.REPETITION_SIGNALS_ORACLE,
     "pii_scrub": _cu.PII_SCRUB_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
-    # the fake codec is pure md5-of-payload arithmetic over UTF-8
-    # payloads, so DuckDB reproduces the whole decode from md5(text):
-    # both media queries are fully hash-gated despite the pandas-UDF path
     "media_decode_features": _mm.MEDIA_DECODE_FEATURES_ORACLE,
     "media_frame_sample": _mm.MEDIA_FRAME_SAMPLE_ORACLE,
-    # real-container decode: hist digest reproduced from hex(encode(text))
     "media_real_decode": _mm.MEDIA_REAL_DECODE_ORACLE,
-    # genuine PNG decode (r7): Catalyst-synthesized VALID PNGs
-    # (stored-deflate + expression-fold adler32 + built-in crc32),
-    # engine INFLATEs + unfilters them back; stored mode is
-    # byte-transparent so DuckDB reproduces the histogram digest
     "media_png_decode": _mm.MEDIA_PNG_DECODE_ORACLE,
-    # the r13 registrations (r11-built library surfaces; oracles
-    # judge-re-verified green at sf0.01 on the post-fuzz-fix tree):
-    # the multimodal curation funnel re-derived end-to-end in DuckDB
-    # from the raw payload hex, the 4-tier cross-modal audit composed
-    # from the tier oracles, the image contamination tiers (online +
-    # stored are bit-identical so one oracle gates both), and the
-    # semantic tier's exact-fold cosine.
     "media_clean_funnel": _pl.MEDIA_CLEAN_FUNNEL_ORACLE,
     "decontaminate_audit": _pl.DECONTAMINATE_AUDIT_ORACLE,
     "media_decontaminate": _mm.MEDIA_DECONTAMINATE_ORACLE,
     "media_decontaminate_stored": _mm.MEDIA_DECONTAMINATE_STORED_ORACLE,
     "embedding_decontaminate": _sim.EMBEDDING_DECONTAMINATE_ORACLE,
-    # the r14 registrations (r12-built audio decontamination tier):
-    # online + stored cycles are bit-identical (integer fingerprints
-    # survive parquet losslessly), so one oracle body gates both via
-    # the uniform *_STORED_ORACLE alias (r13 verdict #6).
     "media_audio_decontaminate": _mm.MEDIA_AUDIO_DECONTAMINATE_ORACLE,
     "media_audio_decontaminate_stored": (
         _mm.MEDIA_AUDIO_DECONTAMINATE_STORED_ORACLE
     ),
-    # the r15 registrations (r13-built video perceptual tier): every
-    # fingerprint bit re-derived in DuckDB from the synthetic AVI
-    # payload's hex — whole-clip hashes via the shared _fp oracle
-    # cores, frame-granular hashes via the sub-item cores; online +
-    # stored decontamination cycles are bit-identical (integer
-    # fingerprints survive parquet losslessly), so one oracle body
-    # gates both via the uniform *_STORED_ORACLE alias (r13 verdict
-    # #6); the funnel oracle composes the stage CTEs end-to-end.
     "media_video_neardup": _mm.MEDIA_VIDEO_NEARDUP_ORACLE,
     "media_video_dedup": _mm.MEDIA_VIDEO_DEDUP_ORACLE,
     "media_video_decontaminate": _mm.MEDIA_VIDEO_DECONTAMINATE_ORACLE,
@@ -688,13 +588,6 @@ ORACLES: dict[str, str] = {
         _mm.MEDIA_VIDEO_FRAME_DECONTAMINATE_STORED_ORACLE
     ),
     "media_video_clean_funnel": _pl.MEDIA_VIDEO_CLEAN_FUNNEL_ORACLE,
-    # the r16 registrations (r14-built sub-item granularity tiers):
-    # snippet/tile fingerprints re-derived in DuckDB from the raw
-    # payload hex via the shared sub-item oracle cores; online +
-    # stored decontamination cycles are bit-identical (integer
-    # fingerprints survive parquet losslessly), so one oracle body
-    # gates both via the uniform *_STORED_ORACLE alias (r13 verdict
-    # #6).
     "media_audio_snippet_overlap": _mm.MEDIA_AUDIO_SNIPPET_OVERLAP_ORACLE,
     "media_audio_snippet_decontaminate": (
         _mm.MEDIA_AUDIO_SNIPPET_DECONTAMINATE_ORACLE
@@ -709,11 +602,4 @@ ORACLES: dict[str, str] = {
     "media_image_tile_decontaminate_stored": (
         _mm.MEDIA_IMAGE_TILE_DECONTAMINATE_STORED_ORACLE
     ),
-    # similarity_ann_topk / embedding_neardup: numpy-Gaussian LSH
-    # bucketing is a pandas-UDF -> rows-only check; their md5-Rademacher
-    # *_portable twins above run the identical pipeline under full
-    # hash_match, and recall-vs-brute-force is asserted in
-    # tests/test_similarity.py
-    # dedup_minhash: md5-derived signature family is not practically
-    # SQL-expressible in DuckDB -> rows-only check (SURVEY.md §7.4)
 }
