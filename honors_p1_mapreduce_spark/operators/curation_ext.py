@@ -730,6 +730,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     differs). Unchanged docs — the bulk of any recrawl — are filtered
     out, so the output is O(churn), not O(corpus).
 
+    Contract: ``h`` must be NON-NULL on both sides (presence is
+    detected via h's nullability after the full outer join, so a NULL
+    hash would read as absence). :func:`_snapshot_frames` guarantees
+    this by hashing ``coalesce(text, '')``; any other caller must
+    supply a total hash the same way.
+
     Plan shape: ONE full-outer equi-join on doc_id. Keys are unique
     per side, so there is no skew to salt; at 100 TB both snapshots
     stored bucketed by doc_id make this a zero-shuffle co-located
@@ -772,14 +778,14 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_SNAPSHOT_DIFF_ORACLE = f"""
 WITH old AS (
-  SELECT doc_id, md5(text) AS h
+  SELECT doc_id, md5(COALESCE(text, '')) AS h
   FROM documents WHERE doc_id % {SNAP_OLD_MOD} != {SNAP_OLD_RESIDUE}
 ),
 new AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0
+         md5(COALESCE(CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0
                   THEN concat(substr(text, {SNAP_ROT + 1}), substr(text, 1, {SNAP_ROT}))
-                  ELSE text END) AS h
+                  ELSE text END, '')) AS h
   FROM documents WHERE doc_id % {SNAP_NEW_MOD} != {SNAP_NEW_RESIDUE}
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -807,8 +813,17 @@ def _snapshot_frames(
     new_docs = docs.filter(
         F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE
     ).select("doc_id", new_text.alias("text"))
-    old_h = old_docs.select("doc_id", F.md5("text").alias("h"))
-    new_h = new_docs.select("doc_id", F.md5("text").alias("h"))
+    # Total content hash: coalesce to '' so h is never NULL — the
+    # batch/streaming diff paths then agree by construction on a
+    # NULL-text doc (batch would otherwise read a NULL new-hash as
+    # 'removed' while the streaming filter's three-valued != drops
+    # the row; r16 advisor). The SQL oracles coalesce identically.
+    old_h = old_docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h")
+    )
+    new_h = new_docs.select(
+        "doc_id", F.md5(F.coalesce("text", F.lit(""))).alias("h")
+    )
     return old_docs, new_docs, old_h, new_h
 
 

@@ -807,7 +807,13 @@ def streaming_snapshot_diff(
         new_text = F.when(
             F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
         ).otherwise(F.col("text"))
-        nh = bdf.select("doc_id", F.md5(new_text).alias("h"))
+        # coalesce: keep the content hash total (never NULL), matching
+        # _snapshot_frames — a NULL-text doc would otherwise vanish
+        # from this filter's three-valued != while the batch diff
+        # reports it (r16 advisor).
+        nh = bdf.select(
+            "doc_id", F.md5(F.coalesce(new_text, F.lit(""))).alias("h")
+        )
         j = nh.join(old, "doc_id", "left")
         rows = j.filter(
             F.col("old_h").isNull() | (F.col("h") != F.col("old_h"))

@@ -872,6 +872,55 @@ def test_winnow_index_refresh_equals_rebuild(spark, sf_dir):
     assert statuses == {"added", "removed", "changed"}
 
 
+def test_snapshot_diff_null_text_batch_streaming_agree(spark, tmp_path):
+    """NULL-text docs must get the SAME treatment on both paths: the
+    content hash is total (md5 of coalesce(text, '')), so a NULL-text
+    doc present in both snapshots reads unchanged, one present on a
+    single side reads added/removed — and batch == streaming. Before
+    the coalesce, batch read the in-both case as 'removed' while the
+    streaming filter's three-valued != dropped the row (r16 advisor)."""
+    import pandas as pd
+
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_snapshot_diff_from_store,
+        streaming_snapshot_diff,
+    )
+
+    # doc 1: both snapshots, NULL text -> unchanged (absent from diff)
+    # doc 2: %7==2 -> NEW only, NULL text -> 'added'
+    # doc 3: %5==3 -> OLD only, NULL text -> 'removed'
+    # docs 5/6: both, non-null (6%3==0 rotates -> 'changed')
+    rows = [
+        (1, None),
+        (2, None),
+        (3, None),
+        (5, "stable text that is long"),
+        (6, "text longer than the rotation offset so it changes"),
+    ]
+    sf = tmp_path / "nullsf"
+    sf.mkdir()
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source="t", n_chars=0
+    ).to_parquet(sf / "documents.parquet")
+
+    batch = {
+        r["doc_id"]: r["status"]
+        for r in cx.corpus_snapshot_diff(spark, str(sf)).collect()
+    }
+    assert batch == {2: "added", 3: "removed", 6: "changed"}
+
+    idx = str(tmp_path / "nidx")
+    store = str(tmp_path / "nstore")
+    ckpt = str(tmp_path / "nckpt")
+    cx.snapshot_write_hashes(spark, str(sf), idx)
+    streaming_snapshot_diff(spark, str(sf), idx, store, ckpt)
+    streamed = {
+        r["doc_id"]: r["status"]
+        for r in read_snapshot_diff_from_store(spark, store, idx).collect()
+    }
+    assert streamed == batch
+
+
 def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
     """Draining the NEW snapshot stream against the stored
     old-snapshot hash registry, then reconciling 'removed' as
