@@ -314,7 +314,11 @@ def main(argv: list[str] | None = None) -> None:
     # cross-round and cancels in comparisons.
     suite_t0 = time.perf_counter()
 
-    def timed_norm_samples(n: int, settle: bool = False) -> list[tuple[float, float]]:
+    norm_retry_counts: dict[str, int] = {}
+
+    def timed_norm_samples(
+        n: int, settle: bool = False, group: str = ""
+    ) -> list[tuple[float, float]]:
         # settle (r16 A/B/A finding): the FIRST normalizer sample
         # taken right after a 300 s query pass is consistently
         # inflated 15-60 % (6.24/4.55/5.32/4.84 s firsts vs
@@ -323,19 +327,38 @@ def main(argv: list[str] | None = None) -> None:
         # spread gate. One UNTIMED settling run before the counted
         # samples removes it — the same role the pre-suite
         # norm_calibration() throwaway plays for the pre group.
-        if settle:
-            norm_calibration()
-        return [
-            (round(time.perf_counter() - suite_t0, 3), norm_calibration())
-            for _ in range(n)
-        ]
+        def batch(do_settle: bool) -> list[tuple[float, float]]:
+            if do_settle:
+                norm_calibration()
+            return [
+                (round(time.perf_counter() - suite_t0, 3), norm_calibration())
+                for _ in range(n)
+            ]
 
-    norm_pre = timed_norm_samples(NORM_CAL_SAMPLES)
+        samples = batch(settle)
+        # r17 (r16 verdict #4): the r16 driver line carried red gates
+        # because the host turned noisy AFTER the preflight passed —
+        # the gate only ever sampled the pre-suite window. Apply the
+        # preflight's retry-on-noisy pattern at EVERY pause point:
+        # when this group's within-spread breaks the normalizer
+        # bound, re-settle and re-sample once and keep the quieter
+        # group. Bounded cost (one settling run + n samples, paid
+        # only on a noisy window); retries are recorded per group in
+        # the full file so a retried line is auditable.
+        spread = _cal_spread_pct([v for _, v in samples])
+        if spread > NORM_SPREAD_BOUND_PCT:
+            retry = batch(True)
+            norm_retry_counts[group] = norm_retry_counts.get(group, 0) + 1
+            if _cal_spread_pct([v for _, v in retry]) < spread:
+                samples = retry
+        return samples
+
+    norm_pre = timed_norm_samples(NORM_CAL_SAMPLES, group="pre")
     first = {name: timed(name) for name in names}
     spark._jvm.System.gc()
-    norm_mid = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True)
+    norm_mid = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True, group="mid")
     second = {name: timed(name) for name in names}
-    norm_fin = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True)
+    norm_fin = timed_norm_samples(NORM_CAL_MID_SAMPLES, settle=True, group="end")
     norm_window = round(time.perf_counter() - suite_t0, 3)
     warm = {name: timed_warm(name) for name in names}
     stages = timed_stages()
@@ -348,13 +371,7 @@ def main(argv: list[str] | None = None) -> None:
     # previous round's committed full file (read BEFORE the overwrite
     # below): feeds the mover detection so the printed line surfaces
     # any query whose time moved >MOVER_RATIO cross-round
-    prev_timings: dict[str, float] | None = None
-    try:
-        prev_full = json.loads(Path("BENCH_FULL.json").read_text())
-        if isinstance(prev_full.get("queries"), dict):
-            prev_timings = prev_full["queries"]
-    except (OSError, ValueError):
-        prev_timings = None
+    prev_timings = _prev_timings_for(sf)
 
     line, full = build_output(
         timings,
@@ -370,6 +387,7 @@ def main(argv: list[str] | None = None) -> None:
             "mid": norm_mid,
             "end": norm_fin,
             "window_sec": norm_window,
+            "retries": norm_retry_counts,
         },
         prev_timings=prev_timings,
     )
@@ -423,6 +441,23 @@ PREFLIGHT_EXIT_CODE = 3
 # sub-half-second queries from burning line slots.
 MOVER_RATIO = 1.5
 MOVER_ABS_FLOOR_SEC = 0.3
+
+
+def _prev_timings_for(
+    sf: float, path: str = "BENCH_FULL.json"
+) -> dict[str, float] | None:
+    """The previous round's committed per-query timings for the mover
+    pass — ONLY when that full file was produced at the SAME scale
+    factor (r16 advisor: a prev file from a different sf would flag
+    nearly every query as a >MOVER_RATIO mover and flood the printed
+    line's query slots with noise)."""
+    try:
+        prev_full = json.loads(Path(path).read_text())
+    except (OSError, ValueError):
+        return None
+    if isinstance(prev_full.get("queries"), dict) and prev_full.get("sf") == sf:
+        return prev_full["queries"]
+    return None
 
 
 def _weighted_median(timed_samples: list[tuple[float, float]], window: float) -> float:
@@ -779,6 +814,22 @@ def build_output(
             full["norm_pre_median"] = round(norm_median, 3)
             full["norm_calibration_spread_pct"] = within
             full["norm_suite_drift_pct"] = drift_pct
+            retries = norm_timed.get("retries") or {}
+            if retries:
+                full["norm_retry_counts"] = retries
+                line_dict["norm_retries"] = sum(retries.values())
+            if norm_calibration_post:
+                # keep the post-suite drift series the legacy branch
+                # emitted (r16 advisor: this branch silently dropped
+                # norm_calibration_post_* while main() still paid the
+                # ~NORM_CAL_POST_SAMPLES runs collecting it); drift is
+                # vs the PRE median, same as the legacy series.
+                post_median = _cal_median(norm_calibration_post)
+                full["norm_calibration_post_sec"] = norm_calibration_post
+                full["norm_calibration_post_median"] = round(post_median, 3)
+                line_dict["norm_drift_pct"] = round(
+                    100.0 * (post_median - norm_median) / norm_median, 1
+                )
         elif norm_median > 0:
             norm_spread = _cal_spread_pct(norm_calibration)
             line_dict["norm_calibration_sec"] = round(norm_median, 3)

@@ -188,6 +188,67 @@ def test_bench_line_surfaces_movers():
     assert "movers" not in full2
 
 
+def test_bench_mover_pass_requires_same_sf(tmp_path):
+    """r16 advisor: the mover comparison must be skipped when the
+    previous committed full file was produced at a different scale
+    factor — otherwise nearly every query reads as a mover."""
+    import json
+
+    import bench
+
+    p = tmp_path / "BENCH_FULL.json"
+    p.write_text(json.dumps({"sf": 0.01, "queries": {"wordcount": 0.1}}))
+    assert bench._prev_timings_for(0.1, str(p)) is None
+    p.write_text(json.dumps({"sf": 0.1, "queries": {"wordcount": 0.1}}))
+    assert bench._prev_timings_for(0.1, str(p)) == {"wordcount": 0.1}
+    # missing / unparsable file -> silently no mover pass
+    assert bench._prev_timings_for(0.1, str(tmp_path / "nope.json")) is None
+
+
+def test_bench_norm_timed_branch_keeps_post_drift_and_retries():
+    """r16 advisor: the norm_timed branch must keep emitting the
+    post-suite drift series the legacy branch recorded (main() still
+    pays the post samples' runtime); r16 verdict #4: pause-point
+    retry counts are surfaced so a retried line is auditable."""
+    import json
+
+    import bench
+
+    norm_timed = {
+        "pre": [(0.0, 4.0), (4.0, 4.0), (8.0, 4.0)],
+        "mid": [(600.0, 4.0), (605.0, 4.0)],
+        "end": [(1190.0, 4.0), (1195.0, 4.0)],
+        "window_sec": 1200.0,
+        "retries": {"mid": 1},
+    }
+    line, full = bench.build_output(
+        {"wordcount": 1.0},
+        0.1,
+        calibration=[0.5] * 10,
+        norm_calibration=[4.0, 4.0, 4.0],
+        norm_calibration_post=[4.6, 4.6, 4.6],
+        norm_timed=norm_timed,
+    )
+    parsed = json.loads(line)
+    assert full["norm_calibration_post_median"] == 4.6
+    assert full["norm_calibration_post_sec"] == [4.6, 4.6, 4.6]
+    assert parsed["norm_drift_pct"] == 15.0  # (4.6-4.0)/4.0 vs PRE
+    assert parsed["norm_retries"] == 1
+    assert full["norm_retry_counts"] == {"mid": 1}
+    # no retries -> no noise keys on the line
+    norm_timed2 = {**norm_timed, "retries": {}}
+    line2, full2 = bench.build_output(
+        {"wordcount": 1.0},
+        0.1,
+        calibration=[0.5] * 10,
+        norm_calibration=[4.0, 4.0, 4.0],
+        norm_timed=norm_timed2,
+    )
+    assert "norm_retries" not in json.loads(line2)
+    assert "norm_retry_counts" not in full2
+    assert "norm_drift_pct" not in json.loads(line2)
+
+
 def test_bench_headline_canonical_order():
     """r11 verdict #5: bench times queries in a FIXED canonical
     (name-sorted) order independent of the registry's window
