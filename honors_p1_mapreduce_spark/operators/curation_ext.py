@@ -889,6 +889,139 @@ def winnow_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_from_index(spark, d_new)
 
 
+# ---------------------- merge-on-read refresh (r17, r16 verdict #2)
+# The eager refresh above is O(churn) in EXTRACTION but corpus-sized
+# in the WRITE: kept + fresh is a full index rewrite every cycle
+# (R16_SNAPSHOT_PROBE measured refresh at 0.34-0.67x rebuild instead
+# of ~churn-fraction for exactly this reason). The merge-on-read
+# layout makes maintenance O(churn) end-to-end: a refresh ships only
+# (a) TOMBSTONES — the removed/changed doc_ids, churn-sized — and
+# (b) DELTA fingerprint rows for added/changed docs, churn-sized;
+# the base index is never rewritten. Readers reconcile at scan time
+# (base ANTI-JOIN tombstones UNION delta), and a periodic COMPACTION
+# folds the layers back into a clean base — the Iceberg/Delta
+# position-delete shape, and this repo's rollup-store + compaction
+# precedent (events.py) applied to the fingerprint artifact. At
+# 100 TB with 2 % daily churn the refresh writes ~2 TB instead of
+# ~100 TB; the serve-side anti-join stays cheap because tombstones
+# are churn-sized (AQE broadcasts a genuinely small daily delta),
+# and compaction amortizes the read-side layering on whatever cadence
+# the pipeline chooses.
+
+
+def winnow_refresh_write_delta(
+    spark: SparkSession,
+    delta_dir: str,
+    diff: DataFrame,
+    new_docs: DataFrame,
+) -> None:
+    """O(churn) WRITE side of a fingerprint-index refresh: persist
+    the tombstone doc_ids (removed + changed) and the freshly
+    extracted fingerprint rows (added + changed, NEW text) — nothing
+    corpus-sized is written or rewritten. ``diff`` is
+    :func:`snapshot_diff` output; ``new_docs`` the NEW snapshot's
+    (doc_id, text)."""
+    from .winnow import winnow_fingerprints_chunked_from
+
+    diff.filter(F.col("status") != "added").select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{delta_dir}/tombstones")
+    winnow_fingerprints_chunked_from(
+        new_docs.join(
+            diff.filter(F.col("status") != "removed").select("doc_id"),
+            "doc_id",
+        )
+    ).write.mode("overwrite").parquet(f"{delta_dir}/delta_fingerprints")
+
+
+def winnow_read_index_mor(
+    spark: SparkSession, base_index_dir: str, delta_dir: str
+) -> DataFrame:
+    """Scan-time reconciliation of a merge-on-read fingerprint index:
+    base rows minus tombstoned docs, plus the delta layer. Row-set
+    identical to the eagerly refreshed index (a 'changed' doc is both
+    tombstoned out of the base and re-extracted into the delta, so no
+    doc contributes from two layers; pinned by pytest frame
+    equality). Tombstones are churn-sized — AQE broadcasts the
+    anti-join side when a real daily delta is small."""
+    base = spark.read.parquet(f"{base_index_dir}/fingerprints")
+    tomb = spark.read.parquet(f"{delta_dir}/tombstones")
+    delta = spark.read.parquet(f"{delta_dir}/delta_fingerprints")
+    return base.join(tomb, "doc_id", "left_anti").unionByName(delta)
+
+
+def winnow_compact_index(
+    spark: SparkSession, base_index_dir: str, delta_dir: str, out_dir: str
+) -> None:
+    """Fold a merge-on-read index back into a clean single-layer base
+    (the corpus-sized write, paid on the COMPACTION cadence instead
+    of every refresh). compact(base, delta) == eager refresh by
+    construction — both materialize :func:`winnow_read_index_mor`'s
+    row set."""
+    winnow_read_index_mor(spark, base_index_dir, delta_dir).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/fingerprints")
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence probe via the Hadoop FileSystem API —
+    correct on local disk and on a real cluster's shared store alike
+    (an os.path check would silently lie off the driver's disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def winnow_index_refresh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of :func:`winnow_index_refresh` following the
+    family's ``*_stored`` convention (r16 verdict #3 + advisor): the
+    OLD snapshot's fingerprint index is a PRE-SHIPPED artifact —
+    built once per (application, corpus) and reused, not rebuilt
+    inside every call — so the measured cost of this query is what
+    the operator means: O(churn) maintenance (tombstones + delta
+    write, merge-on-read) plus the serve. The self-contained sibling
+    keeps rebuilding its precondition every call for a fully
+    self-checking oracle run; this twin is the production shape.
+
+    Build-if-absent is staleness-safe here, unlike for mutable
+    scratch: the artifact dir is keyed by (applicationId, corpus
+    token) — see ``bpe_encode._artifact_dir`` — and the OLD-snapshot
+    index is a pure deterministic function of the immutable corpus
+    parquet, so within an application the path either holds exactly
+    the right artifact or nothing.
+
+    Output is bit-identical to :func:`winnow_index_refresh` (same
+    diff, same extraction, merge-on-read instead of eager
+    materialization — pinned by pytest), so
+    WINNOW_INDEX_REFRESH_ORACLE gates both paths."""
+    from .bpe_encode import _artifact_dir
+    from .winnow import (
+        CONTAM_MIN_SHARED,
+        _decontaminate_from_fps,
+        winnow_fingerprints_chunked_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs, new_docs, old_h, new_h = _snapshot_frames(docs)
+    d_base = _artifact_dir(spark, sf_dir, "winnow_snap_base")
+    if not _hadoop_path_exists(spark, f"{d_base}/fingerprints"):
+        winnow_fingerprints_chunked_from(old_docs).write.mode(
+            "overwrite"
+        ).parquet(f"{d_base}/fingerprints")
+    d_delta = _artifact_dir(spark, sf_dir, "winnow_snap_delta")
+    winnow_refresh_write_delta(
+        spark, d_delta, snapshot_diff(old_h, new_h), new_docs
+    )
+    fps = (
+        winnow_read_index_mor(spark, d_base, d_delta)
+        .select("doc_id", "fp_hash")
+        .distinct()
+        .persist()
+    )
+    return _decontaminate_from_fps(fps, CONTAM_MIN_SHARED)
+
+
 # The oracle re-derives decontamination from the NEW snapshot corpus
 # from scratch (rebuild == refresh is the claim under test). The
 # chunked-winnowing CTE is reused verbatim with its corpus source
@@ -924,6 +1057,10 @@ HAVING count(*) >= {CONTAM_MIN_SHARED}
 
 
 WINNOW_INDEX_REFRESH_ORACLE = _refresh_oracle()
+# The stored twin's output is bit-identical (same diff + extraction,
+# merge-on-read materialization) — ONE oracle derivation gates both
+# paths, the decontaminate_stored / pq_search_stored convention.
+WINNOW_INDEX_REFRESH_STORED_ORACLE = WINNOW_INDEX_REFRESH_ORACLE
 
 
 def snapshot_write_hashes(

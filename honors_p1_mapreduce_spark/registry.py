@@ -200,9 +200,19 @@ the final r16 tree — R16_QUEUED_PREVERIFY.json):
     frame-equality + an oracle re-deriving from the NEW snapshot) —
     completing the index lifecycle: write/read-back (r8), append
     (r9), retract (r10), refresh (r16).
-  Registry 176 -> 178 at their registration, within the 200 cap
+  winnow_index_refresh_stored (curation_ext.py, built r17 per the
+    r16 verdict #3 + advisor) — the family's *_stored twin: the OLD
+    index is a pre-shipped build-if-absent artifact and maintenance
+    is MERGE-ON-READ (tombstones + delta rows, O(churn) write;
+    winnow_refresh_write_delta / winnow_read_index_mor /
+    winnow_compact_index), so the registered number measures
+    maintenance + serve, not rebuild + maintenance + serve. Output
+    bit-identical to winnow_index_refresh — the shared oracle gates
+    both (pytest: mor == eager == rebuild, compaction equality,
+    base-reuse pin).
+  Registry 176 -> 179 at their registration, within the 200 cap
   (feasibility: scripts/simulate_rotation_r16.py shows >= 22 free
-  slots at r19 before these two).
+  slots at r19 before these; re-check with the r17 planner sim).
 """
 
 QUERIES: dict[str, QueryFn] = {

@@ -872,6 +872,92 @@ def test_winnow_index_refresh_equals_rebuild(spark, sf_dir):
     assert statuses == {"added", "removed", "changed"}
 
 
+def test_winnow_index_refresh_stored_matches_oracle(spark, sf_dir):
+    compare_query(
+        spark,
+        sf_dir,
+        cx.winnow_index_refresh_stored,
+        cx.WINNOW_INDEX_REFRESH_STORED_ORACLE,
+    )
+
+
+def test_winnow_refresh_mor_equals_eager_and_compacts(spark, sf_dir):
+    """The merge-on-read layers reconcile to EXACTLY the eagerly
+    refreshed index: mor(base, delta) == rebuild(new snapshot) row
+    set, compaction materializes the same rows, and the stored twin's
+    drop-list equals the self-contained refresh's."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints_chunked_from,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table as lt
+
+    stored = sorted(
+        map(tuple, cx.winnow_index_refresh_stored(spark, sf_dir).collect())
+    )
+    d_base = _artifact_dir(spark, sf_dir, "winnow_snap_base")
+    d_delta = _artifact_dir(spark, sf_dir, "winnow_snap_delta")
+    mor = cx.winnow_read_index_mor(spark, d_base, d_delta)
+    _, new_docs, _, _ = cx._snapshot_frames(lt(spark, sf_dir, "documents"))
+    rebuilt = winnow_fingerprints_chunked_from(new_docs)
+    assert mor.count() == rebuilt.count()
+    assert (
+        mor.unionByName(rebuilt).distinct().count() == rebuilt.distinct().count()
+    )
+    # tombstones + delta are genuinely churn-scoped layers: both
+    # non-empty, and no doc contributes rows from two layers
+    tomb = spark.read.parquet(f"{d_delta}/tombstones")
+    delta = spark.read.parquet(f"{d_delta}/delta_fingerprints")
+    assert tomb.count() > 0 and delta.count() > 0
+    base_kept_docs = (
+        spark.read.parquet(f"{d_base}/fingerprints")
+        .join(tomb, "doc_id", "left_anti")
+        .select("doc_id")
+        .distinct()
+    )
+    assert (
+        base_kept_docs.join(delta.select("doc_id").distinct(), "doc_id").count()
+        == 0
+    )
+    # compaction folds the layers into a clean base with the same rows
+    d_comp = _artifact_dir(spark, sf_dir, "winnow_snap_compact")
+    cx.winnow_compact_index(spark, d_base, d_delta, d_comp)
+    comp = spark.read.parquet(f"{d_comp}/fingerprints")
+    assert comp.count() == rebuilt.count()
+    assert (
+        comp.unionByName(rebuilt).distinct().count()
+        == rebuilt.distinct().count()
+    )
+    # and the stored twin serves the same drop-list as the
+    # self-contained refresh
+    eager = sorted(
+        map(tuple, cx.winnow_index_refresh(spark, sf_dir).collect())
+    )
+    assert stored == eager and stored
+
+
+def test_winnow_refresh_stored_reuses_shipped_base(spark, sf_dir):
+    """Build-if-absent: the second call must NOT rewrite the base
+    index (that is the artifact the twin exists to avoid rebuilding)
+    — pinned via the parquet directory's file listing + mtimes."""
+    import os
+
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+
+    cx.winnow_index_refresh_stored(spark, sf_dir).count()
+    d_base = _artifact_dir(spark, sf_dir, "winnow_snap_base")
+    listing = {
+        f: os.path.getmtime(os.path.join(d_base, "fingerprints", f))
+        for f in os.listdir(f"{d_base}/fingerprints")
+    }
+    cx.winnow_index_refresh_stored(spark, sf_dir).count()
+    listing2 = {
+        f: os.path.getmtime(os.path.join(d_base, "fingerprints", f))
+        for f in os.listdir(f"{d_base}/fingerprints")
+    }
+    assert listing == listing2, "base index rewritten on reuse"
+
+
 def test_snapshot_diff_null_text_batch_streaming_agree(spark, tmp_path):
     """NULL-text docs must get the SAME treatment on both paths: the
     content hash is total (md5 of coalesce(text, '')), so a NULL-text
