@@ -213,6 +213,22 @@ the final r16 tree — R16_QUEUED_PREVERIFY.json):
   Registry 176 -> 179 at their registration, within the 200 cap
   (feasibility: scripts/simulate_rotation_r16.py shows >= 22 free
   slots at r19 before these; re-check with the r17 planner sim).
+
+ROUND-20 QUEUE (library surface built r17, r16 verdict #6):
+  pq_index_refresh (pq.py) — the ANN member of the snapshot-delta
+    lifecycle: retract removed/changed code rows, encode
+    added/changed vectors against the FROZEN stored codebooks (the
+    append shape — per-vector assignment, no retraining), serve
+    two-stage search from the refreshed generation over the NEW
+    snapshot. Snapshot law shared with the documents table (SNAP_*
+    constants on vec_id; 'changed' = embedding rotated one element —
+    a pure permutation, engine-portable bitwise). refresh ==
+    rebuild-with-frozen-codebooks code-for-code (pytest) and the
+    oracle re-derives the search end-to-end training on the OLD
+    snapshot CTE while encoding/serving the NEW one
+    (_pq_chain_sql train_src/encode_src split — default-args SQL
+    byte-identical to the stamped oracles). Parity green at
+    sf0.001+sf0.01 at build time.
 """
 
 QUERIES: dict[str, QueryFn] = {

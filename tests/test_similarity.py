@@ -523,3 +523,85 @@ def test_pq_retract_index_rejects_in_place_overwrite(spark, tmp_path):
         pq_retract_index(spark, d, d, removed)
     with _pytest.raises(ValueError, match="must differ"):
         pq_retract_index(spark, d, d + "/./", removed)
+
+
+def test_pq_index_refresh_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators import pq
+
+    from .oracle import compare_query
+
+    compare_query(
+        spark, sf_dir, pq.pq_index_refresh, pq.PQ_INDEX_REFRESH_ORACLE
+    )
+
+
+def test_pq_index_refresh_equals_frozen_rebuild(spark, sf_dir):
+    """The strong pin (the winnow refresh==rebuild proof applied to
+    the ANN store): the delta-refreshed code table — retract
+    removed/changed, encode added/changed against the FROZEN stored
+    codebooks — is code-for-code identical to encoding the whole NEW
+    snapshot against those codebooks at once; and the diff genuinely
+    exercised every status."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+    from honors_p1_mapreduce_spark.operators.curation_ext import snapshot_diff
+    from honors_p1_mapreduce_spark.operators.pq import (
+        PQ_CELLS,
+        PQ_ITER,
+        _assign,
+        _emb_content_hash,
+        _emb_snapshot_frames,
+        _subvectors,
+        pq_index_refresh,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    pq_index_refresh(spark, sf_dir).count()  # writes base + refreshed
+    d_ref = _artifact_dir(
+        spark, sf_dir, f"pq_snap_ref_{PQ_CELLS}c{PQ_ITER}i"
+    )
+    refreshed = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in spark.read.parquet(f"{d_ref}/codes").collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    old_emb, new_emb = _emb_snapshot_frames(emb)
+    rebuilt = {
+        (r["vec_id"], r["s"]): r["cell"]
+        for r in _assign(
+            _subvectors(new_emb, "vec_id", "embedding"),
+            spark.read.parquet(f"{d_ref}/cents"),
+            "vec_id",
+        ).collect()
+    }
+    assert refreshed == rebuilt and refreshed
+    diff = snapshot_diff(
+        _emb_content_hash(old_emb), _emb_content_hash(new_emb)
+    )
+    statuses = {r["status"] for r in diff.select("status").distinct().collect()}
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_emb_snapshot_rotation_is_permutation_and_short_safe(spark, sf_dir):
+    """The 'changed' perturbation must be a pure permutation (same
+    multiset of floats — no arithmetic, so both engines agree
+    bitwise) and the identity on length-1 embeddings."""
+    from honors_p1_mapreduce_spark.operators.pq import _emb_snapshot_frames
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, new = _emb_snapshot_frames(emb)
+    j = (
+        emb.select("vec_id", F.col("embedding").alias("orig"))
+        .join(new, "vec_id")
+        .filter(F.col("vec_id") % 3 == 0)
+        .select(
+            F.array_sort("orig").alias("a"),
+            F.array_sort("embedding").alias("b"),
+        )
+    )
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
+    # vec_id 6: in NEW (6 % 5 != 3) and 'changed' (6 % 3 == 0)
+    one = spark.createDataFrame([(6, [1.5])], ["vec_id", "embedding"])
+    _, new1 = _emb_snapshot_frames(one)
+    assert new1.collect()[0]["embedding"] == [1.5]
