@@ -693,8 +693,10 @@ def build_output(
     # measured 1987/2000 — one extra digit in the totals (a 1000+ s
     # round) would have truncated the driver's parse (the round-4
     # parsed=null failure). The guard test now builds the line WITH
-    # every optional field at wide magnitudes.
-    budget = 1400
+    # every optional field at wide magnitudes. Reduced 1400 -> 1300
+    # in r17: calibration_within_spread_pct + calibration_drift_pct +
+    # norm_retries added ~100 bytes.
+    budget = 1300
     # MOVERS first (r15 verdict #6): the slowest-first fill hides a
     # regression in a FAST query (a 0.3 s -> 1.2 s query never makes
     # the top-~40 cut), so any query whose time moved more than
@@ -751,7 +753,33 @@ def build_output(
         if cal_median > 0:
             spread_pct = _cal_spread_pct(calibration)
             line_dict["calibration_spread_pct"] = spread_pct
-            line_dict["calibration_ok"] = spread_pct <= CAL_SPREAD_BOUND_PCT
+            # r17 (the r16 normalizer-gate decision applied to the
+            # legacy short-shuffle gate): the samples are two
+            # temporal groups — CAL_SAMPLES before the suite and
+            # CAL_SAMPLES after — so the POOLED IQR conflates
+            # within-window noise with cross-suite host drift (r17
+            # run2: within-group spreads 21.7 %/26.8 % vs pooled
+            # 40.2 %, purely because the host sped up between the
+            # windows ~25 min apart). The gate reads the max
+            # WITHIN-group spread, exactly as normalizer_ok has
+            # since r16; the pooled figure keeps its key (series
+            # unchanged) and the between-group drift is reported
+            # alongside as the diagnostic it is.
+            half = len(calibration) // 2
+            groups = (
+                [calibration[:half], calibration[half:]]
+                if half >= 2
+                else [calibration]
+            )
+            within_cal = max(_cal_spread_pct(g) for g in groups)
+            line_dict["calibration_within_spread_pct"] = within_cal
+            if len(groups) == 2:
+                m1 = _cal_median(groups[0])
+                m2 = _cal_median(groups[1])
+                line_dict["calibration_drift_pct"] = (
+                    round(100.0 * abs(m2 - m1) / m1, 1) if m1 > 0 else 0.0
+                )
+            line_dict["calibration_ok"] = within_cal <= CAL_SPREAD_BOUND_PCT
             if norm_calibration is None:
                 # pre-r15 protocol (kept for old-artifact tooling):
                 # normalize by the short shuffle — known-noisy, see

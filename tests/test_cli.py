@@ -283,12 +283,26 @@ def test_bench_calibration_median_and_spread():
     assert parsed["calibration_ok"] is True
     assert full["calibration_sec"] == cal  # raw samples preserved
     assert full["calibration_median"] == 0.5
-    # a genuinely wide distribution (not one outlier) must trip the
-    # bound: IQR spread ~48% > 30%
-    wide = [0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75]
+    # genuinely wide WITHIN each pre/post window (not one outlier,
+    # not cross-window drift) must trip the bound
+    wide = [0.3, 0.75, 0.3, 0.75, 0.3, 0.75, 0.3, 0.75, 0.3, 0.75]
     parsed2 = json.loads(bench.build_output(timings, 0.1, calibration=wide)[0])
     assert parsed2["calibration_ok"] is False
     assert parsed2["calibration_spread_pct"] > 30.0
+    assert parsed2["calibration_within_spread_pct"] > 30.0
+    # r17: the gate reads WITHIN-group spread (pre/post windows), the
+    # r16 normalizer-gate decision applied to the legacy gate — a
+    # host that merely changed speed BETWEEN the two windows is
+    # drift, not an invalid suite: quiet groups 30 % apart must pass
+    # the gate while the pooled spread and the drift stay reported
+    drifted = [0.5, 0.5, 0.5, 0.5, 0.5, 0.35, 0.35, 0.35, 0.35, 0.35]
+    parsed3 = json.loads(
+        bench.build_output(timings, 0.1, calibration=drifted)[0]
+    )
+    assert parsed3["calibration_ok"] is True
+    assert parsed3["calibration_within_spread_pct"] == 0.0
+    assert parsed3["calibration_drift_pct"] == 30.0
+    assert parsed3["calibration_spread_pct"] > 30.0
 
 
 def test_bench_normalizer_uses_long_calibration():

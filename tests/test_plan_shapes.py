@@ -1012,3 +1012,34 @@ def test_snapshot_diff_full_outer_smj_pruned(spark, sf_dir):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_r17_queued_surface_plans_are_clean(spark, sf_dir):
+    """Plan hygiene for the r17-built queued surfaces BEFORE they
+    occupy driver slots (the r11 backlog-test convention):
+    winnow_index_refresh_stored serves through the merge-on-read
+    reconciliation (anti-join + union — no cartesian/nested-loop
+    fallback anywhere in the cycle), and pq_index_refresh's served
+    search never self-joins the corpus vectors (the
+    pq_never_self_joins_corpus guarantee extended to the refreshed
+    generation)."""
+    from honors_p1_mapreduce_spark.operators.bpe_encode import _artifact_dir
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        winnow_index_refresh_stored,
+        winnow_read_index_mor,
+    )
+    from honors_p1_mapreduce_spark.operators.pq import pq_index_refresh
+
+    p = _plan(winnow_index_refresh_stored(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the reconciliation itself: one anti-join layer, one union
+    d_base = _artifact_dir(spark, sf_dir, "winnow_snap_base")
+    d_delta = _artifact_dir(spark, sf_dir, "winnow_snap_delta")
+    mor = _plan(winnow_read_index_mor(spark, d_base, d_delta))
+    assert "LeftAnti" in mor and "Union" in mor
+    assert "CartesianProduct" not in mor
+
+    q = _plan(pq_index_refresh(spark, sf_dir))
+    assert "CartesianProduct" not in q
+    assert "BroadcastNestedLoopJoin" not in q
