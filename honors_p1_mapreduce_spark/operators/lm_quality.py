@@ -181,6 +181,18 @@ def _lm_count_frames(
     docs = load_table(spark, sf_dir, "documents")
     if pred is not None:
         docs = docs.filter(pred)
+    return _lm_count_frames_from(docs)
+
+
+def _lm_count_frames_from(docs: DataFrame):
+    """:func:`_lm_count_frames` over an ARBITRARY (doc_id, text)
+    frame — factored r17 so the snapshot-refresh delta passes can
+    count the leaving docs under their OLD text and the entering docs
+    under their NEW text (frames a table-plus-predicate cannot
+    express). NOTE: this factoring moved the code path of
+    lm_interp_score / lm_score_stored / lm_model_retract — they are
+    r18 ``--force`` restamps (the media_image_neardup precedent;
+    recorded in the registry ROUND-18 plan)."""
     tok_arr = docs.select("doc_id", tokens_col("text").alias("tk")).persist()
     toks = tok_arr.select(F.explode("tk").alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("ucnt"))
@@ -472,3 +484,133 @@ def _retract_pred_sql() -> str:
 
 
 LM_MODEL_RETRACT_ORACLE = _lm_interp_oracle(pred=_retract_pred_sql())
+
+
+# ------------------- snapshot-driven count refresh (r17, queue r21)
+
+# The LM member of the snapshot-delta lifecycle (r16 verdict #6
+# completed across all three artifact families: winnow index r16-17,
+# PQ codes r17, LM counts r17). The count tables are the
+# trainable/MERGEABLE form of the model (the retract section's
+# rationale): integer counts subtract AND add exactly, so a recrawl
+# refresh is
+#   counts(new) = counts(old)
+#               - counts(removed+changed docs, OLD text)
+#               + counts(added+changed docs, NEW text)
+# — two churn-sized tokenize passes plus vocab-sized joins, never a
+# corpus retrain. refresh == retrain-on-NEW bit-for-bit because the
+# arithmetic is exact and unchanged docs contribute identical counts
+# to both sides; the oracle retrains from the NEW snapshot corpus so
+# the driver hash-gates exactly that claim.
+
+
+def merge_counts(
+    stored: DataFrame, delta: DataFrame, key: str, cnt: str
+) -> DataFrame:
+    """stored counts PLUS delta counts on ``key`` — the additive
+    mirror of :func:`retract_counts`: full outer join (keys new to
+    the delta enter the vocabulary), exact integer addition. Both
+    frames are vocab-sized."""
+    d = delta.select(key, F.col(cnt).alias("__d"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        stored.join(d, key, "full_outer")
+        .select(
+            key,
+            (
+                F.coalesce(F.col(cnt), zero) + F.coalesce(F.col("__d"), zero)
+            ).alias(cnt),
+        )
+        .filter(F.col(cnt) > 0)
+    )
+
+
+def lm_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r17 library surface, queue r21): the full
+    snapshot-refresh cycle for the LM count store — persist the OLD
+    snapshot's count artifact (the pre-existing artifact; on disk
+    from the previous cycle in production), diff the snapshots
+    (:func:`..curation_ext.snapshot_diff` on content hashes),
+    delta-count the LEAVING docs under their OLD text and the
+    ENTERING docs under their NEW text (both churn-sized tokenize
+    passes — a changed doc leaves under its old text and re-enters
+    under its new text), subtract/add against the stored counts
+    (vocab-sized joins, the retract machinery plus its additive
+    mirror), re-derive the score table, and score the NEW snapshot.
+
+    The oracle retrains the interpolated model from the NEW snapshot
+    corpus from scratch (the winnow/PQ refresh proof pattern), so the
+    driver hash-gates refresh == retrain; pytest additionally pins
+    the reconciled count frames against a from-scratch recount of the
+    NEW snapshot."""
+    from .bpe_encode import _artifact_dir
+    from .curation_ext import _snapshot_frames, snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs, new_docs, old_h, new_h = _snapshot_frames(docs)
+    d = _artifact_dir(spark, sf_dir, "lm_snap_counts")
+    occ_o, uni_o, bg_o, tok_o = _lm_count_frames_from(old_docs)
+    bg_o.write.mode("overwrite").parquet(f"{d}/bigram_counts")
+    uni_o.write.mode("overwrite").parquet(f"{d}/unigram_counts")
+    occ_o.unpersist()
+    tok_o.unpersist()
+
+    diff = snapshot_diff(old_h, new_h)
+    leave = diff.filter(F.col("status") != "added").select("doc_id")
+    enter = diff.filter(F.col("status") != "removed").select("doc_id")
+    occ_l, uni_l, bg_l, tok_l = _lm_count_frames_from(
+        old_docs.join(leave, "doc_id")
+    )
+    occ_e, uni_e, bg_e, tok_e = _lm_count_frames_from(
+        new_docs.join(enter, "doc_id")
+    )
+    stored_bg = spark.read.parquet(f"{d}/bigram_counts")
+    stored_uni = spark.read.parquet(f"{d}/unigram_counts")
+    runi = merge_counts(
+        retract_counts(stored_uni, uni_l, "w", "ucnt"), uni_e, "w", "ucnt"
+    ).localCheckpoint()
+    rbg = merge_counts(
+        retract_counts(stored_bg, bg_l, "bg", "cnt"), bg_e, "bg", "cnt"
+    ).localCheckpoint()
+    for f in (occ_l, tok_l, occ_e, tok_e):
+        f.unpersist()
+
+    scores = _interp_scores_from_counts(runi, rbg)
+    occ_new = new_docs.select(
+        "doc_id",
+        F.explode(bigrams_from_tokens(tokens_col("text"))).alias("bg"),
+    )
+    return _score_occurrences(occ_new, scores)
+
+
+def _refresh_oracle_lm() -> str:
+    """Retrain-on-NEW oracle: the interp chain with its corpus source
+    textually swapped to the NEW-snapshot CTE (the winnow
+    _refresh_oracle substitution pattern — the chain reads FROM
+    documents exactly twice, asserted so drift breaks loudly)."""
+    from .curation_ext import (
+        SNAP_CHANGE_MOD,
+        SNAP_NEW_MOD,
+        SNAP_NEW_RESIDUE,
+        SNAP_ROT,
+    )
+
+    chain = _lm_interp_oracle()
+    assert chain.count("FROM documents") == 2
+    chain = chain.replace("FROM documents", "FROM documents_new")
+    assert chain.count("WITH toks AS") == 1
+    return chain.replace(
+        "WITH toks AS",
+        f"""WITH documents_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAP_CHANGE_MOD} = 0
+              THEN concat(substr(text, {SNAP_ROT + 1}), substr(text, 1, {SNAP_ROT}))
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {SNAP_NEW_MOD} != {SNAP_NEW_RESIDUE}
+),
+toks AS""",
+        1,
+    )
+
+
+LM_MODEL_REFRESH_ORACLE = _refresh_oracle_lm()

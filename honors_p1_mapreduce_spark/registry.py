@@ -150,6 +150,16 @@ holds through r21):
   r18 (3 registrations): the r15-built library surfaces below.
     Registry 173 -> 176. The r14-stamped leftover block leads as
     the r18 deadline; the trio fits the free slots.
+  r18 FORCED RESTAMPS (--force, the media_image_neardup precedent):
+    lm_interp_score, lm_score_stored, lm_model_retract — their code
+    path moved when _lm_count_frames was factored through
+    _lm_count_frames_from for the r17 snapshot-refresh delta passes
+    (lm_quality.py). Behavior-identical (delegation only; pinned by
+    the full suite), but the freshness rule restamps on any code
+    path move. Run the r18 rotation as
+    ``plan_next_window.py --register <trio> --force lm_interp_score
+    lm_score_stored lm_model_retract``; 23 deadline + 3 regs + 3
+    forces = 29 of 50 slots — fits.
   Evidence already on file: stored-cycle + streaming equivalences,
   R15_SURFACES_PROBE.json 10x probes,
   R15_QUEUED_PREVERIFY.json / R16_QUEUED_PREVERIFY.json
@@ -228,6 +238,20 @@ ROUND-20 QUEUE (library surface built r17, r16 verdict #6):
     snapshot CTE while encoding/serving the NEW one
     (_pq_chain_sql train_src/encode_src split — default-args SQL
     byte-identical to the stamped oracles). Parity green at
+    sf0.001+sf0.01 at build time.
+
+ROUND-21 QUEUE (library surface built r17):
+  lm_model_refresh (lm_quality.py) — the LM member of the
+    snapshot-delta lifecycle, completing refresh parity across all
+    three artifact families (winnow index r16-17, PQ codes r17, LM
+    counts r17): counts(new) = counts(old) - counts(leaving docs,
+    OLD text) + counts(entering docs, NEW text) — two churn-sized
+    tokenize passes plus vocab-sized joins (retract_counts + its
+    additive mirror merge_counts), score table re-derived, NEW
+    snapshot scored. refresh == retrain bit-for-bit (exact integer
+    counts; pytest pins the reconciled count frames against a
+    from-scratch recount) and the oracle retrains from the NEW
+    snapshot CTE (the winnow substitution pattern). Parity green at
     sf0.001+sf0.01 at build time.
 """
 

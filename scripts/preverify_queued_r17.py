@@ -8,6 +8,7 @@ at sf0.001 AND sf0.01 for
   r19: corpus_snapshot_diff, winnow_index_refresh,
        winnow_index_refresh_stored     (built r16; stored twin r17)
   r20: pq_index_refresh                (built r17)
+  r21: lm_model_refresh                (built r17)
 
 so their eventual driver rows are regression checks, not first
 contact. Exit 0 iff everything is green; JSON report to stdout
@@ -31,6 +32,7 @@ def _surfaces():
     from honors_p1_mapreduce_spark.operators import curation as cu
     from honors_p1_mapreduce_spark.operators import curation_ext as cx
     from honors_p1_mapreduce_spark.operators import dedup as dd
+    from honors_p1_mapreduce_spark.operators import lm_quality as lm
     from honors_p1_mapreduce_spark.operators import pq
 
     return [
@@ -50,6 +52,9 @@ def _surfaces():
         # r20 registration (built r17)
         ("pq_index_refresh", pq.pq_index_refresh,
          pq.PQ_INDEX_REFRESH_ORACLE),
+        # r21 registration (built r17)
+        ("lm_model_refresh", lm.lm_model_refresh,
+         lm.LM_MODEL_REFRESH_ORACLE),
     ]
 
 
@@ -59,7 +64,7 @@ def main() -> int:
     spark = get_spark(app_name="preverify_queued_r17")
     out: dict = {
         "purpose": (
-            "r18/r19/r20 registration pre-verification on the FINAL "
+            "r18/r19/r20/r21 registration pre-verification on the FINAL "
             "r17 tree"
         ),
         "n_surfaces": len(_surfaces()),

@@ -1033,3 +1033,80 @@ def test_streaming_snapshot_diff_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch and streamed  # equal AND non-vacuous
     # every status genuinely exercised through the streaming path
     assert {s for _, s in streamed} == {"added", "removed", "changed"}
+
+
+def test_lm_model_refresh_matches_oracle(spark, sf_dir):
+    from honors_p1_mapreduce_spark.operators import lm_quality as lm
+
+    compare_query(
+        spark, sf_dir, lm.lm_model_refresh, lm.LM_MODEL_REFRESH_ORACLE
+    )
+
+
+def test_lm_refresh_counts_equal_retrain(spark, sf_dir):
+    """The strong pin: stored(old) - counts(leaving, OLD text) +
+    counts(entering, NEW text) equals a from-scratch recount of the
+    NEW snapshot, bigram and unigram tables both — exact integer
+    arithmetic, no tolerance."""
+    from honors_p1_mapreduce_spark.operators import lm_quality as lm
+    from honors_p1_mapreduce_spark.operators.curation_ext import (
+        _snapshot_frames,
+        snapshot_diff,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_docs, new_docs, old_h, new_h = _snapshot_frames(docs)
+    _, uni_o, bg_o, _ = lm._lm_count_frames_from(old_docs)
+    diff = snapshot_diff(old_h, new_h)
+    leave = diff.filter(F.col("status") != "added").select("doc_id")
+    enter = diff.filter(F.col("status") != "removed").select("doc_id")
+    _, uni_l, bg_l, _ = lm._lm_count_frames_from(
+        old_docs.join(leave, "doc_id")
+    )
+    _, uni_e, bg_e, _ = lm._lm_count_frames_from(
+        new_docs.join(enter, "doc_id")
+    )
+    r_uni = lm.merge_counts(
+        lm.retract_counts(uni_o, uni_l, "w", "ucnt"), uni_e, "w", "ucnt"
+    )
+    r_bg = lm.merge_counts(
+        lm.retract_counts(bg_o, bg_l, "bg", "cnt"), bg_e, "bg", "cnt"
+    )
+    _, uni_n, bg_n, _ = lm._lm_count_frames_from(new_docs)
+    got_u = {r["w"]: r["ucnt"] for r in r_uni.collect()}
+    want_u = {r["w"]: r["ucnt"] for r in uni_n.collect()}
+    assert got_u == want_u and got_u
+    got_b = {r["bg"]: r["cnt"] for r in r_bg.collect()}
+    want_b = {r["bg"]: r["cnt"] for r in bg_n.collect()}
+    assert got_b == want_b and got_b
+
+
+def test_lm_merge_counts_additive_mirror(spark):
+    """merge_counts: keys new to the delta ENTER (full outer), shared
+    keys add exactly, and a retract-then-merge roundtrip that cancels
+    leaves the original counts."""
+    from honors_p1_mapreduce_spark.operators.lm_quality import (
+        merge_counts,
+        retract_counts,
+    )
+
+    stored = spark.createDataFrame(
+        [("a", 3), ("b", 1)], ["w", "ucnt"]
+    ).selectExpr("w", "CAST(ucnt AS BIGINT) ucnt")
+    delta = spark.createDataFrame(
+        [("b", 2), ("c", 5)], ["w", "ucnt"]
+    ).selectExpr("w", "CAST(ucnt AS BIGINT) ucnt")
+    merged = {r["w"]: r["ucnt"] for r in merge_counts(stored, delta, "w", "ucnt").collect()}
+    assert merged == {"a": 3, "b": 3, "c": 5}
+    # cancel: (stored - delta') + delta' == stored, including a key
+    # that transiently hits zero and re-enters
+    back = merge_counts(
+        retract_counts(stored, delta.filter("w = 'b'").withColumn(
+            "ucnt", delta.ucnt - 1), "w", "ucnt"),
+        delta.filter("w = 'b'").withColumn("ucnt", delta.ucnt - 1),
+        "w",
+        "ucnt",
+    )
+    assert {r["w"]: r["ucnt"] for r in back.collect()} == {"a": 3, "b": 1}
