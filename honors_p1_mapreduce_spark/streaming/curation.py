@@ -859,3 +859,115 @@ def read_snapshot_diff_from_store(
         .select("doc_id", F.lit("removed").alias("status"))
     )
     return diff.unionByName(removed)
+
+
+def streaming_winnow_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous-recrawl MAINTENANCE of the fingerprint index — the
+    streaming twin of the merge-on-read refresh
+    (``operators.curation_ext.winnow_refresh_write_delta``): drain
+    the NEW snapshot stream against the stored old-snapshot hash
+    registry and, per micro-batch, (a) extract fingerprints for the
+    batch's added/changed docs under their NEW text (churn-sized —
+    the only extraction work) into the delta layer, (b) record the
+    batch's CHANGED doc_ids (tombstone input), and (c) record the
+    batch's seen ids in the manifest. Both layer writes go to
+    idempotent ``batch_id=N`` partitions.
+
+    Per-doc added/changed depends only on (doc, registry), so
+    micro-batch boundaries cannot matter; 'removed' tombstones are
+    absence from the WHOLE snapshot and are reconciled by the reader
+    (:func:`read_refreshed_index_from_store`) post-drain as registry
+    ANTI manifest — exactly the streaming_snapshot_diff split of
+    decidable-per-batch vs decidable-after-drain, applied to index
+    maintenance. The drained store reconciles to EXACTLY the batch
+    refresh's row set (pinned by the equivalence test)."""
+    from ..operators.curation_ext import (
+        SNAP_CHANGE_MOD,
+        SNAP_NEW_MOD,
+        SNAP_NEW_RESIDUE,
+        _rotated_text,
+    )
+    from ..operators.winnow import winnow_fingerprints_chunked_from
+
+    old = (
+        spark.read.parquet(f"{index_dir}/snapshot_hashes")
+        .withColumnRenamed("h", "old_h")
+        .persist()
+    )
+
+    def _micro_batch(bdf: DataFrame, batch_id: int) -> None:
+        new_text = F.when(
+            F.col("doc_id") % SNAP_CHANGE_MOD == 0, _rotated_text()
+        ).otherwise(F.col("text"))
+        nh = bdf.select(
+            "doc_id",
+            F.md5(F.coalesce(new_text, F.lit(""))).alias("h"),
+            new_text.alias("text"),
+        )
+        j = nh.join(old, "doc_id", "left")
+        fresh = j.filter(
+            F.col("old_h").isNull() | (F.col("h") != F.col("old_h"))
+        )
+        _write_batch_partition(
+            winnow_fingerprints_chunked_from(
+                fresh.select("doc_id", "text")
+            ),
+            batch_id,
+            f"{store_dir}/delta_fingerprints",
+        )
+        _write_batch_partition(
+            j.filter(
+                F.col("old_h").isNotNull()
+                & (F.col("h") != F.col("old_h"))
+            ).select("doc_id"),
+            batch_id,
+            f"{store_dir}/changed",
+        )
+        _write_batch_partition(
+            bdf.select("doc_id"), batch_id, f"{store_dir}/manifest"
+        )
+
+    try:
+        old.count()
+        q = (
+            stream_documents(spark, sf_dir)
+            .filter(F.col("doc_id") % SNAP_NEW_MOD != SNAP_NEW_RESIDUE)
+            .writeStream.foreachBatch(_micro_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        old.unpersist()
+
+
+def read_refreshed_index_from_store(
+    spark: SparkSession, index_dir: str, store_dir: str
+) -> DataFrame:
+    """Merge-on-read reconciliation of the drained refresh store:
+    base fingerprints ANTI (changed ∪ removed) UNION the drained
+    delta layer — 'removed' derived post-drain as registry docs
+    absent from the manifest. Row-set equal to the batch refresh /
+    rebuild of the NEW snapshot (pinned by the equivalence test)."""
+    base = spark.read.parquet(f"{index_dir}/fingerprints")
+    changed = _read_store_columns(spark, f"{store_dir}/changed", ("doc_id",))
+    seen = _read_store_columns(spark, f"{store_dir}/manifest", ("doc_id",))
+    removed = (
+        spark.read.parquet(f"{index_dir}/snapshot_hashes")
+        .select("doc_id")
+        .join(seen, "doc_id", "left_anti")
+    )
+    tomb = changed.unionByName(removed).distinct()
+    delta = _read_store_columns(
+        spark,
+        f"{store_dir}/delta_fingerprints",
+        ("doc_id", "fp_hash", "fp_pos"),
+    )
+    return base.join(tomb, "doc_id", "left_anti").unionByName(delta)

@@ -1110,3 +1110,41 @@ def test_lm_merge_counts_additive_mirror(spark):
         "ucnt",
     )
     assert {r["w"]: r["ucnt"] for r in back.collect()} == {"a": 3, "b": 1}
+
+
+def test_streaming_winnow_refresh_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Draining the NEW snapshot stream through per-batch churn
+    extraction + changed-id tombstones, then reconciling post-drain
+    (removed = registry ANTI manifest), must reproduce EXACTLY the
+    batch rebuild of the NEW snapshot's fingerprint index — and so
+    the batch merge-on-read refresh too (they are pinned equal
+    elsewhere). The maintenance twin of streaming_snapshot_diff."""
+    from honors_p1_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints_chunked_from,
+    )
+    from honors_p1_mapreduce_spark.sources.tables import load_table as lt
+    from honors_p1_mapreduce_spark.streaming.curation import (
+        read_refreshed_index_from_store,
+        streaming_winnow_refresh,
+    )
+
+    idx = str(tmp_path / "ridx")
+    store = str(tmp_path / "rstore")
+    ckpt = str(tmp_path / "rckpt")
+    docs = lt(spark, sf_dir, "documents")
+    old_docs, new_docs, old_h, _ = cx._snapshot_frames(docs)
+    winnow_fingerprints_chunked_from(old_docs).write.parquet(
+        f"{idx}/fingerprints"
+    )
+    old_h.write.parquet(f"{idx}/snapshot_hashes")
+    streaming_winnow_refresh(spark, sf_dir, idx, store, ckpt)
+    streamed = read_refreshed_index_from_store(spark, idx, store)
+    rebuilt = winnow_fingerprints_chunked_from(new_docs)
+    assert streamed.count() == rebuilt.count()
+    assert (
+        streamed.unionByName(rebuilt).distinct().count()
+        == rebuilt.distinct().count()
+    )
+    # non-vacuous: the drained store holds genuine churn layers
+    assert spark.read.parquet(f"{store}/changed").count() > 0
+    assert spark.read.parquet(f"{store}/delta_fingerprints").count() > 0
