@@ -29,6 +29,68 @@ TABLES: tuple[str, ...] = (
 # Small dimension tables a planner should broadcast in joins at any scale.
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
+# Corpus tables whose every consumer runs expensive per-row work right
+# on top of the scan (per-gram md5 winnowing, PQ/IVF distance folds,
+# regex tokenization, media container synthesis + pandas-UDF decode).
+# These opt into the under-parallel-scan fix below (r17 optimization;
+# guide §2.5 "input skew: one huge unsplittable file ... otherwise
+# repartition immediately after the read").
+_WIDE_SCAN_TABLES: frozenset[str] = frozenset({"documents", "embeddings"})
+
+
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark size conf ("134217728", "128m", "1g") to bytes."""
+    v = conf_value.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            v, mult = v[:-1], m
+            break
+    return int(v) * mult
+
+
+def _scan_parallelize(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition AFTER the read when the file layout
+    cannot split into at least ``defaultParallelism`` scan tasks.
+
+    The driver corpora are single-file, single-row-group parquet, so
+    every scan is ONE task and all per-row expression work serializes
+    on one core until the first exchange (measured 5.5x on winnowing
+    extraction at sf0.1/local[32], r17 A/B). The trigger derives from
+    the input layout vs the session's core count — never a local-mode
+    constant: at 100 TB the byte-based split estimate exceeds any core
+    count, the condition is false, and the plan is unchanged (the
+    zero-extra-exchange posture at scale is preserved by construction).
+    The exchange carries raw scan rows (pre-decode, pre-expression),
+    so nothing heavy is shuffled. ``SPARK_GRAFT_SCAN_PAR=0`` disables
+    it for A/B runs."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SCAN_PAR", "1") == "0":
+        return df
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.name.endswith(".parquet")
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df  # non-local path: layout unknown, leave the plan alone
+    try:
+        max_bytes = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except ValueError:
+        max_bytes = 128 << 20
+    par = spark.sparkContext.defaultParallelism
+    est_tasks = max(1, -(-size // max_bytes))
+    if est_tasks >= par:
+        return df
+    return df.repartition(par)
+
 
 def corpus_token(sf_dir: str) -> str:
     """Cheap corpus snapshot token for build-once memo keys: a digest
@@ -87,7 +149,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _WIDE_SCAN_TABLES:
+        df = _scan_parallelize(spark, df, path)
+    return df
 
 
 def register_views(

@@ -409,3 +409,43 @@ def test_winnow_retract_drops_docs_from_answer(spark, sf_dir):
         assert doc_id % RETRACT_MOD != RETRACT_RESIDUE
         if doc_id in before:
             assert shared <= before[doc_id]
+
+
+def test_scan_parallelize_layout_trigger(spark, sf_dir, monkeypatch):
+    """r17 under-parallel-scan fix (tables._scan_parallelize): the
+    round-robin repartition fires ONLY when the file layout cannot
+    split into >= defaultParallelism scan tasks — never as a local
+    constant. Three arms: (1) the driver corpora are single-row-group
+    parquet, so the exchange is present and sized to the session's
+    parallelism; (2) SPARK_GRAFT_SCAN_PAR=0 disables it (the A/B
+    switch); (3) with maxPartitionBytes shrunk so the byte estimate
+    yields >= parallelism tasks — the 100 TB condition — the plan is
+    untouched. Rows are identical in all arms."""
+    from honors_p1_mapreduce_spark.sources.tables import load_table
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = plan(docs)
+    assert p1.count("Exchange RoundRobinPartitioning") == 1
+    assert f"RoundRobinPartitioning({par})" in p1
+    assert docs.rdd.getNumPartitions() == par
+
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_PAR", "0")
+    off = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in plan(off)
+    monkeypatch.delenv("SPARK_GRAFT_SCAN_PAR")
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+        split_enough = load_table(spark, sf_dir, "documents")
+        assert "Exchange" not in plan(split_enough)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    assert sorted(map(tuple, docs.collect())) == sorted(
+        map(tuple, off.collect())
+    )
