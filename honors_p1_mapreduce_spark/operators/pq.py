@@ -120,16 +120,152 @@ def _subvectors(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
     )
 
 
-def _assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """(id, s, cell): each subvector's nearest codeword by squared L2,
-    ties to the smaller cell id (min_by on a (dist, cell) struct — the
-    same deterministic argmin the IVF family uses)."""
+def _assign(
+    subs: DataFrame, cents: DataFrame, id_col: str, carry_v: bool = False
+) -> DataFrame:
+    """(id, s, cell[, v]): each subvector's nearest codeword by squared
+    L2, ties to the smaller cell id — the same deterministic argmin
+    the IVF family uses.
+
+    r17 optimization (guide §4.2): the argmin is computed per Arrow
+    batch in numpy instead of a 256-way broadcast-join row blowup +
+    min_by aggregate — min_by's struct buffer forces SortAggregate,
+    which SORTED the CELLS-times-exploded join output twice per call
+    (~4M rows at sf0.1). The codebook is bounded (M * CELLS <= 2048
+    rows) and collected once per call — the semdedup centroid-collect
+    class — and each batch computes its (rows x cells) distance matrix
+    with the SAME left-associated index-ordered float64 accumulation
+    as :func:`_sq_l2_static`, so distances are bit-identical (IEEE754
+    ops in identical order) and ties resolve identically: the
+    codeword matrix is ordered by cell id and ``argmin`` returns the
+    first minimum. Rows whose subvector is shorter than PQ_DSUB or
+    carries a null element take the subspace's smallest cell id —
+    exactly the JVM path's NULL-distance semantics (every cell's d is
+    NULL, struct ordering falls through to min cell). If the
+    COLLECTED codebook itself is irregular (a codeword not PQ_DSUB
+    long — never true for trained/stored codebooks), the JVM
+    formulation runs instead, so semantics can never drift.
+    ``carry_v`` passes the subvector through untouched for the
+    training means (saves the old per-round join back onto subs)."""
+    crows = cents.select("s", "cell", "c_v").collect()  # <= M*CELLS rows
+    regular = all(
+        r["c_v"] is not None
+        and len(r["c_v"]) == PQ_DSUB
+        and all(x is not None for x in r["c_v"])
+        for r in crows
+    )
+    if not regular:
+        return _assign_jvm(subs, cents, id_col, carry_v)
+    import numpy as np
+
+    by_s: dict[int, list] = {}
+    for r in crows:
+        by_s.setdefault(r["s"], []).append((r["cell"], list(r["c_v"])))
+    packed = {
+        s: (
+            np.array([c for c, _ in sorted(rows)], dtype=np.int64),
+            np.array([v for _, v in sorted(rows)], dtype=np.float64),
+        )
+        for s, rows in by_s.items()
+    }
+    out_schema = f"{id_col} long, s integer, cell long" + (
+        ", v array<float>" if carry_v else ""
+    )
+
+    def assign_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            ids = batch.column(0)
+            scol = batch.column(1)
+            vcol = batch.column(2)
+            if n == 0:
+                yield batch if carry_v else pa.RecordBatch.from_arrays(
+                    [ids, scol, pa.array([], type=pa.int64())],
+                    [id_col, "s", "cell"],
+                )
+                continue
+            if vcol.offset != 0:  # compact a sliced array (IPC batches
+                # arrive offset-0; cheap insurance, values are small)
+                vcol = vcol.take(pa.array(np.arange(n, dtype=np.int64)))
+            vals = vcol.values
+            if vals.offset != 0:  # pragma: no cover - same insurance
+                vcol = vcol.take(pa.array(np.arange(n, dtype=np.int64)))
+                vals = vcol.values
+            ss = scol.to_numpy(zero_copy_only=False)
+            offs = np.frombuffer(vcol.buffers()[1], dtype=np.int32)[: n + 1]
+            lens = np.diff(offs)
+            fv = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+            # rows that reproduce the JVM NULL/NaN-distance semantics
+            # (short subvector, null element, NaN element: every
+            # cell's d compares equal -> tie -> min cell id)
+            row_ok = lens == PQ_DSUB
+            if vals.null_count:
+                valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+                for i in np.flatnonzero(row_ok):
+                    if not valid[offs[i] : offs[i + 1]].all():
+                        row_ok[i] = False
+            if np.isnan(fv).any():
+                for i in np.flatnonzero(row_ok):
+                    if np.isnan(fv[offs[i] : offs[i + 1]]).any():
+                        row_ok[i] = False
+            cells = np.empty(n, dtype=np.int64)
+            for s, (cids, cmat) in packed.items():
+                mask = ss == s
+                if not mask.any():
+                    continue
+                idx = np.flatnonzero(mask)
+                good = idx[row_ok[idx]]
+                if good.size:
+                    starts = offs[good]
+                    x = fv[
+                        (starts[:, None] + np.arange(PQ_DSUB)[None, :]).ravel()
+                    ].reshape(-1, PQ_DSUB)
+                    # left-associated accumulation, identical op order
+                    # to _sq_l2_static's t0 + t1 + ... chain
+                    acc = (x[:, None, 0] - cmat[None, :, 0]) ** 2
+                    for i in range(1, PQ_DSUB):
+                        acc = acc + (x[:, None, i] - cmat[None, :, i]) ** 2
+                    cells[good] = cids[np.argmin(acc, axis=1)]
+                bad = idx[~row_ok[idx]]
+                if bad.size:
+                    cells[bad] = cids[0]  # sorted: [0] IS the min cell
+            cols = [ids, scol, pa.array(cells, type=pa.int64())]
+            names = [id_col, "s", "cell"]
+            if carry_v:
+                cols.append(vcol)
+                names.append("v")
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return subs.select(id_col, "s", "v").mapInArrow(assign_batches, out_schema)
+
+
+def _assign_jvm(
+    subs: DataFrame, cents: DataFrame, id_col: str, carry_v: bool = False
+) -> DataFrame:
+    """The pure-Catalyst argmin formulation (pre-r17 registered path;
+    now the fallback for irregular codebooks and the equality pin's
+    reference)."""
     d = _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB)
-    return (
+    base = (
         subs.join(F.broadcast(cents), "s")
         .withColumn("d", d)
         .groupBy(id_col, "s")
-        .agg(F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell"))
+    )
+    if carry_v:
+        return base.agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("v")),
+                F.struct(F.col("d"), F.col("cell")),
+            ).alias("b")
+        ).select(
+            id_col, "s", F.col("b.cell").alias("cell"), F.col("b.v").alias("v")
+        )
+    return base.agg(
+        F.min_by("cell", F.struct(F.col("d"), F.col("cell"))).alias("cell")
     )
 
 
@@ -180,22 +316,49 @@ def _train_codebooks(
         F.col("vec_id").alias("cell"), "s", F.col("v").alias("c_v")
     )
     subs = _subvectors(emb, "vec_id", "embedding")
+    # Each Lloyd round is ONE distributed job (r17 optimization,
+    # guide §2.4 + §5): the vectorized argmin (see _assign) carries
+    # the subvector through, the per-position means are PQ_DSUB
+    # static decimal(20,8) sums in ONE aggregation (the old plan was
+    # assign-join-back + posexplode + two more groupBys — two extra
+    # exchanges and an 8x row explode per round), and the aggregated
+    # centroid frame — BOUNDED at M * CELLS <= 2048 rows at any
+    # corpus size — is collected and re-fed as a LocalRelation
+    # instead of localCheckpoint'd (no per-round persist job; the
+    # next round's codebook collect in _assign is a local no-op).
+    # Numerics are bit-identical: the same multiset of x values feeds
+    # the same decimal(20,8) sum (decimal addition is exact, so
+    # partial-agg merge order cannot move it), count(*) per (s, cell)
+    # equals the old per-(s, cell, pos) count, the array is built in
+    # position order exactly as array_sort ordered it, and doubles
+    # round-trip the driver exactly (Arrow float64 both ways).
+    spark = emb.sparkSession
+    cents_schema = "s int, cell bigint, c_v array<double>"
     for _ in range(n_iter):
-        assigned = _assign(subs, cents, "vec_id")
-        flat = assigned.join(subs, ["vec_id", "s"]).select(
-            "s", "cell", F.posexplode("v").alias("pos", "x")
+        assigned = _assign(subs, cents, "vec_id", carry_v=True)
+        rows = (
+            assigned.groupBy("s", "cell")
+            .agg(
+                *[
+                    F.sum(F.get(F.col("v"), i).cast("decimal(20,8)")).alias(f"s{i}")
+                    for i in range(PQ_DSUB)
+                ],
+                F.count("*").alias("cnt"),
+            )
+            .select(
+                "s",
+                "cell",
+                F.array(
+                    *[
+                        F.col(f"s{i}").cast("double") / F.col("cnt")
+                        for i in range(PQ_DSUB)
+                    ]
+                ).alias("c_v"),
+            )
+            .collect()  # <= M * CELLS rows (bounded-collect class)
         )
-        means = flat.groupBy("s", "cell", "pos").agg(
-            (
-                F.sum(F.col("x").cast("decimal(20,8)")).cast("double")
-                / F.count("*")
-            ).alias("m")
-        )
-        cents = (
-            means.groupBy("s", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("s", "cell", F.transform("pm", lambda t: t["m"]).alias("c_v"))
-            .localCheckpoint()
+        cents = spark.createDataFrame(
+            [(r["s"], r["cell"], r["c_v"]) for r in rows], cents_schema
         )
     if cache_key is not None:
         _CODEBOOK_CACHE[key] = cents

@@ -605,3 +605,88 @@ def test_emb_snapshot_rotation_is_permutation_and_short_safe(spark, sf_dir):
     one = spark.createDataFrame([(6, [1.5])], ["vec_id", "embedding"])
     _, new1 = _emb_snapshot_frames(one)
     assert new1.collect()[0]["embedding"] == [1.5]
+
+
+def test_pq_assign_numpy_matches_jvm_formulation(spark):
+    """r17 optimization: `_assign` computes the per-subvector argmin
+    in numpy per Arrow batch; `_assign_jvm` keeps the original
+    broadcast-join + min_by formulation. The two must agree cell-for-
+    cell on adversarial inputs — including the NULL-distance edge rows
+    (short subvector, null element, NaN element) whose JVM semantics
+    the numpy path reproduces as min-cell fallbacks — with and
+    without the carry_v passthrough."""
+    import math
+    import random
+
+    from honors_p1_mapreduce_spark.operators.pq import (
+        PQ_DSUB,
+        _assign,
+        _assign_jvm,
+    )
+
+    rng = random.Random(17)
+    subs_rows = []
+    rid = 0
+    for _ in range(60):
+        for s in range(3):
+            subs_rows.append(
+                (rid, s, [rng.uniform(-2, 2) for _ in range(PQ_DSUB)])
+            )
+        rid += 1
+    # edge rows: short subvector, null element, NaN element
+    subs_rows.append((rid, 0, [0.5] * (PQ_DSUB - 2)))
+    subs_rows.append((rid + 1, 1, [0.5] * (PQ_DSUB - 1) + [None]))
+    subs_rows.append((rid + 2, 2, [0.5] * (PQ_DSUB - 1) + [math.nan]))
+    # a duplicate-distance tie: centroids 3 and 7 identical (below)
+    subs_rows.append((rid + 3, 0, [1.0] * PQ_DSUB))
+
+    cents_rows = []
+    for s in range(3):
+        for cell in range(8):
+            if s == 0 and cell == 7:
+                v = list(cents_rows[3][2])  # duplicate of (s=0, cell=3)
+            else:
+                v = [rng.uniform(-2, 2) for _ in range(PQ_DSUB)]
+            cents_rows.append((s, cell, v))
+
+    subs = spark.createDataFrame(
+        subs_rows, "vec_id long, s int, v array<float>"
+    )
+    cents = spark.createDataFrame(
+        cents_rows, "s int, cell long, c_v array<double>"
+    )
+
+    def norm(rows):
+        # NaN-tolerant: nan != nan would fail the tuple comparison on
+        # the NaN edge row even when both engines return it unchanged
+        out = []
+        for t in map(tuple, rows):
+            out.append(
+                tuple(
+                    [
+                        "nan" if x != x else x
+                        for x in (v if v is not None else [])
+                    ]
+                    if isinstance(v, list)
+                    else v
+                    for v in t
+                )
+            )
+        return sorted(out)
+
+    for carry in (False, True):
+        got = norm(_assign(subs, cents, "vec_id", carry).collect())
+        want = norm(_assign_jvm(subs, cents, "vec_id", carry).collect())
+        assert got == want, f"carry_v={carry}"
+
+    # irregular codebook (codeword shorter than PQ_DSUB) falls back to
+    # the JVM formulation outright — semantics cannot drift
+    bad_cents = spark.createDataFrame(
+        [(s, c, [0.1] * (PQ_DSUB - 1)) for s in range(3) for c in range(2)],
+        "s int, cell long, c_v array<double>",
+    )
+    got = sorted(map(tuple, _assign(subs, bad_cents, "vec_id").collect()))
+    want = sorted(
+        map(tuple, _assign_jvm(subs, bad_cents, "vec_id").collect())
+    )
+    assert got == want
