@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.tables import load_table
 
@@ -87,6 +88,115 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v")
     )
+
+
+# ------------------------- driver-local finishing (r17 optimization)
+#
+# The registered trade_* queries all iterate over the REDUCED
+# nation-trade graph, which is bounded by the nation dimension at
+# EVERY scale factor: <= 25 nodes, <= 25*24/2 = 300 undirected edges
+# (the facts are aggregated away by _trade_edges — the one stage that
+# scales). The distributed round loops below (pagerank_nodes /
+# labelprop_nodes / kcore_edges / enumerate_triangles) are the library
+# surface for UNBOUNDED edge frames and stay exactly as they were;
+# but running 4-26 rounds of 3-5 tiny exchanges each over a 300-row
+# frame is pure scheduling overhead (measured: trade_labelprop 5.1 s
+# cold at sf0.1, of which the fact-side derivation is ~1 s — and its
+# unchecked 4-round lineage re-expands to a 548-Exchange plan). The
+# registered wrappers therefore collect the bounded frame once and
+# finish the rounds driver-side in exact integer/string arithmetic —
+# the BPE "driver-local finishing" precedent, same bounded-collect
+# class as the vocab/centroid/Bloom-bitmap collects. Every local
+# mirror reproduces its distributed twin's recurrence value-for-value
+# (integer floor-div, min-label ties), pinned by equality tests and
+# by the unchanged DuckDB oracles.
+
+
+def _collect_edges(edges: DataFrame) -> list[tuple[str, str]]:
+    """The bounded (<= 300-row) reduced edge list, driver-side."""
+    return [(r.u, r.v) for r in edges.collect()]
+
+
+def _pagerank_local(
+    pairs: list[tuple[str, str]], n_iter: int, damp_pct: int, scale: int
+) -> dict[str, int]:
+    """Exact mirror of :func:`pagerank_nodes`'s integer recurrence:
+    same floor-div contributions, same teleport, same round count —
+    integer sums commute, so the result is identical bit-for-bit."""
+    deg: dict[str, int] = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    ranks = {n: scale for n in deg}
+    teleport = (100 - damp_pct) * scale
+    for _ in range(n_iter):
+        s = dict.fromkeys(deg, 0)
+        for u, v in pairs:
+            s[v] += ranks[u] // deg[u]
+            s[u] += ranks[v] // deg[v]
+        ranks = {n: (teleport + damp_pct * s[n]) // 100 for n in deg}
+    return ranks
+
+
+def _labelprop_local(
+    pairs: list[tuple[str, str]], n_rounds: int
+) -> dict[str, str]:
+    """Exact mirror of :func:`labelprop_nodes`: synchronous rounds,
+    most-frequent neighbour label, ties to the MIN label."""
+    nbrs: dict[str, list[str]] = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(n_rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict[str, int] = {}
+            for m in ns:
+                lbl = labels[m]
+                cnt[lbl] = cnt.get(lbl, 0) + 1
+            mx = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == mx)
+        labels = new
+    return labels
+
+
+def _kcore_local(
+    pairs: list[tuple[str, str]], k: int
+) -> list[tuple[str, str]]:
+    """Exact mirror of :func:`kcore_edges`: round-parallel peel of
+    nodes with degree < k until the edge set stops shrinking."""
+    live = list(pairs)
+    while True:
+        deg: dict[str, int] = {}
+        for u, v in live:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        new_live = [(u, v) for u, v in live if u in keep and v in keep]
+        if len(new_live) == len(live):
+            return live
+        live = new_live
+
+
+def _triangles_local(
+    pairs: list[tuple[str, str]]
+) -> list[tuple[str, str, str]]:
+    """All triangles of the canonical (u < v) edge list, each exactly
+    once with names sorted — the same output set as
+    :func:`enumerate_triangles` (which guarantees exactly-once by
+    degree ordering; here the canonical u < v orientation already
+    makes {a<b<c} enumerable directly)."""
+    eset = set(pairs)
+    nbrs: dict[str, set[str]] = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, set()).add(v)
+    out = []
+    for a, b in pairs:  # a < b
+        for c in nbrs.get(b, ()):  # b < c, so a < b < c
+            if (a, c) in eset:
+                out.append((a, b, c))
+    return out
 
 
 def enumerate_triangles(edges: DataFrame) -> DataFrame:
@@ -168,7 +278,17 @@ def trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (n1, n2, n3).
     """
-    return enumerate_triangles(_trade_edges(spark, sf_dir).persist())
+    tri = _triangles_local(_collect_edges(_trade_edges(spark, sf_dir)))
+    return spark.createDataFrame(
+        tri,
+        T.StructType(
+            [
+                T.StructField("n1", T.StringType()),
+                T.StructField("n2", T.StringType()),
+                T.StructField("n3", T.StringType()),
+            ]
+        ),
+    )
 
 
 _TRADE_EDGES_CTES = f"""rev AS (
@@ -277,17 +397,19 @@ def trade_kcore(
     derivation is persisted once; every peel round runs on the
     <= 300-row reduced frame.
     """
-    edges = _trade_edges(spark, sf_dir).persist()
-    # kcore_edges EAGERLY checkpoints its input before peeling, so the
-    # fact-side derivation is released here rather than leaked (the
-    # r10 advisor's labelprop pattern, applied family-wide in r11)
-    core = kcore_edges(edges, k)
-    edges.unpersist()
-    return (
-        core.select(F.col("u").alias("nation"))
-        .unionAll(core.select(F.col("v").alias("nation")))
-        .groupBy("nation")
-        .agg(F.count("*").alias("core_degree"))
+    core = _kcore_local(_collect_edges(_trade_edges(spark, sf_dir)), k)
+    deg: dict[str, int] = {}
+    for u, v in core:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return spark.createDataFrame(
+        sorted(deg.items()),
+        T.StructType(
+            [
+                T.StructField("nation", T.StringType()),
+                T.StructField("core_degree", T.LongType()),
+            ]
+        ),
     )
 
 
@@ -412,12 +534,21 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation-trade graph — which nations sit at the center of the
     heavy-trade topology (the influence primitive after components /
     triangles / k-core). Output: (nation, rank_ppm)."""
-    edges = _trade_edges(spark, sf_dir).persist()
-    # pagerank_nodes EAGERLY checkpoints the directed frame at entry,
-    # so the fact-side derivation is released here rather than leaked
-    ranks = pagerank_nodes(edges)
-    edges.unpersist()
-    return ranks.select(F.col("n").alias("nation"), "rank_ppm")
+    ranks = _pagerank_local(
+        _collect_edges(_trade_edges(spark, sf_dir)),
+        PAGERANK_ITERS,
+        PAGERANK_DAMP_PCT,
+        PAGERANK_SCALE,
+    )
+    return spark.createDataFrame(
+        sorted(ranks.items()),
+        T.StructType(
+            [
+                T.StructField("nation", T.StringType()),
+                T.StructField("rank_ppm", T.LongType()),
+            ]
+        ),
+    )
 
 
 def _pagerank_oracle(
@@ -541,17 +672,22 @@ def trade_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (nation, community, community_size) — community is the
     round-LABELPROP_ROUNDS label (min-tie-break), size its member
     count."""
-    edges = _trade_edges(spark, sf_dir).persist()
-    # labelprop_nodes EAGERLY localCheckpoints the directed frame, so
-    # the fact-side derivation is released here rather than leaked
-    # (r10 advisor note) — the rounds run on the checkpoint alone.
-    lbl = labelprop_nodes(edges)
-    edges.unpersist()
-    sizes = lbl.groupBy("community").agg(
-        F.count("*").alias("community_size")
+    labels = _labelprop_local(
+        _collect_edges(_trade_edges(spark, sf_dir)), LABELPROP_ROUNDS
     )
-    return lbl.join(sizes, "community").select(
-        F.col("n").alias("nation"), "community", "community_size"
+    sizes: dict[str, int] = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    rows = [(n, lbl, sizes[lbl]) for n, lbl in sorted(labels.items())]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("nation", T.StringType()),
+                T.StructField("community", T.StringType()),
+                T.StructField("community_size", T.LongType()),
+            ]
+        ),
     )
 
 

@@ -293,3 +293,63 @@ def test_kcore_raises_without_fixpoint(spark):
         kcore_edges(df, 2, max_iter=2)
     # with budget it converges to the empty 2-core (a path has none)
     assert kcore_edges(df, 2, max_iter=12).count() == 0
+
+
+def test_local_finishing_mirrors_distributed_rounds(spark):
+    """r17 optimization: the registered trade_* wrappers finish the
+    rounds driver-locally on the collected <= 300-row reduced frame.
+    The local mirrors must reproduce the distributed library loops
+    value-for-value on random graphs (integer floor-div recurrence,
+    min-label ties, round-parallel peel, exactly-once triangles)."""
+    from honors_p1_mapreduce_spark.operators.graph import (
+        LABELPROP_ROUNDS,
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        _kcore_local,
+        _labelprop_local,
+        _pagerank_local,
+        _triangles_local,
+        enumerate_triangles,
+        kcore_edges,
+        labelprop_nodes,
+        pagerank_nodes,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        nodes = [f"n{i:02d}" for i in range(10)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(8, 28))
+            }
+        )
+        df = spark.createDataFrame(edges, ["u", "v"])
+
+        got = sorted(
+            (r["n"], r["rank_ppm"]) for r in pagerank_nodes(df).collect()
+        )
+        want = sorted(
+            _pagerank_local(
+                edges, PAGERANK_ITERS, PAGERANK_DAMP_PCT, PAGERANK_SCALE
+            ).items()
+        )
+        assert got == want, ("pagerank", trial)
+
+        got = sorted(
+            (r["n"], r["community"]) for r in labelprop_nodes(df).collect()
+        )
+        want = sorted(_labelprop_local(edges, LABELPROP_ROUNDS).items())
+        assert got == want, ("labelprop", trial)
+
+        got = sorted(
+            (r["u"], r["v"]) for r in kcore_edges(df, 2, max_iter=30).collect()
+        )
+        assert got == sorted(_kcore_local(edges, 2)), ("kcore", trial)
+
+        got = sorted(
+            (r["n1"], r["n2"], r["n3"])
+            for r in enumerate_triangles(df).collect()
+        )
+        assert got == sorted(_triangles_local(edges)), ("triangles", trial)
