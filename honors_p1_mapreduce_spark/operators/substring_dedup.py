@@ -59,7 +59,7 @@ def dedup_substring_spans(
     a span-level dedup pass would cut (or a loss-masking pass would
     down-weight) from each document.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
     return substring_spans_from(docs, k=k, min_docs=min_docs)
 
 
@@ -220,7 +220,7 @@ def dedup_substring_cut(
     array filter (no per-token rows ever shuffle). r14 library
     surface; queues for registration behind the r15/r16 split
     (registry rotation note)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
     return substring_cut_from(docs, k=k, min_docs=min_docs)
 
 
@@ -275,7 +275,7 @@ def substring_write_index(
     duplication evidence changes when the reference corpus changes,
     incoming batches arrive daily, so the corpus-wide gram count is
     never re-paid per batch)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
     (
         duplicated_grams(docs, k, min_docs)
         .write.mode("overwrite")
@@ -295,7 +295,7 @@ def substring_cut_from_index(
     recomputed. Cuts spans duplicated AGAINST THE INDEXED CORPUS (the
     ``dedup_incremental`` convention — duplicates internal to a new
     batch and absent from the index are the online pass's job)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
     dup = spark.read.parquet(f"{index_dir}/dup_grams")
     return _cut_with_spans(docs, substring_spans_against(docs, dup, k))
 

@@ -134,7 +134,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "capped",
         lambda: winnow_fingerprints_from(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
         ),
     )
 
@@ -241,7 +241,7 @@ def _chunked_raw_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "chunked_raw",
         lambda: _chunked_fp_rows(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents", wide_scan=True).select("doc_id", "text")
         ),
     )
 

@@ -29,13 +29,20 @@ TABLES: tuple[str, ...] = (
 # Small dimension tables a planner should broadcast in joins at any scale.
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
-# Corpus tables whose every consumer runs expensive per-row work right
-# on top of the scan (per-gram md5 winnowing, PQ/IVF distance folds,
-# regex tokenization, media container synthesis + pandas-UDF decode).
-# These opt into the under-parallel-scan fix below (r17 optimization;
-# guide §2.5 "input skew: one huge unsplittable file ... otherwise
-# repartition immediately after the read").
-_WIDE_SCAN_TABLES: frozenset[str] = frozenset({"documents", "embeddings"})
+# Corpus tables whose EVERY consumer runs expensive per-row work right
+# on top of the scan — for embeddings that is true unconditionally
+# (PQ/IVF/LSH distance folds, semantic-dedup projections), so it opts
+# into the under-parallel-scan fix below automatically (r17
+# optimization; guide §2.5 "input skew: one huge unsplittable file ...
+# otherwise repartition immediately after the read"). For documents
+# the per-row cost varies by two orders of magnitude across consumers
+# — measured A/B (interleaved, min-of-3, one JVM): heavy sites
+# (per-gram md5 winnowing, substring grams, media synthesis + decode)
+# win 2-3x from the repartition, while cheap-tokenize consumers (BPE
+# id stream, publish manifest) LOSE 1.5-2x to the extra 32-task
+# exchange + write fan-out on their fast first samples. Those opt in
+# per call site via ``load_table(..., wide_scan=True)``.
+_WIDE_SCAN_TABLES: frozenset[str] = frozenset({"embeddings"})
 
 
 def _size_bytes(conf_value: str) -> int:
@@ -121,7 +128,13 @@ def corpus_token(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, wide_scan: bool = False
+) -> DataFrame:
+    """``wide_scan=True`` opts a documents read into the
+    under-parallel-scan repartition (see _WIDE_SCAN_TABLES) — set it
+    at call sites whose per-row work on top of the scan is heavy
+    enough to win from the extra exchange (measured, not assumed)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -151,7 +164,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name in _WIDE_SCAN_TABLES:
+    if name in _WIDE_SCAN_TABLES or wide_scan:
         df = _scan_parallelize(spark, df, path)
     return df
 

@@ -415,33 +415,42 @@ def test_scan_parallelize_layout_trigger(spark, sf_dir, monkeypatch):
     """r17 under-parallel-scan fix (tables._scan_parallelize): the
     round-robin repartition fires ONLY when the file layout cannot
     split into >= defaultParallelism scan tasks — never as a local
-    constant. Three arms: (1) the driver corpora are single-row-group
-    parquet, so the exchange is present and sized to the session's
-    parallelism; (2) SPARK_GRAFT_SCAN_PAR=0 disables it (the A/B
-    switch); (3) with maxPartitionBytes shrunk so the byte estimate
-    yields >= parallelism tasks — the 100 TB condition — the plan is
-    untouched. Rows are identical in all arms."""
+    constant — and, for documents, only at call sites that opt in
+    with wide_scan=True (measured heavy-per-row consumers; cheap
+    consumers keep the bare scan). Arms: (1) the driver corpora are
+    single-row-group parquet, so a wide_scan read carries the
+    exchange sized to the session's parallelism while the default
+    documents read does not; (2) SPARK_GRAFT_SCAN_PAR=0 disables it
+    (the A/B switch); (3) with maxPartitionBytes shrunk so the byte
+    estimate yields >= parallelism tasks — the 100 TB condition —
+    the plan is untouched. Rows are identical in all arms."""
     from honors_p1_mapreduce_spark.sources.tables import load_table
 
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
 
     par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True)
     p1 = plan(docs)
     assert p1.count("Exchange RoundRobinPartitioning") == 1
     assert f"RoundRobinPartitioning({par})" in p1
     assert docs.rdd.getNumPartitions() == par
+    # cheap consumers (no wide_scan) keep the bare scan; embeddings
+    # is always wide (every consumer does vector math on the rows)
+    assert "Exchange" not in plan(load_table(spark, sf_dir, "documents"))
+    assert "Exchange RoundRobinPartitioning" in plan(
+        load_table(spark, sf_dir, "embeddings")
+    )
 
     monkeypatch.setenv("SPARK_GRAFT_SCAN_PAR", "0")
-    off = load_table(spark, sf_dir, "documents")
+    off = load_table(spark, sf_dir, "documents", wide_scan=True)
     assert "Exchange" not in plan(off)
     monkeypatch.delenv("SPARK_GRAFT_SCAN_PAR")
 
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
-        split_enough = load_table(spark, sf_dir, "documents")
+        split_enough = load_table(spark, sf_dir, "documents", wide_scan=True)
         assert "Exchange" not in plan(split_enough)
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
