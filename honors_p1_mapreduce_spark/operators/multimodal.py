@@ -85,7 +85,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic demo media frame: (doc_id, media_type, content:
     binary, n_bytes). Payload = UTF-8 bytes of the document text;
     media_type assigned round-robin by doc_id."""
-    docs = load_table(spark, sf_dir, "documents", wide_scan=True)
+    docs = load_table(spark, sf_dir, "documents")
     mt = F.element_at(
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),
         (F.col("doc_id") % len(MEDIA_TYPES) + 1).cast("int"),
@@ -560,7 +560,7 @@ def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape of a real ingest. Docs shorter than the data section are
     dropped rather than padded (keeps every byte of every payload a
     real document byte)."""
-    return media_real_table_from(load_table(spark, sf_dir, "documents", wide_scan=True))
+    return media_real_table_from(load_table(spark, sf_dir, "documents"))
 
 
 def media_real_table_from(docs: DataFrame) -> DataFrame:
@@ -1020,7 +1020,16 @@ _PNG_IDAT_LEN = len(PNG_ZLIB_PREFIX) + PNG_STREAM_LEN + 4  # + adler32
 def media_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, media_type, content, n_bytes): one valid 4x10 RGB PNG
     per document (>= PNG_DATA_LEN text bytes), pixels = the document's
-    leading UTF-8 bytes. Pure Catalyst — see section comment."""
+    leading UTF-8 bytes. Pure Catalyst — see section comment.
+
+    wide_scan: the PNG consumers pay a genuine zlib inflate per row
+    (the one measured media winner from scan parallelization — 2.25
+    -> 1.15 s interleaved A/B); the other media tables stay on the
+    bare scan, where the same A/B showed the extra exchange LOSES
+    1.4-1.9x on their multi-scan plans (hash/dedup funnels re-read
+    the synthesized table several times, so the repartition shuffles
+    megabytes of payload per scan for per-row work that is only an
+    md5)."""
     docs = load_table(spark, sf_dir, "documents", wide_scan=True).filter(
         F.length(F.col("text").cast("binary")) >= PNG_DATA_LEN
     )
@@ -1297,7 +1306,7 @@ def media_avi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = the document's leading UTF-8 bytes in AVI_FRAME_DATA
     slices. Pure Catalyst — constant header/chunk literals concat'd
     with binary substrings (section comment)."""
-    return media_avi_table_from(load_table(spark, sf_dir, "documents", wide_scan=True))
+    return media_avi_table_from(load_table(spark, sf_dir, "documents"))
 
 
 def media_avi_table_from(docs: DataFrame) -> DataFrame:

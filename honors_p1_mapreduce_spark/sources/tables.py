@@ -29,20 +29,23 @@ TABLES: tuple[str, ...] = (
 # Small dimension tables a planner should broadcast in joins at any scale.
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part"})
 
-# Corpus tables whose EVERY consumer runs expensive per-row work right
-# on top of the scan — for embeddings that is true unconditionally
-# (PQ/IVF/LSH distance folds, semantic-dedup projections), so it opts
-# into the under-parallel-scan fix below automatically (r17
-# optimization; guide §2.5 "input skew: one huge unsplittable file ...
-# otherwise repartition immediately after the read"). For documents
-# the per-row cost varies by two orders of magnitude across consumers
-# — measured A/B (interleaved, min-of-3, one JVM): heavy sites
-# (per-gram md5 winnowing, substring grams, media synthesis + decode)
-# win 2-3x from the repartition, while cheap-tokenize consumers (BPE
-# id stream, publish manifest) LOSE 1.5-2x to the extra 32-task
-# exchange + write fan-out on their fast first samples. Those opt in
-# per call site via ``load_table(..., wide_scan=True)``.
-_WIDE_SCAN_TABLES: frozenset[str] = frozenset({"embeddings"})
+# The under-parallel-scan fix below (guide §2.5 "input skew: one huge
+# unsplittable file ... otherwise repartition immediately after the
+# read") is strictly OPT-IN per call site: interleaved A/B (min-of-N,
+# one JVM, order-alternating) showed the repartition pays only where
+# per-row work directly on the scan is heavy — per-gram md5 winnowing
+# 3.7 -> 0.9 s, substring grams 3.7 -> 2.0 s, PNG zlib inflate
+# 2.25 -> 1.15 s — and LOSES elsewhere: cheap-tokenize consumers (BPE
+# id stream 3.2 -> 8+ s cold, publish manifest), multi-scan media
+# plans (audio dedup 2.0 -> 3.8 s: each re-scan re-shuffles payload
+# bytes), and even the embedding consumers (LSH bucketing
+# 1.3 -> 1.9 s; post-vectorization the PQ/IVF compute at
+# trigger-firing scales is trivial, parity measured). The trigger
+# only ever fires when the layout under-splits — i.e. at SMALL
+# inputs — which is exactly where fixed exchange overhead is most
+# visible, so the default must be off. Sites opt in via
+# ``load_table(..., wide_scan=True)``.
+_WIDE_SCAN_TABLES: frozenset[str] = frozenset()
 
 
 def _size_bytes(conf_value: str) -> int:

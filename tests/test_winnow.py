@@ -435,12 +435,10 @@ def test_scan_parallelize_layout_trigger(spark, sf_dir, monkeypatch):
     assert p1.count("Exchange RoundRobinPartitioning") == 1
     assert f"RoundRobinPartitioning({par})" in p1
     assert docs.rdd.getNumPartitions() == par
-    # cheap consumers (no wide_scan) keep the bare scan; embeddings
-    # is always wide (every consumer does vector math on the rows)
+    # non-opted consumers keep the bare scan (wide_scan is strictly
+    # opt-in — measured winners only)
     assert "Exchange" not in plan(load_table(spark, sf_dir, "documents"))
-    assert "Exchange RoundRobinPartitioning" in plan(
-        load_table(spark, sf_dir, "embeddings")
-    )
+    assert "Exchange" not in plan(load_table(spark, sf_dir, "embeddings"))
 
     monkeypatch.setenv("SPARK_GRAFT_SCAN_PAR", "0")
     off = load_table(spark, sf_dir, "documents", wide_scan=True)
