@@ -443,9 +443,14 @@ def test_png_synth_is_valid_and_matches_doc_bytes(spark, sf_dir):
     (zlib verifies the expression-fold adler32 during decompress) and
     decode to the document's own leading bytes' histogram."""
     rows = mm.media_png_table(spark, sf_dir).limit(20).collect()
+    # look up exactly the sampled doc_ids: the wide_scan repartition
+    # makes limit(20) draw from arbitrary partitions, not scan order
+    ids = [r["doc_id"] for r in rows]
     docs = {
         r["doc_id"]: r["text"]
-        for r in mm.load_table(spark, sf_dir, "documents").limit(200).collect()
+        for r in mm.load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .collect()
     }
     assert rows
     for r in rows:
