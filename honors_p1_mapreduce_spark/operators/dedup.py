@@ -689,7 +689,12 @@ def dedup_minhash_portable(
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = N_HASHES // N_BANDS
-    docs = load_table(spark, sf_dir, "documents")
+    # wide_scan: the two per-shingle md5 chains + 32 arithmetic
+    # columns are heavy per-row work directly on the scan — r17
+    # interleaved A/B won every on/off pair (min 2.75 vs 3.57 s);
+    # the xxhash64 twin (dedup_minhash) measured the opposite and
+    # stays on the bare scan.
+    docs = load_table(spark, sf_dir, "documents", wide_scan=True)
     sh = _doc_shingles(docs, n)
     # two-projection shape: the two md5 chains materialize ONCE per row
     # as plain attributes before the 32 arithmetic columns reference
