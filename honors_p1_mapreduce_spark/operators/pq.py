@@ -385,25 +385,100 @@ def similarity_pq_topk(
     return _adc_topk(emb, codes, cents, k, n_queries)
 
 
+def _adc_rows_jvm(
+    emb: DataFrame, cents: DataFrame, n_queries: int
+) -> DataFrame:
+    """The pure-Catalyst ADC distance table (pre-r17 registered path;
+    now the fallback for irregular inputs and the equality pin's
+    reference): (query_id, s, code, d) for every (query subvector,
+    codeword) pair."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_subs = _subvectors(q, "query_id", "embedding")
+    return q_subs.join(F.broadcast(cents), "s").select(
+        "query_id",
+        "s",
+        F.col("cell").alias("code"),
+        _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
+    )
+
+
+def _collect_queries(emb: DataFrame, n_queries: int):
+    """(rows, regular): the query vectors as driver rows — BOUNDED at
+    N_QUERIES rows by the registered constant, never corpus-sized.
+    ``regular`` is False when any vector is missing/short/null/NaN —
+    the callers then fall back to the JVM formulation outright."""
+    import math
+
+    rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    regular = all(
+        r["embedding"] is not None
+        and len(r["embedding"]) == EMB_DIM
+        and all(x is not None and not math.isnan(x) for x in r["embedding"])
+        for r in rows
+    )
+    return rows, regular
+
+
+def _adc_table(
+    emb: DataFrame, cents: DataFrame, n_queries: int
+) -> DataFrame:
+    """(query_id, s, code, d): the ADC distance table, computed on the
+    DRIVER (r17 optimization, guide §1.2 "remove passes" + §5 bounded
+    driver work) — the classic PQ formulation: the table is |Q| x M x
+    CELLS rows, bounded by registered constants (5 x 8 x 256 = 10,240),
+    so a real deployment computes it on the query node and ships it;
+    the old plan instead ran a subvector-explode scan + broadcast join
+    + a separate codegen'd distance fold as a distributed job per
+    query. Distances are bit-identical to :func:`_adc_rows_jvm`:
+    float32 query elements widen to float64 exactly on collect, the
+    codewords are float64 already, and the per-pair accumulation is
+    the same left-associated (a_i - b_i)^2 chain as
+    :func:`_sq_l2_static` in IEEE754 float64 — pinned by a
+    differential test. Irregular codebooks or query vectors
+    (short/null/NaN) fall back to the JVM formulation, so semantics
+    can never drift."""
+    crows = cents.select("s", "cell", "c_v").collect()  # <= M*CELLS rows
+    cents_regular = all(
+        r["c_v"] is not None
+        and len(r["c_v"]) == PQ_DSUB
+        and all(x is not None for x in r["c_v"])
+        for r in crows
+    )
+    qrows, q_regular = _collect_queries(emb, n_queries)
+    if not (cents_regular and q_regular):
+        return _adc_rows_jvm(emb, cents, n_queries)
+    spark = emb.sparkSession
+    out = []
+    for qr in qrows:
+        e = qr["embedding"]
+        for cr in crows:
+            s = cr["s"]
+            v = e[s * PQ_DSUB : s * PQ_DSUB + PQ_DSUB]
+            c = cr["c_v"]
+            # left-associated accumulation, identical op order to
+            # _sq_l2_static's t0 + t1 + ... chain (pure float64)
+            acc = (v[0] - c[0]) * (v[0] - c[0])
+            for i in range(1, PQ_DSUB):
+                acc = acc + (v[i] - c[i]) * (v[i] - c[i])
+            out.append((qr["vec_id"], s, cr["cell"], acc))
+    return spark.createDataFrame(
+        out, "query_id long, s int, code bigint, d double"
+    )
+
+
 def _adc_topk(
     emb: DataFrame, codes: DataFrame, cents: DataFrame, k: int, n_queries: int
 ) -> DataFrame:
     """ADC scoring stage from any (codes, cents) pair — ONE definition
     shared by the online query and the persisted-index search, so the
     two paths cannot drift (their bit-equality is test-pinned)."""
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    q_subs = _subvectors(q, "query_id", "embedding")
-    adc = (
-        q_subs.join(F.broadcast(cents), "s")
-        .select(
-            "query_id",
-            "s",
-            F.col("cell").alias("code"),
-            _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
-        )
-    )
+    adc = _adc_table(emb, cents, n_queries)
     scored = (
         codes.join(F.broadcast(adc), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -423,10 +498,23 @@ def _exact_rerank_l2(
 ) -> DataFrame:
     """Exact squared-L2 re-rank of a (query_id, vec_id) shortlist —
     shared by the online two-stage query and the persisted-index
-    search."""
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    search. The broadcast query side is a driver-built local relation
+    (bounded at N_QUERIES rows — r17, same rationale as
+    :func:`_adc_table`): float32 embeddings round-trip the driver
+    exactly (float64 repr on collect, exact narrowing cast on
+    createDataFrame at the same array<float> type), so the JVM-side
+    ``_sq_l2_static`` sees bit-identical inputs; irregular vectors
+    fall back to the scan-side filter."""
+    qrows, q_regular = _collect_queries(emb, n_queries)
+    if q_regular:
+        q = emb.sparkSession.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in qrows],
+            "query_id long, q_emb array<float>",
+        )
+    else:
+        q = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
     exact = (
         short.join(emb, "vec_id")
         .join(F.broadcast(q), "query_id")

@@ -690,3 +690,68 @@ def test_pq_assign_numpy_matches_jvm_formulation(spark):
         map(tuple, _assign_jvm(subs, bad_cents, "vec_id").collect())
     )
     assert got == want
+
+
+def test_pq_adc_table_driver_matches_jvm_formulation(spark):
+    """r17 optimization: `_adc_table` computes the bounded |Q| x M x
+    CELLS ADC distance table on the driver; `_adc_rows_jvm` keeps the
+    original subvector-explode + broadcast-join formulation. The two
+    must agree row-for-row (distances bitwise, via repr equality on
+    doubles) on a regular corpus, and irregular inputs — short query
+    vector, NaN element, irregular codeword — must fall back to the
+    JVM formulation outright."""
+    import math
+    import random
+
+    from honors_p1_mapreduce_spark.operators.pq import (
+        PQ_DSUB,
+        _adc_rows_jvm,
+        _adc_table,
+    )
+    from honors_p1_mapreduce_spark.operators.similarity import EMB_DIM
+
+    rng = random.Random(23)
+    emb_rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(EMB_DIM)]) for i in range(10)
+    ]
+    cents_rows = [
+        (s, c, [rng.uniform(-2, 2) for _ in range(PQ_DSUB)])
+        for s in range(EMB_DIM // PQ_DSUB)
+        for c in range(4)
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(cents_rows, "s int, cell long, c_v array<double>")
+
+    def norm(rows):
+        return sorted((r[0], r[1], r[2], repr(r[3])) for r in map(tuple, rows))
+
+    got = norm(_adc_table(emb, cents, 3).collect())
+    want = norm(_adc_rows_jvm(emb, cents, 3).collect())
+    assert got == want
+    # the driver path produced a local/driver-fed relation — no scan
+    # of the embedding frame, no exchange, no join in its plan
+    plan = (
+        _adc_table(emb, cents, 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    for node in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+
+    # irregular query vector (short / NaN): falls back to JVM rows
+    bad_emb = spark.createDataFrame(
+        [(0, [0.5] * (EMB_DIM - 1)), (1, [math.nan] * EMB_DIM)]
+        + emb_rows[2:],
+        "vec_id long, embedding array<float>",
+    )
+    got = norm(_adc_table(bad_emb, cents, 3).collect())
+    want = norm(_adc_rows_jvm(bad_emb, cents, 3).collect())
+    assert got == want
+
+    # irregular codeword: falls back too
+    bad_cents = spark.createDataFrame(
+        [(s, c, [0.1] * (PQ_DSUB - 1)) for s in range(2) for c in range(2)],
+        "s int, cell long, c_v array<double>",
+    )
+    got = norm(_adc_table(emb, bad_cents, 3).collect())
+    want = norm(_adc_rows_jvm(emb, bad_cents, 3).collect())
+    assert got == want
