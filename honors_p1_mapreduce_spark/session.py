@@ -64,6 +64,19 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Codegen class cache: the default 100 entries thrashes on a
+        # many-query session — in a 173-query suite the second
+        # evaluation of a codegen-heavy plan (the BPE 200-replace
+        # chain, the PNG synthesis fold) RECOMPILES because the other
+        # queries evicted it, paying multi-second Janino+JIT cost
+        # twice (measured: bpe_encode_ids 12.1 s first-eval vs 4.0 s
+        # with the compiled class cached). Compiled classes are small;
+        # a long-lived driver serving a mixed workload wants them
+        # resident. Parameterized for memory-constrained drivers.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -20,6 +20,11 @@ def test_speculation_knobs_match_reference(spark):
     # num_reduces analog + AQE present
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) >= 1
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # codegen class cache sized for a many-query session (r17: the
+    # default 100 entries made the suite's second pass of
+    # codegen-heavy plans recompile, paying multi-second Janino+JIT
+    # cost twice)
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
 
 
 def test_write_tsv_round_trip_sorted_partitions(spark, tmp_path):
