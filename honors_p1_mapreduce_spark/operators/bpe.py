@@ -226,6 +226,12 @@ def _local_bpe(
     return merges
 
 
+MERGES_SCHEMA = (
+    "merge_rank int, merge_left string, merge_right string, "
+    "pair_count bigint"
+)
+
+
 def bpe_train_merges_from(
     spark: SparkSession,
     docs: DataFrame,
@@ -235,7 +241,31 @@ def bpe_train_merges_from(
 ) -> DataFrame:
     """Library-level trainer over any (doc_id, text) frame — the body
     of :func:`bpe_train_merges`, factored for golden tests on
-    hand-built corpora.
+    hand-built corpora. DataFrame wrapper over
+    :func:`bpe_train_merges_list`."""
+    return spark.createDataFrame(
+        bpe_train_merges_list(
+            spark, docs, n_merges, incremental=incremental, cache_key=cache_key
+        ),
+        MERGES_SCHEMA,
+    )
+
+
+def bpe_train_merges_list(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    incremental: bool | None = None,
+    cache_key: str | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """The merge table as rank-ordered DRIVER rows (merge_rank,
+    merge_left, merge_right, pair_count) — the trainer's natural
+    output: both strategies end with a Python list (the driver-local
+    loop computes it directly; the distributed loop appends one row
+    per round). The r17 pre-optimization shape returned only a
+    DataFrame, so every encode-side consumer paid a
+    createDataFrame -> orderBy -> collect py4j roundtrip (~1-2.7 s
+    cold at sf0.1) to get back the list the trainer already held.
 
     ``incremental=None`` (the default) picks the strategy by vocab
     size: DRIVER-LOCAL merge loop (``_local_bpe`` — corpus scan and
@@ -250,10 +280,6 @@ def bpe_train_merges_from(
     into the build-once merge-table memo above; forced-strategy calls
     (probes, differentials) leave it unset and always retrain.
     """
-    schema = (
-        "merge_rank int, merge_left string, merge_right string, "
-        "pair_count bigint"
-    )
     key = None
     if cache_key is not None and incremental is None:
         key = (
@@ -264,7 +290,7 @@ def bpe_train_merges_from(
         )
         hit = _MERGES_CACHE.get(key)
         if hit is not None:
-            return spark.createDataFrame(hit, schema)
+            return hit
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
@@ -280,7 +306,7 @@ def bpe_train_merges_from(
             )
             if key is not None:
                 _MERGES_CACHE[key] = local
-            return spark.createDataFrame(local, schema)
+            return local
         incremental = True
     counts = _pair_counts(vocab).localCheckpoint() if incremental else None
     # union below is narrow (n + n partitions) — without this coalesce
@@ -330,7 +356,7 @@ def bpe_train_merges_from(
         )
     if key is not None:
         _MERGES_CACHE[key] = merges
-    return spark.createDataFrame(merges, schema)
+    return merges
 
 
 _T = tokens_sql("text")

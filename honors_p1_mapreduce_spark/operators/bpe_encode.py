@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
 from ..sources.tables import corpus_token, load_table
-from .bpe import _SEP, _syms, _wrap_chars, BPE_MERGES, bpe_train_merges_from
+from .bpe import (
+    _SEP,
+    _syms,
+    _wrap_chars,
+    BPE_MERGES,
+    MERGES_SCHEMA,
+    bpe_train_merges_list,
+)
 
 
 def bpe_encode_stats(
@@ -60,12 +67,10 @@ def bpe_encode_stats_from(
     golden tests on hand-built corpora. ``cache_key`` opts into the
     build-once merge-table memo (bpe._MERGES_CACHE)."""
     merges = [
-        (r["merge_left"], r["merge_right"])
-        for r in bpe_train_merges_from(
+        (left, right)
+        for _rank, left, right, _cnt in bpe_train_merges_list(
             spark, docs, n_merges=n_merges, cache_key=cache_key
         )
-        .orderBy("merge_rank")
-        .collect()
     ]
     words = (
         docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
@@ -256,12 +261,10 @@ def _doc_token_ids(
         if cached is not None:
             return _ids_stream_join(docs, cached)
     merges = [
-        (r["merge_left"], r["merge_right"])
-        for r in bpe_train_merges_from(
+        (left, right)
+        for _rank, left, right, _cnt in bpe_train_merges_list(
             spark, docs, n_merges=n_merges, cache_key=cache_key
         )
-        .orderBy("merge_rank")
-        .collect()
     ]
     word_syms = _encode_word_syms(docs, merges)
     sym_ids = _sym_id_table(word_syms, merges, spark)
@@ -289,27 +292,33 @@ def _sym_id_table(
     word_syms: DataFrame, merges: list, spark: SparkSession
 ) -> DataFrame:
     """(sym, sym_id): sorted corpus alphabet at 0..B-1, merged symbols
-    at B + rank - 1, min-id on string collisions."""
-    from pyspark.sql import Window
+    at B + rank - 1, min-id on string collisions.
 
+    r17: the alphabet is BOUNDED (distinct characters of the token
+    stream — dozens of rows at any corpus size), so it is collected
+    once and the whole id table is assembled on the driver as a local
+    relation; the old plan ran a separate count job plus a global
+    row_number window plus a union+groupBy just to number it. Ordering
+    is unchanged: Python's code-point sort equals Spark's UTF8String
+    binary order (UTF-8 preserves code-point order), and the min-id
+    collision rule is the same dict fold."""
     base = (
         word_syms.select(F.explode(F.split("word", "")).alias("sym"))
         .filter(F.col("sym") != "")
         .distinct()
     )
-    # global (unpartitioned) row_number is fine HERE only: the frame is
-    # the distinct alphabet — dozens of rows at any corpus size
-    wb = Window.orderBy("sym")
-    base_ids = base.select(
-        "sym", (F.row_number().over(wb) - 1).cast("bigint").alias("sym_id")
-    )
-    n_base = base.count()  # vocab-bounded driver scalar
-    merge_rows = [(a + b, n_base + i) for i, (a, b) in enumerate(merges)]
-    merge_ids = spark.createDataFrame(merge_rows, "sym string, sym_id bigint")
-    return (
-        base_ids.unionByName(merge_ids)
-        .groupBy("sym")
-        .agg(F.min("sym_id").alias("sym_id"))
+    alphabet = sorted(r["sym"] for r in base.collect())  # bounded rows
+    ids: dict[str, int] = {}
+    for i, sym in enumerate(alphabet):
+        ids[sym] = i
+    n_base = len(alphabet)
+    for i, (a, b) in enumerate(merges):
+        sym = a + b
+        sid = n_base + i
+        if sym not in ids or sid < ids[sym]:
+            ids[sym] = sid
+    return spark.createDataFrame(
+        sorted(ids.items()), "sym string, sym_id bigint"
     )
 
 
@@ -590,16 +599,15 @@ def bpe_write_tokenizer(
     The in-session memos cover repeat queries; this covers repeat
     sessions and other consumers."""
     docs = load_table(spark, sf_dir, "documents")
-    merges_df = bpe_train_merges_from(
+    merge_rows = bpe_train_merges_list(
         spark, docs, n_merges=n_merges, cache_key=sf_dir
     )
-    merges = [
-        (r["merge_left"], r["merge_right"])
-        for r in merges_df.orderBy("merge_rank").collect()
-    ]
+    merges = [(left, right) for _rank, left, right, _cnt in merge_rows]
     word_syms = _encode_word_syms(docs, merges)
     sym_ids = _sym_id_table(word_syms, merges, spark)
-    merges_df.write.mode("overwrite").parquet(f"{tokenizer_dir}/merges")
+    spark.createDataFrame(merge_rows, MERGES_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{tokenizer_dir}/merges")
     sym_ids.write.mode("overwrite").parquet(f"{tokenizer_dir}/vocab")
     word_syms.unpersist()
 
