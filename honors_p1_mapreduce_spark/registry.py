@@ -121,52 +121,35 @@ Never commit a new CORRECTNESS stamp into a tree whose registry
 still carries the previous window without immediately following with
 the rotation.
 
-ROUND-17 WINDOW (this ordering — reproduced exactly by
-``python scripts/plan_next_window.py --register dedup_substring_cut
-dedup_substring_cut_stored`` on the committed CORRECTNESS_r01..r16
-history):
-  1-26    the 26 r13-stamped deadline entries (user_retention ..
-          user_sessions) — age 4 at r17 close otherwise, the hard
-          deadline; they lead by planner rule.
-  27-28   the r14-built substring-cut pair REGISTERS
-          (dedup_substring_cut, dedup_substring_cut_stored —
-          substring_dedup.py, the corpus REWRITE of the Lee et al.
-          exact-substring span family). Registry 171 -> 173. Judge-
-          verified green 4/4 at sf0.001+sf0.01 in the r14 AND r15
-          sessions and re-verified on the final r16 tree
-          (R16_QUEUED_PREVERIFY.json, R14_CUT_PROBE.json 10x probe).
-  29-50   oldest-stamp-first fill: 22 of the r14-stamped block
-          (event_type_hourly_topk .. embedding_neardup,
-          CORRECTNESS_r14 order). No forced restamps this round: no
-          code path under a stamped query changed between the r16
-          snapshot and this rotation.
-Total 50. Outside-window ages at r17 close: 50@1, 50@2, 23@3 — bound
+ROUND-18 WINDOW (this ordering — reproduced exactly by
+``python scripts/plan_next_window.py --register
+decontaminate_bloom_prefilter dedup_containment contamination_stored
+--force lm_interp_score lm_score_stored lm_model_retract`` on the
+committed CORRECTNESS_r01..r17 history; rotation applied by
+scripts/rotate_registry_r18.py):
+  1-23    the 23 r14-stamped deadline entries (dedup_minhash ..
+          similarity_doc_quality_topk) — age 4 at r18 close
+          otherwise, the hard deadline; they lead by planner rule.
+  24-26   the r15-built curation trio REGISTERS (registry 173 -> 176;
+          r15 verdict #3 schedule, confirmed r16 verdict #5 and r17
+          verdict #8): decontaminate_bloom_prefilter,
+          dedup_containment, contamination_stored — details below.
+  27-29   FORCED RESTAMPS (--force, the media_image_neardup
+          precedent): lm_interp_score, lm_score_stored,
+          lm_model_retract — their code path moved when
+          _lm_count_frames was factored through _lm_count_frames_from
+          for the r17 snapshot-refresh delta passes (lm_quality.py).
+          Behavior-identical (delegation only; pinned by the full
+          suite), but the freshness rule restamps on any code path
+          move.
+  30-50   oldest-stamp-first fill: 21 of the r15-stamped block
+          (CORRECTNESS_r15 order).
+Total 50. Outside-window ages at r18 close: 50@1, 49@2, 27@3 — bound
 holds (planner output re-checked after the registrations settled;
-the 23 age-3 r14 leftovers lead the r18 deadline block).
+the r15-stamped leftovers lead the r19 deadline block).
 
-ROUND-18 PLAN (r15 verdict #3 schedule, confirmed r16 verdict #5;
-feasibility re-simulated over the assumed-green r17 stamps — bound
-holds through r21):
-  r18 (3 registrations): the r15-built library surfaces below.
-    Registry 173 -> 176. The r14-stamped leftover block leads as
-    the r18 deadline; the trio fits the free slots.
-  r18 FORCED RESTAMPS (--force, the media_image_neardup precedent):
-    lm_interp_score, lm_score_stored, lm_model_retract — their code
-    path moved when _lm_count_frames was factored through
-    _lm_count_frames_from for the r17 snapshot-refresh delta passes
-    (lm_quality.py). Behavior-identical (delegation only; pinned by
-    the full suite), but the freshness rule restamps on any code
-    path move. Run the r18 rotation as
-    ``plan_next_window.py --register <trio> --force lm_interp_score
-    lm_score_stored lm_model_retract``; 23 deadline + 3 regs + 3
-    forces = 29 of 50 slots — fits.
-  Evidence already on file: stored-cycle + streaming equivalences,
-  R15_SURFACES_PROBE.json 10x probes,
-  R15_QUEUED_PREVERIFY.json / R16_QUEUED_PREVERIFY.json
-  (re-verified on the final r16 tree).
-
-ROUND-18 BACKLOG (library surfaces built r15, queuing behind the
-registered r17 substring-cut pair):
+REGISTERED r18 (details; built r15, queued behind the r17
+substring-cut pair):
   decontaminate_bloom_prefilter (curation.py) — the exact
     contamination tier served through a CONSTANT-SIZE Bloom runtime
     filter instead of the eval-keys broadcast; false positives cancel
@@ -256,80 +239,9 @@ ROUND-21 QUEUE (library surface built r17):
 """
 
 QUERIES: dict[str, QueryFn] = {
-    # --- [r17 window, 1-26] the 26 r13-stamped deadline entries
-    # (age 4 at r17 close otherwise — the hard deadline; they
-    # lead by planner rule, ``plan_next_window.py`` positions
-    # 1-26).
-    "user_retention": _ev.user_retention,
-    "events_value_deciles": _ev.events_value_deciles,
-    "word_typo_pairs": _cx.word_typo_pairs,
-    "events_winsorized_stats": _ev.events_winsorized_stats,
-    "dataset_build_audit": _cx.dataset_build_audit,
-    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
-    "chunk_boilerplate": _ta.chunk_boilerplate,
-    "similarity_ann_portable": _sim.similarity_ann_portable,
-    "similarity_ivf_topk": _sim.similarity_ivf_topk,
-    "similarity_pq_topk": _pq.similarity_pq_topk,
-    "events_value_outliers": _cx.events_value_outliers,
-    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
-    "winnow_fingerprints": _wn.winnow_fingerprints,
-    "winnow_neardup": _wn.winnow_neardup,
-    "media_real_decode": _mm.media_real_decode,
-    "corpus_clean_funnel": _pl.corpus_clean_funnel,
-    "semantic_dedup": _sd.semantic_dedup,
-    "wordcount_topk": _wc.wordcount_topk,
-    "grep_total": _gr.grep_total,
-    "log_analyzer": _la.log_analyzer,
-    "bigrams": _ng.bigrams,
-    "bigrams_topk": _ng.bigrams_topk,
-    "trigrams": _ng.trigrams,
-    "events_tumbling": _ev.events_tumbling,
-    "events_sliding": _ev.events_sliding,
-    "user_sessions": _ev.user_sessions,
-    # --- [r17 window, 27-28] the r14-built substring-cut
-    # pair REGISTERS (registry 171 -> 173, r16 verdict #1):
-    # the corpus REWRITE of the Lee et al. exact-substring
-    # span family (substring_dedup.py), online + stored
-    # cycle, roundtrip bit-identical so ONE oracle shape
-    # gates both. Judge-verified green 4/4 at
-    # sf0.001+sf0.01 in the r14 AND r15 sessions and again
-    # on the final r16 tree (R16_QUEUED_PREVERIFY.json);
-    # any driver red is regression, not design.
-    "dedup_substring_cut": _ss.dedup_substring_cut,
-    "dedup_substring_cut_stored": _ss.dedup_substring_cut_stored,
-    # --- [r17 window, 29-50] oldest-stamp-first fill: 22
-    # of the r14-stamped block (CORRECTNESS_r14 order). No
-    # forced restamps: no code path under a stamped query
-    # changed between the r16 snapshot and this rotation.
-    "event_type_hourly_topk": _ev.event_type_hourly_topk,
-    "purchase_click_attribution": _asof.purchase_click_attribution,
-    "error_click_correlation": _asof.error_click_correlation,
-    "cms_estimate": _sk.cms_estimate,
-    "pricing_percentiles": _sk.pricing_percentiles,
-    "doc_token_stats": _ta.doc_token_stats,
-    "corpus_token_stats": _ta.corpus_token_stats,
-    "lang_id": _ta.lang_id,
-    "quality_score": _ta.quality_score,
-    "simhash_fingerprints": _ta.simhash_fingerprints,
-    "simhash_neardup": _ta.simhash_neardup,
-    "media_audio_decontaminate": _mm.media_audio_decontaminate,
-    "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
-    "media_avi_decode": _mm.media_avi_decode,
-    "media_decontaminate": _mm.media_decontaminate,
-    "media_decontaminate_stored": _mm.media_decontaminate_stored,
-    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
-    "media_resize": _mm.media_resize,
-    "media_image_neardup": _mm.media_image_neardup,
-    "semantic_dedup_fast": _sd.semantic_dedup_fast,
-    "similarity_ann_topk": _sim.similarity_ann_topk,
-    "embedding_neardup": _sim.embedding_neardup,
-    # ================ position 51+ — outside the r17 driver window =====
-    # Tail ordered oldest-stamp-first (the planner's fill rule),
-    # grouped by newest-stamp round. The leading r14-stamped
-    # block is the r18 deadline and LEADS the r18 window together
-    # with the r18 registrations (see the ROUND-18 plan in the
-    # module docstring).
-    # --- newest stamp r14:
+    # --- [r18 window, 1-23] the 23 r14-stamped deadline entries
+    # (age 4 at r18 close otherwise — the hard deadline; they
+    # lead by planner rule).
     "dedup_minhash": _dd.dedup_minhash_pairs,
     "bucketed_join_revenue": _rel.bucketed_join_revenue,
     "media_png_decode": _mm.media_png_decode,
@@ -353,7 +265,34 @@ QUERIES: dict[str, QueryFn] = {
     "importance_sample": _imp.importance_sample,
     "events_multi_rollup": _ev.events_multi_rollup,
     "similarity_doc_quality_topk": _cm.similarity_doc_quality_topk,
-    # --- newest stamp r15:
+    # --- [r18 window, 24-26] the r15-built curation trio
+    # REGISTERS (registry 173 -> 176, r15 verdict #3
+    # schedule / r17 verdict #8): Bloom-prefiltered exact
+    # decontamination (constant-size runtime filter, false
+    # positives cancel in the shared exact tail, so
+    # CONTAMINATION_ORACLE gates it), asymmetric n-gram
+    # containment (doc-in-doc mode Jaccard misses; own SQL
+    # oracle), and the exact tier's stored cycle
+    # (roundtrip-bit-identical, shared oracle). Parity
+    # green at sf0.001+sf0.01 at build time and re-verified
+    # on the final r16 tree (R15_QUEUED_PREVERIFY.json,
+    # R16_QUEUED_PREVERIFY.json); any driver red is
+    # regression, not design.
+    "decontaminate_bloom_prefilter": _cu.decontaminate_bloom_prefilter,
+    "dedup_containment": _dd.containment_pairs,
+    "contamination_stored": _cu.contamination_stored,
+    # --- [r18 window, 27-29] FORCED RESTAMPS (the
+    # media_image_neardup precedent): the lm_* trio's code
+    # path moved when _lm_count_frames factored through
+    # _lm_count_frames_from (r17 snapshot-refresh delta
+    # passes, lm_quality.py). Behavior-identical
+    # (delegation only; pinned by the suite), but the
+    # freshness rule restamps on any code path move.
+    "lm_interp_score": _lm.lm_interp_score,
+    "lm_score_stored": _lm.lm_score_stored,
+    "lm_model_retract": _lm.lm_model_retract,
+    # --- [r18 window, 30-50] oldest-stamp-first fill: 21
+    # of the r15-stamped block (CORRECTNESS_r15 order).
     "winnow_fingerprints_chunked": _wn.winnow_fingerprints_chunked,
     "decontaminate_neardup": _wn.decontaminate_neardup,
     "events_value_mad_outliers": _cx.events_value_mad_outliers,
@@ -375,6 +314,13 @@ QUERIES: dict[str, QueryFn] = {
     "media_video_dedup": _mm.media_video_dedup,
     "media_video_decontaminate": _mm.media_video_decontaminate,
     "media_video_decontaminate_stored": _mm.media_video_decontaminate_stored,
+    # ================ position 51+ — outside the r18 driver window =====
+    # Tail ordered oldest-stamp-first (the planner's fill rule),
+    # grouped by newest-stamp round. The leading r15-stamped
+    # block is the r19 deadline and LEADS the r19 window together
+    # with the r19 registrations (see the ROUND-19 queue in the
+    # module docstring).
+    # --- newest stamp r15:
     "media_video_frame_overlap": _mm.media_video_frame_overlap,
     "media_video_frame_decontaminate": _mm.media_video_frame_decontaminate,
     "media_video_frame_decontaminate_stored": (
@@ -387,12 +333,10 @@ QUERIES: dict[str, QueryFn] = {
     "media_audio_dedup": _mm.media_audio_dedup,
     "contamination_check": _cu.contamination_check,
     "bloom_pruned_join": _sk.bloom_pruned_join,
-    "lm_interp_score": _lm.lm_interp_score,
     "lm_bigram_score": _lm.lm_bigram_score,
     "quantile_daily_merge": _sk.quantile_daily_merge,
     "trade_kcore": _gph.trade_kcore,
     "trade_pagerank": _gph.trade_pagerank,
-    "lm_score_stored": _lm.lm_score_stored,
     "pq_search_appended": _pq.pq_search_appended,
     "dedup_incremental": _wn.dedup_incremental,
     "events_drift_chisq": _ev.events_drift_chisq,
@@ -451,7 +395,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_decontaminate": _sim.embedding_decontaminate,
     "media_audio_neardup": _mm.media_audio_neardup,
     "winnow_index_retract": _wn.winnow_index_retract,
-    "lm_model_retract": _lm.lm_model_retract,
     "trade_labelprop": _gph.trade_labelprop,
     "media_audio_features": _mm.media_audio_features,
     "dataset_split": _cx.dataset_split,
@@ -461,6 +404,57 @@ QUERIES: dict[str, QueryFn] = {
     "events_moving_stats": _ev.events_moving_stats,
     "events_daily_pivot": _ev.events_daily_pivot,
     "hll_daily_users": _sk.hll_daily_users,
+    # --- newest stamp r17:
+    "user_retention": _ev.user_retention,
+    "events_value_deciles": _ev.events_value_deciles,
+    "word_typo_pairs": _cx.word_typo_pairs,
+    "events_winsorized_stats": _ev.events_winsorized_stats,
+    "dataset_build_audit": _cx.dataset_build_audit,
+    "similarity_pq_rerank_topk": _pq.similarity_pq_rerank_topk,
+    "chunk_boilerplate": _ta.chunk_boilerplate,
+    "similarity_ann_portable": _sim.similarity_ann_portable,
+    "similarity_ivf_topk": _sim.similarity_ivf_topk,
+    "similarity_pq_topk": _pq.similarity_pq_topk,
+    "events_value_outliers": _cx.events_value_outliers,
+    "similarity_ivf_kmeans_topk": _sim.similarity_ivf_kmeans_topk,
+    "winnow_fingerprints": _wn.winnow_fingerprints,
+    "winnow_neardup": _wn.winnow_neardup,
+    "media_real_decode": _mm.media_real_decode,
+    "corpus_clean_funnel": _pl.corpus_clean_funnel,
+    "semantic_dedup": _sd.semantic_dedup,
+    "wordcount_topk": _wc.wordcount_topk,
+    "grep_total": _gr.grep_total,
+    "log_analyzer": _la.log_analyzer,
+    "bigrams": _ng.bigrams,
+    "bigrams_topk": _ng.bigrams_topk,
+    "trigrams": _ng.trigrams,
+    "events_tumbling": _ev.events_tumbling,
+    "events_sliding": _ev.events_sliding,
+    "user_sessions": _ev.user_sessions,
+    "dedup_substring_cut": _ss.dedup_substring_cut,
+    "dedup_substring_cut_stored": _ss.dedup_substring_cut_stored,
+    "event_type_hourly_topk": _ev.event_type_hourly_topk,
+    "purchase_click_attribution": _asof.purchase_click_attribution,
+    "error_click_correlation": _asof.error_click_correlation,
+    "cms_estimate": _sk.cms_estimate,
+    "pricing_percentiles": _sk.pricing_percentiles,
+    "doc_token_stats": _ta.doc_token_stats,
+    "corpus_token_stats": _ta.corpus_token_stats,
+    "lang_id": _ta.lang_id,
+    "quality_score": _ta.quality_score,
+    "simhash_fingerprints": _ta.simhash_fingerprints,
+    "simhash_neardup": _ta.simhash_neardup,
+    "media_audio_decontaminate": _mm.media_audio_decontaminate,
+    "media_audio_decontaminate_stored": _mm.media_audio_decontaminate_stored,
+    "media_avi_decode": _mm.media_avi_decode,
+    "media_decontaminate": _mm.media_decontaminate,
+    "media_decontaminate_stored": _mm.media_decontaminate_stored,
+    "events_winsorized_stats_fast": _ev.events_winsorized_stats_fast,
+    "media_resize": _mm.media_resize,
+    "media_image_neardup": _mm.media_image_neardup,
+    "semantic_dedup_fast": _sd.semantic_dedup_fast,
+    "similarity_ann_topk": _sim.similarity_ann_topk,
+    "embedding_neardup": _sim.embedding_neardup,
 }
 
 
@@ -503,9 +497,6 @@ ORACLES: dict[str, str] = {
     "waiting_suppliers": _rx.WAITING_SUPPLIERS_ORACLE,
     "semantic_dedup": _sd.SEMANTIC_DEDUP_ORACLE,
     "dedup_substring_spans": _ss.DEDUP_SUBSTRING_SPANS_ORACLE,
-    # r17 registrations — the cut pair (stored twin is
-    # roundtrip-bit-identical; separate oracle constants,
-    # same derivation):
     "dedup_substring_cut": _ss.DEDUP_SUBSTRING_CUT_ORACLE,
     "dedup_substring_cut_stored": _ss.DEDUP_SUBSTRING_CUT_STORED_ORACLE,
     "similarity_pq_topk": _pq.SIMILARITY_PQ_TOPK_ORACLE,
@@ -608,6 +599,12 @@ ORACLES: dict[str, str] = {
     "mixture_weights": _pl.MIXTURE_WEIGHTS_ORACLE,
     "tfidf_topk": _ta.TFIDF_TOPK_ORACLE,
     "contamination_check": _cu.CONTAMINATION_ORACLE,
+    # r18 registrations — the curation trio (bloom
+    # prefilter + stored cycle share the exact tier's
+    # oracle; containment has its own):
+    "decontaminate_bloom_prefilter": _cu.DECONTAMINATE_BLOOM_PREFILTER_ORACLE,
+    "dedup_containment": _dd.CONTAINMENT_ORACLE,
+    "contamination_stored": _cu.CONTAMINATION_STORED_ORACLE,
     "repetition_signals": _cu.REPETITION_SIGNALS_ORACLE,
     "pii_scrub": _cu.PII_SCRUB_ORACLE,
     "media_stats": _mm.MEDIA_STATS_ORACLE,
