@@ -89,6 +89,19 @@ def _syms(wrapped) -> F.Column:
 # outputs and every oracle is unmoved.
 _MERGES_CACHE: dict[tuple, list] = {}
 
+# Companion memo (r18): word -> final symbol list, the LOCAL trainer's
+# end state (every accepted merge applied in rank order to every vocab
+# word) — exactly what the encode side's replace chain recomputes per
+# word, so encode consumers that share the training corpus build their
+# vocab-sized word->ids table on the driver with ZERO extra jobs (and
+# skip the replace-chain codegen compile). Populated only when the
+# driver-local trainer ran AND no word contains the separator (a word
+# containing _SEP is ambiguous in the wrapped representation, so those
+# corpora stay on the JVM path end to end — the standard tokenizer
+# [a-z0-9_]+ can never produce one). Same key shape and reset
+# discipline as _MERGES_CACHE (registry.reset_memos clears it).
+_SYMS_CACHE: dict[tuple, dict[str, list[str]]] = {}
+
 
 def bpe_train_merges(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
@@ -166,13 +179,21 @@ def _local_pairs(w: str) -> list[tuple[str, str]]:
 
 
 def _local_bpe(
-    rows: list[tuple[str, int]], n_merges: int
-) -> list[tuple[int, str, str, int]]:
+    rows: list[tuple[str, int]], n_merges: int, return_words: bool = False
+):
     """Driver-local BPE merge loop: lazy-deletion heap for the argmax,
     inverted pair->word index so each round touches only words that
     contain the merged pair — the in-memory mirror of the dataflow
     loop's delta maintenance. ~30k merges/s on a 30k-word vocab
-    (probe script), vs ~1.5 rounds/s for the per-round Spark jobs."""
+    (probe script), vs ~1.5 rounds/s for the per-round Spark jobs.
+
+    ``return_words=True`` additionally returns the FINAL wrapped word
+    strings (aligned with ``rows``) — each is the input word with
+    every accepted merge applied in rank order, i.e. exactly what the
+    encode side's rank-order greedy-leftmost replace chain
+    (bpe_encode._encode_word_syms) recomputes per word. Returning it
+    lets the encode consumers skip that recompute (r18, guide §1.2:
+    don't compute things twice)."""
     import heapq
     from collections import Counter, defaultdict
 
@@ -223,6 +244,8 @@ def _local_bpe(
             else:
                 counts.pop(p, None)
                 index.pop(p, None)
+    if return_words:
+        return merges, words
     return merges
 
 
@@ -295,19 +318,29 @@ def bpe_train_merges_list(
         docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .select(_wrap_chars(F.col("word")).alias("w"), "cnt")
+        .select("word", _wrap_chars(F.col("word")).alias("w"), "cnt")
         .localCheckpoint()
     )
     if incremental is None:
         n_vocab = vocab.count()
         if n_vocab <= BPE_LOCAL_FINISH_MAX_VOCAB:
-            local = _local_bpe(
-                [(r["w"], r["cnt"]) for r in vocab.collect()], n_merges
+            collected = vocab.collect()
+            local, final_words = _local_bpe(
+                [(r["w"], r["cnt"]) for r in collected],
+                n_merges,
+                return_words=True,
             )
             if key is not None:
                 _MERGES_CACHE[key] = local
+                orig = [r["word"] for r in collected]
+                if all(_SEP not in w for w in orig):
+                    _SYMS_CACHE[key] = {
+                        w: fw.strip(_SEP).split(_SEP + _SEP)
+                        for w, fw in zip(orig, final_words)
+                    }
             return local
         incremental = True
+    vocab = vocab.select("w", "cnt")
     counts = _pair_counts(vocab).localCheckpoint() if incremental else None
     # union below is narrow (n + n partitions) — without this coalesce
     # target the vocab frame would DOUBLE its partition count every

@@ -38,12 +38,65 @@ from ..functions.text import tokens_col, tokens_sql
 from ..sources.tables import corpus_token, load_table
 from .bpe import (
     _SEP,
+    _SYMS_CACHE,
     _syms,
     _wrap_chars,
     BPE_MERGES,
     MERGES_SCHEMA,
     bpe_train_merges_list,
 )
+
+
+def _memo_key(spark: SparkSession, cache_key: str, n_merges: int) -> tuple:
+    """The shared (application, corpus dir, corpus snapshot, params)
+    memo key — identical shape for bpe._MERGES_CACHE/_SYMS_CACHE and
+    this module's _WORD_IDS_CACHE, so a trainer run populates the syms
+    memo under exactly the key the encode consumers look up."""
+    return (
+        spark.sparkContext.applicationId,
+        cache_key,
+        corpus_token(cache_key),
+        n_merges,
+    )
+
+
+def _sym_ids_fold(words, merges: list) -> dict[str, int]:
+    """(sym -> sym_id) — sorted corpus alphabet at 0..B-1, merged
+    symbols at B + rank - 1, min-id on string collisions: the single
+    Python fold shared by :func:`_sym_id_table` (JVM-collected
+    alphabet) and the driver-local vocab path (alphabet from the
+    collected words). Python's code-point sort equals Spark's
+    UTF8String binary order (UTF-8 preserves code-point order)."""
+    alphabet = sorted({ch for w in words for ch in w})
+    ids: dict[str, int] = {}
+    for i, sym in enumerate(alphabet):
+        ids[sym] = i
+    n_base = len(alphabet)
+    for i, (a, b) in enumerate(merges):
+        sym = a + b
+        sid = n_base + i
+        if sym not in ids or sid < ids[sym]:
+            ids[sym] = sid
+    return ids
+
+
+def _word_ids_rows(
+    syms_map: dict[str, list[str]],
+    sym_ids: dict[str, int],
+    unk: int | None = None,
+) -> list[tuple[str, list[int]]]:
+    """(word, ids) rows from the trainer's word->syms memo and a
+    symbol-id dict — the driver-local mirror of
+    :func:`_word_ids_table` (inner-join semantics when ``unk`` is
+    None: every symbol is in the table by construction on the
+    training-corpus path; stored-tokenizer callers pass ``unk`` so
+    out-of-vocabulary symbols map to the UNK id)."""
+    if unk is None:
+        return [(w, [sym_ids[s] for s in syms]) for w, syms in syms_map.items()]
+    return [
+        (w, [sym_ids.get(s, unk) for s in syms])
+        for w, syms in syms_map.items()
+    ]
 
 
 def bpe_encode_stats(
@@ -72,19 +125,37 @@ def bpe_encode_stats_from(
             spark, docs, n_merges=n_merges, cache_key=cache_key
         )
     ]
-    words = (
-        docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
+    # r18: the local trainer's word->syms memo serves the per-word
+    # token counts directly (driver-local, zero extra jobs — see
+    # _doc_token_ids); len() == F.length for these words because the
+    # tokenizer emits [a-z0-9_]+ only (and the memo is only populated
+    # for separator-free vocabularies).
+    syms_map = (
+        _SYMS_CACHE.get(_memo_key(spark, cache_key, n_merges))
+        if cache_key is not None
+        else None
     )
-    w = _wrap_chars(F.col("word"))
-    for a, b in merges:  # rank order; each is greedy-leftmost replace
-        w = F.replace(
-            w, F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"), F.lit(f"{_SEP}{a}{b}{_SEP}")
+    if syms_map is not None:
+        word_toks = spark.createDataFrame(
+            [(w_, len(syms), len(w_)) for w_, syms in syms_map.items()],
+            "word string, n_toks int, n_chars_w int",
         )
-    word_toks = words.select(
-        "word",
-        F.size(_syms(w)).alias("n_toks"),
-        F.length("word").alias("n_chars_w"),
-    )
+    else:
+        words = (
+            docs.select(F.explode(tokens_col("text")).alias("word")).distinct()
+        )
+        w = _wrap_chars(F.col("word"))
+        for a, b in merges:  # rank order; each is greedy-leftmost replace
+            w = F.replace(
+                w,
+                F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
+                F.lit(f"{_SEP}{a}{b}{_SEP}"),
+            )
+        word_toks = words.select(
+            "word",
+            F.size(_syms(w)).alias("n_toks"),
+            F.length("word").alias("n_chars_w"),
+        )
     stream = docs.select(
         "source", F.explode(tokens_col("text")).alias("word")
     )
@@ -251,12 +322,7 @@ def _doc_token_ids(
 
     wkey = None
     if cache_key is not None:
-        wkey = (
-            spark.sparkContext.applicationId,
-            cache_key,
-            corpus_token(cache_key),
-            n_merges,
-        )
+        wkey = _memo_key(spark, cache_key, n_merges)
         cached = _WORD_IDS_CACHE.get(wkey)
         if cached is not None:
             return _ids_stream_join(docs, cached)
@@ -266,9 +332,22 @@ def _doc_token_ids(
             spark, docs, n_merges=n_merges, cache_key=cache_key
         )
     ]
-    word_syms = _encode_word_syms(docs, merges)
-    sym_ids = _sym_id_table(word_syms, merges, spark)
-    word_ids = _word_ids_table(word_syms, sym_ids)
+    # r18 (guide §1.2, §5): when the driver-local trainer ran, its
+    # end state IS the encoded vocabulary (word -> final syms), so the
+    # whole word->ids table — vocab-sized, broadcast downstream either
+    # way — assembles on the driver with zero extra jobs, skipping the
+    # replace-chain codegen compile, the alphabet-collect job and the
+    # posexplode+join+groupBy+localCheckpoint id-map job. Corpora the
+    # local trainer didn't cover (vocab above the cap, or a word
+    # containing the separator) stay on the JVM pipeline below.
+    syms_map = _SYMS_CACHE.get(wkey) if wkey is not None else None
+    if syms_map is not None:
+        rows = _word_ids_rows(syms_map, _sym_ids_fold(syms_map, merges))
+        word_ids = spark.createDataFrame(rows, "word string, ids array<bigint>")
+    else:
+        word_syms = _encode_word_syms(docs, merges)
+        sym_ids = _sym_id_table(word_syms, merges, spark)
+        word_ids = _word_ids_table(word_syms, sym_ids)
     if wkey is not None:
         _WORD_IDS_CACHE[wkey] = word_ids
     return _ids_stream_join(docs, word_ids)
@@ -307,16 +386,8 @@ def _sym_id_table(
         .filter(F.col("sym") != "")
         .distinct()
     )
-    alphabet = sorted(r["sym"] for r in base.collect())  # bounded rows
-    ids: dict[str, int] = {}
-    for i, sym in enumerate(alphabet):
-        ids[sym] = i
-    n_base = len(alphabet)
-    for i, (a, b) in enumerate(merges):
-        sym = a + b
-        sid = n_base + i
-        if sym not in ids or sid < ids[sym]:
-            ids[sym] = sid
+    alphabet = [r["sym"] for r in base.collect()]  # bounded rows
+    ids = _sym_ids_fold(alphabet, merges)
     return spark.createDataFrame(
         sorted(ids.items()), "sym string, sym_id bigint"
     )
@@ -603,13 +674,27 @@ def bpe_write_tokenizer(
         spark, docs, n_merges=n_merges, cache_key=sf_dir
     )
     merges = [(left, right) for _rank, left, right, _cnt in merge_rows]
-    word_syms = _encode_word_syms(docs, merges)
-    sym_ids = _sym_id_table(word_syms, merges, spark)
+    # r18: the symbol-id vocabulary derives from (alphabet chars,
+    # merges) only — with the local trainer's word memo on hand the
+    # whole table assembles on the driver (the exact rows
+    # _sym_id_table produces: it already builds from a collected
+    # alphabet + the same fold).
+    syms_map = _SYMS_CACHE.get(_memo_key(spark, sf_dir, n_merges))
+    if syms_map is not None:
+        sym_ids = spark.createDataFrame(
+            sorted(_sym_ids_fold(syms_map, merges).items()),
+            "sym string, sym_id bigint",
+        )
+        word_syms = None
+    else:
+        word_syms = _encode_word_syms(docs, merges)
+        sym_ids = _sym_id_table(word_syms, merges, spark)
     spark.createDataFrame(merge_rows, MERGES_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{tokenizer_dir}/merges")
     sym_ids.write.mode("overwrite").parquet(f"{tokenizer_dir}/vocab")
-    word_syms.unpersist()
+    if word_syms is not None:
+        word_syms.unpersist()
 
 
 def bpe_encode_ids_with(
@@ -632,8 +717,35 @@ def bpe_encode_ids_with(
         .collect()
     ]
     sym_ids = spark.read.parquet(f"{tokenizer_dir}/vocab")
-    word_syms = _encode_word_syms(docs, merges)
-    word_ids = _word_ids_table(word_syms, sym_ids, unk=UNK_ID)
+    # r18: when the stored merge table is exactly a trajectory the
+    # local trainer memoized for THIS corpus (the registered stored
+    # cycle re-encodes the training corpus), the trainer's word->syms
+    # end state applies verbatim: the word->ids map assembles on the
+    # driver from the STORED vocabulary (collected — it is vocab-sized
+    # and broadcast downstream either way), UNK semantics included.
+    # Any other (corpus, tokenizer) pairing stays on the JVM path.
+    syms_map = None
+    from .bpe import _MERGES_CACHE
+
+    for k, rows_m in _MERGES_CACHE.items():
+        if (
+            k[0] == spark.sparkContext.applicationId
+            and k[1] == sf_dir
+            and k[2] == corpus_token(sf_dir)
+            and [(left, right) for _rk, left, right, _c in rows_m] == merges
+            and k in _SYMS_CACHE
+        ):
+            syms_map = _SYMS_CACHE[k]
+            break
+    if syms_map is not None:
+        stored_ids = {
+            r["sym"]: r["sym_id"] for r in sym_ids.collect()
+        }  # vocab-sized
+        rows = _word_ids_rows(syms_map, stored_ids, unk=UNK_ID)
+        word_ids = spark.createDataFrame(rows, "word string, ids array<bigint>")
+    else:
+        word_syms = _encode_word_syms(docs, merges)
+        word_ids = _word_ids_table(word_syms, sym_ids, unk=UNK_ID)
     return _digest_select(_ids_stream_join(docs, word_ids))
 
 

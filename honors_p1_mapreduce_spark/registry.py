@@ -64,6 +64,7 @@ def reset_memos() -> None:
 
     for cache in (
         _bpe_m._MERGES_CACHE,
+        _bpe_m._SYMS_CACHE,
         _bpx_m._WORD_IDS_CACHE,
         _pq_m._CODEBOOK_CACHE,
         _wn_m._FP_CACHE,

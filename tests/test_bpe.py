@@ -354,3 +354,39 @@ def test_bpe_encode_ids_stored_registered_query_matches_online(spark, sf_dir):
     online = sorted(map(tuple, bpe_encode_ids(spark, sf_dir).collect()))
     stored = sorted(map(tuple, bpe_encode_ids_stored(spark, sf_dir).collect()))
     assert online == stored
+
+
+def test_driver_local_word_ids_match_jvm_pipeline(spark, sf_dir):
+    """r18: the driver-local word->ids table (assembled from the local
+    trainer's word->syms end state, bpe._SYMS_CACHE) must equal the
+    JVM pipeline (_encode_word_syms -> _sym_id_table ->
+    _word_ids_table) word for word and id for id — the equality the
+    bpe_encode_ids/pack/stored digests rest on."""
+    from honors_p1_mapreduce_spark import registry
+    from honors_p1_mapreduce_spark.operators import bpe, bpe_encode as bx
+
+    registry.reset_memos()
+    docs = bx.load_table(spark, sf_dir, "documents")
+    merges = [
+        (left, right)
+        for _rk, left, right, _c in bpe.bpe_train_merges_list(
+            spark, docs, n_merges=bx.BPE_MERGES, cache_key=sf_dir
+        )
+    ]
+    key = bx._memo_key(spark, sf_dir, bx.BPE_MERGES)
+    syms_map = bpe._SYMS_CACHE.get(key)
+    assert syms_map is not None, "local trainer path did not run"
+    local = {
+        w: [int(i) for i in ids]
+        for w, ids in bx._word_ids_rows(
+            syms_map, bx._sym_ids_fold(syms_map, merges)
+        )
+    }
+    word_syms = bx._encode_word_syms(docs, merges)
+    sym_ids = bx._sym_id_table(word_syms, merges, spark)
+    jvm = {
+        r["word"]: list(r["ids"])
+        for r in bx._word_ids_table(word_syms, sym_ids).collect()
+    }
+    assert local == jvm
+    registry.reset_memos()
