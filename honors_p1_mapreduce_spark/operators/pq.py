@@ -72,7 +72,7 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def _sq_l2_static(a: Column, b: Column, dim: int) -> Column:
+def _sq_l2_static(a: Column | str, b: Column | str, dim: int) -> Column:
     """Squared L2 with the dimension count known at plan-build time,
     expanded to ``dim`` explicit element terms instead of a
     higher-order fold. Catalyst gives zip_with/aggregate no codegen
@@ -82,7 +82,23 @@ def _sq_l2_static(a: Column, b: Column, dim: int) -> Column:
     and measured ~5x faster there. Bit-identical to the fold: the
     fold's left-associated sum starting at 0.0 equals the expanded
     left-associated ``t0 + t1 + ...`` (0.0 + t0 == t0 exactly; squares
-    are never -0.0), so oracle hashes are unmoved."""
+    are never -0.0), so oracle hashes are unmoved.
+
+    Pass column NAMES when possible (r18): the Column-by-Column build
+    issues ~11 py4j roundtrips per term (~700 at dim=64, ≈0.9 s of
+    driver time per plan); the string form parses the whole chain as
+    ONE ``F.expr`` call into the identical tree — SQL ``get`` is the
+    same function ``F.get`` resolves to, SQL ``+``/``*`` are
+    left-associative exactly like the Python fold."""
+    if isinstance(a, str) and isinstance(b, str):
+        term = (
+            "(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE))"
+            " * "
+            "(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE))"
+        )
+        return F.expr(
+            " + ".join(term.format(a=a, b=b, i=i) for i in range(dim))
+        )
     terms = [
         (F.get(a, i).cast("double") - F.get(b, i).cast("double"))
         * (F.get(a, i).cast("double") - F.get(b, i).cast("double"))
@@ -249,7 +265,7 @@ def _assign_jvm(
     """The pure-Catalyst argmin formulation (pre-r17 registered path;
     now the fallback for irregular codebooks and the equality pin's
     reference)."""
-    d = _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB)
+    d = _sq_l2_static("v", "c_v", PQ_DSUB)
     base = (
         subs.join(F.broadcast(cents), "s")
         .withColumn("d", d)
@@ -372,6 +388,7 @@ def similarity_pq_topk(
     n_queries: int = N_QUERIES,
     n_cells: int = PQ_CELLS,
     n_iter: int = PQ_ITER,
+    qcollected=None,
 ) -> DataFrame:
     """(query_id, rank, vec_id, adc_dist): PQ/ADC top-k by ascending
     approximate squared distance, deterministic (dist, vec_id)
@@ -382,7 +399,7 @@ def similarity_pq_topk(
     cents = _train_codebooks(emb, n_cells=n_cells, n_iter=n_iter, cache_key=sf_dir)
     subs = _subvectors(emb, "vec_id", "embedding")
     codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
-    return _adc_topk(emb, codes, cents, k, n_queries)
+    return _adc_topk(emb, codes, cents, k, n_queries, qcollected=qcollected)
 
 
 def _adc_rows_jvm(
@@ -400,7 +417,7 @@ def _adc_rows_jvm(
         "query_id",
         "s",
         F.col("cell").alias("code"),
-        _sq_l2_static(F.col("v"), F.col("c_v"), PQ_DSUB).alias("d"),
+        _sq_l2_static("v", "c_v", PQ_DSUB).alias("d"),
     )
 
 
@@ -426,7 +443,7 @@ def _collect_queries(emb: DataFrame, n_queries: int):
 
 
 def _adc_table(
-    emb: DataFrame, cents: DataFrame, n_queries: int
+    emb: DataFrame, cents: DataFrame, n_queries: int, qcollected=None
 ) -> DataFrame:
     """(query_id, s, code, d): the ADC distance table, computed on the
     DRIVER (r17 optimization, guide §1.2 "remove passes" + §5 bounded
@@ -450,7 +467,9 @@ def _adc_table(
         and all(x is not None for x in r["c_v"])
         for r in crows
     )
-    qrows, q_regular = _collect_queries(emb, n_queries)
+    qrows, q_regular = (
+        qcollected if qcollected is not None else _collect_queries(emb, n_queries)
+    )
     if not (cents_regular and q_regular):
         return _adc_rows_jvm(emb, cents, n_queries)
     spark = emb.sparkSession
@@ -473,12 +492,20 @@ def _adc_table(
 
 
 def _adc_topk(
-    emb: DataFrame, codes: DataFrame, cents: DataFrame, k: int, n_queries: int
+    emb: DataFrame,
+    codes: DataFrame,
+    cents: DataFrame,
+    k: int,
+    n_queries: int,
+    qcollected=None,
 ) -> DataFrame:
     """ADC scoring stage from any (codes, cents) pair — ONE definition
     shared by the online query and the persisted-index search, so the
-    two paths cannot drift (their bit-equality is test-pinned)."""
-    adc = _adc_table(emb, cents, n_queries)
+    two paths cannot drift (their bit-equality is test-pinned).
+    ``qcollected`` (r18): pre-collected ``_collect_queries`` result so
+    a two-stage caller runs the bounded query-vector collect job ONCE
+    instead of once per stage."""
+    adc = _adc_table(emb, cents, n_queries, qcollected=qcollected)
     scored = (
         codes.join(F.broadcast(adc), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -494,7 +521,7 @@ def _adc_topk(
 
 
 def _exact_rerank_l2(
-    short: DataFrame, emb: DataFrame, k: int, n_queries: int
+    short: DataFrame, emb: DataFrame, k: int, n_queries: int, qcollected=None
 ) -> DataFrame:
     """Exact squared-L2 re-rank of a (query_id, vec_id) shortlist —
     shared by the online two-stage query and the persisted-index
@@ -505,7 +532,9 @@ def _exact_rerank_l2(
     createDataFrame at the same array<float> type), so the JVM-side
     ``_sq_l2_static`` sees bit-identical inputs; irregular vectors
     fall back to the scan-side filter."""
-    qrows, q_regular = _collect_queries(emb, n_queries)
+    qrows, q_regular = (
+        qcollected if qcollected is not None else _collect_queries(emb, n_queries)
+    )
     if q_regular:
         q = emb.sparkSession.createDataFrame(
             [(r["vec_id"], r["embedding"]) for r in qrows],
@@ -521,7 +550,7 @@ def _exact_rerank_l2(
         .select(
             "query_id",
             "vec_id",
-            _sq_l2_static(F.col("embedding"), F.col("q_emb"), EMB_DIM).alias("l2_dist"),
+            _sq_l2_static("embedding", "q_emb", EMB_DIM).alias("l2_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
@@ -711,6 +740,7 @@ def similarity_pq_rerank_topk(
     squared L2, deterministic (dist, vec_id) tie-break.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    qcollected = _collect_queries(emb, n_queries)  # once for both stages
     short = similarity_pq_topk(
         spark,
         sf_dir,
@@ -718,8 +748,9 @@ def similarity_pq_rerank_topk(
         n_queries=n_queries,
         n_cells=n_cells,
         n_iter=n_iter,
+        qcollected=qcollected,
     ).select("query_id", "vec_id")
-    return _exact_rerank_l2(short, emb, k, n_queries)
+    return _exact_rerank_l2(short, emb, k, n_queries, qcollected=qcollected)
 
 
 def similarity_pq_rerank_topk_oracle(
@@ -806,10 +837,11 @@ def pq_search_index(
     emb = load_table(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(f"{index_dir}/cents")
     codes = spark.read.parquet(f"{index_dir}/codes")
-    short = _adc_topk(emb, codes, cents, shortlist, n_queries).select(
-        "query_id", "vec_id"
-    )
-    return _exact_rerank_l2(short, emb, k, n_queries)
+    qcollected = _collect_queries(emb, n_queries)  # once for both stages
+    short = _adc_topk(
+        emb, codes, cents, shortlist, n_queries, qcollected=qcollected
+    ).select("query_id", "vec_id")
+    return _exact_rerank_l2(short, emb, k, n_queries, qcollected=qcollected)
 
 
 def pq_search_stored(
