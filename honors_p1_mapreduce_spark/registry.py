@@ -177,6 +177,20 @@ substring-cut pair):
   build time (tests/test_curation.py, R15_QUEUED_PREVERIFY.json).
   Registry 173 -> 176 at their registration, within the 200 cap.
 
+ROUND-19 FORCED RESTAMPS (the media_image_neardup precedent; code
+paths moved by the r18 optimization round, oracle-green at both SFs
+when they moved — run the r19 rotation with ``--force`` on):
+  bpe_train_merges, bpe_encode_stats — bpe.py's local trainer now
+    also memoizes the word->syms end state (_SYMS_CACHE) and the
+    encode consumers assemble the word->ids table driver-side.
+  similarity_pq_topk, similarity_pq_rerank_topk — pq.py's
+    _sq_l2_static single-expression parse + the shared query-vector
+    collect (r18 commits). (The rest of the touched set —
+    bpe_encode_ids, pack_token_ids, media_png_decode — is in the r18
+    window and restamps now; bpe_encode_ids_stored, pq_search_stored,
+    pq_search_appended, decontaminate_audit are r15-stamped and lead
+    the r19 deadline block by age anyway.)
+
 ROUND-19 QUEUE (library surfaces built r16, behind the r17/r18
 backlog; parity green at both SFs at build time and re-verified on
 the final r16 tree — R16_QUEUED_PREVERIFY.json):
