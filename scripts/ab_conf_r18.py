@@ -37,6 +37,8 @@ ARMS: dict[str, dict[str, str]] = {
     },
     # diagnostic: raw shuffle-partition count at the low-core value
     "sp8": {"spark.sql.shuffle.partitions": "8"},
+    # diagnostic: AQE re-optimization overhead at bench scale
+    "noaqe": {"spark.sql.adaptive.enabled": "false"},
     "sp8_aqe": {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
