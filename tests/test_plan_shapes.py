@@ -438,10 +438,15 @@ def test_bpe_encode_broadcasts_vocab_map(spark, sf_dir):
 
     plan = _plan(bpe_encode_stats(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
-    # exactly ONE word-keyed exchange exists — the VOCAB side's
-    # distinct (vocab-sized); the corpus stream side itself reaches
-    # the join through the broadcast, never a word-keyed shuffle
-    assert plan.count("Exchange hashpartitioning(word") == 1
+    # the corpus stream side reaches the join through the broadcast,
+    # never a word-keyed shuffle: ZERO word-keyed exchanges on the
+    # r18 driver-local vocab path (the word->counts map is a local
+    # relation assembled from the trainer's word->syms memo), at most
+    # ONE on the JVM fallback path (the vocab side's own distinct)
+    assert plan.count("Exchange hashpartitioning(word") <= 1
+    assert "Scan ExistingRDD" in plan or (
+        plan.count("Exchange hashpartitioning(word") == 1
+    )
 
 
 def test_moving_stats_single_window_over_partials(spark, sf_dir):
