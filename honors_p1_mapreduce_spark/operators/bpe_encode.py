@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_col, tokens_sql
+from ..sources.sinks import write_parquet_parallel
 from ..sources.tables import corpus_token, load_table
 from .bpe import (
     _SEP,
@@ -689,10 +690,15 @@ def bpe_write_tokenizer(
     else:
         word_syms = _encode_word_syms(docs, merges)
         sym_ids = _sym_id_table(word_syms, merges, spark)
-    spark.createDataFrame(merge_rows, MERGES_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(f"{tokenizer_dir}/merges")
-    sym_ids.write.mode("overwrite").parquet(f"{tokenizer_dir}/vocab")
+    # r18: merge table and vocabulary are independent frames — overlap
+    # their write jobs (guide §2.6)
+    write_parquet_parallel(
+        (
+            spark.createDataFrame(merge_rows, MERGES_SCHEMA),
+            f"{tokenizer_dir}/merges",
+        ),
+        (sym_ids, f"{tokenizer_dir}/vocab"),
+    )
     if word_syms is not None:
         word_syms.unpersist()
 

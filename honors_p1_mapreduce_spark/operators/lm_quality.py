@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import bigrams_from_tokens, tokens_col, tokens_sql
+from ..sources.sinks import write_parquet_parallel
 from ..sources.tables import load_table
 
 PPM = 1_000_000  # probability fixed-point scale (parts per million)
@@ -370,8 +371,12 @@ def lm_write_counts(spark: SparkSession, sf_dir: str, model_dir: str) -> None:
     of :func:`lm_write_model` derives from these in one vocab-sized
     pass."""
     occ, uni, bg_counts, tok_arr = _lm_count_frames(spark, sf_dir)
-    bg_counts.write.mode("overwrite").parquet(f"{model_dir}/bigram_counts")
-    uni.write.mode("overwrite").parquet(f"{model_dir}/unigram_counts")
+    # r18: the two count frames are independent once tok_arr/occ are
+    # built — overlap their write jobs (guide §2.6)
+    write_parquet_parallel(
+        (bg_counts, f"{model_dir}/bigram_counts"),
+        (uni, f"{model_dir}/unigram_counts"),
+    )
     occ.unpersist()
     tok_arr.unpersist()
 
@@ -550,8 +555,9 @@ def lm_model_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_docs, new_docs, old_h, new_h = _snapshot_frames(docs)
     d = _artifact_dir(spark, sf_dir, "lm_snap_counts")
     occ_o, uni_o, bg_o, tok_o = _lm_count_frames_from(old_docs)
-    bg_o.write.mode("overwrite").parquet(f"{d}/bigram_counts")
-    uni_o.write.mode("overwrite").parquet(f"{d}/unigram_counts")
+    write_parquet_parallel(
+        (bg_o, f"{d}/bigram_counts"), (uni_o, f"{d}/unigram_counts")
+    )
     occ_o.unpersist()
     tok_o.unpersist()
 

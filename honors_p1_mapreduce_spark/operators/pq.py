@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.sinks import write_parquet_parallel
 from ..sources.tables import corpus_token, load_table
 from .similarity import EMB_DIM, IVF_STRIDE_SALT, N_QUERIES, TOP_K
 
@@ -793,24 +794,6 @@ SIMILARITY_PQ_RERANK_TOPK_ORACLE = similarity_pq_rerank_topk_oracle()
 
 # ---------------------------------------- persisted index (r7)
 
-
-def _write_index_parallel(*frames_and_paths) -> None:
-    """Overwrite-write independent index artifacts from driver
-    threads (guide §2.6): the cents and codes writes share no input
-    dependency once the codebook is trained (cents is a bounded local
-    relation; codes derive from the scan), so the two write jobs
-    overlap instead of serializing — each write still recomputes from
-    the parquet inputs on every call."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    def write(fp):
-        df, path = fp
-        df.write.mode("overwrite").parquet(path)
-
-    with ThreadPoolExecutor(max_workers=len(frames_and_paths)) as pool:
-        list(pool.map(write, frames_and_paths))
-
-
 def pq_write_index(
     spark: SparkSession,
     sf_dir: str,
@@ -832,7 +815,7 @@ def pq_write_index(
     )
     subs = _subvectors(emb, "vec_id", "embedding")
     codes = _assign(subs, cents, "vec_id").withColumnRenamed("cell", "code")
-    _write_index_parallel(
+    write_parquet_parallel(
         (cents, f"{index_dir}/cents"), (codes, f"{index_dir}/codes")
     )
 
@@ -986,7 +969,7 @@ def pq_write_base_index(
     base_codes = _assign(
         _subvectors(base, "vec_id", "embedding"), cents, "vec_id"
     ).withColumnRenamed("cell", "code")
-    _write_index_parallel(
+    write_parquet_parallel(
         (cents, f"{index_dir}/cents"), (base_codes, f"{index_dir}/codes")
     )
 

@@ -18,6 +18,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_parquet_parallel(*frames_and_paths) -> None:
+    """Overwrite-write INDEPENDENT artifact frames from driver
+    threads (optimization guide §2.6 "overlap independent jobs"): an
+    artifact cycle that ships several frames with no data dependency
+    between them (merge table + vocabulary; unigram + bigram counts;
+    codebook + codes) otherwise serializes their write jobs, leaving
+    the cluster idle through each commit. Each write still recomputes
+    from its inputs on every call — nothing is cached across calls."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write(fp):
+        df, path = fp
+        df.write.mode("overwrite").parquet(path)
+
+    with ThreadPoolExecutor(max_workers=len(frames_and_paths)) as pool:
+        list(pool.map(write, frames_and_paths))
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,
