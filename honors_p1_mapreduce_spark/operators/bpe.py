@@ -313,7 +313,10 @@ def bpe_train_merges_list(
         )
         hit = _MERGES_CACHE.get(key)
         if hit is not None:
-            return hit
+            # shallow copy of tuples (advisor r17): a caller mutating
+            # the returned list (sort, append) must not corrupt the
+            # memo for every later consumer in the session
+            return list(hit)
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
@@ -331,7 +334,7 @@ def bpe_train_merges_list(
                 return_words=True,
             )
             if key is not None:
-                _MERGES_CACHE[key] = local
+                _MERGES_CACHE[key] = list(local)
                 orig = [r["word"] for r in collected]
                 if all(_SEP not in w for w in orig):
                     _SYMS_CACHE[key] = {
@@ -388,7 +391,7 @@ def bpe_train_merges_list(
             .localCheckpoint()
         )
     if key is not None:
-        _MERGES_CACHE[key] = merges
+        _MERGES_CACHE[key] = list(merges)
     return merges
 
 

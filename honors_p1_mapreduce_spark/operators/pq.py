@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.sinks import write_parquet_parallel
 from ..sources.tables import corpus_token, load_table
@@ -460,7 +461,11 @@ def _adc_table(
     :func:`_sq_l2_static` in IEEE754 float64 — pinned by a
     differential test. Irregular codebooks or query vectors
     (short/null/NaN) fall back to the JVM formulation, so semantics
-    can never drift."""
+    can never drift. The centroid guard deliberately does NOT test
+    NaN (asymmetric with the query guard, advisor r17): a NaN
+    codeword produces NaN distances identically on the driver and JVM
+    paths — IEEE754 NaN propagates through the same op sequence — so
+    NaN codebooks stay on the fast path by design."""
     crows = cents.select("s", "cell", "c_v").collect()  # <= M*CELLS rows
     cents_regular = all(
         r["c_v"] is not None
@@ -536,7 +541,16 @@ def _exact_rerank_l2(
     qrows, q_regular = (
         qcollected if qcollected is not None else _collect_queries(emb, n_queries)
     )
-    if q_regular:
+    # r18 (advisor): the driver relation's element type must match the
+    # source column, or an array<double> embedding table would get
+    # silently narrowed queries on this path while the irregular-input
+    # fallback kept full precision. Non-float element types take the
+    # scan-side fallback (all current callers are array<float>).
+    elem = emb.schema["embedding"].dataType
+    is_f32 = isinstance(elem, T.ArrayType) and isinstance(
+        elem.elementType, T.FloatType
+    )
+    if q_regular and is_f32:
         q = emb.sparkSession.createDataFrame(
             [(r["vec_id"], r["embedding"]) for r in qrows],
             "query_id long, q_emb array<float>",

@@ -73,6 +73,13 @@ def get_spark(
         # with the compiled class cached). Compiled classes are small;
         # a long-lived driver serving a mixed workload wants them
         # resident. Parameterized for memory-constrained drivers.
+        # CAVEAT (advisor r17): this is an INTERNAL *static* SQL conf —
+        # if getOrCreate attaches to a pre-existing SparkSession in
+        # this JVM, the value is silently ignored (the first session
+        # wins), and being internal it carries no cross-version
+        # stability guarantee. Fine for this engine (get_spark is the
+        # single session factory); embedders sharing a JVM should set
+        # it on the FIRST session they create.
         .config(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
