@@ -70,7 +70,11 @@ def get_spark(
         # chain, the PNG synthesis fold) RECOMPILES because the other
         # queries evicted it, paying multi-second Janino+JIT cost
         # twice (measured: bpe_encode_ids 12.1 s first-eval vs 4.0 s
-        # with the compiled class cached). Compiled classes are small;
+        # with the compiled class cached). r18: 5000 still evicts
+        # across the grown 176-query suite — pack_token_ids measured
+        # 5.5 s in-suite vs 1.6 s isolated at 5000, 2.9 s in-suite at
+        # 20000 (media_png_decode 4.6 -> 1.5) — so the default rides
+        # the suite size with headroom. Compiled classes are small;
         # a long-lived driver serving a mixed workload wants them
         # resident. Parameterized for memory-constrained drivers.
         # CAVEAT (advisor r17): this is an INTERNAL *static* SQL conf —
@@ -82,7 +86,7 @@ def get_spark(
         # it on the FIRST session they create.
         .config(
             "spark.sql.codegen.cache.maxEntries",
-            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "5000"),
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "20000"),
         )
     )
     for k, v in (extra_conf or {}).items():
